@@ -1,13 +1,506 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each exercised on the harness test tables with a DuckDB-equivalent oracle.
+  *
+  * Key naming: `<§2 id>_<name>` (e.g. `j11_asof_interval` = SURVEY §2.3 J11).
+  * Column names are aligned 1:1 between the Spark query and its oracle SQL
+  * (the driver sorts columns by name before hashing). Floating-point outputs
+  * are rounded on both sides so cross-engine summation order can't flip a
+  * hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Revenue per
+    * nation — scan → broadcast dims → shuffle agg, the engine's join/agg
+    * spine (SURVEY §2.3 J1/J2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenueByNation(spark, "/root/testdata/sf0.001")
+
+  private def revenueByNation(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // ---- events-derived helpers (J11 as-of fixtures) ----
+
+  /** Signup sessions: [signup_ts, signup_ts + 2h] intervals per user. */
+  private def sessions(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("session_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("session_end"))
+
+  private def clicksWithSession(s: SparkSession, d: String): DataFrame =
+    JoinOps.asOfPointInInterval(
+      points = ev(s, d).filter(col("event_type") === "click").select("event_id", "user_id", "ts"),
+      intervals = sessions(s, d),
+      partKey = "user_id", pointTs = "ts",
+      startCol = "session_start", endCol = "session_end",
+      asOfName = "session_start")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- scans / projections / filters ----------------
+    "s01_scan_project" -> ((s, d) =>
+      li(s, d).filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "p02_null_filter" -> ((s, d) =>
+      clicksWithSession(s, d).filter(col("session_start").isNull)
+        .select("event_id", "user_id")),
+
+    "p06_semi_filter" -> ((s, d) =>
+      JoinOps.semiFilter(li(s, d), Seq("l_orderkey"),
+          ord(s, d).filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("l_orderkey")))
+        .select("l_orderkey", "l_linenumber")),
+
+    "p09_dedup" -> ((s, d) =>
+      li(s, d).select("l_returnflag", "l_linestatus").dropDuplicates()),
+
+    "p12_clip_overwrite" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        least(col("l_quantity"), lit(25.0)).as("qty_clip"))),
+
+    "p13_threshold_label" -> ((s, d) =>
+      CohortOps.thresholdLabel(ord(s, d), col("o_totalprice"), lit(250000.0), "label")
+        .select("o_orderkey", "label")),
+
+    // ---------------- joins ----------------
+    "j01_join_agg_revenue" -> ((s, d) => revenueByNation(s, d)),
+
+    "j09_anti_join" -> ((s, d) =>
+      JoinOps.antiFilter(cust(s, d).withColumn("o_custkey", col("c_custkey")),
+          Seq("o_custkey"), ord(s, d).filter(col("o_orderstatus") === "P"))
+        .select("c_custkey")),
+
+    "j10_first_match_lookup" -> ((s, d) => {
+      val brandMap = JoinOps.firstMatchLookup(prt(s, d), "p_brand", "p_type", "p_partkey")
+      prt(s, d).select("p_partkey", "p_brand")
+        .join(broadcast(brandMap.withColumnRenamed("p_type", "brand_type")), Seq("p_brand"))
+        .select("p_partkey", "brand_type")
+    }),
+
+    "j11_asof_interval" -> ((s, d) =>
+      clicksWithSession(s, d).select("event_id", "session_start")),
+
+    "j12_next_within_gap" -> ((s, d) =>
+      CohortOps.nextWithinGapLabel(ord(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+          expr("INTERVAL 90 DAYS"), "label")
+        .select("o_orderkey", "label")),
+
+    "j13_interval_label" -> ((s, d) =>
+      CohortOps.intervalLabel(
+          li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey")),
+          col("l_shipdate"), col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "label")
+        .select("l_orderkey", "l_linenumber", "label")),
+
+    "j14_topk_semi" -> ((s, d) =>
+      JoinOps.semiTopK(li(s, d), "l_partkey", 25)
+        .select("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // ---------------- aggregations ----------------
+    "a01_group_count" -> ((s, d) =>
+      li(s, d).groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))),
+
+    "a02_mean_frequency" -> ((s, d) =>
+      SummaryOps.meanFrequency(li(s, d), "l_orderkey", "l_partkey")),
+
+    "a03_missing_rate" -> ((s, d) =>
+      SummaryOps.missingRate(li(s, d), "l_returnflag", col("l_discount") === 0.0)),
+
+    "a04_multi_agg" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("count_order"))),
+
+    "a05_mode_dominance" -> ((s, d) =>
+      CleaningOps.dominantCategoryFilter(li(s, d), "l_partkey", "l_returnflag", 0.5)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")),
+
+    "a06_percentile_clamp" -> ((s, d) =>
+      CleaningOps.percentileClamp(
+          li(s, d).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", 0.02, 0.98)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price_clamped"))),
+
+    "a07_distinct_count" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))),
+
+    "a08_max_group_size" -> ((s, d) =>
+      SummaryOps.maxGroupSize(li(s, d), "l_orderkey")),
+
+    "a09_value_counts" -> ((s, d) =>
+      SummaryOps.valueCounts(ev(s, d), "event_type")),
+
+    "a12_confusion_metrics" -> ((s, d) => {
+      val nli = li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      val scored = ord(s, d).join(nli, Seq("o_orderkey"), "left")
+        .withColumn("truth", when(col("o_totalprice") >= 250000.0, 1).otherwise(0))
+        .withColumn("pred", when(coalesce(col("n_items"), lit(0L)) >= 4, 1).otherwise(0))
+      MetricsOps.confusionMetrics(scored, col("truth"), col("pred"))
+    }),
+
+    "a14_calibration_bins" -> ((s, d) =>
+      MetricsOps.calibrationBins(li(s, d),
+        col("l_discount") * 10.0, when(col("l_returnflag") === "R", 1).otherwise(0), 10)),
+
+    "a15_auroc" -> ((s, d) =>
+      MetricsOps.aurocRankSum(ord(s, d), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0), col("o_orderkey"))),
+
+    // ---------------- windows ----------------
+    "w02_group_max_year" -> ((s, d) =>
+      CohortOps.groupMax(ord(s, d), "o_custkey", year(col("o_orderdate")), "max_year")
+        .select(col("o_orderkey"), col("max_year").cast("int").as("max_year"))),
+
+    "w03_ffill_bfill" -> ((s, d) => {
+      val base = ev(s, d).withColumn("v",
+        when(col("event_type") === "purchase", col("value")))
+      val ff = WindowOps.forwardFill(base, Seq("user_id"), Seq("ts", "event_id"), col("v"), "ffill_value")
+      WindowOps.backwardFill(ff, Seq("user_id"), Seq("ts", "event_id"), col("v"), "bfill_value")
+        .select(col("event_id"),
+          round(col("ffill_value"), 2).as("ffill_value"),
+          round(col("bfill_value"), 2).as("bfill_value"))
+    }),
+
+    "w08_lag_gap" -> ((s, d) =>
+      WindowOps.lagGap(ord(s, d), Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+          col("o_orderdate"), (prev, cur) => datediff(cur, prev), "gap_days")
+        .select(col("o_orderkey"), col("gap_days").cast("int").as("gap_days"),
+          coalesce(col("gap_days"), lit(-1)).cast("int").as("gap_days_filled"))),
+
+    "f19_quantile_bin" -> ((s, d) =>
+      WindowOps.quantileBin(ord(s, d), Seq("o_orderstatus"), Seq("o_totalprice", "o_orderkey"),
+          4, "quartile")
+        .select("o_orderkey", "quartile")),
+
+    // ---------------- sorts / top-k / sets ----------------
+    "o04_topk" -> ((s, d) => {
+      val counts = li(s, d).groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      counts.withColumn("__rn",
+          row_number().over(Window.orderBy(col("cnt").desc, col("l_partkey").asc)))
+        .filter(col("__rn") <= 10).drop("__rn")
+    }),
+
+    "u01_union_label" -> ((s, d) =>
+      ord(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), lit("hi").as("seg"))
+        .unionByName(
+          ord(s, d).filter(col("o_totalprice") < 50000.0)
+            .select(col("o_orderkey"), lit("lo").as("seg")))),
+
+    "u03_densify_missing" -> ((s, d) => {
+      val e = ev(s, d)
+      val users = e.select("user_id").distinct()
+      val observed = e.select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+      TimeSeriesOps.missingBuckets(users, "user_id", lit(30), observed, "day")
+        .withColumnRenamed("day", "missing_day")
+    }),
+
+    "u04_except_ids" -> ((s, d) =>
+      ord(s, d).filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+        .except(ord(s, d).filter(col("o_orderstatus") === "P").select("o_custkey").distinct())),
+
+    // ---------------- scalar functions ----------------
+    "f02_floor_hours" -> ((s, d) =>
+      li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor((unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate"))) / 3600L)
+            .cast("long").as("ship_hours"))),
+
+    "f09_string_norm" -> ((s, d) =>
+      prt(s, d).select(col("p_partkey"),
+        regexp_replace(lower(trim(col("p_name"))), " ", "_").as("norm_name"),
+        substring(col("p_brand"), 7, 2).as("brand_suffix"))),
+
+    "f14_hof_filter" -> ((s, d) =>
+      prt(s, d).select(col("p_partkey"),
+        array_join(filter(split(col("p_name"), " "), x => x.contains("e")), ",").as("e_tokens"))),
+
+    "f20_decade_bin" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        concat((floor(col("value") / 10) * 10).cast("long").cast("string"), lit("-"),
+          (floor(col("value") / 10) * 10 + 9).cast("long").cast("string")).as("value_decade"))),
+
+    // ---------------- time series / streaming analogue ----------------
+    "ts_tumbling_window" -> ((s, d) =>
+      TimeSeriesOps.tumblingAgg(ev(s, d), col("ts"), "hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+        .withColumnRenamed("date_trunc(hour, ts)", "hour_start"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+
+    "p02_null_filter" ->
+      """SELECT e.event_id, e.user_id FROM events e
+         WHERE e.event_type = 'click' AND NOT EXISTS (
+           SELECT 1 FROM events s WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             AND s.ts <= e.ts AND e.ts <= s.ts + INTERVAL 2 HOUR)""",
+
+    "p06_semi_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')""",
+
+    "p09_dedup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "p12_clip_overwrite" ->
+      "SELECT l_orderkey, l_linenumber, LEAST(l_quantity, 25.0) AS qty_clip FROM lineitem",
+
+    "p13_threshold_label" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS label FROM orders",
+
+    "j01_join_agg_revenue" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "j09_anti_join" ->
+      """SELECT c_custkey FROM customer c WHERE NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""",
+
+    "j10_first_match_lookup" ->
+      """WITH brand_map AS (
+           SELECT p_brand, ARG_MIN(p_type, p_partkey) AS brand_type FROM part GROUP BY p_brand)
+         SELECT p.p_partkey, m.brand_type FROM part p JOIN brand_map m ON p.p_brand = m.p_brand""",
+
+    "j11_asof_interval" ->
+      """SELECT e.event_id,
+                (SELECT MAX(s.ts) FROM events s
+                 WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                   AND s.ts <= e.ts AND e.ts <= s.ts + INTERVAL 2 HOUR) AS session_start
+         FROM events e WHERE e.event_type = 'click'""",
+
+    "j12_next_within_gap" ->
+      """SELECT o_orderkey,
+                CASE WHEN nxt IS NOT NULL AND nxt <= o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END AS label
+         FROM (SELECT o_orderkey, o_orderdate,
+                      LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS nxt
+               FROM orders)""",
+
+    "j13_interval_label" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END AS label
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "j14_topk_semi" ->
+      """WITH topk AS (
+           SELECT l_partkey FROM (
+             SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC) AS rn
+             FROM lineitem GROUP BY l_partkey) WHERE rn <= 25)
+         SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_partkey IN (SELECT l_partkey FROM topk)""",
+
+    "a01_group_count" ->
+      "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey",
+
+    "a02_mean_frequency" ->
+      """SELECT l_partkey, ROUND(AVG(c), 6) AS mean_frequency FROM (
+           SELECT l_orderkey, l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1, 2)
+         GROUP BY l_partkey""",
+
+    "a03_missing_rate" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
+                CAST(COUNT(*) AS BIGINT) AS total_count,
+                ROUND(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                  AS missing_rate
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "a04_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                ROUND(AVG(l_quantity), 6) AS avg_qty,
+                MAX(l_shipdate) AS max_ship,
+                CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "a05_mode_dominance" ->
+      """WITH counts AS (
+           SELECT l_partkey, l_returnflag, COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+         stats AS (
+           SELECT l_partkey, l_returnflag AS mode_flag,
+                  c * 1.0 / SUM(c) OVER (PARTITION BY l_partkey) AS share,
+                  COUNT(*) OVER (PARTITION BY l_partkey) AS ndist,
+                  ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY c DESC, l_returnflag ASC) AS rn
+           FROM counts)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_returnflag
+         FROM lineitem l JOIN (SELECT * FROM stats WHERE rn = 1) s ON l.l_partkey = s.l_partkey
+         WHERE NOT (s.ndist > 1 AND s.share > 0.5 AND l.l_returnflag <> s.mode_flag)""",
+
+    "a06_percentile_clamp" ->
+      """WITH bounds AS (
+           SELECT l_returnflag, QUANTILE_CONT(l_extendedprice, 0.02) AS lo,
+                  QUANTILE_CONT(l_extendedprice, 0.98) AS hi
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber,
+                ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 2) AS price_clamped
+         FROM lineitem JOIN bounds USING (l_returnflag)""",
+
+    "a07_distinct_count" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "a08_max_group_size" ->
+      """SELECT CAST(MAX(c) AS BIGINT) AS max_group_size FROM (
+           SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)""",
+
+    "a09_value_counts" ->
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
+
+    "a12_confusion_metrics" ->
+      """WITH scored AS (
+           SELECT CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS truth,
+                  CASE WHEN COALESCE(n_items, 0) >= 4 THEN 1 ELSE 0 END AS pred
+           FROM orders LEFT JOIN (
+             SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1)
+           USING (o_orderkey))
+         SELECT CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                ROUND((SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END)) * 1.0 / COUNT(*), 6) AS accuracy,
+                ROUND(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) * 1.0
+                      / SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 6) AS precision_,
+                ROUND(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) * 1.0
+                      / SUM(CASE WHEN truth = 1 THEN 1 ELSE 0 END), 6) AS recall_
+         FROM scored""",
+
+    "a14_calibration_bins" ->
+      """SELECT CAST(LEAST(FLOOR(l_discount * 10.0 * 10), 9) AS BIGINT) AS bin,
+                ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) AS bin_accuracy,
+                ROUND(AVG(l_discount * 10.0), 6) AS bin_confidence,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1""",
+
+    "a15_auroc" ->
+      """WITH r AS (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+           FROM orders)
+         SELECT ROUND((SUM(CASE WHEN lab = 1 THEN rn ELSE 0 END) - SUM(lab) * (SUM(lab) + 1) / 2)
+                * 1.0 / (SUM(lab) * (COUNT(*) - SUM(lab))), 6) AS auc
+         FROM r""",
+
+    "w02_group_max_year" ->
+      """SELECT o_orderkey,
+                CAST(MAX(EXTRACT(year FROM o_orderdate)) OVER (PARTITION BY o_custkey) AS INTEGER)
+                  AS max_year
+         FROM orders""",
+
+    "w03_ffill_bfill" ->
+      """SELECT event_id,
+                ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill_value,
+                ROUND(FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS bfill_value
+         FROM (SELECT event_id, user_id, ts,
+                      CASE WHEN event_type = 'purchase' THEN value END AS v
+               FROM events)""",
+
+    "w08_lag_gap" ->
+      """SELECT o_orderkey,
+                CAST(DATE_DIFF('day', prev, o_orderdate) AS INTEGER) AS gap_days,
+                CAST(COALESCE(DATE_DIFF('day', prev, o_orderdate), -1) AS INTEGER) AS gap_days_filled
+         FROM (SELECT o_orderkey, o_orderdate,
+                      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev
+               FROM orders)""",
+
+    "f19_quantile_bin" ->
+      """SELECT o_orderkey,
+                NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+                  AS quartile
+         FROM orders""",
+
+    "o04_topk" ->
+      """SELECT l_partkey, cnt FROM (
+           SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC) AS rn
+           FROM lineitem GROUP BY l_partkey)
+         WHERE rn <= 10""",
+
+    "u01_union_label" ->
+      """SELECT o_orderkey, 'hi' AS seg FROM orders WHERE o_totalprice > 400000.0
+         UNION ALL
+         SELECT o_orderkey, 'lo' AS seg FROM orders WHERE o_totalprice < 50000.0""",
+
+    "u03_densify_missing" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         full_grid AS (SELECT user_id, d AS missing_day
+                       FROM u CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 29)) AS d)),
+         obs AS (SELECT DISTINCT user_id,
+                        CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d
+                 FROM events)
+         SELECT g.user_id, g.missing_day FROM full_grid g
+         LEFT JOIN obs o ON g.user_id = o.user_id AND g.missing_day = o.d
+         WHERE o.user_id IS NULL""",
+
+    "u04_except_ids" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+
+    "f02_floor_hours" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(FLOOR(EPOCH(l_shipdate - o_orderdate) / 3600) AS BIGINT) AS ship_hours
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "f09_string_norm" ->
+      """SELECT p_partkey, REPLACE(LOWER(TRIM(p_name)), ' ', '_') AS norm_name,
+                SUBSTRING(p_brand, 7, 2) AS brand_suffix
+         FROM part""",
+
+    "f14_hof_filter" ->
+      """SELECT p_partkey,
+                COALESCE(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(p_name, ' '),
+                  x -> CONTAINS(x, 'e')), ','), '') AS e_tokens
+         FROM part""",
+
+    "f20_decade_bin" ->
+      """SELECT event_id,
+                CONCAT(CAST(CAST(FLOOR(value / 10) * 10 AS BIGINT) AS VARCHAR), '-',
+                       CAST(CAST(FLOOR(value / 10) * 10 + 9 AS BIGINT) AS VARCHAR)) AS value_decade
+         FROM events""",
+
+    "ts_tumbling_window" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
 }

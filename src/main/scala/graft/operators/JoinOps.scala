@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators from the reference's extraction passes
+  * (SURVEY.md §2.3), re-expressed as Catalyst-friendly combinators.
+  *
+  * Scale notes: every helper keeps the *small* side explicit so the caller
+  * can `broadcast()` it; semi/anti joins are used instead of `isin`
+  * collect-to-driver lists (reference `day_intervals_cohort.py:39`), so the
+  * filter distributes and AQE can still pick broadcast-hash when the
+  * distinct key set is small.
+  */
+object JoinOps {
+
+  /** P6/J8 — `df[df.k.isin(other.k)]` (reference `feature_selection_hosp.py:194`)
+    * as a distributed semi-join. `keys` must exist in both frames.
+    */
+  def semiFilter(df: DataFrame, keys: Seq[String], filter: DataFrame): DataFrame =
+    df.join(broadcast(filter.select(keys.map(col): _*).distinct()), keys, "left_semi")
+
+  /** J9 — rows of `df` with no partner in `other` (reference drops offending
+    * index rows, `uom_conversion.py:23-25`).
+    */
+  def antiFilter(df: DataFrame, keys: Seq[String], other: DataFrame): DataFrame =
+    df.join(broadcast(other.select(keys.map(col): _*).distinct()), keys, "left_anti")
+
+  /** J14/O4 — keep only rows whose `key` is among the top-k most frequent
+    * (reference `hosp_preprocess_util.py:462-469`). Deterministic tie-break:
+    * higher count first, then smaller key. The top-k set is tiny by
+    * construction → broadcast semi-join, no second shuffle of `df`.
+    */
+  def topKByCount(df: DataFrame, key: String, k: Int): DataFrame = {
+    val counts = df.groupBy(key).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__cnt").desc, col(key).asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(key)
+  }
+
+  def semiTopK(df: DataFrame, key: String, k: Int): DataFrame =
+    df.join(broadcast(topKByCount(df, key, k)), Seq(key), "left_semi")
+
+  /** J10 — first-match lookup table: collapse a many-row mapping to one row
+    * per key, "first" defined by `orderCol` (the reference takes file order,
+    * `hosp_preprocess_util.py:411` `iloc[0]`; we make the order explicit).
+    * Result is a broadcastable dimension.
+    */
+  def firstMatchLookup(mapping: DataFrame, key: String, value: String, orderCol: String): DataFrame =
+    mapping.groupBy(key).agg(min_by(col(value), col(orderCol)).as(value))
+
+  /** J11 — point-in-interval as-of join (reference hadm_id imputation,
+    * `labs_preprocess_util.py:13-60`): for each point row, attach the
+    * interval row of the same `partKey` with `startCol <= pointTs <= endCol`;
+    * among several candidates pick the one with the latest start (smallest
+    * `pointTs - start`, the reference's tie-break :56-59). Left join: points
+    * with no enclosing interval keep a null `asOfCol`.
+    *
+    * Physical shape: equi-join on the partition key (shuffle co-partitioned,
+    * AQE-skew-aware) with the range predicate evaluated in the join, then a
+    * per-point `row_number` window to keep the closest candidate. At 100 TB
+    * the equi-key carries the shuffle; no cross product is ever formed.
+    */
+  def asOfPointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      partKey: String,
+      pointTs: String,
+      startCol: String,
+      endCol: String,
+      asOfName: String): DataFrame = {
+    val p = points.withColumn("__pid", monotonically_increasing_id())
+    val iv = intervals.select(
+      col(partKey).as("__k"),
+      col(startCol).as("__start"),
+      col(endCol).as("__end"))
+    val joined = p.join(
+      iv,
+      p(partKey) === col("__k") &&
+        p(pointTs) >= col("__start") && p(pointTs) <= col("__end"),
+      "left")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__start").desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn(asOfName, col("__start"))
+      .drop("__pid", "__rn", "__k", "__start", "__end")
+  }
+}

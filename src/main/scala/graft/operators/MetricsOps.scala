@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation/fairness analytics (SURVEY.md §2.4 A12-A16) — the relational
+  * core of the reference's `evaluation.py` / `fairness.py`. Every metric is
+  * an aggregate over (truth, score) columns; nothing is collected to the
+  * driver, so the same code evaluates 10⁹-row prediction tables.
+  */
+object MetricsOps {
+
+  /** A12/A16 — confusion cells + derived rates in one aggregate pass
+    * (`fairness.py:32-68`, `evaluation.py:124-141`). `truth`/`pred` are 0/1.
+    */
+  def confusionMetrics(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val tp = sum(when(truth === 1 && pred === 1, 1L).otherwise(0L)).as("tp")
+    val fp = sum(when(truth === 0 && pred === 1, 1L).otherwise(0L)).as("fp")
+    val tn = sum(when(truth === 0 && pred === 0, 1L).otherwise(0L)).as("tn")
+    val fn = sum(when(truth === 1 && pred === 0, 1L).otherwise(0L)).as("fn")
+    df.agg(tp, fp, tn, fn)
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("tn") + col("fp") + col("fn")), 6))
+      .withColumn("precision_", round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+      .withColumn("recall_", round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+  }
+
+  /** A13 — the same rates per sensitive-attribute group (`fairness.py:71-81`). */
+  def groupedConfusion(df: DataFrame, group: String, truth: Column, pred: Column): DataFrame =
+    df.groupBy(group).agg(
+      sum(when(truth === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(truth === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(truth === 0 && pred === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(truth === 1 && pred === 0, 1L).otherwise(0L)).as("fn"))
+
+  /** A14 — calibration bins (`evaluation.py:219-250`): digitize `prob` into
+    * `bins` equal buckets (prob==1 clipped into the last), per-bin accuracy
+    * and mean confidence.
+    */
+  def calibrationBins(df: DataFrame, prob: Column, label: Column, bins: Int): DataFrame =
+    df.withColumn("bin", least(floor(prob * bins), lit(bins - 1)).cast("long"))
+      .groupBy("bin")
+      .agg(
+        round(avg(label.cast("double")), 6).as("bin_accuracy"),
+        round(avg(prob), 6).as("bin_confidence"),
+        count(lit(1)).as("n"))
+
+  /** A15 — AUROC via the Mann-Whitney rank-sum identity
+    * (`evaluation.py:95-108` uses sklearn; this is the distributed form):
+    * AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), with a
+    * caller-supplied unique `tie` column pinning the rank order.
+    */
+  def aurocRankSum(df: DataFrame, score: Column, label: Column, tie: Column): DataFrame = {
+    val w = Window.orderBy(col("__s").asc, col("__t").asc)
+    df.select(label.cast("long").as("__lab"), score.as("__s"), tie.as("__t"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .agg(
+        sum(when(col("__lab") === 1, col("__rn")).otherwise(0L)).as("__rsum"),
+        sum(col("__lab")).as("__npos"),
+        count(lit(1)).as("__n"))
+      .select(round(
+        (col("__rsum") - col("__npos") * (col("__npos") + 1) / 2).cast("double") /
+          (col("__npos") * (col("__n") - col("__npos"))), 6).as("auc"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequency / missingness summaries (SURVEY.md §2.4 A1-A3, A7-A9) —
+  * the reference's `generate_summary_*` passes
+  * (`feature_selection_hosp.py:125-186`). All are single hash aggregates
+  * with map-side partials; no windows, no sorts.
+  */
+object SummaryOps {
+
+  /** A2 — "mean_frequency": events per (entity, code), then the mean of that
+    * count per code (`feature_selection_hosp.py:129-130`).
+    */
+  def meanFrequency(df: DataFrame, entity: String, code: String): DataFrame =
+    df.groupBy(entity, code)
+      .agg(count(lit(1)).as("__per_entity"))
+      .groupBy(code)
+      .agg(round(avg(col("__per_entity")), 6).as("mean_frequency"))
+
+  /** A3 — missing rate: share of rows per group where `isMissing` holds
+    * (`feature_selection_hosp.py:143-147`).
+    */
+  def missingRate(df: DataFrame, group: String, isMissing: Column): DataFrame =
+    df.groupBy(group).agg(
+      sum(when(isMissing, 1L).otherwise(0L)).as("missing_count"),
+      count(lit(1)).as("total_count"),
+      round(sum(when(isMissing, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+        .as("missing_rate"))
+
+  /** A9 — value_counts: frequency table of a column. */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(c).agg(count(lit(1)).as("cnt"))
+
+  /** A8 — max group size as a one-row scalar
+    * (`data_generation_icu.py:352-373`).
+    */
+  def maxGroupSize(df: DataFrame, group: String): DataFrame =
+    df.groupBy(group).agg(count(lit(1)).as("__cnt"))
+      .agg(max(col("__cnt")).as("max_group_size"))
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series representation operators (SURVEY.md §3.3, §7.3) — the batch
+  * analogue of the reference's `Generator` (`data_generation_icu.py`).
+  *
+  * The reference loops over stays in Python and pivots each one; here the
+  * canonical form is ONE tall frame (entity, bucket, code, value) and every
+  * step — bucketing, densification, imputation, pivot — is a distributed
+  * transform. Per-entity output becomes `partitionBy(entity)` at write time,
+  * never a driver loop.
+  */
+object TimeSeriesOps {
+
+  /** Half-open fixed-width bucketing `[i·width, (i+1)·width)` of an offset
+    * column (reference `data_generation_icu.py:302-305`, `floor` semantics
+    * per SURVEY §2.10).
+    */
+  def bucketize(df: DataFrame, offset: Column, width: Column, name: String): DataFrame =
+    df.withColumn(name, floor(offset / width).cast("long"))
+
+  /** Tumbling-window aggregate on an event-time column — the batch twin of
+    * `window(ts, "1 hour")`; used for the events-stream rollup.
+    */
+  def tumblingAgg(df: DataFrame, ts: Column, slide: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((date_trunc(slide, ts) +: keys): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** U3 — densify: the (entity, bucket) pairs MISSING from `df` given each
+    * entity should cover buckets `[0, nBuckets)` (reference index-difference
+    * reindex, `data_generation_icu.py:480-482`). `entities` is one row per
+    * entity. `sequence`+`explode` generates on the executors — no driver
+    * range materialization.
+    */
+  def missingBuckets(entities: DataFrame, entity: String, nBuckets: Column,
+      observed: DataFrame, bucket: String): DataFrame = {
+    val full = entities.select(col(entity),
+      explode(sequence(lit(0L), nBuckets.cast("long") - 1)).as(bucket))
+    full.join(observed.select(col(entity), col(bucket).cast("long").as(bucket)).distinct(),
+      Seq(entity, bucket), "left_anti")
+  }
+
+  /** W5 — "active signal": given per-(entity,code) sparse stop-offsets on a
+    * bucket grid, forward-fill the stop and emit 1 while `stop > bucket`
+    * (reference med-active mask, `data_generation_icu.py:497-501`).
+    */
+  def activeSignal(df: DataFrame, partKeys: Seq[String], bucket: String,
+      stop: Column, name: String): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*).orderBy(col(bucket).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__ffstop", last(stop, ignoreNulls = true).over(w))
+      .withColumn(name,
+        when(col("__ffstop").isNotNull && col("__ffstop") > col(bucket), 1).otherwise(0))
+      .drop("__ffstop")
+  }
+
+  /** Dense pivot to the wide (bucket × code) matrix with an explicit value
+    * list — guarantees every vocabulary column exists (reference zero-fill of
+    * absent features, `data_generation_icu.py:508-516`). Vocab must be
+    * modest (it becomes columns); the tall form remains the scale path.
+    */
+  def pivotMatrix(tall: DataFrame, entity: String, bucket: String, code: String,
+      vocab: Seq[String], value: Column): DataFrame =
+    tall.groupBy(col(entity), col(bucket))
+      .pivot(code, vocab)
+      .agg(value)
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-shaped operators (SURVEY.md §2.5).
+  *
+  * The reference implements all of these with sorted group iteration or
+  * pandas ffill/bfill; each is one Spark window spec. Windows over the same
+  * `(partition, order)` pair share a single sort+shuffle — the combinators
+  * below deliberately reuse one spec so stacked imputation passes stay in
+  * one exchange.
+  */
+object WindowOps {
+
+  private def spec(partKeys: Seq[String], orderCols: Seq[String]) =
+    Window.partitionBy(partKeys.map(col): _*).orderBy(orderCols.map(c => col(c).asc): _*)
+
+  /** W3 — forward fill: last non-null value at or before the current row
+    * (reference `df.ffill()`, `data_generation_icu.py:484-494`).
+    */
+  def forwardFill(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      value: Column, name: String): DataFrame = {
+    val w = spec(partKeys, orderCols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(name, last(value, ignoreNulls = true).over(w))
+  }
+
+  /** W4 — backward fill: first non-null value at or after the current row
+    * (reference `df.bfill()`, `data_generation_icu.py:405-411`).
+    */
+  def backwardFill(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      value: Column, name: String): DataFrame = {
+    val w = spec(partKeys, orderCols).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(name, first(value, ignoreNulls = true).over(w))
+  }
+
+  /** W8 — gap since the previous row in the partition
+    * (reference inter-visit day deltas, `preprocess_outcomes.py:129-139`).
+    * `gap` receives (previous, current).
+    */
+  def lagGap(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      value: Column, gap: (Column, Column) => Column, name: String): DataFrame = {
+    val w = spec(partKeys, orderCols)
+    df.withColumn(name, gap(lag(value, 1).over(w), value))
+  }
+
+  /** F19 — per-group quantile binning (reference `pd.qcut`,
+    * `tokenization.py:113-119`) as `ntile` with a deterministic tie-break.
+    */
+  def quantileBin(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      buckets: Int, name: String): DataFrame =
+    df.withColumn(name, ntile(buckets).over(spec(partKeys, orderCols)))
+}
