@@ -4,6 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ann.Knn
+import graft.dedup.DedupOps
+import graft.functions.TextFns
+import graft.multimodal.BinaryOps
 import graft.operators._
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -23,6 +27,8 @@ object SparkEntry {
   private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
   private def prt(s: SparkSession, d: String) = Tables.part(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Revenue per
     * nation — scan → broadcast dims → shuffle agg, the engine's join/agg
@@ -252,7 +258,86 @@ object SparkEntry {
       TimeSeriesOps.tumblingAgg(ev(s, d), col("ts"), "hour",
           Seq(col("event_type")),
           Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
-        .withColumnRenamed("date_trunc(hour, ts)", "hour_start"))
+        .withColumnRenamed("date_trunc(hour, ts)", "hour_start")),
+
+    // ---------------- text analysis ----------------
+    "t01_token_stats" -> ((s, d) => {
+      val t = docs(s, d).withColumn("toks", TextFns.tokens(col("text")))
+      t.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        round(TextFns.avgTokenLen(col("toks")), 6).as("avg_tok_len"))
+    }),
+
+    "t02_quality_score" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val t = docs(s, d).withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_stop", TextFns.tokenCountIn(col("toks"), stop))
+      t.select(col("doc_id"),
+        round(col("n_stop").cast("double") / col("n"), 6).as("stopword_ratio"),
+        round(size(array_distinct(col("toks"))).cast("double") / col("n"), 6).as("ttr"),
+        when(col("n").between(20, 500) &&
+          col("n_stop").cast("double") / col("n") < 0.4, 1).otherwise(0).as("quality_ok"))
+    }),
+
+    "t03_lang_id" -> ((s, d) => {
+      val t = docs(s, d).withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("r_the",
+          TextFns.tokenCountIn(col("toks"), Seq("the")).cast("double") / size(col("toks")))
+      t.select(col("doc_id"), round(col("r_the"), 6).as("marker_score"),
+        when(col("r_the") >= 0.05, "en_like")
+          .when(col("r_the") >= 0.025, "mixed")
+          .otherwise("other").as("pred_lang"))
+    }),
+
+    "t04_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))),
+
+    // ---------------- deduplication ----------------
+    "d01_exact_dedup" -> ((s, d) =>
+      DedupOps.exactGroups(docs(s, d), "doc_id", "text")),
+
+    "d02_minhash_sig" -> ((s, d) =>
+      DedupOps.minhashSignatures(docs(s, d), "doc_id", "text", n = 3, k = 6)),
+
+    "d03_lsh_neardup" -> ((s, d) =>
+      DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)),
+
+    "d04_simhash" -> ((s, d) =>
+      DedupOps.simhash32(docs(s, d), "doc_id", "text")),
+
+    "d05_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardAllPairs(
+        DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.5)),
+
+    // ---------------- similarity search ----------------
+    "v01_cosine_topk" -> ((s, d) =>
+      Knn.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)),
+
+    "v02_ann_clustered" -> ((s, d) =>
+      Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3)),
+
+    // ---------------- multimodal plumbing ----------------
+    "m01_binary_meta" -> ((s, d) =>
+      BinaryOps.withPayload(docs(s, d), "text", "payload")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("sig"),
+          hex(substring(col("text"), 1, 8)).as("head_hex"))),
+
+    "m02_decode_stub" -> ((s, d) => {
+      val withBin = BinaryOps.withPayload(docs(s, d), "text", "payload")
+      BinaryOps.decodeFeatures(s, withBin, "doc_id", "payload", dims = 4, stride = 7)
+        .toDF()
+        .select(col("doc_id"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,6 +586,179 @@ object SparkEntry {
     "ts_tumbling_window" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
                 CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "t01_token_stats" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents)
+         SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+                CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS n_uniq,
+                ROUND(LIST_SUM(LIST_TRANSFORM(toks, x -> CAST(LEN(x) AS DOUBLE)))
+                      / LEN(toks), 6) AS avg_tok_len
+         FROM t""",
+
+    "t02_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         q AS (
+           SELECT doc_id, LEN(toks) AS n, LEN(LIST_DISTINCT(toks)) AS nu,
+                  LEN(LIST_FILTER(toks, x -> x IN ('the','a','of','and','to'))) AS n_stop
+           FROM t)
+         SELECT doc_id, ROUND(n_stop * 1.0 / n, 6) AS stopword_ratio,
+                ROUND(nu * 1.0 / n, 6) AS ttr,
+                CASE WHEN n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4
+                     THEN 1 ELSE 0 END AS quality_ok
+         FROM q""",
+
+    "t03_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         r AS (
+           SELECT doc_id,
+                  LEN(LIST_FILTER(toks, x -> x = 'the')) * 1.0 / LEN(toks) AS r_the
+           FROM t)
+         SELECT doc_id, ROUND(r_the, 6) AS marker_score,
+                CASE WHEN r_the >= 0.05 THEN 'en_like'
+                     WHEN r_the >= 0.025 THEN 'mixed'
+                     ELSE 'other' END AS pred_lang
+         FROM r""",
+
+    "t04_fingerprint" ->
+      """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+
+    "d01_exact_dedup" ->
+      """SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+                CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+                CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "d02_minhash_sig" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t)
+         SELECT doc_id,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS mh00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS mh01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS mh02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS mh03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS mh04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS mh05
+         FROM s""",
+
+    "d03_lsh_neardup" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
+
+    "d04_simhash" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+           FROM documents),
+         votes AS (
+           SELECT doc_id, p,
+                  SUM(CASE WHEN CAST(FLOOR(
+                        (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(tok), 1 + CAST(FLOOR(p / 4) AS INTEGER), 1)) - 1)
+                        / POWER(2, 3 - (p % 4))) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS vote
+           FROM toks CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS p)
+           GROUP BY 1, 2)
+         SELECT doc_id,
+                STRING_AGG(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+         FROM votes GROUP BY doc_id""",
+
+    "d05_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+                   FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
+
+    "v01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                    AS sim
+           FROM (SELECT * FROM e WHERE vec_id < 8) q
+           CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+         SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
+         WHERE rn <= 5""",
+
+    "v02_ann_clustered" ->
+      """WITH e AS (SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                    AS sim
+           FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id)
+         SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
+         WHERE rn <= 3""",
+
+    "m01_binary_meta" ->
+      """SELECT doc_id, CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, MD5(text) AS sig,
+                HEX(SUBSTR(text, 1, 8)) AS head_hex
+         FROM documents""",
+
+    "m02_decode_stub" ->
+      """SELECT doc_id,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 1 THEN ASCII(SUBSTR(text, 1, 1)) / 255.0 ELSE 0.0 END, 6) AS f0,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 8 THEN ASCII(SUBSTR(text, 8, 1)) / 255.0 ELSE 0.0 END, 6) AS f1,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 15 THEN ASCII(SUBSTR(text, 15, 1)) / 255.0 ELSE 0.0 END, 6) AS f2,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 22 THEN ASCII(SUBSTR(text, 22, 1)) / 255.0 ELSE 0.0 END, 6) AS f3
+         FROM documents"""
   )
 }

@@ -1,0 +1,150 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for large-scale corpus pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one hash
+  * aggregate on a 16-byte key; LSH turns near-dup search into an equi-join
+  * on band keys (shuffle on band_key, AQE handles hot buckets — at 100 TB
+  * add a bucket-size cap before the self-join to bound worst-case blowup);
+  * Jaccard verification runs only on LSH candidates via a shingle inverted
+  * index, never on the full cross product.
+  */
+object DedupOps {
+
+  /** Exact dedup groups: one row per distinct fingerprint with the group
+    * size and the smallest doc id as the canonical representative.
+    */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), TextFns.fingerprint(col(text)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** (id, shingles) with distinct `n`-token shingles per document. */
+  def withShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id), TextFns.shingles(TextFns.tokens(col(text)), n).as("shingles"))
+
+  /** MinHash signature: `k` lexicographic-min seeded md5s over the shingle
+    * set, as columns `mh00..mh{k-1}`. Null components for docs with no
+    * shingles.
+    */
+  def minhashSignatures(docs: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
+    val sh = withShingles(docs, id, text, n)
+    val cols = (0 until k).map(i => TextFns.minhash(col("shingles"), i).as(f"mh$i%02d"))
+    sh.select((col(id) +: cols): _*)
+  }
+
+  /** LSH band keys: `bands` keys per doc, each the md5 of `rowsPerBand`
+    * consecutive minhash components. Output: (id, band, band_key), one row
+    * per band — the unit that gets bucket-joined.
+    */
+  def lshBandKeys(signatures: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
+    signatures
+      .select(col(id), explode(array(perBand: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs: distinct (a, b) with a < b sharing at least one LSH
+    * bucket. The self-join is an equi-join on (band, band_key).
+    */
+  def lshCandidatePairs(bandKeys: DataFrame, id: String): DataFrame = {
+    val l = bandKeys.select(col("band"), col("band_key"), col(id).as("id_a"))
+    val r = bandKeys.select(col("band"), col("band_key"), col(id).as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for the given pairs, via an inverted index:
+    * |A∩B| from a shingle equi-join restricted to candidate docs, |A∪B| from
+    * per-doc set sizes. Keeps pairs with jaccard >= `threshold`.
+    */
+  def jaccardVerify(pairs: DataFrame, shingled: DataFrame, id: String,
+      threshold: Double): DataFrame = {
+    val sizes = shingled.select(col(id), size(col("shingles")).cast("long").as("sz"))
+    val ex = shingled.select(col(id), explode(col("shingles")).as("s"))
+    val inter = pairs
+      .join(ex.select(col(id).as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col(id).as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("__j", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("__j") >= threshold) // threshold on the raw value, round only for output
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** n-gram Jaccard near-dup WITHOUT LSH: all pairs sharing >=1 shingle via
+    * the inverted index, thresholded. Exact but heavier than `nearDupPairs`
+    * (pair candidates grow with shingle document frequency) — the
+    * correctness baseline the LSH path is validated against.
+    */
+  def jaccardAllPairs(shingled: DataFrame, id: String, threshold: Double): DataFrame = {
+    val sizes = shingled.select(col(id), size(col("shingles")).cast("long").as("sz"))
+    val ex = shingled.select(col(id), explode(col("shingles")).as("s"))
+    val inter = ex.select(col(id).as("id_a"), col("s"))
+      .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("__j", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
+    * → exact-Jaccard verify.
+    */
+  def nearDupPairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, id, text, shingleN, k)
+    val cands = lshCandidatePairs(lshBandKeys(sigs, id, bands, k / bands), id)
+    jaccardVerify(cands, withShingles(docs, id, text, shingleN), id, threshold)
+  }
+
+  /** 32-bit set-based SimHash over the distinct-token set, emitted as a
+    * 32-char '0'/'1' string (bit 0 first). Bit p of a token is nibble
+    * arithmetic over its md5 hex digest — portable to any SQL oracle.
+    * Per-bit vote: +1 if the token's bit is 1 else -1; simhash bit = vote>0.
+    */
+  def simhash32(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs
+      .select(col(id), explode(TextFns.tokens(col(text))).as("tok"))
+      .distinct()
+    val votes = toks
+      .select(col(id), col("tok"), explode(sequence(lit(0), lit(31))).as("p"))
+      .withColumn("nib",
+        conv(md5(col("tok")).substr((col("p") / 4).cast("int") + 1, lit(1)), 16, 10)
+          .cast("long"))
+      .withColumn("bit",
+        floor(col("nib") / pow(lit(2.0), lit(3) - col("p") % 4)).cast("long") % 2)
+      .groupBy(col(id), col("p"))
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
+    votes
+      .withColumn("ch", when(col("vote") > 0, "1").otherwise("0"))
+      .groupBy(col(id))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("p"), col("ch")))),
+          s => s.getField("ch")),
+        "").as("simhash"))
+  }
+}
