@@ -328,6 +328,130 @@ object SparkEntry {
           md5(col("text")).as("sig"),
           hex(substring(col("text"), 1, 8)).as("head_hex"))),
 
+    // ---------------- additional joins ----------------
+    "s09_multipath_scan" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))),
+
+    "j03_cohort_join" -> ((s, d) => {
+      val cohort = cust(s, d)
+        .join(broadcast(nat(s, d).filter(col("n_regionkey") === 0)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"))
+      JoinOps.semiFilter(ord(s, d), Seq("o_custkey"), cohort)
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    "j06_left_attach" -> ((s, d) =>
+      li(s, d).join(ord(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+          Seq("l_orderkey"), "left")
+        .select("l_orderkey", "l_linenumber", "o_totalprice")),
+
+    "j07_right_join_summary" -> ((s, d) =>
+      li(s, d).groupBy(col("l_partkey").as("p_partkey")).agg(count(lit(1)).as("cnt"))
+        .join(prt(s, d).select("p_partkey"), Seq("p_partkey"), "right")
+        .select(col("p_partkey"), coalesce(col("cnt"), lit(0L)).as("cnt"))),
+
+    // ---------------- additional aggregations ----------------
+    "a10_impute_stats" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag").agg(
+        round(avg("l_quantity"), 6).as("mean_qty"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"))),
+
+    "a11_modality_collapse" -> ((s, d) =>
+      li(s, d).groupBy("l_suppkey")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(avg("l_quantity"), 6))
+        .withColumnRenamed("A", "avg_a")
+        .withColumnRenamed("N", "avg_n")
+        .withColumnRenamed("R", "avg_r")),
+
+    "a13_grouped_confusion" -> ((s, d) => {
+      val nli = li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      val scored = ord(s, d).join(nli, Seq("o_orderkey"), "left")
+        .withColumn("truth", when(col("o_totalprice") >= 250000.0, 1).otherwise(0))
+        .withColumn("pred", when(coalesce(col("n_items"), lit(0L)) >= 4, 1).otherwise(0))
+      MetricsOps.groupedConfusion(scored, "o_orderpriority", col("truth"), col("pred"))
+    }),
+
+    // ---------------- time-series active signal ----------------
+    "w05_active_signal" -> ((s, d) => {
+      val e = ev(s, d)
+      val grid = e.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(29L))).as("day"))
+      val stops = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"))
+        .groupBy("user_id", "day")
+        .agg((max(col("day")) + 3L).as("stop"))
+      val sparse = grid.join(stops, Seq("user_id", "day"), "left")
+      TimeSeriesOps.activeSignal(sparse, Seq("user_id"), "day", col("stop"), "active")
+        .select("user_id", "day", "active")
+    }),
+
+    // ---------------- additional scalar functions ----------------
+    "f12_pad_split_key" -> ((s, d) =>
+      Tables.supplier(s, d).select(col("s_suppkey"),
+        lpad(col("s_suppkey").cast("string"), 9, "0").as("padded"),
+        concat(substring(lpad(col("s_suppkey").cast("string"), 9, "0"), 1, 5), lit("-"),
+          substring(lpad(col("s_suppkey").cast("string"), 9, "0"), 6, 4)).as("sectioned"))),
+
+    "f13_regex_extract" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("int").as("priority_num"))),
+
+    "f15_try_cast_json" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS INT)").as("k_val"),
+        expr("try_cast(substring(props, 1, 5) AS INT)").as("bad_cast"))),
+
+    "f21_logit" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        round(log2(
+          least(greatest(col("l_discount") * 10.0, lit(0.05)), lit(0.95)) /
+            (lit(1.0) - least(greatest(col("l_discount") * 10.0, lit(0.05)), lit(0.95)))),
+          6).as("logit"))),
+
+    "f22_onehot" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("is_f"),
+        when(col("o_orderstatus") === "O", 1).otherwise(0).as("is_o"),
+        when(col("o_orderstatus") === "P", 1).otherwise(0).as("is_p"))),
+
+    "f23_vocab_encode" -> ((s, d) => {
+      val vocab = prt(s, d).select("p_type").distinct()
+        .withColumn("type_id",
+          dense_rank().over(Window.orderBy(col("p_type"))).cast("int"))
+      prt(s, d).join(broadcast(vocab), Seq("p_type"))
+        .select("p_partkey", "type_id")
+    }),
+
+    // ---------------- sorts / column-bind / pivot ----------------
+    "o01_multisort_limit" -> ((s, d) =>
+      li(s, d).orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")),
+
+    "u02_column_bind" -> ((s, d) =>
+      li(s, d).groupBy(col("l_suppkey").as("s_suppkey")).agg(count(lit(1)).as("cnt"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_acctbal"), Seq("s_suppkey"))
+        .select("s_suppkey", "cnt", "s_acctbal")),
+
+    "pv01_pivot_matrix" -> ((s, d) => {
+      val e = ev(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"),
+          col("event_type"), col("value"))
+      TimeSeriesOps.pivotMatrix(e, "user_id", "day", "event_type",
+          Seq("click", "error", "purchase", "signup", "view"), round(sum(col("value")), 2))
+        .withColumnRenamed("click", "v_click")
+        .withColumnRenamed("error", "v_error")
+        .withColumnRenamed("purchase", "v_purchase")
+        .withColumnRenamed("signup", "v_signup")
+        .withColumnRenamed("view", "v_view")
+    }),
+
     "m02_decode_stub" -> ((s, d) => {
       val withBin = BinaryOps.withPayload(docs(s, d), "text", "payload")
       BinaryOps.decodeFeatures(s, withBin, "doc_id", "payload", dims = 4, stride = 7)
@@ -752,6 +876,125 @@ object SparkEntry {
       """SELECT doc_id, CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, MD5(text) AS sig,
                 HEX(SUBSTR(text, 1, 8)) AS head_hex
          FROM documents""",
+
+    "s09_multipath_scan" ->
+      """SELECT l_returnflag, CAST(COUNT(*) * 2 AS BIGINT) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "j03_cohort_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE EXISTS (
+           SELECT 1 FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE n_regionkey = 0 AND c_custkey = o_custkey)""",
+
+    "j06_left_attach" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""",
+
+    "j07_right_join_summary" ->
+      """SELECT p.p_partkey, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+         FROM (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) c
+         RIGHT JOIN part p ON c.l_partkey = p.p_partkey""",
+
+    "a10_impute_stats" ->
+      """SELECT l_returnflag, ROUND(AVG(l_quantity), 6) AS mean_qty,
+                ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "a11_modality_collapse" ->
+      """SELECT l_suppkey,
+                ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS avg_a,
+                ROUND(AVG(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS avg_n,
+                ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS avg_r
+         FROM lineitem GROUP BY l_suppkey""",
+
+    "a13_grouped_confusion" ->
+      """WITH scored AS (
+           SELECT o_orderpriority,
+                  CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS truth,
+                  CASE WHEN COALESCE(n_items, 0) >= 4 THEN 1 ELSE 0 END AS pred
+           FROM orders LEFT JOIN (
+             SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1)
+           USING (o_orderkey))
+         SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         FROM scored GROUP BY o_orderpriority""",
+
+    "w05_active_signal" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         grid AS (SELECT user_id, d AS day
+                  FROM u CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 29)) AS d)),
+         stops AS (SELECT user_id,
+                          CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
+                          MAX(CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)) + 3
+                            AS stop
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         sparse AS (SELECT g.user_id, g.day, s.stop
+                    FROM grid g LEFT JOIN stops s ON s.user_id = g.user_id AND s.day = g.day),
+         f AS (SELECT user_id, day,
+                      LAST_VALUE(stop IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+               FROM sparse)
+         SELECT user_id, day,
+                CASE WHEN ff IS NOT NULL AND ff > day THEN 1 ELSE 0 END AS active
+         FROM f""",
+
+    "f12_pad_split_key" ->
+      """SELECT s_suppkey, LPAD(CAST(s_suppkey AS VARCHAR), 9, '0') AS padded,
+                SUBSTR(LPAD(CAST(s_suppkey AS VARCHAR), 9, '0'), 1, 5) || '-' ||
+                SUBSTR(LPAD(CAST(s_suppkey AS VARCHAR), 9, '0'), 6, 4) AS sectioned
+         FROM supplier""",
+
+    "f13_regex_extract" ->
+      """SELECT o_orderkey,
+                CAST(REGEXP_EXTRACT(o_orderpriority, '^(\d+)', 1) AS INTEGER) AS priority_num
+         FROM orders""",
+
+    "f15_try_cast_json" ->
+      """SELECT event_id,
+                TRY_CAST(REGEXP_EXTRACT(props, '"k": (\d+)', 1) AS INTEGER) AS k_val,
+                TRY_CAST(SUBSTR(props, 1, 5) AS INTEGER) AS bad_cast
+         FROM events""",
+
+    "f21_logit" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(LOG2(LEAST(GREATEST(l_discount * 10.0, 0.05), 0.95)
+                  / (1.0 - LEAST(GREATEST(l_discount * 10.0, 0.05), 0.95))), 6) AS logit
+         FROM lineitem""",
+
+    "f22_onehot" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f,
+                CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_o,
+                CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS is_p
+         FROM orders""",
+
+    "f23_vocab_encode" ->
+      """WITH vocab AS (
+           SELECT p_type, CAST(DENSE_RANK() OVER (ORDER BY p_type) AS INTEGER) AS type_id
+           FROM (SELECT DISTINCT p_type FROM part))
+         SELECT p.p_partkey, v.type_id FROM part p JOIN vocab v ON p.p_type = v.p_type""",
+
+    "o01_multisort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+         ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""",
+
+    "u02_column_bind" ->
+      """SELECT s_suppkey, CAST(cnt AS BIGINT) AS cnt, s_acctbal
+         FROM (SELECT l_suppkey AS s_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+         JOIN supplier USING (s_suppkey)""",
+
+    "pv01_pivot_matrix" ->
+      """SELECT user_id, CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
+                ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS v_click,
+                ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS v_error,
+                ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS v_purchase,
+                ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS v_signup,
+                ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS v_view
+         FROM events GROUP BY 1, 2""",
 
     "m02_decode_stub" ->
       """SELECT doc_id,
