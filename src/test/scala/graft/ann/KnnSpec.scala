@@ -1,0 +1,38 @@
+package graft.ann
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // hand-checkable unit vectors: 0∥2, 0⊥1, 3 at 45° to 0
+  private val vecs = Seq(
+    (0L, Array(1f, 0f), 0),
+    (1L, Array(0f, 1f), 0),
+    (2L, Array(2f, 0f), 0),
+    (3L, Array(1f, 1f), 1),
+    (4L, Array(-1f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val got = Knn.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4)
+      .select("neighbor_id", "sim", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 1L, 4L))
+    assert(got(0)._2 === 1.0)                       // parallel
+    assert(math.abs(got(1)._2 - 0.707107) < 1e-6)   // 45°
+    assert(got(2)._2 === 0.0)                       // orthogonal
+    assert(got(3)._2 === -1.0)                      // opposite
+  }
+
+  test("clusteredTopK never crosses cluster boundaries and excludes self") {
+    val got = Knn.clusteredTopK(vecs, "vec_id", "embedding", "label", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val cluster = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1)
+    assert(got.forall { case (q, n) => cluster(q) == cluster(n) && q != n })
+    assert(got.count(_._1 == 0L) === 2) // only its own cluster's other members
+  }
+}

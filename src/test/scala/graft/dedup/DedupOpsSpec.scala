@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFns
+
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup: jaccard 0.75
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact copy of 0
+    (3L, "completely different text about spark engines here"),
+    (4L, "tiny doc")                                     // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct trigrams, short docs get empty array") {
+    val got = docs.select(col("doc_id"),
+        TextFns.shingles(TextFns.tokens(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(0L).size === 7)
+    assert(got(0L).contains("the quick brown"))
+    assert(got(4L).isEmpty)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val fps = Seq(Tuple1("A  b\tc"), Tuple1("a b c"), Tuple1("a b d"))
+      .toDF("t").select(TextFns.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("exactGroups collapses identical documents") {
+    val got = DedupOps.exactGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    val byCanon = got.map(r => r._2 -> r._3).toMap
+    assert(byCanon(0L) === 2) // docs 0 and 2
+    assert(got.length === 4)
+  }
+
+  test("minhash: identical shingle sets share full signatures") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 6)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString)).toMap
+    assert(sigs(0L) === sigs(2L))
+    assert(sigs(0L) !== sigs(3L))
+    assert(sigs(4L).forall(_ == null)) // no shingles → null components
+  }
+
+  test("LSH near-dup pipeline finds planted pairs, no false positives") {
+    val got = DedupOps.nearDupPairs(docs, "doc_id", "text", 3, 12, 6, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 2L))) // identical docs always collide in every band
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+    // the 5/9-jaccard pair is found iff some band collides — deterministic
+    // given fixed md5 seeds; verified below against the exact-jaccard baseline
+    val exact = DedupOps.jaccardAllPairs(
+        DedupOps.withShingles(docs, "doc_id", "text", 3), "doc_id", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact)) // LSH+verify never yields a pair the baseline rejects
+  }
+
+  test("jaccardAllPairs computes the exact set jaccard") {
+    val sh = DedupOps.withShingles(docs, "doc_id", "text", 3)
+    val got = DedupOps.jaccardAllPairs(sh, "doc_id", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 2L)) === 1.0)
+    // docs 0/1 differ in the last token only: 6 of 7 shingles shared,
+    // union 8 → 6/8
+    assert(math.abs(got((0L, 1L)) - 0.75) < 1e-6)
+  }
+
+  test("simhash: 32-bit string, deterministic, distance tracks similarity") {
+    val got = DedupOps.simhash32(docs, "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    assert(got(0L) === got(2L)) // identical token sets → identical simhash
+    val again = DedupOps.simhash32(docs, "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === again)
+    def dist(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(dist(got(0L), got(1L)) < dist(got(0L), got(3L)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CleaningOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dominantCategoryFilter drops only non-modal rows of dominated groups") {
+    // group g1: 96% 'mg' → drop the 'g' row; g2: 60/40 below 0.95 cutoff → keep
+    // all; g3: single category → untouched (reference uom_conversion.py:11-28)
+    val rows =
+      (1 to 96).map(i => ("g1", "mg", i)) ++ Seq(("g1", "g", 97)) ++
+        (1 to 3).map(i => ("g2", "mg", i)) ++ (1 to 2).map(i => ("g2", "g", i)) ++
+        Seq(("g3", "u", 1))
+    val df = rows.toDF("item", "uom", "row")
+    val kept = CleaningOps.dominantCategoryFilter(df, "item", "uom", 0.95)
+    assert(kept.count() === rows.size - 1)
+    assert(kept.filter($"item" === "g1" && $"uom" === "g").count() === 0)
+    assert(kept.filter($"item" === "g2").count() === 5)
+    assert(kept.filter($"item" === "g3").count() === 1)
+  }
+
+  test("percentileClamp bounds values to exact per-group percentiles") {
+    // 0..100 per group: p02/p98 of 0..100 with type-7 interpolation = 2.0/98.0
+    val df = (0 to 100).map(v => ("k", v.toDouble)).toDF("item", "v")
+    val got = CleaningOps.percentileClamp(df, "item", "v", 0.02, 0.98)
+      .select("v").as[Double].collect()
+    assert(got.min === 2.0 && got.max === 98.0)
+    assert(got.count(_ == 2.0) === 3)  // 0,1,2 clamp to 2
+    assert(got.count(_ == 98.0) === 3) // 98,99,100
+  }
+
+  test("percentileDrop removes out-of-band rows") {
+    val df = (0 to 100).map(v => ("k", v.toDouble)).toDF("item", "v")
+    val got = CleaningOps.percentileDrop(df, "item", "v", 0.02, 0.98)
+      .select("v").as[Double].collect()
+    assert(got.min === 2.0 && got.max === 98.0 && got.length === 97)
+  }
+}

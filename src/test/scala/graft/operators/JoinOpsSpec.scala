@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JoinOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfPointInInterval: enclosing interval, latest-start tie-break, left nulls") {
+    // intervals per the reference's hadm_id imputation (labs_preprocess_util.py:50-59)
+    val intervals = Seq(
+      (1L, ts("2020-01-01 00:00:00"), ts("2020-01-01 10:00:00")),
+      (1L, ts("2020-01-01 04:00:00"), ts("2020-01-01 12:00:00")), // overlaps; later start
+      (2L, ts("2020-01-01 00:00:00"), ts("2020-01-01 01:00:00"))
+    ).toDF("k", "start", "end")
+    val points = Seq(
+      (100L, 1L, ts("2020-01-01 05:00:00")), // in both → pick start 04:00 (closest)
+      (101L, 1L, ts("2020-01-01 02:00:00")), // only first
+      (102L, 1L, ts("2020-01-01 23:00:00")), // none → null
+      (103L, 2L, ts("2020-01-01 00:30:00")), // exactly one
+      (104L, 3L, ts("2020-01-01 00:30:00"))  // no intervals for key → null
+    ).toDF("pid", "k", "t")
+    val got = JoinOps.asOfPointInInterval(points, intervals, "k", "t", "start", "end", "asof")
+      .select("pid", "asof").as[(Long, Option[Timestamp])].collect().toMap
+    assert(got(100L).contains(ts("2020-01-01 04:00:00")))
+    assert(got(101L).contains(ts("2020-01-01 00:00:00")))
+    assert(got(102L).isEmpty)
+    assert(got(103L).contains(ts("2020-01-01 00:00:00")))
+    assert(got(104L).isEmpty)
+    assert(got.size === 5) // exactly one output row per point
+  }
+
+  test("firstMatchLookup keeps the first row per key by order column") {
+    val mapping = Seq(
+      ("k1", "v-late", 5L), ("k1", "v-first", 1L), ("k1", "v-mid", 3L),
+      ("k2", "only", 9L)
+    ).toDF("key", "value", "ord")
+    val got = JoinOps.firstMatchLookup(mapping, "key", "value", "ord")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("k1" -> "v-first", "k2" -> "only"))
+  }
+
+  test("topKByCount: deterministic tie-break count desc then key asc") {
+    val df = Seq("a", "a", "b", "b", "c").toDF("k")
+    val got = JoinOps.topKByCount(df, "k", 2).as[String].collect().toSet
+    assert(got === Set("a", "b")) // c loses; a/b tie broken by key (both kept at k=2)
+    val got1 = JoinOps.topKByCount(df, "k", 1).as[String].collect().toSet
+    assert(got1 === Set("a")) // tie at count=2 → smaller key wins
+  }
+
+  test("semiFilter / antiFilter partition rows exactly") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val keep = Seq(Tuple1(1L), Tuple1(3L)).toDF("id")
+    val semi = JoinOps.semiFilter(df, Seq("id"), keep).select("id").as[Long].collect().toSet
+    val anti = JoinOps.antiFilter(df, Seq("id"), keep).select("id").as[Long].collect().toSet
+    assert(semi === Set(1L, 3L) && anti === Set(2L))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MetricsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("confusionMetrics cells and derived rates") {
+    // 2 TP, 1 FP, 3 TN, 2 FN
+    val df = Seq((1, 1), (1, 1), (0, 1), (0, 0), (0, 0), (0, 0), (1, 0), (1, 0))
+      .toDF("truth", "pred")
+    val r = MetricsOps.confusionMetrics(df, col("truth"), col("pred")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 3L, 2L)))
+    assert(r.getDouble(4) === 0.625)      // accuracy
+    assert(r.getDouble(5) === 0.666667)   // precision
+    assert(r.getDouble(6) === 0.5)        // recall
+  }
+
+  test("aurocRankSum matches the hand-computed Mann-Whitney value") {
+    // scores: positives {3, 4}, negatives {1, 2, 3.5} → pairs won: (3>1,3>2) +
+    // (4>1,4>2,4>3.5) = 5 of 6 → AUC = 5/6
+    val df = Seq((3.0, 1, 1L), (4.0, 1, 2L), (1.0, 0, 3L), (2.0, 0, 4L), (3.5, 0, 5L))
+      .toDF("score", "label", "id")
+    val auc = MetricsOps.aurocRankSum(df, col("score"), col("label"), col("id"))
+      .as[Double].collect()(0)
+    assert(math.abs(auc - 5.0 / 6.0) < 1e-6)
+  }
+
+  test("calibrationBins clips prob=1.0 into the last bin") {
+    val df = Seq((0.05, 0), (0.95, 1), (1.0, 1)).toDF("p", "y")
+    val bins = MetricsOps.calibrationBins(df, col("p"), col("y"), 10)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(bins === Map(0L -> 1L, 9L -> 2L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class WindowTimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val series = Seq(
+    // (key, bucket, value) — leading null, gap, trailing null
+    ("a", 0, None), ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, Some(30.0)), ("a", 4, None),
+    ("b", 0, Some(1.0)), ("b", 1, None)
+  ).toDF("k", "b", "v")
+
+  test("forwardFill carries last observation, never before the first") {
+    val got = WindowOps.forwardFill(series, Seq("k"), Seq("b"), col("v"), "ff")
+      .select("k", "b", "ff").as[(String, Int, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 0)).isEmpty) // reference ffill leaves leading nulls (data_generation_icu.py:484)
+    assert(got(("a", 2)).contains(10.0))
+    assert(got(("a", 4)).contains(30.0))
+    assert(got(("b", 1)).contains(1.0))
+  }
+
+  test("backwardFill mirrors forwardFill") {
+    val got = WindowOps.backwardFill(series, Seq("k"), Seq("b"), col("v"), "bf")
+      .select("k", "b", "bf").as[(String, Int, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 0)).contains(10.0))
+    assert(got(("a", 4)).isEmpty) // trailing nulls stay (bfill then mean in the reference)
+    assert(got(("b", 1)).isEmpty)
+  }
+
+  test("bucketize is floor of offset/width (half-open buckets)") {
+    val df = Seq(0.0, 0.5, 0.99, 1.0, 1.99, 5.0).map(Tuple1(_)).toDF("off")
+    val got = TimeSeriesOps.bucketize(df, col("off"), lit(1.0), "bucket")
+      .select("bucket").as[Long].collect().toSeq
+    assert(got === Seq(0L, 0L, 0L, 1L, 1L, 5L))
+  }
+
+  test("missingBuckets emits exactly the absent (entity, bucket) pairs") {
+    val entities = Seq(Tuple1("s1"), Tuple1("s2")).toDF("id")
+    val observed = Seq(("s1", 0L), ("s1", 2L)).toDF("id", "b")
+    val got = TimeSeriesOps.missingBuckets(entities, "id", lit(3), observed, "b")
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("s1", 1L), ("s2", 0L), ("s2", 1L), ("s2", 2L)))
+  }
+
+  test("activeSignal: active strictly while ffilled stop > bucket") {
+    // stop=2 observed at bucket 0 → active at buckets 0,1; NOT at 2 (half-open,
+    // reference data_generation_icu.py:497-501 sign test)
+    val df = Seq(("s", 0L, Some(2L)), ("s", 1L, None), ("s", 2L, None), ("s", 3L, None))
+      .toDF("id", "b", "stop")
+    val got = TimeSeriesOps.activeSignal(df, Seq("id"), "b", col("stop"), "act")
+      .select("b", "act").as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
+  test("quantileBin splits a group into balanced ntiles") {
+    val df = (1 to 8).map(i => ("g", i)).toDF("g", "v")
+    val got = WindowOps.quantileBin(df, Seq("g"), Seq("v"), 4, "q")
+      .select("v", "q").as[(Int, Int)].collect().toMap
+    assert(got === Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 2, 5 -> 3, 6 -> 3, 7 -> 4, 8 -> 4))
+  }
+}

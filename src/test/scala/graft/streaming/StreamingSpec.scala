@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming hourly rollup equals the batch rollup (kappa invariant)") {
+    // file source needs a directory of one schema → stage events alone
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val stream = EventStreams.hourlyRollup(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)))
+
+    val q = stream.writeStream
+      .format("memory").queryName("rollup").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("rollup")
+      .select("hour_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+}
