@@ -42,6 +42,18 @@ object Profile {
     time("cand pairs")(cands.count())
     time("d03 full")(DedupOps.nearDupPairs(docs, "doc_id", "text", 3, 12, 6, 0.5).count())
     time("d05 full")(DedupOps.jaccardAllPairs(sh, "doc_id", 0.5).count())
+    // native vs composable cosine kernel on the all-pairs clustered search
+    import graft.ann.Knn
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, d)
+    time("knn composed x3") {
+      (1 to 3).foreach(_ => Knn.clusteredTopK(e, "vec_id", "embedding", "label", 3).count())
+    }
+    time("knn native x3") {
+      (1 to 3).foreach(_ => Knn.clusteredTopK(e, "vec_id", "embedding", "label", 3,
+        simFn = (a, b) => call_function("cosine_sim", a, b)).count())
+    }
     spark.stop()
   }
 }

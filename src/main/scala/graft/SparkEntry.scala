@@ -313,12 +313,17 @@ object SparkEntry {
         DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.5)),
 
     // ---------------- similarity search ----------------
-    "v01_cosine_topk" -> ((s, d) =>
+    "v01_cosine_topk" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       Knn.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5)),
+        "vec_id", "embedding", k = 5, simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
 
-    "v02_ann_clustered" -> ((s, d) =>
-      Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3)),
+    "v02_ann_clustered" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
 
     // ---------------- multimodal plumbing ----------------
     "m01_binary_meta" -> ((s, d) =>

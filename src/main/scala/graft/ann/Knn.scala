@@ -24,8 +24,14 @@ import graft.functions.VectorFns
   */
 object Knn {
 
-  private def simRank(joined: DataFrame, k: Int): DataFrame = {
-    val sim = round(VectorFns.cosine(col("__qe"), col("__ne")), 6)
+  /** Pluggable similarity kernel; default is the composable expression tree,
+    * `graft.expressions.CosineSimilarity` (via `call_function("cosine_sim")`)
+    * is the fused native path — bit-identical results.
+    */
+  type Sim = (Column, Column) => Column
+
+  private def simRank(joined: DataFrame, k: Int, simFn: Sim): DataFrame = {
+    val sim = round(simFn(col("__qe"), col("__ne")), 6)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     joined
       .withColumn("sim", sim)
@@ -39,13 +45,13 @@ object Knn {
     * array<float>). Queries are broadcast; corpus is never shuffled.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      emb: String, k: Int): DataFrame = {
+      emb: String, k: Int, simFn: Sim = VectorFns.cosine): DataFrame = {
     val q = queries.select(col(id).as("query_id"),
       VectorFns.toDoubleArr(col(emb)).as("__qe"))
     val c = corpus.select(col(id).as("neighbor_id"),
       VectorFns.toDoubleArr(col(emb)).as("__ne"))
     val joined = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-    simRank(joined, k)
+    simRank(joined, k, simFn)
   }
 
   /** IVF-style top-k: every vector probes only its own `bucket` cluster.
@@ -53,12 +59,12 @@ object Knn {
     * shuffle, AQE-skew-safe.
     */
   def clusteredTopK(corpus: DataFrame, id: String, emb: String, bucket: String,
-      k: Int): DataFrame = {
+      k: Int, simFn: Sim = VectorFns.cosine): DataFrame = {
     val q = corpus.select(col(bucket).as("__b"), col(id).as("query_id"),
       VectorFns.toDoubleArr(col(emb)).as("__qe"))
     val c = corpus.select(col(bucket).as("__b"), col(id).as("neighbor_id"),
       VectorFns.toDoubleArr(col(emb)).as("__ne"))
     val joined = q.join(c, Seq("__b")).filter(col("query_id") =!= col("neighbor_id"))
-    simRank(joined, k)
+    simRank(joined, k, simFn)
   }
 }

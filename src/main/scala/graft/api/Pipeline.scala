@@ -1,0 +1,167 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Typed façade mirroring the reference's notebook surface
+  * (`mainPipeline.ipynb` cells → SURVEY.md §3): cohort extraction,
+  * per-modality feature extraction, and time-series generation, wired from
+  * the engine's operator combinators. Column names are configuration, not
+  * convention — the same pipeline runs on MIMIC-shaped tables or any other
+  * visit/event schema.
+  */
+sealed trait Task
+
+/** Label 1 iff `deathCol` falls inside the visit window
+  * (reference `day_intervals_cohort.py:180-213`).
+  */
+case class Mortality(deathCol: String) extends Task
+
+/** Label 1 iff a later visit of the same subject starts within `gapDays`
+  * of this visit's end (reference `:136-177`; boundary inclusive, last
+  * visit control).
+  */
+case class Readmission(gapDays: Int) extends Task
+
+/** Label 1 iff the visit lasts at least `thresholdDays`
+  * (reference `:114-133`).
+  */
+case class LengthOfStay(thresholdDays: Int) extends Task
+
+/** Visit-table column bindings + cohort filters. */
+case class CohortConfig(
+    subjectKey: String = "subject_id",
+    visitKey: String = "hadm_id",
+    admitCol: String = "admittime",
+    dischCol: String = "dischtime",
+    ageCol: String = "age",
+    minAge: Int = 18,
+    task: Task = Mortality("dod"))
+
+/** §3.1 `extract_data` — one lazy DataFrame chain; the reference's per-group
+  * Python label loops become window/scalar expressions (one shuffle max).
+  */
+object CohortExtractor {
+
+  /** visits × patients (inner, on the subject key) + adult filter + label. */
+  def extract(visits: DataFrame, patients: DataFrame, cfg: CohortConfig): DataFrame = {
+    val joined = visits
+      .join(broadcast(patients), Seq(cfg.subjectKey), "inner")
+      .filter(col(cfg.ageCol) >= cfg.minAge)
+    label(joined, cfg)
+  }
+
+  def label(cohort: DataFrame, cfg: CohortConfig): DataFrame = cfg.task match {
+    case Mortality(dod) =>
+      CohortOps.intervalLabel(cohort, col(dod), col(cfg.admitCol), col(cfg.dischCol), "label")
+    case Readmission(gap) =>
+      // gap measured end→next-start; window keyed on subject, ordered by
+      // admit with the visit key as deterministic tie-break
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(cfg.subjectKey)
+        .orderBy(col(cfg.admitCol).asc, col(cfg.visitKey).asc)
+      cohort
+        .withColumn("__next_admit", lead(col(cfg.admitCol), 1).over(w))
+        .withColumn("label",
+          when(col("__next_admit").isNotNull &&
+            col("__next_admit") <= col(cfg.dischCol) + expr(s"INTERVAL ${gap} DAYS"), 1)
+            .otherwise(0))
+        .drop("__next_admit")
+    case LengthOfStay(days) =>
+      CohortOps.thresholdLabel(cohort,
+        col(cfg.dischCol) - col(cfg.admitCol), expr(s"INTERVAL ${days} DAYS"), "label")
+  }
+}
+
+/** §3.2 `feature_icu` / `feature_nonicu` — per-modality extraction against
+  * the cohort. Every step is a combinator from `graft.operators`; the
+  * cohort side is broadcast (it is orders of magnitude smaller than the
+  * event tables at MIMIC scale and beyond).
+  */
+object FeatureExtractor {
+
+  /** J3 + J6 + F2: semi-filter events to the cohort, attach the admit time,
+    * add `event_offset_h` = floor hours from admit (the reference's
+    * string-split idiom, `data_generation_icu.py:62-67`), drop pre-admit
+    * events (P7 sanity).
+    */
+  def eventsForCohort(events: DataFrame, cohort: DataFrame, visitKey: String,
+      timeCol: String, admitCol: String): DataFrame =
+    events
+      .join(broadcast(cohort.select(col(visitKey), col(admitCol))), Seq(visitKey), "inner")
+      .withColumn("event_offset_h",
+        floor((unix_timestamp(col(timeCol)) - unix_timestamp(col(admitCol))) / 3600L))
+      .filter(col("event_offset_h") >= 0)
+
+  /** J10: ICD-9→10 root mapping. `mapping` rows: (diagnosis_code, icd10cm,
+    * file order); first match per 3-char root wins; version-10 codes pass
+    * through (reference `hosp_preprocess_util.py:402-430`).
+    */
+  def standardizeIcd(df: DataFrame, codeCol: String, versionCol: String,
+      mapping: DataFrame, mapKey: String, mapValue: String, mapOrder: String): DataFrame = {
+    val rootMap = JoinOps.firstMatchLookup(
+      mapping.withColumn(mapKey, substring(col(mapKey), 1, 3)), mapKey, mapValue, mapOrder)
+    df.withColumn("__root", substring(col(codeCol), 1, 3))
+      .join(broadcast(rootMap.select(col(mapKey).as("__root"), col(mapValue).as("__mapped"))),
+        Seq("__root"), "left")
+      .withColumn("root_icd10",
+        when(col(versionCol) === 9, col("__mapped")).otherwise(col(codeCol)))
+      .drop("__root", "__mapped")
+  }
+
+  /** A5 + A6: unit-of-measure dominance cleanup then per-code percentile
+    * clamp (reference `uom_conversion.py` + `outlier_removal.py`).
+    */
+  def cleanMeasurements(df: DataFrame, codeCol: String, uomCol: String, valueCol: String,
+      uomCutoff: Double, pctLo: Double, pctHi: Double): DataFrame = {
+    val uomClean = CleaningOps.dominantCategoryFilter(df, codeCol, uomCol, uomCutoff)
+    CleaningOps.percentileClamp(uomClean, codeCol, valueCol, pctLo, pctHi)
+  }
+
+  /** J11: impute missing visit keys on point events from enclosing visit
+    * intervals (reference `labs_preprocess_util.py`).
+    */
+  def imputeVisitKey(points: DataFrame, visits: DataFrame, subjectKey: String,
+      timeCol: String, admitCol: String, dischCol: String): DataFrame =
+    JoinOps.asOfPointInInterval(points, visits, subjectKey, timeCol, admitCol, dischCol,
+      "imputed_admit")
+}
+
+/** §3.3 `Generator` — tall-first time-series representation: one frame
+  * (visit, bucket, code, value), never a per-visit loop. Pivot only at
+  * export (`TimeSeriesOps.pivotMatrix`).
+  */
+object TimeSeriesGenerator {
+
+  /** Window-clip (P8/P12) + bucketize (half-open, floor) + per-bucket agg
+    * (A4: mean of values per (visit, code, bucket)).
+    */
+  def bucketedFeatures(events: DataFrame, visitKey: String, offsetH: String,
+      codeCol: String, valueCol: String, includeH: Int, bucketH: Int): DataFrame =
+    TimeSeriesOps.bucketize(
+        events.filter(col(offsetH) < includeH),
+        col(offsetH), lit(bucketH), "bucket")
+      .groupBy(col(visitKey), col(codeCol), col("bucket"))
+      .agg(avg(col(valueCol)).as("value"))
+
+  /** Densify every (visit, code) to the full bucket grid and impute:
+    * ffill → bfill → per-(visit,code) mean, exactly the reference's order
+    * (`data_generation_icu.py:620-630`).
+    */
+  def densifyAndImpute(bucketed: DataFrame, visitKey: String, codeCol: String,
+      nBuckets: Int): DataFrame = {
+    val grid = bucketed.select(visitKey, codeCol).distinct()
+      .select(col(visitKey), col(codeCol),
+        explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
+    val dense = grid.join(bucketed, Seq(visitKey, codeCol, "bucket"), "left")
+    val part = Seq(visitKey, codeCol)
+    val ff = WindowOps.forwardFill(dense, part, Seq("bucket"), col("value"), "__ff")
+    val fb = WindowOps.backwardFill(ff, part, Seq("bucket"), col("__ff"), "__fb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part.map(col): _*)
+    fb.withColumn("value_imputed", coalesce(col("__fb"), avg(col("value")).over(w)))
+      .drop("__ff", "__fb")
+  }
+}

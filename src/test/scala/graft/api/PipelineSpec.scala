@@ -1,0 +1,119 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end pipeline over a MIMIC-shaped fixture (FIXTURES.md §1):
+  * cohort extraction → ICD standardization → lab visit-key imputation →
+  * measurement cleaning → bucketed time series with imputation.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // --- fixture: 3 subjects, 5 admissions ---
+  private val patients = Seq(
+    (1L, 45, Some(ts("2020-01-05 12:00:00"))), // dies during admission 101
+    (2L, 70, None),                            // readmitted quickly
+    (3L, 16, None)                             // minor → filtered out
+  ).toDF("subject_id", "age", "dod")
+
+  private val admissions = Seq(
+    (1L, 101L, ts("2020-01-01 00:00:00"), ts("2020-01-10 00:00:00")),
+    (2L, 201L, ts("2020-02-01 00:00:00"), ts("2020-02-05 00:00:00")), // next within 30d → 1
+    (2L, 202L, ts("2020-03-01 00:00:00"), ts("2020-03-20 00:00:00")), // next after 30d → 0
+    (2L, 203L, ts("2020-06-01 00:00:00"), ts("2020-06-02 00:00:00")), // last → 0
+    (3L, 301L, ts("2020-01-01 00:00:00"), ts("2020-01-02 00:00:00"))
+  ).toDF("subject_id", "hadm_id", "admittime", "dischtime")
+
+  private val cfg = CohortConfig()
+
+  test("mortality cohort: adult filter + death-in-window label") {
+    val cohort = CohortExtractor.extract(admissions, patients,
+      cfg.copy(task = Mortality("dod")))
+    val labels = cohort.select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    assert(labels === Map(101L -> 1, 201L -> 0, 202L -> 0, 203L -> 0)) // 301 filtered (age)
+  }
+
+  test("readmission cohort: 30-day gap, inclusive, last visit control") {
+    val cohort = CohortExtractor.extract(admissions, patients,
+      cfg.copy(task = Readmission(30)))
+    val labels = cohort.select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    assert(labels === Map(101L -> 0, 201L -> 1, 202L -> 0, 203L -> 0))
+  }
+
+  test("length-of-stay cohort: threshold label") {
+    val cohort = CohortExtractor.extract(admissions, patients,
+      cfg.copy(task = LengthOfStay(7)))
+    val labels = cohort.select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    assert(labels === Map(101L -> 1, 201L -> 0, 202L -> 1, 203L -> 0))
+  }
+
+  test("ICD standardization: version-9 roots map first-match, 10 passes through") {
+    val diagnoses = Seq(
+      (101L, "4280", 9),   // root 428 → I50 (first match wins)
+      (201L, "42822", 9),  // same root
+      (202L, "I25", 10),   // passthrough
+      (203L, "9999", 9)    // unmapped root → null
+    ).toDF("hadm_id", "icd_code", "icd_version")
+    val mapping = Seq(
+      ("4280", "I50", 1L), ("4281", "I509", 2L), // same root 428: first by order wins
+      ("4150", "I26", 3L)
+    ).toDF("diagnosis_code", "icd10cm", "file_order")
+    val got = FeatureExtractor.standardizeIcd(diagnoses, "icd_code", "icd_version",
+        mapping, "diagnosis_code", "icd10cm", "file_order")
+      .select("hadm_id", "root_icd10").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(101L -> Some("I50"), 201L -> Some("I50"),
+      202L -> Some("I25"), 203L -> None))
+  }
+
+  test("lab visit-key imputation: enclosing admission, closest admit wins") {
+    val labs = Seq(
+      (2L, 50L, ts("2020-02-02 00:00:00")), // inside 201
+      (2L, 51L, ts("2020-05-01 00:00:00")), // inside none
+      (1L, 52L, ts("2020-01-05 00:00:00"))  // inside 101
+    ).toDF("subject_id", "lab_id", "charttime")
+    val got = FeatureExtractor.imputeVisitKey(labs, admissions,
+        "subject_id", "charttime", "admittime", "dischtime")
+      .select("lab_id", "imputed_admit").as[(Long, Option[Timestamp])].collect().toMap
+    assert(got(50L).contains(ts("2020-02-01 00:00:00")))
+    assert(got(51L).isEmpty)
+    assert(got(52L).contains(ts("2020-01-01 00:00:00")))
+  }
+
+  test("measurement cleaning: UoM dominance then percentile clamp") {
+    val chart = (1 to 97).map(i => (220045L, "bpm", i.toDouble)) ++
+      Seq((220045L, "mmHg", 50.0)) ++ // 97/98 > 0.95 → dropped
+      (1 to 10).map(i => (220210L, "rr", i.toDouble))
+    val got = FeatureExtractor.cleanMeasurements(
+      chart.toDF("itemid", "valueuom", "valuenum"),
+      "itemid", "valueuom", "valuenum", 0.95, 0.0, 0.9)
+    assert(got.filter($"valueuom" === "mmHg").count() === 0)
+    val rr = got.filter($"itemid" === 220210L).select("valuenum").as[Double].collect()
+    assert(rr.max === 9.1) // p90 of 1..10 (type-7) = 9.1
+  }
+
+  test("time-series generation: clip, bucket, densify, ffill/bfill impute") {
+    val events = Seq(
+      (101L, "hr", 1.0, 80.0),   // bucket 0
+      (101L, "hr", 5.0, 90.0),   // bucket 2
+      (101L, "hr", 30.0, 99.0),  // beyond include window → clipped
+      (101L, "rr", 3.0, 20.0)    // bucket 1 only
+    ).toDF("hadm_id", "code", "event_offset_h", "valuenum")
+    val bucketed = TimeSeriesGenerator.bucketedFeatures(events,
+      "hadm_id", "event_offset_h", "code", "valuenum", includeH = 24, bucketH = 2)
+    val dense = TimeSeriesGenerator.densifyAndImpute(bucketed, "hadm_id", "code", nBuckets = 4)
+    val hr = dense.filter($"code" === "hr")
+      .select("bucket", "value_imputed").as[(Long, Double)].collect().toMap
+    assert(hr === Map(0L -> 80.0, 1L -> 80.0, 2L -> 90.0, 3L -> 90.0)) // ffill
+    val rr = dense.filter($"code" === "rr")
+      .select("bucket", "value_imputed").as[(Long, Double)].collect().toMap
+    assert(rr === Map(0L -> 20.0, 1L -> 20.0, 2L -> 20.0, 3L -> 20.0)) // bfill head, ffill tail
+  }
+}
