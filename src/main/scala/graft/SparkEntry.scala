@@ -457,6 +457,42 @@ object SparkEntry {
         .withColumnRenamed("view", "v_view")
     }),
 
+    "f01_date_kitchen" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        date_trunc("month", col("o_orderdate")).as("mon_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("plus3"))),
+
+    "f10_prefix_exclusion" -> ((s, d) => {
+      val excluded = Seq("ECO", "SMA")
+      prt(s, d)
+        .filter(!excluded.map(p => col("p_type").startsWith(p)).reduce(_ || _))
+        .select("p_partkey", "p_type")
+    }),
+
+    "f11_contains_match" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        when(col("text").contains("the spark"), 1).otherwise(0).as("has_marker"))),
+
+    "u05_intersect_ids" -> ((s, d) =>
+      ord(s, d).filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+        .intersect(ord(s, d).filter(col("o_orderstatus") === "O").select("o_custkey").distinct())),
+
+    "j15_label_lookup" -> ((s, d) => {
+      import s.implicits._
+      val statusMap = Seq(("F", 1), ("O", 2), ("P", 3)).toDF("o_orderstatus", "status_id")
+      ord(s, d).join(broadcast(statusMap), Seq("o_orderstatus"))
+        .select("o_orderkey", "status_id")
+    }),
+
+    // UDTF-equivalent: one-row-to-many section split via posexplode
+    // (reference notes section splitter, notes_preproc.py:142-163)
+    "t05_explode_sections" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " data ")))
+        .select(col("doc_id"), col("pos").as("sec_no"), col("col").as("section"))),
+
     "m02_decode_stub" -> ((s, d) => {
       val withBin = BinaryOps.withPayload(docs(s, d), "text", "payload")
       BinaryOps.decodeFeatures(s, withBin, "doc_id", "payload", dims = 4, stride = 7)
@@ -1000,6 +1036,37 @@ object SparkEntry {
                 ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS v_signup,
                 ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS v_view
          FROM events GROUP BY 1, 2""",
+
+    "f01_date_kitchen" ->
+      """SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+                DATE_TRUNC('month', o_orderdate) AS mon_start,
+                STRFTIME(o_orderdate, '%Y-%m') AS ym,
+                o_orderdate + INTERVAL 3 DAY AS plus3
+         FROM orders""",
+
+    "f10_prefix_exclusion" ->
+      """SELECT p_partkey, p_type FROM part
+         WHERE NOT (p_type LIKE 'ECO%' OR p_type LIKE 'SMA%')""",
+
+    "f11_contains_match" ->
+      """SELECT doc_id, CASE WHEN CONTAINS(text, 'the spark') THEN 1 ELSE 0 END AS has_marker
+         FROM documents""",
+
+    "u05_intersect_ids" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+
+    "j15_label_lookup" ->
+      """SELECT o_orderkey,
+                CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 3 END AS status_id
+         FROM orders""",
+
+    "t05_explode_sections" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents)
+         SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
+         FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
+         WHERE i <= LEN(parts)""",
 
     "m02_decode_stub" ->
       """SELECT doc_id,

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File sources beyond parquet (SURVEY.md §2.1 S1-S4, S9-S10).
+  *
+  * Schemas are always explicit (`StructType`), never inferred — the
+  * reference pins dtypes per read (`hosp_preprocess_util.py:279-288`); we
+  * fail fast on drift instead. Compression codecs (gzip etc.) are detected
+  * from the file extension by Spark. Projection/predicate pushdown into the
+  * CSV scan is automatic once the schema is declared.
+  */
+object Readers {
+
+  /** S1 — CSV with explicit schema; handles `.csv` and `.csv.gz` alike. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, sep: String = ",", encoding: String = "UTF-8",
+      multiLine: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("encoding", encoding)
+      .option("multiLine", multiLine.toString)
+      .option("escape", "\"")
+      .csv(path)
+
+  /** S3 — tab-separated mapping tables (ICD9→10 map style). */
+  def tsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    csv(spark, path, schema, header = header, sep = "\t")
+
+  /** S4 — latin-1 encoded TSV (NDC product table style). */
+  def tsvLatin1(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    csv(spark, path, schema, sep = "\t", encoding = "ISO-8859-1")
+
+  /** S10 — notes-style CSV: quoted multi-line text fields. */
+  def multiLineCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    csv(spark, path, schema, multiLine = true)
+
+  /** S9 — glob scan + implicit union over many files of one schema. */
+  def glob(spark: SparkSession, pattern: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(pattern)
+}
+
+/** Sinks (S5-S7): parquet for every intermediate (types preserved — the
+  * reference's csv.gz round-trips erase them, SURVEY.md §1.3), CSV only at
+  * export edges, `partitionBy` instead of per-entity file loops.
+  */
+object Sinks {
+
+  /** S5 — gzip CSV export edge. */
+  def csvGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(path)
+
+  /** S6 — per-entity output as ONE partitioned parquet dataset, not N files
+    * (the reference writes one directory per stay_id,
+    * `data_generation_icu.py:461-463`; at scale that is a small-files
+    * explosion — partition pruning gives the same per-entity access).
+    */
+  def partitionedParquet(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+
+  /** S7 — records + vocab/meta as parquet (replaces pickle). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S8 — human-readable summary report (reference cohort report,
+    * `day_intervals_cohort.py:355-365`): formatted lines from a computed
+    * one-or-few-row frame, written as a single text file.
+    */
+  def textReport(df: DataFrame, format: org.apache.spark.sql.Row => String,
+      path: String): Unit = {
+    val lines = df.collect().map(format) // summary frames are tiny by contract
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
