@@ -312,6 +312,12 @@ object SparkEntry {
       DedupOps.jaccardAllPairs(
         DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.5)),
 
+    "d06_embedding_neardup" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      DedupOps.embeddingNearDups(emb(s, d), "vec_id", "embedding", "label", 0.4,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
+
     // ---------------- similarity search ----------------
     "v01_cosine_topk" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
@@ -883,6 +889,17 @@ object SparkEntry {
          SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
+
+    "d06_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6)
+                  AS sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE LIST_DOT_PRODUCT(a.v, b.v)
+               / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.4""",
 
     "v01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

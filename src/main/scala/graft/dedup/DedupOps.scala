@@ -120,6 +120,25 @@ object DedupOps {
     jaccardVerify(cands, withShingles(docs, id, text, shingleN), id, threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs within a coarse bucket (the
+    * ANN-style scale path: the bucket equi-join bounds the pair space the
+    * same way LSH bands do for shingles). `simFn` defaults to the native
+    * codegen kernel via the composable form; threshold applies to the raw
+    * similarity, output is rounded.
+    */
+  def embeddingNearDups(corpus: DataFrame, id: String, emb: String, bucket: String,
+      threshold: Double,
+      simFn: (Column, Column) => Column = graft.functions.VectorFns.cosine): DataFrame = {
+    val toD = graft.functions.VectorFns.toDoubleArr _
+    val a = corpus.select(col(bucket).as("__b"), col(id).as("id_a"), toD(col(emb)).as("__ea"))
+    val b = corpus.select(col(bucket).as("__b"), col(id).as("id_b"), toD(col(emb)).as("__eb"))
+    a.join(b, Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__sim", simFn(col("__ea"), col("__eb")))
+      .filter(col("__sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__sim"), 6).as("sim"))
+  }
+
   /** 32-bit set-based SimHash over the distinct-token set, emitted as a
     * 32-char '0'/'1' string (bit 0 first). Bit p of a token is nibble
     * arithmetic over its md5 hex digest — portable to any SQL oracle.
