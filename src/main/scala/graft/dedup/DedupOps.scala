@@ -34,10 +34,13 @@ object DedupOps {
     * set, as columns `mh00..mh{k-1}`. Null components for docs with no
     * shingles.
     */
-  def minhashSignatures(docs: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
-    val sh = withShingles(docs, id, text, n)
+  def minhashSignatures(docs: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame =
+    signaturesFromShingles(withShingles(docs, id, text, n), id, k)
+
+  /** Signatures from an existing (id, shingles) frame. */
+  def signaturesFromShingles(shingled: DataFrame, id: String, k: Int): DataFrame = {
     val cols = (0 until k).map(i => TextFns.minhash(col("shingles"), i).as(f"mh$i%02d"))
-    sh.select((col(id) +: cols): _*)
+    shingled.select((col(id) +: cols): _*)
   }
 
   /** LSH band keys: `bands` keys per doc, each the md5 of `rowsPerBand`
@@ -94,8 +97,11 @@ object DedupOps {
     * correctness baseline the LSH path is validated against.
     */
   def jaccardAllPairs(shingled: DataFrame, id: String, threshold: Double): DataFrame = {
-    val sizes = shingled.select(col(id), size(col("shingles")).cast("long").as("sz"))
-    val ex = shingled.select(col(id), explode(col("shingles")).as("s"))
+    // three consumers of the shingle arrays (sizes + both join sides) —
+    // truncate lineage so shingling runs once (see nearDupPairs)
+    val ck = shingled.localCheckpoint(false)
+    val sizes = ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
+    val ex = ck.select(col(id), explode(col("shingles")).as("s"))
     val inter = ex.select(col(id).as("id_a"), col("s"))
       .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -115,9 +121,14 @@ object DedupOps {
     */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, id, text, shingleN, k)
+    // The shingle set feeds three consumers (signatures, the verify join's
+    // two sides); localCheckpoint truncates the lineage so the md5/shingle
+    // work runs once instead of once per branch. Lazy: nothing computes
+    // until the caller's action.
+    val shingled = withShingles(docs, id, text, shingleN).localCheckpoint(false)
+    val sigs = signaturesFromShingles(shingled, id, k)
     val cands = lshCandidatePairs(lshBandKeys(sigs, id, bands, k / bands), id)
-    jaccardVerify(cands, withShingles(docs, id, text, shingleN), id, threshold)
+    jaccardVerify(cands, shingled, id, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs within a coarse bucket (the
