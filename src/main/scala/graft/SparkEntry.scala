@@ -253,6 +253,15 @@ object SparkEntry {
         concat((floor(col("value") / 10) * 10).cast("long").cast("string"), lit("-"),
           (floor(col("value") / 10) * 10 + 9).cast("long").cast("string")).as("value_decade"))),
 
+    // ---------------- ML prep (stage-5 relational parts) ----------------
+    "ml01_kfold_split" -> ((s, d) =>
+      FoldOps.assignFolds(ord(s, d), "o_orderkey", 5)
+        .select("o_orderkey", "fold")),
+
+    "ml02_oversample" -> ((s, d) =>
+      FoldOps.oversample(ord(s, d), col("o_totalprice") > 400000.0, 3)
+        .select("o_orderkey", "copy_id")),
+
     // ---------------- time series / streaming analogue ----------------
     "ts_tumbling_window" -> ((s, d) =>
       TimeSeriesOps.tumblingAgg(ev(s, d), col("ts"), "hour",
@@ -753,6 +762,16 @@ object SparkEntry {
                 CONCAT(CAST(CAST(FLOOR(value / 10) * 10 AS BIGINT) AS VARCHAR), '-',
                        CAST(CAST(FLOOR(value / 10) * 10 + 9 AS BIGINT) AS VARCHAR)) AS value_decade
          FROM events""",
+
+    "ml01_kfold_split" ->
+      """SELECT o_orderkey,
+                CAST(((o_orderkey * 2654435761) % 1000000007) % 5 AS INTEGER) AS fold
+         FROM orders""",
+
+    "ml02_oversample" ->
+      """SELECT o_orderkey, CAST(i AS INTEGER) AS copy_id
+         FROM orders CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS i)
+         WHERE i <= CASE WHEN o_totalprice > 400000.0 THEN 3 ELSE 1 END""",
 
     "ts_tumbling_window" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,

@@ -1,0 +1,29 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_sim is injected via the SparkSessionExtensions hook") {
+    val base = TestSpark.spark // ensure the shared context exists
+    // getOrCreate returns the active session and ignores extensions, so
+    // clear it first: the builder then creates a sibling session over the
+    // SAME SparkContext with the extensions applied.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = withExt.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS s")
+        .collect()(0).getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
