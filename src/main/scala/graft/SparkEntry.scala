@@ -709,8 +709,8 @@ object SparkEntry {
 
     "f19_quantile_bin" ->
       """SELECT o_orderkey,
-                NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-                  AS quartile
+                CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
          FROM orders""",
 
     "o04_topk" ->

@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // Re-reading the same path builds a fresh relation each time: file
+  // listing, footer read, schema resolution — ~100ms of fixed cost per
+  // query that DuckDB's catalog never pays. Cache the DataFrame per
+  // (session, path); the logical relation (and its cached FileIndex) is
+  // then shared by every query in the session.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((System.identityHashCode(spark), s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
@@ -31,9 +40,10 @@ object Tables {
     * file's nanosecond precision. Integer division keeps full precision —
     * a Double intermediate would corrupt epoch-nanos (> 2^53).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), s"$dir/events.parquet#ts"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    })
 }
