@@ -321,6 +321,13 @@ object SparkEntry {
       DedupOps.jaccardAllPairs(
         DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.5)),
 
+    "d07_simhash_neardup" -> ((s, d) =>
+      DedupOps.simhashNearDups(docs(s, d), "doc_id", "text", bandBits = 8, maxHamming = 6)),
+
+    "a14b_ece_mce" -> ((s, d) =>
+      MetricsOps.calibrationError(li(s, d),
+        col("l_discount") * 10.0, when(col("l_returnflag") === "R", 1).otherwise(0), 10)),
+
     "d06_embedding_neardup" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       DedupOps.embeddingNearDups(emb(s, d), "vec_id", "embedding", "label", 0.4,
@@ -908,6 +915,47 @@ object SparkEntry {
          SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
+
+    "d07_simhash_neardup" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+           FROM documents),
+         votes AS (
+           SELECT doc_id, p,
+                  SUM(CASE WHEN CAST(FLOOR(
+                        (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(tok), 1 + CAST(FLOOR(p / 4) AS INTEGER), 1)) - 1)
+                        / POWER(2, 3 - (p % 4))) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS vote
+           FROM toks CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS p)
+           GROUP BY 1, 2),
+         sim AS (
+           SELECT doc_id,
+                  STRING_AGG(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+                    AS simhash
+           FROM votes GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+           FROM sim a JOIN sim b
+             ON SUBSTR(a.simhash, 1, 8) = SUBSTR(b.simhash, 1, 8) AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT id_a, id_b,
+                  SUM(CASE WHEN SUBSTR(sa, i, 1) <> SUBSTR(sb, i, 1) THEN 1 ELSE 0 END) AS h
+           FROM pairs CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 32)) AS i)
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(h AS INTEGER) AS hamming FROM ham WHERE h <= 6""",
+
+    "a14b_ece_mce" ->
+      """WITH bins AS (
+           SELECT CAST(LEAST(FLOOR(l_discount * 10.0 * 10), 9) AS BIGINT) AS bin,
+                  ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+                    AS bin_accuracy,
+                  ROUND(AVG(l_discount * 10.0), 6) AS bin_confidence,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT ROUND(SUM(n * ABS(bin_accuracy - bin_confidence)) / SUM(n), 6) AS ece,
+                ROUND(MAX(ABS(bin_accuracy - bin_confidence)), 6) AS mce
+         FROM bins""",
 
     "d06_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -131,6 +131,29 @@ object DedupOps {
     jaccardVerify(cands, shingled, id, threshold)
   }
 
+  /** SimHash near-duplicate pairs: band on the signature's first
+    * `bandBits` bits (hamming-close signatures agree on short prefixes with
+    * high probability), then verify exact hamming distance ≤ `maxHamming`
+    * on candidates only. Same candidate-generation shape as MinHash-LSH —
+    * an equi-join, never an all-pairs scan.
+    */
+  def simhashNearDups(docs: DataFrame, id: String, text: String,
+      bandBits: Int, maxHamming: Int): DataFrame = {
+    val sim = simhash32(docs, id, text).localCheckpoint(false)
+    val a = sim.select(col(id).as("id_a"), col("simhash").as("sa"),
+      substring(col("simhash"), 1, bandBits).as("__band"))
+    val b = sim.select(col(id).as("id_b"), col("simhash").as("sb"),
+      substring(col("simhash"), 1, bandBits).as("__band"))
+    val hamming = (1 to 32)
+      .map(i => when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket (the
     * ANN-style scale path: the bucket equi-join bounds the pair space the
     * same way LSH bands do for shingles). `simFn` defaults to the native

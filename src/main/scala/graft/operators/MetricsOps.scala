@@ -47,6 +47,18 @@ object MetricsOps {
         round(avg(prob), 6).as("bin_confidence"),
         count(lit(1)).as("n"))
 
+  /** A14 — ECE/MCE scalars from the calibration bins
+    * (`evaluation.py:219-250`): ECE = Σ (n_b/N)·|acc_b − conf_b|,
+    * MCE = max_b |acc_b − conf_b|.
+    */
+  def calibrationError(df: DataFrame, prob: Column, label: Column, bins: Int): DataFrame =
+    calibrationBins(df, prob, label, bins)
+      .agg(
+        round(
+          sum(col("n") * abs(col("bin_accuracy") - col("bin_confidence"))) / sum(col("n")),
+          6).as("ece"),
+        round(max(abs(col("bin_accuracy") - col("bin_confidence"))), 6).as("mce"))
+
   /** A15 — AUROC via the Mann-Whitney rank-sum identity
     * (`evaluation.py:95-108` uses sklearn; this is the distributed form):
     * AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), with a
