@@ -129,6 +129,60 @@ object FeatureExtractor {
       "imputed_admit")
 }
 
+/** §3.2 summary + user-driven selection (reference `generate_summary_*` /
+  * `features_selection_*`, `feature_selection_hosp.py:125-236`): per-code
+  * frequency/missingness tables a user reviews, then a semi-join against
+  * the (edited) kept-code list.
+  */
+object FeatureSelector {
+
+  /** Per-code summary: mean events per (visit, code), missing count/rate of
+    * `valueCol`, total rows — one pass of hash aggregates.
+    */
+  def summary(events: DataFrame, visitKey: String, codeCol: String,
+      valueCol: Column): DataFrame = {
+    val perVisit = events.groupBy(col(visitKey), col(codeCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(codeCol))
+      .agg(round(avg(col("__n")), 6).as("mean_frequency"))
+    val missing = events.groupBy(col(codeCol)).agg(
+      sum(when(valueCol.isNull || valueCol === 0.0, 1L).otherwise(0L)).as("missing_count"),
+      count(lit(1)).as("total_count"))
+    perVisit.join(missing, Seq(codeCol))
+      .withColumn("missing_rate",
+        round(col("missing_count").cast("double") / col("total_count"), 6))
+  }
+
+  /** Keep only events whose code is in the reviewed list (P6 semi-join —
+    * the reference re-reads a user-edited CSV; any one-column frame works).
+    */
+  def select(events: DataFrame, codeCol: String, keep: DataFrame): DataFrame =
+    graft.operators.JoinOps.semiFilter(events, Seq(codeCol),
+      keep.select(keep.columns.head).toDF(codeCol))
+}
+
+/** Drug/NDC normalization (reference `hosp_preprocess_util.py:192-273`):
+  * name cleanup, 11-digit NDC zero-padding, and EPC pharmacological-class
+  * extraction from a bracket-tagged list column.
+  */
+object DrugMapper {
+
+  /** `lower().strip().replace(" ", "_")` (reference `:202-204`). */
+  def normalizeName(c: Column): Column =
+    regexp_replace(lower(trim(c)), " ", "_")
+
+  /** Zero-pad an NDC code to 11 digits (reference `:228-240`); null-safe. */
+  def padNdc(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(lpad(c.cast("string"), 11, "0"))
+
+  /** Extract "[EPC]"-tagged entries from a comma-joined class list
+    * (reference `:263-271`) as an array column — a higher-order filter,
+    * no UDF.
+    */
+  def epcClasses(pharmClasses: Column): Column =
+    filter(split(pharmClasses, ","), x => x.contains("[EPC]"))
+}
+
 /** §3.3 `Generator` — tall-first time-series representation: one frame
   * (visit, bucket, code, value), never a per-visit loop. Pivot only at
   * export (`TimeSeriesOps.pivotMatrix`).

@@ -99,6 +99,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(rr.max === 9.1) // p90 of 1..10 (type-7) = 9.1
   }
 
+  test("feature summary + user selection flow") {
+    val events = Seq(
+      (101L, "hr", Some(80.0)), (101L, "hr", Some(85.0)), (201L, "hr", None),
+      (101L, "rr", Some(20.0)), (201L, "bp", Some(0.0))
+    ).toDF("hadm_id", "code", "valuenum")
+    val summ = FeatureSelector.summary(events, "hadm_id", "code", $"valuenum")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(summ("hr") === ((1.5, 1L, 3L, 0.333333))) // avg of counts {2,1}; one null
+    assert(summ("bp") === ((1.0, 1L, 1L, 1.0)))      // zero counts as missing
+    val kept = FeatureSelector.select(events, "code", Seq("hr").toDF("c"))
+    assert(kept.count() === 3)
+  }
+
+  test("drug normalization: name, NDC pad, EPC extraction") {
+    val meds = Seq(
+      ("  Aspirin EC ", Some(6822070L), "Analgesic [EPC],Salicylate [Chemical]"),
+      ("warfarin", None, "Anticoagulant [EPC],Vitamin K Antagonist [EPC]")
+    ).toDF("drug", "ndc", "pharm_classes")
+    val got = meds.select(
+      DrugMapper.normalizeName($"drug").as("n"),
+      DrugMapper.padNdc($"ndc").as("p"),
+      DrugMapper.epcClasses($"pharm_classes").as("e"))
+      .as[(String, Option[String], Seq[String])].collect()
+    assert(got(0) === (("aspirin_ec", Some("00006822070"), Seq("Analgesic [EPC]"))))
+    assert(got(1)._2.isEmpty)
+    assert(got(1)._3 === Seq("Anticoagulant [EPC]", "Vitamin K Antagonist [EPC]"))
+  }
+
   test("time-series generation: clip, bucket, densify, ffill/bfill impute") {
     val events = Seq(
       (101L, "hr", 1.0, 80.0),   // bucket 0
