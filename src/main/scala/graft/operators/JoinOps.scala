@@ -52,6 +52,21 @@ object JoinOps {
   def firstMatchLookup(mapping: DataFrame, key: String, value: String, orderCol: String): DataFrame =
     mapping.groupBy(key).agg(min_by(col(value), col(orderCol)).as(value))
 
+  /** Skew-mitigation salted join: replicate the small side `salt` times and
+    * scatter the large side's hot keys across the replicas, turning one
+    * monster partition into `salt` tractable ones. Result is identical to
+    * the plain inner join (asserted in JoinOpsSpec); use when a key's row
+    * count dwarfs the rest and AQE's skew splitting isn't available (e.g.
+    * aggregation-free stages, or pre-3.0 clusters).
+    */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** J11 — point-in-interval as-of join (reference hadm_id imputation,
     * `labs_preprocess_util.py:13-60`): for each point row, attach the
     * interval row of the same `partKey` with `startCol <= pointTs <= endCol`;
