@@ -263,6 +263,11 @@ object SparkEntry {
         .select("o_orderkey", "copy_id")),
 
     // ---------------- time series / streaming analogue ----------------
+    "ts02_sessionize" -> ((s, d) =>
+      TimeSeriesOps.sessionize(ev(s, d), "user_id", "ts", "event_id",
+          expr("INTERVAL 30 MINUTES"), "session_no")
+        .select("event_id", "session_no")),
+
     "ts_tumbling_window" -> ((s, d) =>
       TimeSeriesOps.tumblingAgg(ev(s, d), col("ts"), "hour",
           Seq(col("event_type")),
@@ -779,6 +784,19 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(i AS INTEGER) AS copy_id
          FROM orders CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS i)
          WHERE i <= CASE WHEN o_totalprice > 400000.0 THEN 3 ELSE 1 END""",
+
+    "ts02_sessionize" ->
+      """SELECT event_id,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+                  AS session_no
+         FROM (SELECT event_id, user_id, ts,
+                      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                           OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events)""",
 
     "ts_tumbling_window" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,

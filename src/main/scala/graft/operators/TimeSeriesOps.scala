@@ -56,6 +56,23 @@ object TimeSeriesOps {
       .drop("__ffstop")
   }
 
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event exceeds `gap`. Two stacked windows over one sort: the
+    * boundary flag, then its running sum as the session number (1-based).
+    * The streaming twin with explicit state is
+    * `streaming.EventStreams.sessionizeStream`.
+    */
+  def sessionize(df: DataFrame, partKey: String, ts: String, tie: String,
+      gap: Column, name: String): DataFrame = {
+    val w = Window.partitionBy(partKey).orderBy(col(ts).asc, col(tie).asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new",
+        when(lag(col(ts), 1).over(w).isNull ||
+          col(ts) > lag(col(ts), 1).over(w) + gap, 1).otherwise(0))
+      .withColumn(name, sum(col("__new")).over(wRun).cast("int"))
+      .drop("__new")
+  }
+
   /** Dense pivot to the wide (bucket × code) matrix with an explicit value
     * list — guarantees every vocabulary column exists (reference zero-fill of
     * absent features, `data_generation_icu.py:508-516`). Vocab must be

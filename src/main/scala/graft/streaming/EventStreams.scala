@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface: the streaming twins of the batch
   * time-series operators. The reference is batch-only (SURVEY.md §2.10);
@@ -24,6 +25,37 @@ object EventStreams {
     * data. State is bounded: watermark evicts windows older than
     * max(event_time) - 2h at each trigger.
     */
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(lastTsMs: Long, lastSession: Int)
+  case class SessionAssignment(user_id: Long, event_id: Long, session_no: Int)
+
+  /** Stateful streaming twin of `TimeSeriesOps.sessionize`: per-user
+    * gap-based session assignment via `flatMapGroupsWithState`. State is one
+    * (lastTs, lastSession) pair per user — O(users), not O(events). Events
+    * within a micro-batch are sorted per group (the iterator carries no
+    * order guarantee); ordering ACROSS batches is the source's
+    * responsibility (same contract as the reference's sorted group scans).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (lastTs, sess) = state.getOption
+            .map(s => (s.lastTsMs, s.lastSession)).getOrElse((Long.MinValue, 0))
+          val out = sorted.map { e =>
+            if (lastTs == Long.MinValue || e.ts.getTime - lastTs > gapMs) sess += 1
+            lastTs = e.ts.getTime
+            SessionAssignment(user, e.event_id, sess)
+          }
+          state.update(SessionState(lastTs, sess))
+          out.iterator
+      }
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -11,6 +11,33 @@ import graft.{Tables, TestSpark}
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("stateful streaming sessionization equals the batch window form") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .select($"user_id", $"event_id", $"ts")
+      .as[EventStreams.SessionEvent]
+    val q = EventStreams.sessionizeStream(evs, gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessions")
+      .select("event_id", "session_no").as[(Long, Int)].collect().toMap
+
+    val batch = graft.operators.TimeSeriesOps.sessionize(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "event_id", expr("INTERVAL 30 MINUTES"), "session_no")
+      .select("event_id", "session_no").as[(Long, Int)].collect().toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("streaming hourly rollup equals the batch rollup (kappa invariant)") {
     // file source needs a directory of one schema → stage events alone
     val dir = Files.createTempDirectory("graft-stream")
