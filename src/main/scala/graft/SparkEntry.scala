@@ -513,6 +513,42 @@ object SparkEntry {
         .select("o_orderkey", "status_id")
     }),
 
+    // TF-IDF top terms per document: explode → tf/df aggregates → broadcast
+    // df join → windowed top-k with total-order tie-break
+    "t06_tfidf_top_terms" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).count()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df_), Seq("term"))
+        .withColumn("score",
+          round(col("tf") * TextFns.smoothIdf(lit(n), col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    }),
+
+    // Column profiling (data-quality scan): one tall stats row per column
+    "dq01_profile" -> ((s, d) => {
+      val l = li(s, d)
+      def prof(c: String) = l.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)), 6).as("min_v"),
+        round(max(col(c)), 6).as("max_v"),
+        // round the sum before dividing: cross-engine summation-order noise
+        // (~1e-10) is harmless at the sum's magnitude but can straddle a
+        // rounding boundary after division
+        round(round(sum(col(c)), 3) / count(lit(1)), 6).as("avg_v"))
+      prof("l_quantity").unionByName(prof("l_extendedprice")).unionByName(prof("l_discount"))
+    }),
+
     // UDTF-equivalent: one-row-to-many section split via posexplode
     // (reference notes section splitter, notes_preproc.py:142-163)
     "t05_explode_sections" -> ((s, d) =>
@@ -1163,6 +1199,45 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 3 END AS status_id
          FROM orders""",
+
+    "t06_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+                GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+                  ROUND(tf * (LN((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term ASC) AS rn FROM scored)
+         WHERE rn <= 3""",
+
+    "dq01_profile" ->
+      """SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                ROUND(MIN(l_quantity), 6) AS min_v, ROUND(MAX(l_quantity), 6) AS max_v,
+                ROUND(ROUND(SUM(l_quantity), 3) / COUNT(*), 6) AS avg_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+                ROUND(MIN(l_extendedprice), 6), ROUND(MAX(l_extendedprice), 6),
+                ROUND(ROUND(SUM(l_extendedprice), 3) / COUNT(*), 6)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+                ROUND(MIN(l_discount), 6), ROUND(MAX(l_discount), 6),
+                ROUND(ROUND(SUM(l_discount), 3) / COUNT(*), 6)
+         FROM lineitem""",
 
     "t05_explode_sections" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents)

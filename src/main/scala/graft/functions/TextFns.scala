@@ -46,6 +46,12 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Smoothed IDF: ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf formula —
+    * public scikit-learn documentation). `n` and `df` are Long columns.
+    */
+  def smoothIdf(n: Column, df: Column): Column =
+    log((n + lit(1.0)) / (df + lit(1.0))) + lit(1.0)
+
   /** Seeded shingle hash for MinHash: md5("<seed>:<shingle>"). Lexicographic
     * min over uniformly-distributed hex digests is a valid min-hash.
     */
