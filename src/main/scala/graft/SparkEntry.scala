@@ -518,9 +518,10 @@ object SparkEntry {
     "t06_tfidf_top_terms" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      // df derives from tf (one row per (doc, term)) — no second explode
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df_ = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+        .localCheckpoint(false)
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs(s, d).count()
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)

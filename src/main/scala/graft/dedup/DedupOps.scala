@@ -182,22 +182,26 @@ object DedupOps {
     val toks = docs
       .select(col(id), explode(TextFns.tokens(col(text))).as("tok"))
       .distinct()
-    val votes = toks
-      .select(col(id), col("tok"), explode(sequence(lit(0), lit(31))).as("p"))
-      .withColumn("nib",
-        conv(md5(col("tok")).substr((col("p") / 4).cast("int") + 1, lit(1)), 16, 10)
-          .cast("long"))
-      .withColumn("bit",
-        floor(col("nib") / pow(lit(2.0), lit(3) - col("p") % 4)).cast("long") % 2)
-      .groupBy(col(id), col("p"))
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
-    votes
-      .withColumn("ch", when(col("vote") > 0, "1").otherwise("0"))
+    // dictionary trick: the ±1 bit vector is a function of the token alone —
+    // compute it once per DISTINCT token (vocabulary-sized, broadcast), then
+    // sum vectors element-wise per document. Avoids exploding every
+    // (doc, token) pair 32× (the naive form shuffles |docs|·|tokens|·32 rows;
+    // this shuffles |docs|·|tokens| with a 32-int payload).
+    val vocab = toks.select("tok").distinct()
+      .withColumn("__h", md5(col("tok")))
+      .withColumn("bits", transform(sequence(lit(0), lit(31)), p => {
+        val nib = conv(col("__h").substr((p / 4).cast("int") + 1, lit(1)), 16, 10)
+          .cast("long")
+        val bit = floor(nib / pow(lit(2.0), lit(3) - p % 4)).cast("long") % 2
+        when(bit === 1, 1).otherwise(-1)
+      }))
+      .select("tok", "bits")
+    toks.join(broadcast(vocab), Seq("tok"))
       .groupBy(col(id))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("p"), col("ch")))),
-          s => s.getField("ch")),
-        "").as("simhash"))
+      .agg(aggregate(collect_list(col("bits")),
+        array_repeat(lit(0), 32), (acc, x) => zip_with(acc, x, _ + _)).as("__votes"))
+      .select(col(id),
+        array_join(transform(col("__votes"), v => when(v > 0, "1").otherwise("0")), "")
+          .as("simhash"))
   }
 }
