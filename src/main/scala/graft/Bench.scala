@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 
 /** Driver-run benchmark: times every SparkEntry query on
   * `SPARK_GRAFT_SF_DIR`, printing ONE JSON line
@@ -9,8 +10,20 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass at sf0.001 runs first (untimed) so JIT/codegen compilation
   * and parquet footer caching don't land on whichever query happens to run
   * first — the timed pass measures steady-state plan execution.
+  *
+  * The timed action hashes every output column (`sum(xxhash64(struct(*)))`)
+  * instead of `.count()`: under count, Catalyst prunes unreferenced
+  * projections, so map-only queries would time the scan rather than the
+  * work. The hash forces every projected column to materialize while
+  * keeping the result a single row per partition — the closest cheap
+  * analogue of "the user actually consumed the frame".
   */
 object Bench {
+
+  private def force(df: DataFrame): Long = {
+    val r = df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,12 +38,12 @@ object Bench {
 
     val warmupDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, warmupDir)) catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

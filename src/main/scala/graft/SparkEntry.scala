@@ -205,12 +205,13 @@ object SparkEntry {
         .select("o_orderkey", "quartile")),
 
     // ---------------- sorts / top-k / sets ----------------
-    "o04_topk" -> ((s, d) => {
-      val counts = li(s, d).groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-      counts.withColumn("__rn",
-          row_number().over(Window.orderBy(col("cnt").desc, col("l_partkey").asc)))
-        .filter(col("__rn") <= 10).drop("__rn")
-    }),
+    // orderBy().limit(k) → TakeOrderedAndProject: distributed per-partition
+    // heaps, identical tie-break semantics to a rank-filter, no
+    // single-partition exchange over the (unbounded) counts frame
+    "o04_topk" -> ((s, d) =>
+      li(s, d).groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey").asc)
+        .limit(10)),
 
     "u01_union_label" -> ((s, d) =>
       ord(s, d).filter(col("o_totalprice") > 400000.0)
@@ -451,11 +452,14 @@ object SparkEntry {
         when(col("o_orderstatus") === "O", 1).otherwise(0).as("is_o"),
         when(col("o_orderstatus") === "P", 1).otherwise(0).as("is_p"))),
 
+    // two-phase distributed id assignment: a corpus-scale vocabulary does
+    // not fit one task, so no dense_rank over an unpartitioned window; the
+    // vocab side is not force-broadcast either — AQE picks broadcast when
+    // it is actually small
     "f23_vocab_encode" -> ((s, d) => {
-      val vocab = prt(s, d).select("p_type").distinct()
-        .withColumn("type_id",
-          dense_rank().over(Window.orderBy(col("p_type"))).cast("int"))
-      prt(s, d).join(broadcast(vocab), Seq("p_type"))
+      val vocab = RankOps.vocabIds(prt(s, d), "p_type", "__vid")
+        .select(col("p_type"), col("__vid").cast("int").as("type_id"))
+      prt(s, d).join(vocab, Seq("p_type"))
         .select("p_partkey", "type_id")
     }),
 
@@ -513,8 +517,10 @@ object SparkEntry {
         .select("o_orderkey", "status_id")
     }),
 
-    // TF-IDF top terms per document: explode → tf/df aggregates → broadcast
-    // df join → windowed top-k with total-order tie-break
+    // TF-IDF top terms per document: explode → tf/df aggregates → df join →
+    // windowed top-k with total-order tie-break. The corpus size N is a
+    // 1-row aggregate cross-joined in (broadcast, lazily evaluated with the
+    // rest of the plan) — not an eager driver-side count()
     "t06_tfidf_top_terms" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
@@ -522,12 +528,13 @@ object SparkEntry {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(false)
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs(s, d).count()
+      val nDf = docs(s, d).agg(count(lit(1)).as("__n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(df_), Seq("term"))
+      tf.join(df_, Seq("term"))
+        .crossJoin(broadcast(nDf))
         .withColumn("score",
-          round(col("tf") * TextFns.smoothIdf(lit(n), col("df")), 6))
+          round(col("tf") * TextFns.smoothIdf(col("__n"), col("df")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "score", "rank")

@@ -45,10 +45,14 @@ case class CohortConfig(
   */
 object CohortExtractor {
 
-  /** visits × patients (inner, on the subject key) + adult filter + label. */
+  /** visits × patients (inner, on the subject key) + adult filter + label.
+    * No broadcast hint on the patients side — a patient dimension is not
+    * provably bounded (100 TB of visits implies a comparably huge patient
+    * table); AQE broadcasts iff it is actually small.
+    */
   def extract(visits: DataFrame, patients: DataFrame, cfg: CohortConfig): DataFrame = {
     val joined = visits
-      .join(broadcast(patients), Seq(cfg.subjectKey), "inner")
+      .join(patients, Seq(cfg.subjectKey), "inner")
       .filter(col(cfg.ageCol) >= cfg.minAge)
     label(joined, cfg)
   }
@@ -86,11 +90,17 @@ object FeatureExtractor {
     * add `event_offset_h` = floor hours from admit (the reference's
     * string-split idiom, `data_generation_icu.py:62-67`), drop pre-admit
     * events (P7 sanity).
+    *
+    * The cohort side is joined WITHOUT a forced broadcast: a cohort at the
+    * 100 TB design point is 10⁸+ visits — not a driver-side table. AQE
+    * broadcasts iff the projected (visitKey, admitCol) frame is actually
+    * under the threshold; otherwise the join shuffles on the visit key,
+    * which is also the downstream grouping key, so the exchange is reused.
     */
   def eventsForCohort(events: DataFrame, cohort: DataFrame, visitKey: String,
       timeCol: String, admitCol: String): DataFrame =
     events
-      .join(broadcast(cohort.select(col(visitKey), col(admitCol))), Seq(visitKey), "inner")
+      .join(cohort.select(col(visitKey), col(admitCol)), Seq(visitKey), "inner")
       .withColumn("event_offset_h",
         floor((unix_timestamp(col(timeCol)) - unix_timestamp(col(admitCol))) / 3600L))
       .filter(col("event_offset_h") >= 0)

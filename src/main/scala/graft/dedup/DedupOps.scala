@@ -11,10 +11,10 @@ import graft.functions.TextFns
   *
   * Scale design: nothing here compares all pairs. Exact dedup is one hash
   * aggregate on a 16-byte key; LSH turns near-dup search into an equi-join
-  * on band keys (shuffle on band_key, AQE handles hot buckets — at 100 TB
-  * add a bucket-size cap before the self-join to bound worst-case blowup);
-  * Jaccard verification runs only on LSH candidates via a shingle inverted
-  * index, never on the full cross product.
+  * on band keys (shuffle on band_key, AQE handles hot buckets, and
+  * degenerate buckets are capped before the self-join — see
+  * `lshCandidatePairs`); Jaccard verification runs only on LSH candidates
+  * via a shingle inverted index, never on the full cross product.
   */
 object DedupOps {
 
@@ -59,10 +59,27 @@ object DedupOps {
 
   /** Candidate pairs: distinct (a, b) with a < b sharing at least one LSH
     * bucket. The self-join is an equi-join on (band, band_key).
+    *
+    * Degenerate-bucket guard: a band bucket with B members contributes
+    * B(B−1)/2 candidate pairs — an adversarial bucket (e.g. every
+    * empty-shingle doc hashing to the same null-ish key, or boilerplate
+    * that collapses a whole crawl segment) turns the equi-join quadratic.
+    * Buckets larger than `maxBucket` are dropped BEFORE the self-join (a
+    * count window keyed on the bucket, no extra shuffle beyond the join's
+    * own key), and null band keys (docs with no shingles) are filtered
+    * outright. Members of an over-cap bucket can still pair through their
+    * other bands — recall degrades gracefully instead of the job dying.
     */
-  def lshCandidatePairs(bandKeys: DataFrame, id: String): DataFrame = {
-    val l = bandKeys.select(col("band"), col("band_key"), col(id).as("id_a"))
-    val r = bandKeys.select(col("band"), col("band_key"), col(id).as("id_b"))
+  def lshCandidatePairs(bandKeys: DataFrame, id: String,
+      maxBucket: Int = 100000): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    val capped = bandKeys
+      .filter(col("band_key").isNotNull)
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val l = capped.select(col("band"), col("band_key"), col(id).as("id_a"))
+    val r = capped.select(col("band"), col("band_key"), col(id).as("id_b"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -120,14 +137,15 @@ object DedupOps {
     * → exact-Jaccard verify.
     */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 100000): DataFrame = {
     // The shingle set feeds three consumers (signatures, the verify join's
     // two sides); localCheckpoint truncates the lineage so the md5/shingle
     // work runs once instead of once per branch. Lazy: nothing computes
     // until the caller's action.
     val shingled = withShingles(docs, id, text, shingleN).localCheckpoint(false)
     val sigs = signaturesFromShingles(shingled, id, k)
-    val cands = lshCandidatePairs(lshBandKeys(sigs, id, bands, k / bands), id)
+    val cands = lshCandidatePairs(lshBandKeys(sigs, id, bands, k / bands), id, maxBucket)
     jaccardVerify(cands, shingled, id, threshold)
   }
 
@@ -183,10 +201,13 @@ object DedupOps {
       .select(col(id), explode(TextFns.tokens(col(text))).as("tok"))
       .distinct()
     // dictionary trick: the ±1 bit vector is a function of the token alone —
-    // compute it once per DISTINCT token (vocabulary-sized, broadcast), then
-    // sum vectors element-wise per document. Avoids exploding every
+    // compute it once per DISTINCT token (vocabulary-sized), then sum
+    // vectors element-wise per document. Avoids exploding every
     // (doc, token) pair 32× (the naive form shuffles |docs|·|tokens|·32 rows;
-    // this shuffles |docs|·|tokens| with a 32-int payload).
+    // this shuffles |docs|·|tokens| with a 32-int payload). The vocab join
+    // carries no broadcast hint: a web-corpus vocabulary is 10⁸+ tokens and
+    // would OOM the driver — AQE broadcasts iff it is actually small,
+    // otherwise both sides shuffle on the token key.
     val vocab = toks.select("tok").distinct()
       .withColumn("__h", md5(col("tok")))
       .withColumn("bits", transform(sequence(lit(0), lit(31)), p => {
@@ -196,7 +217,7 @@ object DedupOps {
         when(bit === 1, 1).otherwise(-1)
       }))
       .select("tok", "bits")
-    toks.join(broadcast(vocab), Seq("tok"))
+    toks.join(vocab, Seq("tok"))
       .groupBy(col(id))
       .agg(aggregate(collect_list(col("bits")),
         array_repeat(lit(0), 32), (acc, x) => zip_with(acc, x, _ + _)).as("__votes"))

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Data-cleaning operators (SURVEY.md §2.4 A5/A6, §2.2 P9-P12).
   *
-  * Both heavyweight cleaners are two-pass over the same grouping key:
-  * a small per-group statistics aggregate (mode share / percentiles) that is
-  * then broadcast-joined back onto the fact table — the stats side is
-  * |distinct keys| rows, so the fact table is never shuffled a second time.
+  * Both heavyweight cleaners are two-pass over the same grouping key: a
+  * per-group statistics aggregate (mode share / percentiles) joined back
+  * onto the fact table. The stats side is |distinct keys| rows — usually
+  * small, but NOT provably bounded (a per-item-id stats frame at 100 TB is
+  * itself huge), so there is no forced broadcast hint: AQE broadcasts at
+  * runtime when the stats side is actually under the threshold, and falls
+  * back to a shuffle join keyed on the same column otherwise.
   */
 object CleaningOps {
 
@@ -34,7 +37,7 @@ object CleaningOps {
         col(category).as("__mode"),
         (col("__cnt").cast("double") / col("__tot")).as("__share"),
         col("__ndist"))
-    df.join(broadcast(stats), Seq(key), "left")
+    df.join(stats, Seq(key), "left")
       .filter(!(col("__ndist") > 1 && col("__share") > cutoff && col(category) =!= col("__mode")))
       .drop("__mode", "__share", "__ndist")
   }
@@ -48,7 +51,7 @@ object CleaningOps {
     val bounds = df.groupBy(key).agg(
       percentile(col(value), lit(lo)).as("__lo"),
       percentile(col(value), lit(hi)).as("__hi"))
-    df.join(broadcast(bounds), Seq(key), "left")
+    df.join(bounds, Seq(key), "left")
       .withColumn(value, least(greatest(col(value), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
@@ -60,7 +63,7 @@ object CleaningOps {
     val bounds = df.groupBy(key).agg(
       percentile(col(value), lit(lo)).as("__lo"),
       percentile(col(value), lit(hi)).as("__hi"))
-    df.join(broadcast(bounds), Seq(key), "left")
+    df.join(bounds, Seq(key), "left")
       .filter(col(value) >= col("__lo") && col(value) <= col("__hi"))
       .drop("__lo", "__hi")
   }

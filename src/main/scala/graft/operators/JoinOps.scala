@@ -15,31 +15,45 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
+  /** Broadcast hints are opt-in, never forced: an unconditional
+    * `broadcast()` on an unbounded side (a 10⁸-row cohort, a corpus
+    * vocabulary) is a driver/executor OOM at 100 TB. Callers that can PROVE
+    * the side is bounded (a literal lookup table, a top-k result) pass
+    * `smallSide = true`; everyone else leaves the decision to AQE, which
+    * broadcasts at runtime iff the built side is actually under the
+    * threshold.
+    */
+  private def hinted(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   /** P6/J8 — `df[df.k.isin(other.k)]` (reference `feature_selection_hosp.py:194`)
     * as a distributed semi-join. `keys` must exist in both frames.
     */
-  def semiFilter(df: DataFrame, keys: Seq[String], filter: DataFrame): DataFrame =
-    df.join(broadcast(filter.select(keys.map(col): _*).distinct()), keys, "left_semi")
+  def semiFilter(df: DataFrame, keys: Seq[String], filter: DataFrame,
+      smallSide: Boolean = false): DataFrame =
+    df.join(hinted(filter.select(keys.map(col): _*).distinct(), smallSide), keys, "left_semi")
 
   /** J9 — rows of `df` with no partner in `other` (reference drops offending
     * index rows, `uom_conversion.py:23-25`).
     */
-  def antiFilter(df: DataFrame, keys: Seq[String], other: DataFrame): DataFrame =
-    df.join(broadcast(other.select(keys.map(col): _*).distinct()), keys, "left_anti")
+  def antiFilter(df: DataFrame, keys: Seq[String], other: DataFrame,
+      smallSide: Boolean = false): DataFrame =
+    df.join(hinted(other.select(keys.map(col): _*).distinct(), smallSide), keys, "left_anti")
 
   /** J14/O4 — keep only rows whose `key` is among the top-k most frequent
     * (reference `hosp_preprocess_util.py:462-469`). Deterministic tie-break:
-    * higher count first, then smaller key. The top-k set is tiny by
-    * construction → broadcast semi-join, no second shuffle of `df`.
+    * higher count first, then smaller key. `orderBy().limit(k)` compiles to
+    * TakeOrderedAndProject — per-partition heaps merged on the driver — so
+    * the counts frame (|distinct keys| rows, unbounded at corpus scale)
+    * never single-partitions the way a global `row_number` window would.
+    * The top-k set is tiny by construction → broadcast semi-join, no second
+    * shuffle of `df`.
     */
-  def topKByCount(df: DataFrame, key: String, k: Int): DataFrame = {
-    val counts = df.groupBy(key).agg(count(lit(1)).as("__cnt"))
-    val w = Window.orderBy(col("__cnt").desc, col(key).asc)
-    counts
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+  def topKByCount(df: DataFrame, key: String, k: Int): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col(key).asc)
+      .limit(k)
       .select(key)
-  }
 
   def semiTopK(df: DataFrame, key: String, k: Int): DataFrame =
     df.join(broadcast(topKByCount(df, key, k)), Seq(key), "left_semi")
@@ -78,6 +92,17 @@ object JoinOps {
     * AQE-skew-aware) with the range predicate evaluated in the join, then a
     * per-point `row_number` window to keep the closest candidate. At 100 TB
     * the equi-key carries the shuffle; no cross product is ever formed.
+    *
+    * The per-point id is derived from the point's OWN columns — a
+    * `row_number` keyed on `partKey` and ordered by the remaining point
+    * columns — not from `monotonically_increasing_id`. mid values are not
+    * stable under task retry/speculation (a recomputed partition renumbers
+    * points between the join and the tie-break window); the content-derived
+    * id is invariant under recomputation and repartitioning (asserted in
+    * PropertySpec). Identical duplicate point rows get occurrence numbers in
+    * arbitrary order, which is immaterial — they are interchangeable. Bonus:
+    * the id window shuffles on `partKey`, the same key the join hashes on,
+    * so Catalyst reuses the exchange instead of adding one.
     */
   def asOfPointInInterval(
       points: DataFrame,
@@ -87,7 +112,10 @@ object JoinOps {
       startCol: String,
       endCol: String,
       asOfName: String): DataFrame = {
-    val p = points.withColumn("__pid", monotonically_increasing_id())
+    val restCols = points.columns.filterNot(_ == partKey).map(col(_).asc)
+    val idOrder = if (restCols.isEmpty) Array(lit(1).asc) else restCols
+    val idW = Window.partitionBy(col(partKey)).orderBy(idOrder.toSeq: _*)
+    val p = points.withColumn("__pid", row_number().over(idW))
     val iv = intervals.select(
       col(partKey).as("__k"),
       col(startCol).as("__start"),
@@ -97,7 +125,9 @@ object JoinOps {
       p(partKey) === col("__k") &&
         p(pointTs) >= col("__start") && p(pointTs) <= col("__end"),
       "left")
-    val w = Window.partitionBy(col("__pid")).orderBy(col("__start").desc_nulls_last)
+    // __pid is unique only within its partKey group → window on both
+    val w = Window.partitionBy(p(partKey), col("__pid"))
+      .orderBy(col("__start").desc_nulls_last)
     joined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

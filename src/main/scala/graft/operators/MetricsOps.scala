@@ -63,11 +63,15 @@ object MetricsOps {
     * (`evaluation.py:95-108` uses sklearn; this is the distributed form):
     * AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), with a
     * caller-supplied unique `tie` column pinning the rank order.
+    *
+    * Ranks come from `RankOps.globalRowNumber` (range-partition + per-bucket
+    * window + prefix offsets), so a 10⁹-row prediction table never passes
+    * through a single-partition exchange — the old `Window.orderBy` form
+    * did, and was this operator's scale ceiling.
     */
   def aurocRankSum(df: DataFrame, score: Column, label: Column, tie: Column): DataFrame = {
-    val w = Window.orderBy(col("__s").asc, col("__t").asc)
-    df.select(label.cast("long").as("__lab"), score.as("__s"), tie.as("__t"))
-      .withColumn("__rn", row_number().over(w).cast("long"))
+    val base = df.select(label.cast("long").as("__lab"), score.as("__s"), tie.as("__t"))
+    RankOps.globalRowNumber(base, Seq(col("__s").asc, col("__t").asc), "__rn")
       .agg(
         sum(when(col("__lab") === 1, col("__rn")).otherwise(0L)).as("__rsum"),
         sum(col("__lab")).as("__npos"),

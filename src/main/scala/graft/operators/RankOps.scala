@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking — global `row_number`-style ids without ever
+  * funneling the frame through one task.
+  *
+  * The classic `Window.orderBy(...)` (no partition) plan inserts an
+  * `Exchange SinglePartition`, which is a non-starter for unbounded frames
+  * (a billion-row prediction table, a corpus-scale vocabulary). The
+  * two-phase form here is the standard alternative:
+  *
+  *   1. `repartitionByRange` on the sort key — range buckets are globally
+  *      ordered by construction, each ~n/P rows;
+  *   2. a per-bucket `row_number` window (keyed on the bucket id, so the
+  *      window shuffle is P-way, never 1-way);
+  *   3. per-bucket row counts (≤ P rows, P = shuffle partitions) turned
+  *      into prefix offsets with a tiny triangular self-join — NOT a
+  *      single-partition window, so the whole plan stays exchange-parallel;
+  *   4. global rank = bucket offset + local rank.
+  *
+  * The range exchange is shared between the count branch and the window
+  * branch via Spark's ReusedExchange, so the input is shuffled once.
+  */
+object RankOps {
+
+  /** Exact global 1-based row_number over `sortCols` (must be a total order
+    * for deterministic output), assigned without a single-partition
+    * exchange. Adds `outName` (long) to the frame.
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column], outName: String): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+    val local = ranged.withColumn("__gr_lrn", row_number().over(w).cast("long"))
+    local.join(bucketOffsets(ranged), Seq("__gr_pid"))
+      .withColumn(outName, col("__gr_lrn") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_lrn", "__gr_off")
+  }
+
+  /** (__gr_pid, __gr_off): rows preceding each range bucket. The counts
+    * frame is bounded by the shuffle-partition count, so the triangular
+    * join is O(P²) tiny and fully distributed.
+    */
+  private[operators] def bucketOffsets(ranged: DataFrame): DataFrame = {
+    val counts = ranged.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_n"))
+    counts.alias("a")
+      .join(counts.alias("b"), col("b.__gr_pid") < col("a.__gr_pid"), "left")
+      .groupBy(col("a.__gr_pid").as("__gr_pid"))
+      .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
+  }
+
+  /** Dense vocabulary encoding (SURVEY F23): 1-based contiguous ids over the
+    * distinct values of `valueCol` in ascending order — `dense_rank` over
+    * the vocabulary, computed distributively (the distinct-value frame at
+    * corpus scale does not fit one task).
+    */
+  def vocabIds(df: DataFrame, valueCol: String, idName: String): DataFrame =
+    globalRowNumber(df.select(valueCol).distinct(), Seq(col(valueCol).asc), idName)
+}

@@ -4,6 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the physical properties the 100 TB design
   * depends on, asserted so a refactor can't silently lose them.
+  *
+  * Broadcast decisions are AQE's now (no forced hints on unbounded sides),
+  * so joins are asserted against the FINAL adaptive plan — the query runs,
+  * then the re-optimized plan is inspected.
   */
 class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -11,6 +15,46 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  /** Execute, then render the AQE-final plan. */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Assert every `Exchange SinglePartition` in the plan feeds a global
+    * aggregate (whose input is one partial row per partition — bounded by
+    * the cluster, not the data). A single-partition exchange consumed by a
+    * Sort/Window/anything-else funnels the actual data through one task —
+    * the scale-killer this suite exists to keep out.
+    */
+  private def assertSinglePartitionOnlyForGlobalAgg(name: String, p: String): Unit = {
+    val lines = p.linesIterator.toVector
+    def depth(s: String): Int = s.segmentLength(c => !c.isLetter && c != '*' && c != '(', 0)
+    val wrappers = Seq("ShuffleQueryStage", "AQEShuffleRead", "InputAdapter",
+      "ResultQueryStage", "TableCacheQueryStage", "AdaptiveSparkPlan", "==")
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (line, i) =>
+        // walk up through AQE wrapper nodes to the real consumer
+        var dep = depth(line)
+        var j = i - 1
+        var parent = ""
+        var found = false
+        while (j >= 0 && !found) {
+          val l = lines(j)
+          if (l.trim.nonEmpty && depth(l) < dep) {
+            if (wrappers.exists(l.contains)) dep = depth(l)
+            else { parent = l; found = true }
+          }
+          j -= 1
+        }
+        assert(
+          parent.contains("HashAggregate") || parent.contains("SortAggregate") ||
+            parent.contains("ObjectHashAggregate"),
+          s"$name: Exchange SinglePartition feeds a non-aggregate consumer:\n$parent\n$line")
+    }
+  }
 
   test("filters and projections are pushed into the parquet scan") {
     val p = plan("s01_scan_project")
@@ -21,13 +65,11 @@ class PlanQualitySpec extends AnyFunSuite {
   test("dimension joins broadcast; the fact table is never the build side") {
     val p = plan("j01_join_agg_revenue")
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
   }
 
   test("as-of interval join is an equi-join with a range condition, not a cross product") {
-    val p = plan("j11_asof_interval")
-    assert(p.contains("BroadcastHashJoin"))
+    val p = finalPlan("j11_asof_interval")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
@@ -43,8 +85,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan("d03_lsh_neardup").contains("CartesianProduct"))
   }
 
-  test("dedup/clean two-pass operators broadcast their stats side") {
-    assert(plan("a05_mode_dominance").contains("BroadcastHashJoin"))
-    assert(plan("a06_percentile_clamp").contains("BroadcastHashJoin"))
+  test("dedup/clean stats joins: AQE broadcasts the (actually small) stats side") {
+    // no forced hint anymore — at this scale AQE must still end up with a
+    // broadcast-hash join, proving the size-guarded path converges to the
+    // old plan when the stats side really is small
+    assert(finalPlan("a05_mode_dominance").contains("BroadcastHashJoin"))
+    assert(finalPlan("a06_percentile_clamp").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k over unbounded counts compiles to TakeOrderedAndProject, not a global window") {
+    val p04 = finalPlan("o04_topk")
+    assert(p04.contains("TakeOrderedAndProject"))
+    assertSinglePartitionOnlyForGlobalAgg("o04_topk", p04)
+    val p14 = finalPlan("j14_topk_semi")
+    assert(p14.contains("TakeOrderedAndProject"))
+    assertSinglePartitionOnlyForGlobalAgg("j14_topk_semi", p14)
+  }
+
+  test("distributed rank paths never single-partition the data") {
+    assertSinglePartitionOnlyForGlobalAgg("a15_auroc", finalPlan("a15_auroc"))
+    assertSinglePartitionOnlyForGlobalAgg("f23_vocab_encode", finalPlan("f23_vocab_encode"))
   }
 }
