@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
 /** Driver-run benchmark: times every SparkEntry query on
   * `SPARK_GRAFT_SF_DIR`, printing ONE JSON line
@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
   * and parquet footer caching don't land on whichever query happens to run
   * first — the timed pass measures steady-state plan execution.
   *
-  * The timed action hashes every output column (`sum(xxhash64(struct(*)))`)
+  * The timed action hashes every output column
+  * (`bit_xor(xxhash64(struct(*)))` — xor, so ANSI mode can't overflow)
   * instead of `.count()`: under count, Catalyst prunes unreferenced
   * projections, so map-only queries would time the scan rather than the
   * work. The hash forces every projected column to materialize while
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 object Bench {
 
   private def force(df: DataFrame): Long = {
-    val r = df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()(0)
+    val r = df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
   def main(args: Array[String]): Unit = {
@@ -40,6 +41,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try force(fn(spark, warmupDir)) catch { case _: Throwable => () }
     }
+
+    // prime the pinned input cache at the timed scale so the one-time
+    // repartition+materialization doesn't land on whichever query runs first
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.events(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

