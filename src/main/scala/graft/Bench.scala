@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Driver-run benchmark: times every SparkEntry query on
   * `SPARK_GRAFT_SF_DIR`, printing ONE JSON line
@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * first — the timed pass measures steady-state plan execution.
   *
   * The timed action hashes every output column
-  * (`bit_xor(xxhash64(struct(*)))` — xor, so ANSI mode can't overflow)
+  * (`bit_xor(xxhash64(*))` — xor, so ANSI mode can't overflow; variadic
+  * hash, so no per-row struct allocation)
   * instead of `.count()`: under count, Catalyst prunes unreferenced
   * projections, so map-only queries would time the scan rather than the
   * work. The hash forces every projected column to materialize while
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 object Bench {
 
   private def force(df: DataFrame): Long = {
-    val r = df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()(0)
+    val r = df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
   def main(args: Array[String]): Unit = {
@@ -33,6 +34,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // the whole-suite working set is hundreds of codegen units; the
+      // default 100-entry cache thrashes between warmup and the timed pass,
+      // re-paying janino compilation (seconds for wide expression trees)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // shuffle/spill blocks on tmpfs: the harness box shows multi-second
+      // disk stalls on /tmp that randomize per-query timings
+      .config("spark.local.dir", "/dev/shm/graft-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

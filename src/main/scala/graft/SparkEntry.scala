@@ -127,7 +127,9 @@ object SparkEntry {
       li(s, d).groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))),
 
     "a02_mean_frequency" -> ((s, d) =>
-      SummaryOps.meanFrequency(li(s, d), "l_orderkey", "l_partkey")),
+      SummaryOps.meanFrequency(
+        Tables.spread(li(s, d).select("l_orderkey", "l_partkey"), tinyBytes = 0L),
+        "l_orderkey", "l_partkey")),
 
     "a03_missing_rate" -> ((s, d) =>
       SummaryOps.missingRate(li(s, d), "l_returnflag", col("l_discount") === 0.0)),
@@ -434,10 +436,13 @@ object SparkEntry {
       ord(s, d).select(col("o_orderkey"),
         regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("int").as("priority_num"))),
 
+    // spread: per-row regex extraction is CPU-bound — parallelize the
+    // narrow scan before the kernel
     "f15_try_cast_json" -> ((s, d) =>
-      ev(s, d).select(col("event_id"),
-        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS INT)").as("k_val"),
-        expr("try_cast(substring(props, 1, 5) AS INT)").as("bad_cast"))),
+      Tables.spread(ev(s, d).select("event_id", "props"), tinyBytes = 0L)
+        .select(col("event_id"),
+          expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS INT)").as("k_val"),
+          expr("try_cast(substring(props, 1, 5) AS INT)").as("bad_cast"))),
 
     "f21_logit" -> ((s, d) =>
       li(s, d).select(col("l_orderkey"), col("l_linenumber"),
@@ -556,7 +561,10 @@ object SparkEntry {
         // rounding boundary after division
         round(round(sum(col(c)), 3) / count(lit(1)), 6).as(s"avg_$c"))
       val aggs = cols.flatMap(stats)
-      val wide = li(s, d).agg(aggs.head, aggs.tail: _*)
+      // spread: the countDistinct trio expands each input row 4× before the
+      // partial aggregate — serialized on a narrow scan, cheap in parallel
+      val wide = Tables.spread(li(s, d).select(cols.map(col): _*), tinyBytes = 0L)
+        .agg(aggs.head, aggs.tail: _*)
       val stacked = cols.map(c =>
         s"'$c', n_$c, null_$c, dist_$c, min_$c, max_$c, avg_$c").mkString(", ")
       wide.select(expr(

@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the whole-suite working set is hundreds of codegen units; the
+      // default 100-entry cache thrashes between warmup and the timed pass,
+      // re-paying janino compilation (seconds for wide expression trees)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // shuffle/spill blocks on tmpfs: the harness box shows multi-second
+      // disk stalls on /tmp that randomize per-query timings
+      .config("spark.local.dir", "/dev/shm/graft-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
