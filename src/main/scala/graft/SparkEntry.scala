@@ -578,6 +578,82 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(split(col("text"), " data ")))
         .select(col("doc_id"), col("pos").as("sec_no"), col("col").as("section"))),
 
+    // ---------------- notes NLP (ConText-style rule tagging) ----------------
+    // corpus-appropriate rule set: cue terms within 2 tokens before a
+    // target term mark the section (the algorithm is the reference's
+    // negation/severity tagger, notes_preproc.py:163-224; cue vocabulary is
+    // configuration)
+    "t07_context_negation" -> ((s, d) => {
+      val secs = graft.functions.NotesNlp.splitSections(docs(s, d), "doc_id", "text", " data ")
+      secs.select(col("doc_id"), col("sec_no"),
+        graft.functions.NotesNlp.cueFlag(col("section"),
+          Seq("slow", "small"), Seq("scan", "query"), 2).as("negated"))
+    }),
+
+    "t08_severity" -> ((s, d) => {
+      val secs = graft.functions.NotesNlp.splitSections(docs(s, d), "doc_id", "text", " data ")
+      val cue = graft.functions.NotesNlp.nearestCue(col("section"),
+        Seq("slow", "small"), Seq("scan", "query"), 2)
+      secs.select(col("doc_id"), col("sec_no"), cue.as("modifier"),
+        graft.functions.NotesNlp.severityScore(cue, Seq("slow" -> 2, "small" -> 1))
+          .as("severity"))
+    }),
+
+    // ---------------- multi-attribute fairness melt ----------------
+    "a13b_fairness_melt" -> ((s, d) => {
+      val nli = li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      val scored = ord(s, d).join(nli, Seq("o_orderkey"), "left")
+        .withColumn("truth", when(col("o_totalprice") >= 250000.0, 1).otherwise(0))
+        .withColumn("pred", when(coalesce(col("n_items"), lit(0L)) >= 4, 1).otherwise(0))
+      MetricsOps.meltedConfusion(scored, Seq("o_orderpriority", "o_orderstatus"),
+        col("truth"), col("pred"))
+    }),
+
+    // ---------------- readmission, strict range-join semantics ----------------
+    "j12b_next_within_gap_range" -> ((s, d) =>
+      CohortOps.nextWithinGapLabelRange(
+          ord(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          "o_custkey", "o_orderdate", "o_orderdate", "o_orderkey",
+          expr("INTERVAL 90 DAYS"), "label")
+        .select("o_orderkey", "label")),
+
+    // ---------------- window-clip predicate (P8) ----------------
+    "p08_window_clip" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          floor((unix_timestamp(col("ts")) - unix_timestamp(to_timestamp(lit("2024-01-01")))) / 3600L)
+            .cast("long").as("offset_h"))
+        .filter(col("offset_h") >= 0 && col("offset_h") < 72)),
+
+    // ---------------- reader/sink round-trips (S3/S5/S10) ----------------
+    // sink writes to a fresh temp dir, source reads it back with an
+    // explicit schema; the oracle checks the round-trip is lossless
+    // against the original table
+    "s03_tsv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s03").toString
+      val src = nat(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      src.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(out)
+      graft.sources.Readers.tsv(s, out, src.schema)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    "s05_csvgz_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s05").toString
+      val src = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      graft.sources.Sinks.csvGz(src, out)
+      graft.sources.Readers.csv(s, out, src.schema)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    }),
+
+    "s10_multiline_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
+      val src = prt(s, d).select(col("p_partkey"),
+        regexp_replace(col("p_name"), " ", "\n").as("multi_name"))
+      src.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(out)
+      graft.sources.Readers.multiLineCsv(s, out, src.schema)
+        .select("p_partkey", "multi_name")
+    }),
+
     "m02_decode_stub" -> ((s, d) => {
       val withBin = BinaryOps.withPayload(docs(s, d), "text", "payload")
       BinaryOps.decodeFeatures(s, withBin, "doc_id", "payload", dims = 4, stride = 7)
@@ -1266,6 +1342,75 @@ object SparkEntry {
          SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
          WHERE i <= LEN(parts)""",
+
+    "t07_context_negation" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents),
+         s AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
+               FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
+               WHERE i <= LEN(parts))
+         SELECT doc_id, sec_no,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(slow|small)(\s+\w+){0,2}\s+(scan|query)(\s|$)')
+                     THEN 1 ELSE 0 END AS negated
+         FROM s""",
+
+    "t08_severity" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents),
+         s AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
+               FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
+               WHERE i <= LEN(parts)),
+         m AS (SELECT doc_id, sec_no,
+                      REGEXP_EXTRACT(section,
+                        '(^|\s)(slow|small)(\s+\w+){0,2}\s+(scan|query)(\s|$)', 2) AS modifier
+               FROM s)
+         SELECT doc_id, sec_no, modifier,
+                CASE modifier WHEN 'slow' THEN 2 WHEN 'small' THEN 1 ELSE 0 END AS severity
+         FROM m""",
+
+    "a13b_fairness_melt" ->
+      """WITH scored AS (
+           SELECT o_orderpriority, o_orderstatus,
+                  CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS truth,
+                  CASE WHEN COALESCE(n_items, 0) >= 4 THEN 1 ELSE 0 END AS pred
+           FROM orders LEFT JOIN (
+             SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1)
+           USING (o_orderkey)),
+         melted AS (
+           SELECT 'o_orderpriority' AS attribute, o_orderpriority AS grp, truth, pred FROM scored
+           UNION ALL
+           SELECT 'o_orderstatus', o_orderstatus, truth, pred FROM scored)
+         SELECT attribute, grp,
+                CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         FROM melted GROUP BY attribute, grp""",
+
+    "j12b_next_within_gap_range" ->
+      """SELECT v.o_orderkey,
+                CAST(MAX(CASE WHEN w.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+                  AS label
+         FROM orders v LEFT JOIN orders w
+           ON v.o_custkey = w.o_custkey AND w.o_orderkey <> v.o_orderkey
+          AND w.o_orderdate > v.o_orderdate
+          AND w.o_orderdate <= v.o_orderdate + INTERVAL 90 DAY
+         GROUP BY v.o_orderkey""",
+
+    "p08_window_clip" ->
+      """SELECT event_id,
+                CAST(FLOOR(EPOCH(ts - TIMESTAMP '2024-01-01') / 3600) AS BIGINT) AS offset_h
+         FROM events
+         WHERE FLOOR(EPOCH(ts - TIMESTAMP '2024-01-01') / 3600) >= 0
+           AND FLOOR(EPOCH(ts - TIMESTAMP '2024-01-01') / 3600) < 72""",
+
+    "s03_tsv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "s05_csvgz_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+
+    "s10_multiline_roundtrip" ->
+      """SELECT p_partkey, REPLACE(p_name, ' ', CHR(10)) AS multi_name FROM part""",
 
     "m02_decode_stub" ->
       """SELECT doc_id,

@@ -56,4 +56,37 @@ object CohortOps {
     */
   def groupMax(df: DataFrame, partKey: String, value: Column, name: String): DataFrame =
     df.withColumn(name, max(value).over(Window.partitionBy(partKey)))
+
+  /** J12 strict-semantics variant for OVERLAPPING visit sets: label 1 iff
+    * ANY other visit of the same subject starts strictly after this visit's
+    * end and within `gap` of it — the reference's all-later-visits scan
+    * (`day_intervals_cohort.py:158-168`) as an equi-join on the subject key
+    * with a range predicate, no window-order assumption.
+    *
+    * With non-overlapping visits this agrees exactly with the `lead(1)`
+    * form (`nextWithinGapLabel`) — property-tested in PropertySpec; when
+    * admissions can overlap (transfers, concurrent stays), the lead form
+    * can bind to an overlapping visit while this form only credits true
+    * post-discharge returns. Requires `visitKey` unique per row (a visit
+    * table invariant).
+    */
+  def nextWithinGapLabelRange(
+      df: DataFrame,
+      subjectKey: String,
+      startCol: String,
+      endCol: String,
+      visitKey: String,
+      gap: Column,
+      name: String): DataFrame = {
+    val later = df.select(
+      col(subjectKey).as("__s2"), col(startCol).as("__a2"), col(visitKey).as("__v2"))
+    df.join(later,
+        col(subjectKey) === col("__s2") &&
+          col("__v2") =!= col(visitKey) &&
+          col("__a2") > col(endCol) &&
+          col("__a2") <= col(endCol) + gap,
+        "left")
+      .groupBy(df.columns.map(col): _*)
+      .agg(max(when(col("__v2").isNotNull, 1).otherwise(0)).as(name))
+  }
 }

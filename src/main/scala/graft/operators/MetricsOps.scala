@@ -35,6 +35,26 @@ object MetricsOps {
       sum(when(truth === 0 && pred === 0, 1L).otherwise(0L)).as("tn"),
       sum(when(truth === 1 && pred === 0, 1L).otherwise(0L)).as("fn"))
 
+  /** A13 multi-attribute form — the reference reports per (attribute ×
+    * group) over a melted table (`fairness.py:71-81`); `stack()` melts the
+    * attribute columns in one pass (values coerced to string so mixed
+    * attribute types can share the `grp` column), then one grouped
+    * aggregate covers every attribute. One scan regardless of the number
+    * of attributes, vs one `groupedConfusion` call per attribute.
+    */
+  def meltedConfusion(df: DataFrame, attrs: Seq[String], truth: Column, pred: Column): DataFrame = {
+    val pairs = attrs.map(a => s"'$a', cast(`$a` as string)").mkString(", ")
+    df.select(
+        expr(s"stack(${attrs.size}, $pairs) as (attribute, grp)"),
+        truth.as("__t"), pred.as("__p"))
+      .groupBy("attribute", "grp")
+      .agg(
+        sum(when(col("__t") === 1 && col("__p") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__t") === 0 && col("__p") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__t") === 0 && col("__p") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__t") === 1 && col("__p") === 0, 1L).otherwise(0L)).as("fn"))
+  }
+
   /** A14 — calibration bins (`evaluation.py:219-250`): digitize `prob` into
     * `bins` equal buckets (prob==1 clipped into the last), per-bin accuracy
     * and mean confidence.

@@ -102,6 +102,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("strict range-join readmission equals the lead(1) form on non-overlapping visits") {
+    val epoch = Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    samples(visitsGen, 8).foreach { rows =>
+      // dedupe (subject, day) then give every visit a 1-hour stay: distinct
+      // days ⇒ disch_i < admit_{i+1}, the non-overlap precondition
+      val vs = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toList
+      val df = vs.map { case (s, v, d) =>
+        (s, v, new Timestamp(epoch + d * 86400000L),
+          new Timestamp(epoch + d * 86400000L + 3600000L))
+      }.toDF("subj", "visit", "admit", "disch")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("subj").orderBy(col("admit").asc, col("visit").asc)
+      val leadForm = df
+        .withColumn("__n", lead(col("admit"), 1).over(w))
+        .withColumn("label",
+          when(col("__n").isNotNull &&
+            col("__n") <= col("disch") + expr("INTERVAL 30 DAYS"), 1).otherwise(0))
+        .select("visit", "label").as[(Long, Int)].collect().toMap
+      val rangeForm = CohortOps.nextWithinGapLabelRange(df,
+          "subj", "admit", "disch", "visit", expr("INTERVAL 30 DAYS"), "label")
+        .select("visit", "label").as[(Long, Int)].collect().toMap
+      assert(rangeForm === leadForm, s"forms diverge on $vs")
+    }
+  }
+
+  test("asOfPointInInterval is invariant under input repartitioning") {
+    val epoch = Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    val pointsGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        h <- Gen.choose(0L, 200L)
+      } yield (u, h))
+    } yield rows // duplicates allowed on purpose
+    samples(pointsGen, 6).foreach { rows =>
+      val points = rows.map { case (u, h) =>
+        (u, new Timestamp(epoch + h * 3600000L))
+      }.toDF("user", "t")
+      val intervals = (1L to 4L).flatMap(u => Seq(0L, 48L, 96L).map(s =>
+        (u, new Timestamp(epoch + s * 3600000L),
+          new Timestamp(epoch + (s + 72L) * 3600000L)))) // overlapping windows
+        .toDF("user", "lo", "hi")
+      def run(p: org.apache.spark.sql.DataFrame, iv: org.apache.spark.sql.DataFrame) =
+        JoinOps.asOfPointInInterval(p, iv, "user", "t", "lo", "hi", "asof")
+          .select("user", "t", "asof").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+          .sortBy(x => (x._1, x._2.getTime, x._3.map(_.getTime).getOrElse(-1L)))
+          .toSeq
+      val base = run(points, intervals)
+      assert(base.length === rows.length, "one output row per input point row")
+      assert(run(points.repartition(7), intervals.repartition(3)) === base)
+      assert(run(points.coalesce(1), intervals.repartition(5, col("user"))) === base)
+    }
+  }
+
   test("fold assignment is total, stable, and within [0, k)") {
     val gen = for {
       ids <- Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))

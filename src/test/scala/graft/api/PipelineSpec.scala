@@ -128,6 +128,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1)._3 === Seq("Anticoagulant [EPC]", "Vitamin K Antagonist [EPC]"))
   }
 
+  test("golden end-to-end: cohort → events → tall time-series matrix, counts and content pinned") {
+    // the reference's printed-count ritual (day_intervals_cohort.py:355-365)
+    // as assertions: every stage's cardinality plus the full content of the
+    // final tall matrix for one (visit, code) series, plus a determinism
+    // check on the whole frame
+    val cohort = CohortExtractor.extract(admissions, patients, cfg.copy(task = Mortality("dod")))
+    assert(cohort.count() === 4) // 301 filtered by age
+
+    val events = Seq(
+      (101L, "hr", ts("2020-01-01 01:30:00"), 80.0),
+      (101L, "hr", ts("2020-01-01 05:00:00"), 90.0),
+      (101L, "rr", ts("2020-01-01 02:00:00"), 20.0),
+      (201L, "hr", ts("2020-02-01 00:30:00"), 70.0),
+      (201L, "hr", ts("2020-01-31 23:00:00"), 65.0), // pre-admit → dropped
+      (203L, "hr", ts("2020-06-01 03:10:00"), 75.0)
+    ).toDF("hadm_id", "code", "charttime", "valuenum")
+
+    val evc = FeatureExtractor.eventsForCohort(events, cohort,
+      "hadm_id", "charttime", "admittime")
+    assert(evc.count() === 5)
+
+    val bucketed = TimeSeriesGenerator.bucketedFeatures(evc,
+      "hadm_id", "event_offset_h", "code", "valuenum", includeH = 24, bucketH = 2)
+    assert(bucketed.count() === 5) // one bucket per event here
+
+    val dense = TimeSeriesGenerator.densifyAndImpute(bucketed, "hadm_id", "code", nBuckets = 12)
+    assert(dense.count() === 4 * 12) // 4 (visit, code) series × full grid
+
+    val hr101 = dense.filter($"hadm_id" === 101L && $"code" === "hr")
+      .select("bucket", "value_imputed").as[(Long, Double)].collect().toMap
+    assert(hr101 === (0L to 11L).map(b =>
+      b -> (if (b < 1) 80.0 else if (b < 2) 80.0 else 90.0)).toMap)
+
+    def matrixHash(): Long = dense
+      .select(bit_xor(xxhash64($"hadm_id", $"code", $"bucket",
+        round($"value_imputed", 6))))
+      .collect()(0).getLong(0)
+    assert(matrixHash() === matrixHash(), "tall matrix content is deterministic")
+  }
+
   test("time-series generation: clip, bucket, densify, ffill/bfill impute") {
     val events = Seq(
       (101L, "hr", 1.0, 80.0),   // bucket 0

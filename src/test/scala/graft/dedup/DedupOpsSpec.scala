@@ -83,4 +83,24 @@ class DedupOpsSpec extends AnyFunSuite {
     def dist(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
     assert(dist(got(0L), got(1L)) < dist(got(0L), got(3L)))
   }
+
+  test("degenerate LSH buckets are capped before the self-join") {
+    // 30 identical docs collapse into ONE bucket per band (B(B-1)/2 pair
+    // blowup); a distinct near-dup pair sits in its own small bucket
+    val clones = (1 to 30).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val small = Seq(
+      (100L, "totally different words entirely present here today friends"),
+      (101L, "totally different words entirely present here today friend"),
+      (200L, "two tokens")) // no shingles -> null band key, filtered outright
+    val corpus = (clones ++ small).toDF("doc_id", "text")
+    val capped = DedupOps.nearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)),
+      "over-cap clone bucket dropped, small bucket survives, shingle-less doc absent")
+    val uncapped = DedupOps.nearDupPairs(corpus, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+    assert(uncapped.count() === 30L * 29 / 2 + 1)
+  }
 }

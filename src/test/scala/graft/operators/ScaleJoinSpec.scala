@@ -52,4 +52,29 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(salted.count() === plain.count())
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
+
+  test("semiFilter without a smallSide hint works through the shuffle path") {
+    val fact = (1 to 5000).map(i => (i.toLong % 97, i)).toDF("k", "v")
+    val keep = (0L to 40L).map(Tuple1(_)).toDF("k")
+    val hinted = JoinOps.semiFilter(fact, Seq("k"), keep, smallSide = true)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unhinted = JoinOps.semiFilter(fact, Seq("k"), keep)
+      unhinted.collect()
+      val plan = unhinted.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the non-broadcast path:\n$plan")
+      assert(unhinted.count() === hinted.count())
+      assert(unhinted.except(hinted).isEmpty && hinted.except(unhinted).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevA match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
