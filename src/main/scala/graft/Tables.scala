@@ -43,25 +43,9 @@ object Tables {
     else df
   }
 
-  /** When `spark.graft.pinInputs=true` (set by Bench/Verify — repeated
-    * whole-table consumers), mid-sized tables are widened once and pinned
-    * in the in-memory columnar cache: the repartition + parquet decode is
-    * paid a single time instead of per query, and every query then scans a
-    * parallel in-memory relation — the buffer-pool behavior any warm
-    * engine has. Interactive/library use leaves this off: scans stay lazy,
-    * filters and projections push into parquet as usual.
-    */
-  private def pin(spark: SparkSession, df: DataFrame): DataFrame =
-    if (spark.conf.get("spark.graft.pinInputs", "false") == "true") {
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes <= BigInt(256L << 20))
-        df.repartition(spark.sparkContext.defaultParallelism).cache()
-      else df
-    } else df
-
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(spark), s"$dir/$name.parquet"),
-      pin(spark, spark.read.parquet(s"$dir/$name.parquet")))
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
@@ -80,7 +64,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(spark), s"$dir/events.parquet#ts"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      pin(spark, spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     })
 }
