@@ -37,14 +37,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     revenueByNation(spark, "/root/testdata/sf0.001")
 
+  /** Revenue per nation. The fact table is pre-aggregated to one row per
+    * order BEFORE the join (map-side combine shrinks the shuffle to
+    * |orders| rows and the join probes 4× fewer rows); dimensions broadcast.
+    * At 100 TB this partial-aggregate-below-join shape is the difference
+    * between shuffling the lineitem table and shuffling the orders table.
+    */
   private def revenueByNation(s: SparkSession, d: String): DataFrame =
     li(s, d)
-      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"),
+        count(lit(1)).as("__n"))
+      .join(ord(s, d).select("o_orderkey", "o_custkey"), Seq("o_orderkey"))
       .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(round(sum(col("__rev")), 2).as("revenue"),
+        sum(col("__n")).cast("long").as("n_items"))
 
   // ---- events-derived helpers (J11 as-of fixtures) ----
 
@@ -597,6 +606,21 @@ object SparkEntry {
       secs.select(col("doc_id"), col("sec_no"), cue.as("modifier"),
         graft.functions.NotesNlp.severityScore(cue, Seq("slow" -> 2, "small" -> 1))
           .as("severity"))
+    }),
+
+    "t09_stem" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .distinct()
+        .select(col("doc_id"), col("tok"),
+          graft.functions.NotesNlp.lightStem(col("tok")).as("stem"))),
+
+    // dedup group collapse: pairwise near-dup evidence → connected
+    // components → one canonical id per member doc
+    "d08_dedup_components" -> ((s, d) => {
+      val pairs = DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      DedupOps.connectedComponents(pairs, "id_a", "id_b")
     }),
 
     // ---------------- multi-attribute fairness melt ----------------
@@ -1342,6 +1366,62 @@ object SparkEntry {
          SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
          WHERE i <= LEN(parts)""",
+
+    "t09_stem" ->
+      """SELECT DISTINCT doc_id, tok,
+                REGEXP_REPLACE(tok, '(\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$', '\1') AS stem
+         FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+               FROM documents)""",
+
+    "d08_dedup_components" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5),
+         und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS canonical_id
+         FROM reach GROUP BY a""",
 
     "t07_context_negation" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents),

@@ -202,6 +202,56 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("__sim"), 6).as("sim"))
   }
 
+  /** Collapse near-duplicate PAIRS into dedup groups: connected components
+    * over the similarity graph, labeling every member doc with the
+    * smallest doc id reachable from it — the "keep one canonical copy"
+    * step that turns pairwise near-dup evidence into a drop list.
+    *
+    * Min-label propagation: labels start at the doc's own id; each round
+    * every doc takes the min of its label and its neighbors' labels; stop
+    * when the label sum stops falling (labels only ever decrease, so the
+    * sum is a strict convergence witness read as ONE driver-side scalar
+    * per round — no data is collected). Rounds needed = graph diameter,
+    * which for near-dup clusters (dense cliques from LSH) is tiny; each
+    * round is two equi-joins keyed on doc id, and `localCheckpoint`
+    * truncates the growing lineage so round k doesn't replay rounds 1..k-1.
+    * For adversarial long-chain graphs swap in star-contraction; for the
+    * clique-shaped dedup graphs this engine produces, plain propagation
+    * converges in 2-3 rounds.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("__src"), col(idB).as("__dst"))
+      .unionByName(pairs.select(col(idB).as("__src"), col(idA).as("__dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("__src").as("doc_id")).distinct()
+      .withColumn("canonical_id", col("doc_id"))
+      .localCheckpoint(false)
+    var prevSum = BigDecimal(-1)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("__dst"), col("canonical_id").as("__nlab")),
+          Seq("__dst"))
+        .groupBy(col("__src").as("doc_id"))
+        .agg(min(col("__nlab")).as("__nmin"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("__nmin"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint(false)
+      val s = BigDecimal(
+        labels.agg(sum(col("canonical_id").cast("decimal(38,0)"))).collect()(0)
+          .getDecimal(0).toString)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit set-based SimHash over the distinct-token set, emitted as a
     * 32-char '0'/'1' string (bit 0 first). Bit p of a token is nibble
     * arithmetic over its md5 hex digest — portable to any SQL oracle.

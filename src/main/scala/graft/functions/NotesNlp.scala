@@ -49,4 +49,13 @@ object NotesNlp {
     scores.foldRight(lit(default): Column) { case ((term, s), acc) =>
       when(cue === term, s).otherwise(acc)
     }
+
+  /** Light rule-based stemmer: strip one common inflectional suffix,
+    * keeping a ≥3-char stem — the relational stand-in for the reference's
+    * lemmatization pass (`notes_preproc.py:108-140`, which uses a model
+    * lemmatizer; rule-based stemming is the classic public approximation).
+    * One anchored regex, identical semantics under Java regex and RE2.
+    */
+  def lightStem(token: Column): Column =
+    regexp_replace(token, "(\\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$", "$1")
 }

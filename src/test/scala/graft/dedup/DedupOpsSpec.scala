@@ -103,4 +103,15 @@ class DedupOpsSpec extends AnyFunSuite {
       shingleN = 3, k = 12, bands = 6, threshold = 0.5)
     assert(uncapped.count() === 30L * 29 / 2 + 1)
   }
+
+  test("connectedComponents: min-label over chains and separate groups") {
+    // path 1-2-3-4-5 (diameter 4, needs multiple propagation rounds),
+    // plus a separate pair and an isolated doc (absent from output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
 }

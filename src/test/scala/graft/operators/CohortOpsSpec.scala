@@ -54,4 +54,29 @@ class CohortOpsSpec extends AnyFunSuite {
       .select("id", "label").as[(Long, Int)].collect().toMap
     assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
   }
+
+  test("range readmission diverges from lead(1) exactly on overlapping visits") {
+    // visit 1 overlaps visit 2 (2 starts before 1 ends); visit 3 starts
+    // long after both. lead-form credits visit 1 for the overlapping
+    // visit 2; the strict range form only credits true post-discharge
+    // returns within the gap.
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val visits = Seq(
+      (1L, 10L, t("2020-01-01 00:00:00"), t("2020-01-20 00:00:00")),
+      (1L, 11L, t("2020-01-05 00:00:00"), t("2020-01-06 00:00:00")),
+      (1L, 12L, t("2020-01-25 00:00:00"), t("2020-01-26 00:00:00")))
+      .toDF("subj", "visit", "admit", "disch")
+    val strict = CohortOps.nextWithinGapLabelRange(visits,
+        "subj", "admit", "disch", "visit", expr("INTERVAL 30 DAYS"), "label")
+      .select("visit", "label").as[(Long, Int)].collect().toMap
+    // 10: overlapping 11 does NOT count, but 12 (5 days post-discharge) does
+    // 11: 12 starts 19 days after 11's discharge -> 1
+    // 12: nothing later -> 0
+    assert(strict === Map(10L -> 1, 11L -> 1, 12L -> 0))
+    val lead1 = CohortOps.nextWithinGapLabel(visits, "subj", "admit", "visit",
+        expr("INTERVAL 30 DAYS"), "label")
+      .select("visit", "label").as[(Long, Int)].collect().toMap
+    // lead orders by admit: 10 -> 11 (overlap, within 30d of 10's ADMIT) -> 1
+    assert(lead1(10L) === 1)
+  }
 }

@@ -36,4 +36,21 @@ class MetricsOpsSpec extends AnyFunSuite {
       .select("bin", "n").as[(Long, Long)].collect().toMap
     assert(bins === Map(0L -> 1L, 9L -> 2L))
   }
+
+  test("meltedConfusion: one pass over stacked attributes matches per-attribute calls") {
+    val df = Seq(
+      ("m", "a", 1, 1), ("m", "b", 1, 0), ("f", "a", 0, 1), ("f", "b", 0, 0))
+      .toDF("sex", "grp", "truth", "pred")
+    val melted = MetricsOps.meltedConfusion(df, Seq("sex", "grp"), col("truth"), col("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    Seq("sex", "grp").foreach { attr =>
+      val single = MetricsOps.groupedConfusion(df, attr, col("truth"), col("pred"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      single.foreach { case (g, cells) =>
+        assert(melted((attr, g)) === cells, s"$attr/$g")
+      }
+    }
+  }
 }
