@@ -609,7 +609,7 @@ object SparkEntry {
     }),
 
     "t09_stem" -> ((s, d) =>
-      docs(s, d)
+      Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
         .distinct()
         .select(col("doc_id"), col("tok"),
