@@ -280,6 +280,28 @@ object SparkEntry {
           expr("INTERVAL 30 MINUTES"), "session_no")
         .select("event_id", "session_no")),
 
+    // per-stay tensor export (reference's nested dataDic, §3.3): built as a
+    // map of bucket-ordered series, then flattened back to scalars for the
+    // oracle — ord_sum is position-weighted, so the series ORDER is checked
+    "ts03_stay_tensors" -> ((s, d) => {
+      val tall = ev(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"),
+          col("event_type"), col("value"))
+        .groupBy("user_id", "event_type", "day")
+        .agg(round(sum("value"), 2).as("v"))
+      val tensors = graft.api.TimeSeriesGenerator.stayTensors(
+        tall, "user_id", "event_type", "day", "v")
+      tensors.select(col("user_id"), explode(col("series")))
+        .select(col("user_id"), col("key").as("event_type"),
+          size(col("value")).as("n_buckets"),
+          round(aggregate(col("value"), lit(0.0), (a, x) => a + x), 2).as("series_sum"),
+          round(aggregate(
+            zip_with(col("value"), sequence(lit(1), size(col("value"))),
+              (v, i) => v * i),
+            lit(0.0), (a, x) => a + x), 2).as("ord_sum"))
+    }),
+
     "ts_tumbling_window" -> ((s, d) =>
       TimeSeriesOps.tumblingAgg(ev(s, d), col("ts"), "hour",
           Seq(col("event_type")),
@@ -955,6 +977,20 @@ object SparkEntry {
                               + INTERVAL 30 MINUTE
                            THEN 1 ELSE 0 END AS new_sess
                FROM events)""",
+
+    "ts03_stay_tensors" ->
+      """WITH tall AS (
+           SELECT user_id, event_type,
+                  CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
+                  ROUND(SUM(value), 2) AS v
+           FROM events GROUP BY 1, 2, 3),
+         r AS (SELECT user_id, event_type, v,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                        ORDER BY day) AS k
+               FROM tall)
+         SELECT user_id, event_type, CAST(COUNT(*) AS INTEGER) AS n_buckets,
+                ROUND(SUM(v), 2) AS series_sum, ROUND(SUM(v * k), 2) AS ord_sum
+         FROM r GROUP BY 1, 2""",
 
     "ts_tumbling_window" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -193,6 +193,14 @@ object DrugMapper {
     filter(split(pharmClasses, ","), x => x.contains("[EPC]"))
 }
 
+/** The reference's final artifact: a nested per-stay dictionary
+  * `dataDic[stay_id][itemid] -> List[Double]` pickled to disk
+  * (`data_generation_icu.py:441-729`, consumed `model_utils.py:38-63`) —
+  * here a typed record with a map of bucket-ordered series, written as
+  * parquet (types preserved, splittable, partition-prunable).
+  */
+case class StayRecord(stay_id: Long, series: Map[String, Seq[Double]])
+
 /** §3.3 `Generator` — tall-first time-series representation: one frame
   * (visit, bucket, code, value), never a per-visit loop. Pivot only at
   * export (`TimeSeriesOps.pivotMatrix`).
@@ -209,6 +217,36 @@ object TimeSeriesGenerator {
         col(offsetH), lit(bucketH), "bucket")
       .groupBy(col(visitKey), col(codeCol), col("bucket"))
       .agg(avg(col(valueCol)).as("value"))
+
+  /** §3.3 export — collapse the tall frame into one row per stay with a
+    * code → bucket-ordered value series map (the reference's nested
+    * `dataDic`, `data_generation_icu.py:441-729`). Two hash aggregates:
+    * per-(stay, code) the series is assembled by sorting the collected
+    * (bucket, value) structs — array_sort on the struct orders by bucket —
+    * then per-stay the code map is built with `map_from_entries`. Series
+    * length is bounded by the bucket grid and the map by the curated code
+    * vocabulary, so rows stay small no matter the corpus size.
+    */
+  def stayTensors(tall: DataFrame, visitKey: String, codeCol: String,
+      bucketCol: String, valueCol: String): DataFrame =
+    tall
+      .groupBy(col(visitKey), col(codeCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(bucketCol).as("b"), col(valueCol).as("v")))),
+        x => x.getField("v")).as("__series"))
+      .groupBy(col(visitKey))
+      .agg(map_from_entries(collect_list(struct(col(codeCol), col("__series"))))
+        .as("series"))
+
+  /** Typed boundary for the export (SURVEY §1.1): the parquet-writable
+    * `Dataset[StayRecord]`.
+    */
+  def toStayRecords(tensors: DataFrame, visitKey: String): Dataset[StayRecord] = {
+    val spark = tensors.sparkSession
+    import spark.implicits._
+    tensors.select(col(visitKey).cast("long").as("stay_id"), col("series"))
+      .as[StayRecord]
+  }
 
   /** Densify every (visit, code) to the full bucket grid and impute:
     * ffill → bfill → per-(visit,code) mean, exactly the reference's order

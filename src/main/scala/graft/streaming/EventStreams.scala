@@ -63,4 +63,19 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming twin of exact dedup (`DedupOps.exactGroups` membership): emit
+    * each document once, keyed by its content fingerprint, suppressing
+    * re-arrivals inside the watermark horizon. State is one fingerprint per
+    * distinct document bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * evicts keys older than the horizon) — the standard shape for streaming
+    * corpus ingestion where exact re-crawls arrive within a bounded delay.
+    */
+  def dedupStream(docs: DataFrame, id: String, text: String,
+      watermarkCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFns.fingerprint(col(text)))
+      .withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col(id), col("fp"))
 }

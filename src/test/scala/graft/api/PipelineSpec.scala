@@ -185,4 +185,17 @@ class PipelineSpec extends AnyFunSuite {
       .select("bucket", "value_imputed").as[(Long, Double)].collect().toMap
     assert(rr === Map(0L -> 20.0, 1L -> 20.0, 2L -> 20.0, 3L -> 20.0)) // bfill head, ffill tail
   }
+
+  test("stay-tensor export: code -> bucket-ordered series map, typed record boundary") {
+    val tall = Seq(
+      (101L, "hr", 2L, 90.0), (101L, "hr", 0L, 80.0), (101L, "hr", 1L, 85.0),
+      (101L, "rr", 0L, 20.0),
+      (201L, "hr", 5L, 70.0))
+      .toDF("hadm_id", "code", "bucket", "value")
+    val tensors = TimeSeriesGenerator.stayTensors(tall, "hadm_id", "code", "bucket", "value")
+    val recs = TimeSeriesGenerator.toStayRecords(tensors, "hadm_id")
+      .collect().map(r => r.stay_id -> r.series).toMap
+    assert(recs(101L) === Map("hr" -> Seq(80.0, 85.0, 90.0), "rr" -> Seq(20.0)))
+    assert(recs(201L) === Map("hr" -> Seq(70.0)))
+  }
 }

@@ -69,4 +69,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming exact dedup emits one row per distinct fingerprint (batch parity)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup")
+    // duplicate-heavy corpus staged as parquet for the file source
+    val docs = Seq(
+      (1L, "alpha beta gamma", "2024-01-01 00:00:00"),
+      (2L, "alpha beta gamma", "2024-01-01 00:10:00"),  // dup of 1 within horizon
+      (3L, "delta epsilon zeta", "2024-01-01 00:20:00"),
+      (4L, "ALPHA   beta GAMMA", "2024-01-01 00:30:00") // fingerprint-equal dup
+    ).toDF("doc_id", "text", "ts_s")
+      .withColumn("arrival", col("ts_s").cast("timestamp")).drop("ts_s")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/docs")
+    val schema = docs.schema
+    val streamed = EventStreams.dedupStream(
+      spark.readStream.schema(schema).parquet(dir.toString + "/docs"),
+      "doc_id", "text", "arrival", "1 hour")
+    val q = streamed.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup").select("fp").as[String].collect()
+    assert(got.length === 2, "one emission per distinct fingerprint")
+    assert(got.distinct.length === 2)
+    // parity with the batch dedup's group count
+    val batchGroups = graft.dedup.DedupOps.exactGroups(
+      docs, "doc_id", "text").count()
+    assert(batchGroups === 2)
+  }
 }
