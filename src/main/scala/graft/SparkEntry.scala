@@ -700,6 +700,15 @@ object SparkEntry {
         .select("p_partkey", "multi_name")
     }),
 
+    // frame sampling over an opaque payload: one row per kept frame with
+    // offset + content (hex'd for the oracle compare)
+    "m03_frame_sample" -> ((s, d) =>
+      BinaryOps.sampleFrames(
+          BinaryOps.withPayload(docs(s, d), "text", "payload"),
+          "doc_id", "payload", frameLen = 16, every = 4)
+        .select(col("doc_id"), col("frame_no"), col("byte_offset"),
+          hex(col("frame_bytes")).as("frame_hex"))),
+
     "m02_decode_stub" -> ((s, d) => {
       val withBin = BinaryOps.withPayload(docs(s, d), "text", "payload")
       BinaryOps.decodeFeatures(s, withBin, "doc_id", "payload", dims = 4, stride = 7)
@@ -1527,6 +1536,17 @@ object SparkEntry {
 
     "s10_multiline_roundtrip" ->
       """SELECT p_partkey, REPLACE(p_name, ' ', CHR(10)) AS multi_name FROM part""",
+
+    "m03_frame_sample" ->
+      """WITH n AS (SELECT doc_id, text,
+                           CAST(FLOOR((OCTET_LENGTH(CAST(text AS BLOB)) - 1) / 64.0)
+                             AS INTEGER) AS maxf
+                    FROM documents)
+         SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+                CAST(i * 64 AS BIGINT) AS byte_offset,
+                HEX(SUBSTR(text, i * 64 + 1, 16)) AS frame_hex
+         FROM n CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 500)) AS i)
+         WHERE i <= maxf""",
 
     "m02_decode_stub" ->
       """SELECT doc_id,
