@@ -157,6 +157,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RankOps.globalRowNumber equals a single-partition row_number") {
+    val gen: Gen[List[(Double, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      scores <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield scores.zipWithIndex.map { case (s, i) => (s, i.toLong) } // tie col unique
+    samples(gen, 6).foreach { rows =>
+      val df = rows.toDF("s", "t")
+      val got = RankOps.globalRowNumber(df, Seq(col("s").asc, col("t").asc), "rn")
+        .select("s", "t", "rn").as[(Double, Long, Long)].collect()
+        .map { case (s, t, r) => (s, t) -> r }.toMap
+      val expected = rows.sortBy(identity).zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(got === expected, s"ranks diverge on $rows")
+      // repartitioning must not change the assignment
+      val again = RankOps.globalRowNumber(df.repartition(5),
+          Seq(col("s").asc, col("t").asc), "rn")
+        .select("s", "t", "rn").as[(Double, Long, Long)].collect()
+        .map { case (s, t, r) => (s, t) -> r }.toMap
+      assert(again === expected)
+    }
+  }
+
   test("fold assignment is total, stable, and within [0, k)") {
     val gen = for {
       ids <- Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))
