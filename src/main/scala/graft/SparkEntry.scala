@@ -49,7 +49,9 @@ object SparkEntry {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"),
         count(lit(1)).as("__n"))
       .join(ord(s, d).select("o_orderkey", "o_custkey"), Seq("o_orderkey"))
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      // customer is a DATA-sized dimension (not bounded by construction) —
+      // no forced hint, AQE broadcasts iff it fits; nation is 25 rows
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("__rev")), 2).as("revenue"),
