@@ -623,6 +623,17 @@ object SparkEntry {
           Seq("slow", "small"), Seq("scan", "query"), 2).as("negated"))
     }),
 
+    // backward window: post-position cues ("<target> ... <cue>") plus the
+    // combined pre-or-post scope
+    "t10_context_post" -> ((s, d) => {
+      val secs = graft.functions.NotesNlp.splitSections(docs(s, d), "doc_id", "text", " data ")
+      val cues = Seq("slow", "small")
+      val targets = Seq("scan", "query")
+      secs.select(col("doc_id"), col("sec_no"),
+        graft.functions.NotesNlp.postCueFlag(col("section"), cues, targets, 2).as("post_flag"),
+        graft.functions.NotesNlp.scopedFlag(col("section"), cues, targets, 2).as("scoped_flag"))
+    }),
+
     "t08_severity" -> ((s, d) => {
       val secs = graft.functions.NotesNlp.splitSections(docs(s, d), "doc_id", "text", " data ")
       val cue = graft.functions.NotesNlp.nearestCue(col("section"),
@@ -1479,6 +1490,22 @@ object SparkEntry {
                 CASE WHEN REGEXP_MATCHES(section,
                        '(^|\s)(slow|small)(\s+\w+){0,2}\s+(scan|query)(\s|$)')
                      THEN 1 ELSE 0 END AS negated
+         FROM s""",
+
+    "t10_context_post" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents),
+         s AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
+               FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
+               WHERE i <= LEN(parts))
+         SELECT doc_id, sec_no,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(scan|query)(\s+\w+){0,2}\s+(slow|small)(\s|$)')
+                     THEN 1 ELSE 0 END AS post_flag,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(slow|small)(\s+\w+){0,2}\s+(scan|query)(\s|$)')
+                       OR REGEXP_MATCHES(section,
+                       '(^|\s)(scan|query)(\s+\w+){0,2}\s+(slow|small)(\s|$)')
+                     THEN 1 ELSE 0 END AS scoped_flag
          FROM s""",
 
     "t08_severity" ->

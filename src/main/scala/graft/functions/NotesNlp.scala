@@ -41,6 +41,21 @@ object NotesNlp {
   def nearestCue(text: Column, cues: Seq[String], targets: Seq[String], gap: Int): Column =
     regexp_extract(text, cueWindowRegex(cues, targets, gap), 2)
 
+  /** Regex matching `target (word){0,gap} cue` — the ConText BACKWARD
+    * window for post-position cues ("infection was denied").
+    */
+  def targetWindowRegex(targets: Seq[String], cues: Seq[String], gap: Int): String =
+    s"(^|\\s)(${targets.mkString("|")})(\\s+\\w+){0,$gap}\\s+(${cues.mkString("|")})(\\s|$$)"
+
+  /** 1 iff any target is followed by a cue within `gap` tokens. */
+  def postCueFlag(text: Column, cues: Seq[String], targets: Seq[String], gap: Int): Column =
+    when(text.rlike(targetWindowRegex(targets, cues, gap)), 1).otherwise(0)
+
+  /** Full ConText scope: cue before OR after the target within the window. */
+  def scopedFlag(text: Column, cues: Seq[String], targets: Seq[String], gap: Int): Column =
+    when(text.rlike(cueWindowRegex(cues, targets, gap)) ||
+      text.rlike(targetWindowRegex(targets, cues, gap)), 1).otherwise(0)
+
   /** Map a cue term to a severity score with a `when` ladder; unmatched
     * cues (or no cue) score `default`. Reference severity tagging,
     * `notes_preproc.py:203-224`.

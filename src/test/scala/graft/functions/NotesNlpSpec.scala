@@ -63,4 +63,17 @@ class NotesNlpSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().toSet
     assert(got === Set((7L, 0, "s0"), (7L, 1, "s1"), (7L, 2, "s2")))
   }
+
+  test("postCueFlag and scopedFlag: backward window semantics") {
+    val full = Seq(
+      (1L, "fever the patient denies"),    // post: target + 2 gap + cue → 1
+      (2L, "denies fever"),                // pre-position only
+      (3L, "fever persisting for days"))   // no cue anywhere
+      .toDF("id", "t")
+      .select($"id",
+        NotesNlp.postCueFlag($"t", cues, targets, 2).as("post"),
+        NotesNlp.scopedFlag($"t", cues, targets, 2).as("scoped"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(full === Map(1L -> ((1, 1)), 2L -> ((0, 1)), 3L -> ((0, 0))))
+  }
 }
