@@ -382,6 +382,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
 
+    // trained IVF: k-means coarse quantizer then cluster-local search.
+    // No SQL oracle on purpose — k-means argmin is not safely reproducible
+    // across engines at double precision (a borderline vector can flip
+    // clusters on 1-ulp centroid differences), so the driver records the
+    // rows-only check; KnnSpec covers the quantizer's invariants.
+    "v03_ann_kmeans" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val assigned = Knn.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)
+      Knn.clusteredTopK(assigned, "vec_id", "embedding", "cluster", k = 3,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
+
     "v02_ann_clustered" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3,

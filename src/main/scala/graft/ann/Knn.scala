@@ -67,4 +67,53 @@ object Knn {
     val joined = q.join(c, Seq("__b")).filter(col("query_id") =!= col("neighbor_id"))
     simRank(joined, k, simFn)
   }
+
+  /** Squared-L2 cluster assignment against a fixed centroid set: one
+    * codegen'd argmin expression per row, ties to the smallest cluster id.
+    * Centroids ride as literals — k·dim doubles, bounded by construction.
+    */
+  def assignClusters(corpus: DataFrame, id: String, emb: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val e = VectorFns.toDoubleArr(col(emb))
+    val dists = centroids.map { c =>
+      aggregate(zip_with(e, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val dArr = array(dists: _*)
+    corpus.withColumn("cluster",
+      (array_position(dArr, array_min(dArr)) - 1).cast("int"))
+  }
+
+  /** Lloyd's k-means coarse quantizer for the IVF path — the trained
+    * counterpart to `clusteredTopK`'s bucket column. Each round is one
+    * distributed pass: broadcast-literal argmin assignment + a per-cluster
+    * per-dimension mean aggregate. ONLY the centroid matrix (k·dim doubles,
+    * bounded by construction, NOT data-sized) crosses to the driver between
+    * rounds; empty clusters keep their previous centroid. Deterministic:
+    * init picks the k smallest ids, ties go to the smallest cluster.
+    */
+  def kmeansAssign(corpus: DataFrame, id: String, emb: String,
+      k: Int, iters: Int): DataFrame = {
+    val e = VectorFns.toDoubleArr(col(emb))
+    var centroids: Seq[Seq[Double]] = corpus
+      .orderBy(col(id))
+      .limit(k)
+      .select(e.as("__e"))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+      .toIndexedSeq
+    val dim = centroids.head.length
+    (1 to iters).foreach { _ =>
+      val means = assignClusters(corpus, id, emb, centroids)
+        .select(col("cluster"), e.as("__e"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(i => avg(element_at(col("__e"), i + 1)).as(s"__m$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i)))
+        .toMap
+      centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j)))
+    }
+    assignClusters(corpus, id, emb, centroids)
+  }
 }

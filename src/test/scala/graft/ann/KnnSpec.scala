@@ -35,4 +35,23 @@ class KnnSpec extends AnyFunSuite {
     assert(got.forall { case (q, n) => cluster(q) == cluster(n) && q != n })
     assert(got.count(_._1 == 0L) === 2) // only its own cluster's other members
   }
+
+  test("kmeans quantizer: separable clusters split correctly, assignment deterministic") {
+    import spark.implicits._
+    // two well-separated blobs in 4-d
+    val pts = ((1L to 10L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f, 0f))) ++
+      (11L to 20L).map(i => (i, Array(0f, 10f + i * 0.01f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val a1 = graft.ann.Knn.kmeansAssign(pts, "vec_id", "embedding", k = 2, iters = 5)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    // every assignment in range, both blobs pure
+    assert(a1.values.forall(c => c >= 0 && c < 2))
+    assert((1L to 10L).map(a1).toSet.size === 1)
+    assert((11L to 20L).map(a1).toSet.size === 1)
+    assert(a1(1L) !== a1(11L), "blobs land in different clusters")
+    // deterministic across invocations
+    val a2 = graft.ann.Knn.kmeansAssign(pts, "vec_id", "embedding", k = 2, iters = 5)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(a2 === a1)
+  }
 }
