@@ -389,7 +389,7 @@ object SparkEntry {
     // rows-only check; KnnSpec covers the quantizer's invariants.
     "v03_ann_kmeans" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
-      val assigned = Knn.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)
+      val assigned = Knn.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 32, iters = 2)
       Knn.clusteredTopK(assigned, "vec_id", "embedding", "cluster", k = 3,
         simFn = (a, b) => call_function("cosine_sim", a, b))
     }),

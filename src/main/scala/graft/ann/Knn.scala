@@ -70,18 +70,21 @@ object Knn {
 
   /** Squared-L2 cluster assignment against a fixed centroid set: one
     * codegen'd argmin expression per row, ties to the smallest cluster id.
-    * Centroids ride as literals — k·dim doubles, bounded by construction.
+    * The centroid matrix rides as ONE complex-typed literal (k·dim doubles,
+    * bounded by construction) looped over with array higher-order functions
+    * — the generated code shape is independent of the centroid VALUES, so
+    * successive k-means rounds (new centroids every round) reuse the same
+    * compiled class instead of re-paying janino per round.
     */
   def assignClusters(corpus: DataFrame, id: String, emb: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val e = VectorFns.toDoubleArr(col(emb))
-    val dists = centroids.map { c =>
-      aggregate(zip_with(e, typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    val dArr = array(dists: _*)
+    val cs = typedLit(centroids.map(_.toSeq))
+    val dists = transform(cs, c =>
+      aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
     corpus.withColumn("cluster",
-      (array_position(dArr, array_min(dArr)) - 1).cast("int"))
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
   /** Lloyd's k-means coarse quantizer for the IVF path — the trained
@@ -95,17 +98,21 @@ object Knn {
   def kmeansAssign(corpus: DataFrame, id: String, emb: String,
       k: Int, iters: Int): DataFrame = {
     val e = VectorFns.toDoubleArr(col(emb))
-    var centroids: Seq[Seq[Double]] = corpus
+    // the corpus is consumed iters+2 times (init, per-round means, final
+    // assignment): project+widen+checkpoint once so every round reads the
+    // decoded double vectors instead of replaying the scan+cast
+    val base = graft.Tables.spread(corpus.select(col(id), e.as("__e")), tinyBytes = 0L)
+      .localCheckpoint(false)
+    var centroids: Seq[Seq[Double]] = base
       .orderBy(col(id))
       .limit(k)
-      .select(e.as("__e"))
+      .select(col("__e"))
       .collect()
       .map(_.getSeq[Double](0).toIndexedSeq)
       .toIndexedSeq
     val dim = centroids.head.length
     (1 to iters).foreach { _ =>
-      val means = assignClusters(corpus, id, emb, centroids)
-        .select(col("cluster"), e.as("__e"))
+      val means = assignClusters(base, id, "__e", centroids)
         .groupBy("cluster")
         .agg(count(lit(1)).as("__n"),
           (0 until dim).map(i => avg(element_at(col("__e"), i + 1)).as(s"__m$i")): _*)
@@ -114,6 +121,8 @@ object Knn {
         .toMap
       centroids = centroids.indices.map(j => means.getOrElse(j, centroids(j)))
     }
-    assignClusters(corpus, id, emb, centroids)
+    corpus.join(
+      assignClusters(base, id, "__e", centroids).select(col(id), col("cluster")),
+      Seq(id))
   }
 }
