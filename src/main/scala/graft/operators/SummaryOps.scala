@@ -12,12 +12,18 @@ object SummaryOps {
 
   /** A2 — "mean_frequency": events per (entity, code), then the mean of that
     * count per code (`feature_selection_hosp.py:129-130`).
+    *
+    * Algebraically collapsed to ONE aggregate: the mean of per-entity
+    * counts within a code is `rows / distinct entities` — same exact
+    * integer operands as `avg(count)`, so bit-identical results — which
+    * avoids materializing the (entity, code) group frame (≈|rows| groups
+    * for near-unique pairs) and its second shuffle.
     */
   def meanFrequency(df: DataFrame, entity: String, code: String): DataFrame =
-    df.groupBy(entity, code)
-      .agg(count(lit(1)).as("__per_entity"))
-      .groupBy(code)
-      .agg(round(avg(col("__per_entity")), 6).as("mean_frequency"))
+    df.groupBy(code)
+      .agg(round(
+        count(lit(1)).cast("double") / countDistinct(col(entity)), 6)
+        .as("mean_frequency"))
 
   /** A3 — missing rate: share of rows per group where `isMissing` holds
     * (`feature_selection_hosp.py:143-147`).
