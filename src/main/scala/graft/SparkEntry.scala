@@ -655,6 +655,15 @@ object SparkEntry {
           .as("severity"))
     }),
 
+    // PII-style scrub: mask digit runs (the id/phone/ssn pattern class) in a
+    // semi-structured column — the redaction pass of a training-data
+    // pipeline, as a single codegen'd regexp_replace
+    "t11_redact" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        regexp_replace(col("props"), "\\d+", "#").as("props_redacted"),
+        (length(col("props")) - length(regexp_replace(col("props"), "\\d", "")))
+          .cast("int").as("n_digits"))),
+
     "t09_stem" -> ((s, d) =>
       Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
@@ -1436,6 +1445,13 @@ object SparkEntry {
          SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
          WHERE i <= LEN(parts)""",
+
+    "t11_redact" ->
+      """SELECT event_id,
+                REGEXP_REPLACE(props, '\d+', '#', 'g') AS props_redacted,
+                CAST(LEN(props) - LEN(REGEXP_REPLACE(props, '\d', '', 'g')) AS INTEGER)
+                  AS n_digits
+         FROM events""",
 
     "t09_stem" ->
       """SELECT DISTINCT doc_id, tok,
