@@ -655,6 +655,20 @@ object SparkEntry {
           .as("severity"))
     }),
 
+    // repetition filter (the Gopher/C4-style quality rule): fraction of the
+    // document's trigram positions occupied by its most frequent trigram —
+    // high ratio = boilerplate/looped text
+    "t12_repetition" -> ((s, d) => {
+      val tri = Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
+        .select(col("doc_id"),
+          explode(TextFns.rawShingles(TextFns.tokens(col("text")), 3)).as("tri"))
+      tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg(sum("__c").cast("long").as("n_tri"),
+          max("__c").cast("long").as("max_tri"),
+          round(max("__c").cast("double") / sum("__c"), 6).as("rep_ratio"))
+    }),
+
     // PII-style scrub: mask digit runs (the id/phone/ssn pattern class) in a
     // semi-structured column — the redaction pass of a training-data
     // pipeline, as a single codegen'd regexp_replace
@@ -1445,6 +1459,18 @@ object SparkEntry {
          SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
          FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
          WHERE i <= LEN(parts)""",
+
+    "t12_repetition" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         tri AS (SELECT doc_id,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+                 FROM t WHERE LEN(toks) >= 3),
+         c AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri, CAST(MAX(c) AS BIGINT) AS max_tri,
+                ROUND(MAX(c) * 1.0 / SUM(c), 6) AS rep_ratio
+         FROM c GROUP BY doc_id""",
 
     "t11_redact" ->
       """SELECT event_id,

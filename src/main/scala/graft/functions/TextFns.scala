@@ -25,10 +25,16 @@ object TextFns {
     * tokenizer expression into each access, turning shingling O(tokens²)
     * per document; the zip form stays linear.
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(rawShingles(toks, n))
+
+  /** n-token shingles WITH multiplicity (one per position) — the input to
+    * repetition statistics, where duplicate grams are the signal.
+    */
+  def rawShingles(toks: Column, n: Int): Column = {
     val grams = (2 to n).foldLeft(toks)((acc, j) =>
       zip_with(acc, slice(toks, lit(j), size(toks)), (a, b) => concat(a, lit(" "), b)))
-    array_distinct(filter(grams, _.isNotNull))
+    filter(grams, _.isNotNull)
   }
 
   /** Count of tokens equal to any of `words` (marker/stopword counting). */

@@ -114,4 +114,14 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
   }
+
+  test("rawShingles keeps multiplicity; shingles is its distinct projection") {
+    val t = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+      .select(
+        TextFns.rawShingles(TextFns.tokens(col("text")), 3).as("raw"),
+        TextFns.shingles(TextFns.tokens(col("text")), 3).as("dist"))
+      .collect()(0)
+    assert(t.getSeq[String](0) === Seq("a b a", "b a b", "a b a", "b a b"))
+    assert(t.getSeq[String](1) === Seq("a b a", "b a b"))
+  }
 }
