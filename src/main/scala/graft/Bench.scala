@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   *
   * A warmup pass at sf0.001 runs first (untimed) so JIT/codegen compilation
   * and parquet footer caching don't land on whichever query happens to run
-  * first. The suite is then timed TWICE and each query reports its minimum
-  * — steady-state measurement: the harness host shows intermittent
-  * multi-second CPU-steal windows, and a single-shot pass randomly
-  * attributes those stalls to whichever query they land on.
+  * first. The suite is then timed THREE times and each query reports its
+  * minimum — steady-state measurement: the harness host shows intermittent
+  * multi-second CPU-steal windows (sometimes spanning minutes), and a
+  * single-shot pass randomly attributes those stalls to whichever query
+  * they land on.
   *
   * The timed action hashes every output column
   * (`bit_xor(xxhash64(*))` — xor, so ANSI mode can't overflow; variadic
@@ -72,9 +73,9 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> t
       }
-    val p1 = timedPass().toMap
-    val p2 = timedPass().toMap
-    val results = p1.keys.toSeq.sorted.map(k => k -> math.min(p1(k), p2(k)))
+    val passes = (1 to 3).map(_ => timedPass().toMap)
+    val results = passes.head.keys.toSeq.sorted
+      .map(k => k -> passes.map(_(k)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
