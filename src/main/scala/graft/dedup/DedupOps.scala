@@ -242,10 +242,10 @@ object DedupOps {
           least(col("canonical_id"), coalesce(col("__nmin"), col("canonical_id")))
             .as("canonical_id"))
         .localCheckpoint(false)
-      val s = BigDecimal(
-        labels.agg(sum(col("canonical_id").cast("decimal(38,0)"))).collect()(0)
-          .getDecimal(0).toString)
-      converged = s == prevSum
+      val row = labels.agg(sum(col("canonical_id").cast("decimal(38,0)"))).collect()(0)
+      // null sum = empty graph (no near-dup pairs at all) → nothing to converge
+      val s = if (row.isNullAt(0)) BigDecimal(0) else BigDecimal(row.getDecimal(0).toString)
+      converged = row.isNullAt(0) || s == prevSum
       prevSum = s
       iter += 1
     }

@@ -124,4 +124,9 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(t.getSeq[String](0) === Seq("a b a", "b a b", "a b a", "b a b"))
     assert(t.getSeq[String](1) === Seq("a b a", "b a b"))
   }
+
+  test("connectedComponents on an empty pair graph returns an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DedupOps.connectedComponents(empty, "id_a", "id_b").count() === 0)
+  }
 }
