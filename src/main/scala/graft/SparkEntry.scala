@@ -276,6 +276,86 @@ object SparkEntry {
       FoldOps.oversample(ord(s, d), col("o_totalprice") > 400000.0, 3)
         .select("o_orderkey", "copy_id")),
 
+    // deterministic stratified downsampling by md5 nibble: the corpus-
+    // rebalancing primitive (e.g. keep 25% of en, 50% of zh, 75% of the
+    // rest) — a pure pushdown predicate, stable under repartitioning
+    "ml03_hash_sample" -> ((s, d) =>
+      FoldOps.stratifiedHashSample(docs(s, d), col("doc_id"), col("lang"),
+          Map("en" -> 4, "zh" -> 8), default = 12)
+        .select("doc_id", "lang", "h16")),
+
+    // sequence packing: documents laid end-to-end per source in doc_id
+    // order, cut into 256-token bins by a running prefix-sum window
+    "ml04_pack_bins" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).as("n_tokens"))
+      FoldOps.packByCumsum(t, Seq("source"), Seq("doc_id"),
+          col("n_tokens"), capacity = 256)
+        .select("doc_id", "source", "n_tokens", "bin_id")
+    }),
+
+    // trailing 1-hour rolling mean/count per user — RANGE frame over epoch
+    // seconds, one sort exchange, no self-join
+    "w09_rolling_hour" -> ((s, d) =>
+      WindowOps.rollingBySeconds(ev(s, d), Seq("user_id"), "ts",
+          col("value"), seconds = 3600L)
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          col("roll_n").cast("long").as("roll_n"))),
+
+    // per-label embedding centroids, tall (label, pos, mean): the class-
+    // prototype / diversity-sampling primitive
+    "v04_centroid" -> ((s, d) => Knn.centroids(emb(s, d), "label", "embedding")),
+
+    // fixed-size token chunking (context-window packing prep): each doc
+    // split into 32-token windows via a generated chunk index + slice
+    "t13_chunk" -> ((s, d) => {
+      val W = 32
+      val t = docs(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("__n", size(col("toks")))
+      t.withColumn("chunk_idx",
+          explode(sequence(lit(0), floor((col("__n") - 1) / W).cast("int"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("toks"), col("chunk_idx") * W + 1, lit(W)), " ")
+            .as("chunk_text"),
+          least(col("__n") - col("chunk_idx") * W, lit(W)).cast("int")
+            .as("chunk_tokens"))
+    }),
+
+    // quality-filter funnel: survivor count after each successive filter
+    // stage (the standard corpus-curation report), one aggregate pass
+    "q01_funnel" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val t = docs(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("__n", size(col("toks")))
+        .withColumn("__stop", TextFns.tokenCountIn(col("toks"), stop))
+      val cLang = col("lang") === "en"
+      val cLen = col("n_chars").between(100, 400)
+      val cQual = col("__n").between(20, 500) &&
+        col("__stop").cast("double") / col("__n") < 0.4
+      t.agg(
+          count(lit(1)).as("s0"),
+          sum(when(cLang, 1L).otherwise(0L)).as("s1"),
+          sum(when(cLang && cLen, 1L).otherwise(0L)).as("s2"),
+          sum(when(cLang && cLen && cQual, 1L).otherwise(0L)).as("s3"))
+        .select(expr(
+          "stack(4, '00_all', s0, '10_lang_en', s1, '20_len', s2, " +
+            "'30_quality', s3) as (stage, survivors)"))
+    }),
+
+    // benchmark decontamination: corpus docs sharing any 5-gram shingle
+    // with the held-out "benchmark" slice (doc_id % 37 = 0)
+    "d09_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      DedupOps.decontaminate(
+        all.filter(col("doc_id") % 37 =!= 0),
+        all.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // ---------------- time series / streaming analogue ----------------
     "ts02_sessionize" -> ((s, d) =>
       TimeSeriesOps.sessionize(ev(s, d), "user_id", "ts", "event_id",
@@ -1021,6 +1101,98 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(i AS INTEGER) AS copy_id
          FROM orders CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS i)
          WHERE i <= CASE WHEN o_totalprice > 400000.0 THEN 3 ELSE 1 END""",
+
+    "ml03_hash_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  STRPOS('0123456789abcdef',
+                    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS h16
+           FROM documents)
+         SELECT doc_id, lang, CAST(h16 AS INTEGER) AS h16 FROM h
+         WHERE h16 < CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 12 END""",
+
+    "ml04_pack_bins" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens
+           FROM documents)
+         SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+                CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 256.0) AS INTEGER) AS bin_id
+         FROM t""",
+
+    "w09_rolling_hour" ->
+      """SELECT event_id, user_id,
+                ROUND(AVG(value) OVER w, 6) AS roll_avg,
+                CAST(COUNT(value) OVER w AS BIGINT) AS roll_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY DATE_DIFF('second', TIMESTAMP '1970-01-01', ts)
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
+
+    "v04_centroid" ->
+      """WITH e AS (
+           SELECT label,
+                  UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS v,
+                  UNNEST(GENERATE_SERIES(0, LEN(embedding) - 1)) AS pos
+           FROM embeddings)
+         SELECT label, CAST(pos AS INTEGER) AS pos,
+                ROUND(AVG(v), 6) AS mean_v
+         FROM e GROUP BY 1, 2""",
+
+    "t13_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, LEN(toks) AS n,
+                  UNNEST(GENERATE_SERIES(0,
+                    CAST(FLOOR((LEN(toks) - 1) / 32.0) AS INTEGER))) AS chunk_idx
+           FROM t)
+         SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                ARRAY_TO_STRING(
+                  toks[chunk_idx * 32 + 1 : LEAST(chunk_idx * 32 + 32, n)], ' ')
+                  AS chunk_text,
+                CAST(LEAST(n - chunk_idx * 32, 32) AS INTEGER) AS chunk_tokens
+         FROM c""",
+
+    "q01_funnel" ->
+      """WITH f AS (
+           SELECT lang, n_chars,
+                  LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n,
+                  LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                    x -> x IN ('the','a','of','and','to'))) AS n_stop
+           FROM documents)
+         SELECT '00_all' AS stage, COUNT(*) AS survivors FROM f
+         UNION ALL
+         SELECT '10_lang_en', COUNT(*) FROM f WHERE lang = 'en'
+         UNION ALL
+         SELECT '20_len', COUNT(*) FROM f
+         WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+         UNION ALL
+         SELECT '30_quality', COUNT(*) FROM f
+         WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+           AND n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4""",
+
+    "d09_decontaminate" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 5 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4]))
+                 ELSE [] END AS sh FROM t),
+         corpus AS (SELECT DISTINCT doc_id, UNNEST(sh) AS sg FROM s
+                    WHERE doc_id % 37 <> 0),
+         bench AS (SELECT DISTINCT UNNEST(sh) AS sg FROM s WHERE doc_id % 37 = 0),
+         shared AS (SELECT c.doc_id, COUNT(*) AS n_shared
+                    FROM corpus c JOIN bench b ON b.sg = c.sg
+                    GROUP BY 1)
+         SELECT d.doc_id, COALESCE(n_shared, 0) AS n_shared,
+                CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+         LEFT JOIN shared USING (doc_id)""",
 
     "ts02_sessionize" ->
       """SELECT event_id,

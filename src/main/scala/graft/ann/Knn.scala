@@ -125,4 +125,16 @@ object Knn {
       assignClusters(base, id, "__e", centroids).select(col(id), col("cluster")),
       Seq(id))
   }
+
+  /** Per-group embedding centroid in tall form (group, pos, mean_v):
+    * posexplode + one hash aggregate keyed on (group, dimension). The tall
+    * shape is deliberate — per-dimension partial means combine map-side,
+    * so the shuffle carries |groups|·d partial rows instead of every
+    * vector, and no task ever materializes a whole group (the
+    * collect_list-then-fold form does both, and dies first at 100 TB).
+    */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("__v").cast("double")), 6).as("mean_v"))
 }

@@ -295,4 +295,29 @@ object DedupOps {
         concat((0 until 32).map(p =>
           when(col(s"__v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
+
+  /** Benchmark decontamination (training-data hygiene): for each corpus
+    * document, the number of distinct `n`-token shingles it shares with a
+    * benchmark/eval set, plus a 0/1 contamination flag.
+    *
+    * Both sides reduce to DISTINCT (id, shingle) / (shingle) frames and
+    * meet in ONE equi-join on the shingle string — never doc×doc. The
+    * benchmark shingle set is data-dependent (an eval suite can be millions
+    * of shingles), so there is no broadcast hint: AQE promotes the join at
+    * runtime iff the set actually fits.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: String,
+      text: String, n: Int): DataFrame = {
+    val corpusSh = withShingles(corpus, id, text, n)
+      .select(col(id), explode(col("shingles")).as("sg")).distinct()
+    val benchSh = withShingles(benchmark, id, text, n)
+      .select(explode(col("shingles")).as("sg")).distinct()
+    val shared = corpusSh.join(benchSh, "sg")
+      .groupBy(col(id)).agg(count(lit(1)).as("__shared"))
+    corpus.select(col(id)).join(shared, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("__shared"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
 }

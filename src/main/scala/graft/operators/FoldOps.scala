@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML-prep relational operators (reference stage 5: k-fold carving and
@@ -39,4 +40,45 @@ object FoldOps {
       copyCol: String = "copy_id"): DataFrame =
     df.withColumn(copyCol,
       explode(sequence(lit(1), when(isMinority, factor).otherwise(1))))
+
+  /** Hash bucket in [0, 16) from the last md5 nibble of the key's string
+    * form. Engine-portable (md5 of the decimal rendering is identical
+    * everywhere) and a pure projection — no RNG, no shuffle, same survivors
+    * on any cluster size or partitioning.
+    */
+  def hashBucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 32, 1), 16, 10).cast("int")
+
+  /** Deterministic stratified downsampling: a row survives iff its hash
+    * bucket is below the stratum's keep-threshold (in sixteenths;
+    * `default` applies to unlisted strata). The filter is a pushdown
+    * predicate over a projection — sampling 1% of 100 TB reads the scan
+    * once and shuffles nothing, unlike `df.sampleBy` whose per-partition
+    * RNG changes membership under repartitioning.
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      sixteenths: Map[String, Int], default: Int,
+      bucketCol: String = "h16"): DataFrame = {
+    val thr = sixteenths.foldLeft(lit(default)) { case (acc, (s, v)) =>
+      when(stratum === s, v).otherwise(acc)
+    }
+    df.withColumn(bucketCol, hashBucket16(key)).filter(col(bucketCol) < thr)
+  }
+
+  /** Greedy-by-order sequence packing: rows are laid end-to-end in
+    * (`partKeys`, `orderCols`) order and cut into fixed-`capacity` bins by
+    * the running size prefix-sum (a row starts the next bin when its
+    * predecessor total crosses a capacity boundary). One window cumsum per
+    * stratum — no global pass, no driver loop; strata pack in parallel.
+    * Oversized rows (> capacity) get a bin of their own, as in standard
+    * sequence-packing practice.
+    */
+  def packByCumsum(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      size: Column, capacity: Int, name: String = "bin_id"): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(name,
+      floor((sum(size).over(w) - size) / lit(capacity.toDouble)).cast("int"))
+  }
 }

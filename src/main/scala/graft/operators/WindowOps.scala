@@ -51,4 +51,21 @@ object WindowOps {
   def quantileBin(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
       buckets: Int, name: String): DataFrame =
     df.withColumn(name, ntile(buckets).over(spec(partKeys, orderCols)))
+
+  /** Trailing time-range rolling mean/count of `value` over the last
+    * `seconds` seconds (inclusive of the current row's second) per
+    * partition. A RANGE frame over epoch seconds: one sort exchange per
+    * partition key, then a single streaming pass with a sliding frame —
+    * no self-join, no per-row rescan. Rows sharing a truncated second are
+    * frame peers, which keeps results order-independent.
+    */
+  def rollingBySeconds(df: DataFrame, partKeys: Seq[String], tsCol: String,
+      value: Column, seconds: Long,
+      avgName: String = "roll_avg", cntName: String = "roll_n"): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-(seconds - 1), Window.currentRow)
+    df.withColumn(avgName, avg(value).over(w))
+      .withColumn(cntName, count(value).over(w))
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ann.Knn
+import graft.dedup.DedupOps
+
+/** Training-data prep operators: deterministic sampling, sequence packing,
+  * rolling time windows, centroids, decontamination.
+  */
+class PrepOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hashBucket16 is deterministic, uniform-ish, and repartition-stable") {
+    val df = (1L to 400L).toDF("id")
+    val a = df.select(col("id"), FoldOps.hashBucket16(col("id")).as("h"))
+      .as[(Long, Int)].collect().toMap
+    val b = df.repartition(7).select(col("id"), FoldOps.hashBucket16(col("id")).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(h => h >= 0 && h < 16))
+    // every nibble value occurs over 400 keys (md5 is well-mixed)
+    assert(a.values.toSet.size === 16)
+  }
+
+  test("stratifiedHashSample keeps exactly the rows under the stratum threshold") {
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
+    val kept = FoldOps.stratifiedHashSample(df, col("id"), col("lang"),
+      Map("en" -> 4, "zh" -> 8), default = 16)
+      .select("id", "lang", "h16").as[(Long, String, Int)].collect()
+    assert(kept.forall { case (_, l, h) => h < (if (l == "en") 4 else 8) })
+    val full = df.select(col("id"), col("lang"), FoldOps.hashBucket16(col("id")).as("h"))
+      .as[(Long, String, Int)].collect()
+    val expected = full.count { case (_, l, h) => h < (if (l == "en") 4 else 8) }
+    assert(kept.length === expected)
+  }
+
+  test("packByCumsum cuts bins at capacity boundaries; oversized rows pack alone") {
+    val df = Seq(("s", 1, 100), ("s", 2, 100), ("s", 3, 100), ("s", 4, 300), ("s", 5, 10))
+      .toDF("src", "id", "n")
+    val got = FoldOps.packByCumsum(df, Seq("src"), Seq("id"), col("n"), capacity = 256)
+      .select("id", "bin_id").as[(Int, Int)].collect().toMap
+    // running starts: 0,100,200,300,600 → bins 0,0,0,1,2
+    assert(got === Map(1 -> 0, 2 -> 0, 3 -> 0, 4 -> 1, 5 -> 2))
+  }
+
+  test("rollingBySeconds frames trail the configured span, peers included") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 7L, ts("2024-01-01 10:30:00"), 20.0),
+      (3L, 7L, ts("2024-01-01 11:10:00"), 30.0), // 10:00 falls off (70 min)
+      (4L, 7L, ts("2024-01-01 11:10:00"), 40.0), // same-second peer of 3
+      (5L, 8L, ts("2024-01-01 10:00:00"), 1.0)   // other partition untouched
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = WindowOps.rollingBySeconds(df, Seq("user_id"), "ts", col("value"), 3600L)
+      .select("event_id", "roll_avg", "roll_n").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((10.0, 1L)))
+    assert(got(2L) === ((15.0, 2L)))
+    assert(got(3L) === ((30.0, 3L))) // 20+30+40 / 3 — peer rows share the frame
+    assert(got(4L) === ((30.0, 3L)))
+    assert(got(5L) === ((1.0, 1L)))
+  }
+
+  test("centroids emits per-(group, dim) means in tall form") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(3.0f, 2.0f), 0),
+      (3L, Seq(10.0f, 10.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Knn.centroids(df, "label", "embedding")
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0, 0)) === 2.0)
+    assert(got((0, 1)) === 1.0)
+    assert(got((1, 0)) === 10.0)
+    assert(got((1, 1)) === 10.0)
+  }
+
+  test("decontaminate counts distinct shared shingles; clean docs flag 0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 5-grams with bench
+      (2L, "one two three four five six"),         // clean
+      (3L, "too short")                            // < 5 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((2L, 1)))
+    assert(got(2L) === ((0L, 0)))
+    assert(got(3L) === ((0L, 0)))
+  }
+}
