@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Knn
 import graft.dedup.DedupOps
-import graft.functions.TextFns
+import graft.functions.{TextFns, VectorFns}
 import graft.multimodal.BinaryOps
 import graft.operators._
 
@@ -345,6 +345,37 @@ object SparkEntry {
           "stack(4, '00_all', s0, '10_lang_en', s1, '20_len', s2, " +
             "'30_quality', s3) as (stage, survivors)"))
     }),
+
+    // exact-n deterministic sample per stratum (reservoir-sampling answer,
+    // order-independent): rank by md5 within stratum, keep first 30
+    "ml05_topn_sample" -> ((s, d) =>
+      FoldOps.perStratumTopN(docs(s, d), col("lang"), col("doc_id"), 30)
+        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))),
+
+    // int8 scalar quantization of embeddings (4x ANN memory cut), tall
+    // (vec_id, pos, qv) with the per-vector dequant params
+    "v05_quantize" -> ((s, d) => {
+      val base = emb(s, d)
+        .select(col("vec_id"), VectorFns.toDoubleArr(col("embedding")).as("__v"))
+        .withColumn("__lo", array_min(col("__v")))
+        .withColumn("__hi", array_max(col("__v")))
+      base.select(col("vec_id"), col("__lo"), col("__hi"),
+          posexplode(VectorFns.int8Quantize(col("__v"), col("__lo"), col("__hi")))
+            .as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("pos"), col("qv"),
+          round(col("__lo"), 6).as("qmin"),
+          round((col("__hi") - col("__lo")) / 255.0, 9).as("qscale"))
+    }),
+
+    // corpus-level top-k n-grams (the Gopher-style repetition signal at
+    // corpus granularity): hash-agg then TakeOrderedAndProject, never a
+    // global window
+    "t14_ngram_topk" -> ((s, d) =>
+      Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
+        .select(explode(TextFns.rawShingles(TextFns.tokens(col("text")), 3)).as("tri"))
+        .groupBy("tri").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tri").asc)
+        .limit(25)),
 
     // benchmark decontamination: corpus docs sharing any 5-gram shingle
     // with the held-out "benchmark" slice (doc_id % 37 = 0)
@@ -1174,6 +1205,39 @@ object SparkEntry {
          SELECT '30_quality', COUNT(*) FROM f
          WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
            AND n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4""",
+
+    "ml05_topn_sample" ->
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) WHERE rk <= 30""",
+
+    "v05_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, LIST_MIN(v) AS lo, LIST_MAX(v) AS hi FROM e),
+         q AS (
+           SELECT vec_id, lo, hi,
+                  UNNEST(LIST_TRANSFORM(v, x ->
+                    CASE WHEN hi = lo THEN -128
+                         ELSE CAST(ROUND((x - lo) / ((hi - lo) / 255.0)) AS INTEGER) - 128
+                    END)) AS qv,
+                  UNNEST(GENERATE_SERIES(0, LEN(v) - 1)) AS pos
+           FROM m)
+         SELECT vec_id, CAST(pos AS INTEGER) AS pos, CAST(qv AS INTEGER) AS qv,
+                ROUND(lo, 6) AS qmin, ROUND((hi - lo) / 255.0, 9) AS qscale
+         FROM q""",
+
+    "t14_ngram_topk" ->
+      """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END) AS tri FROM t)
+         SELECT tri, COUNT(*) AS cnt FROM s
+         GROUP BY 1 ORDER BY cnt DESC, tri ASC LIMIT 25""",
 
     "d09_decontaminate" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks

@@ -21,4 +21,16 @@ object VectorFns {
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector int8 scalar quantization: each component maps to
+    * `round((x - lo) / ((hi - lo) / 255)) - 128` ∈ [-128, 127], where
+    * `lo`/`hi` are the vector's own min/max (pass them precomputed so
+    * codegen evaluates the array scan once, not once per element).
+    * Degenerate constant vectors quantize to -128. 4× memory cut for
+    * ANN candidate stores; exact same expression is portable SQL.
+    */
+  def int8Quantize(v: Column, lo: Column, hi: Column): Column =
+    transform(v, x =>
+      when(hi === lo, lit(-128))
+        .otherwise(round((x - lo) / ((hi - lo) / lit(255.0))).cast("int") - 128))
 }

@@ -65,6 +65,20 @@ object FoldOps {
     df.withColumn(bucketCol, hashBucket16(key)).filter(col(bucketCol) < thr)
   }
 
+  /** Exact-n deterministic sample per stratum: rank rows inside each
+    * stratum by the md5 of their key (plus the key itself as tie-break)
+    * and keep the first `n`. The reservoir-sampling answer with none of
+    * its order-dependence — same `n` rows per stratum on any cluster.
+    * One window sort per stratum (parallel across strata); for
+    * fraction-based sampling prefer `stratifiedHashSample`, which needs
+    * no sort at all.
+    */
+  def perStratumTopN(df: DataFrame, stratum: Column, key: Column, n: Int,
+      rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
   /** Greedy-by-order sequence packing: rows are laid end-to-end in
     * (`partKeys`, `orderCols`) order and cut into fixed-`capacity` bins by
     * the running size prefix-sum (a row starts the next bin when its

@@ -45,4 +45,32 @@ object SummaryOps {
   def maxGroupSize(df: DataFrame, group: String): DataFrame =
     df.groupBy(group).agg(count(lit(1)).as("__cnt"))
       .agg(max(col("__cnt")).as("max_group_size"))
+
+  // ---- approximate scale paths ----------------------------------------
+  // Exact countDistinct / percentile shuffle every distinct value; at
+  // 100 TB the sketch forms below are the production path (bounded-size
+  // partials that merge associatively — one narrow shuffle regardless of
+  // cardinality). They have no cross-engine oracle by nature (sketch
+  // internals differ per engine), so they are spec-gated: ApproxSpec
+  // asserts the error envelope against the exact forms on the same data.
+
+  /** A7 scale path — HyperLogLog++ distinct count per group with relative
+    * standard deviation `rsd` (default 5%). Partials are fixed-size HLL
+    * registers, so the shuffle is |groups| rows no matter how many
+    * distinct values exist.
+    */
+  def approxDistinctCount(df: DataFrame, group: String, c: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(group).agg(approx_count_distinct(col(c), rsd).as("approx_distinct"))
+
+  /** A6/A10 scale path — approximate percentiles per group with bounded
+    * accuracy (`1/accuracy` relative rank error). The sketch partial is
+    * bounded-size; the exact sort-based form (`CleaningOps.percentileClamp`)
+    * stays the correctness oracle at test scale.
+    */
+  def approxPercentiles(df: DataFrame, group: String, value: Column,
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(group).agg(
+      percentile_approx(value,
+        array(probs.map(lit): _*), lit(accuracy)).as("approx_pcts"))
 }

@@ -106,4 +106,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assertSinglePartitionOnlyForGlobalAgg("a15_auroc", finalPlan("a15_auroc"))
     assertSinglePartitionOnlyForGlobalAgg("f23_vocab_encode", finalPlan("f23_vocab_encode"))
   }
+
+  test("decontamination is a shingle equi-join, never doc-by-doc") {
+    val p = finalPlan("d09_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assertSinglePartitionOnlyForGlobalAgg("d09_decontaminate", p)
+  }
+
+  test("hash sampling is a pure scan-side predicate — no shuffle at all") {
+    assert(!plan("ml03_hash_sample").contains("Exchange"))
+  }
+
+  test("rolling window and packing sort once per partition key, never globally") {
+    assertSinglePartitionOnlyForGlobalAgg("w09_rolling_hour", finalPlan("w09_rolling_hour"))
+    assertSinglePartitionOnlyForGlobalAgg("ml04_pack_bins", finalPlan("ml04_pack_bins"))
+  }
+
+  test("centroids aggregate with a map-side partial before the shuffle") {
+    val p = plan("v04_centroid")
+    // partial_avg present → per-(group,dim) rows combine before the exchange
+    assert(p.contains("partial_avg") || p.contains("partial avg"))
+    assertSinglePartitionOnlyForGlobalAgg("v04_centroid", p)
+  }
 }

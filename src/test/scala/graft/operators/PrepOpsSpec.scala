@@ -82,6 +82,32 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got((1, 1)) === 10.0)
   }
 
+  test("perStratumTopN keeps exactly n per stratum, stable under repartitioning") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
+    val a = FoldOps.perStratumTopN(df, col("lang"), col("id"), 10)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    val b = FoldOps.perStratumTopN(df.repartition(7), col("lang"), col("id"), 10)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(a === b)
+    assert(a.count(_._2 == "en") === 10)
+    assert(a.count(_._2 == "zh") === 10)
+  }
+
+  test("int8Quantize maps min→-128, max→127; constant vectors collapse to -128") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.5f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f))
+    ).toDF("id", "v")
+      .withColumn("dv", graft.functions.VectorFns.toDoubleArr(col("v")))
+      .withColumn("lo", array_min(col("dv")))
+      .withColumn("hi", array_max(col("dv")))
+    val got = df.select(col("id"),
+        graft.functions.VectorFns.int8Quantize(col("dv"), col("lo"), col("hi")).as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) === Seq(-128, 127, 0)) // 0.5 → round(127.5)=128 → 0
+    assert(got(2L) === Seq(-128, -128, -128))
+  }
+
   test("decontaminate counts distinct shared shingles; clean docs flag 0") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 5-grams with bench
