@@ -346,6 +346,22 @@ object SparkEntry {
             "'30_quality', s3) as (stage, survivors)"))
     }),
 
+    // end-to-end dedup survivor list: LSH pairs → components → drop
+    // non-canonical members; untouched docs bypass the component step
+    "d10_dedup_keep" -> ((s, d) =>
+      DedupOps.dropNearDups(docs(s, d), "doc_id", "text",
+          shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+        .select("doc_id")),
+
+    // sliding-window rollup (1h window, 15min slide): each event lands in
+    // exactly 4 windows; Spark's native window() generator, epoch-aligned
+    "w10_sliding_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
     // exact-n deterministic sample per stratum (reservoir-sampling answer,
     // order-independent): rank by md5 within stratum, keep first 30
     "ml05_topn_sample" -> ((s, d) =>
@@ -1205,6 +1221,71 @@ object SparkEntry {
          SELECT '30_quality', COUNT(*) FROM f
          WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
            AND n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4""",
+
+    "w10_sliding_window" ->
+      """WITH g AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k),
+         e AS (SELECT event_type, value,
+                      CAST(FLOOR(DATE_DIFF('second', TIMESTAMP '1970-01-01', ts) / 900)
+                        AS BIGINT) AS slot
+               FROM events)
+         SELECT TIMESTAMP '1970-01-01'
+                  + ((slot - k) * 900) * INTERVAL 1 SECOND AS win_start,
+                event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(value), 2) AS sum_value
+         FROM e CROSS JOIN g
+         GROUP BY 1, 2""",
+
+    "d10_dedup_keep" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5),
+         und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+                  FROM reach GROUP BY a)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)""",
 
     "ml05_topn_sample" ->
       """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (

@@ -296,6 +296,21 @@ object DedupOps {
           when(col(s"__v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** End-to-end near-dup removal: LSH-verified pairs → connected
+    * components → drop every non-canonical member. The survivor list is
+    * the corpus anti-joined with the victim set, so untouched docs (the
+    * overwhelming majority at any scale) stream through without entering
+    * the component computation at all.
+    */
+  def dropNearDups(docs: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, id, text, shingleN, k, bands, threshold)
+    val victims = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(id))
+    docs.join(victims, Seq(id), "left_anti")
+  }
+
   /** Benchmark decontamination (training-data hygiene): for each corpus
     * document, the number of distinct `n`-token shingles it shares with a
     * benchmark/eval set, plus a 0/1 contamination flag.

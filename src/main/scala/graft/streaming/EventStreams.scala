@@ -64,6 +64,18 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window twin of the batch `w10_sliding_window` query: 1 h
+    * windows every 15 min. Each event contributes to 4 open windows; the
+    * watermark bounds state to ~6 window generations per event type.
+    */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming twin of exact dedup (`DedupOps.exactGroups` membership): emit
     * each document once, keyed by its content fingerprint, suppressing
     * re-arrivals inside the watermark horizon. State is one fingerprint per

@@ -125,6 +125,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(t.getSeq[String](1) === Seq("a b a", "b a b"))
   }
 
+  test("dropNearDups keeps the canonical member of each group, all singletons") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, shared),                 // group {1,2}: canonical 1 survives
+      (2L, shared + " extra"),
+      (7L, "completely different content with no overlapping shingles here at all"),
+      (9L, "tiny")                  // no shingles → untouched
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.dropNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 7L, 9L))
+  }
+
   test("connectedComponents on an empty pair graph returns an empty frame") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(DedupOps.connectedComponents(empty, "id_a", "id_b").count() === 0)

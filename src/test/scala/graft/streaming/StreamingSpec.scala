@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.{Tables, TestSpark}
+import graft.{SparkEntry, Tables, TestSpark}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -64,6 +64,35 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("streaming sliding rollup equals the batch sliding-window query") {
+    val dir = Files.createTempDirectory("graft-slide")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val stream = EventStreams.slidingRollup(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)))
+
+    val q = stream.writeStream
+      .format("memory").queryName("sliding").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding")
+      .select("win_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = SparkEntry.queries("w10_sliding_window")(spark, "/root/testdata/sf0.001")
       .collect().map(_.toSeq).toSet
 
     assert(streamed.nonEmpty)
