@@ -16,6 +16,12 @@ object Verify {
       // default 100-entry cache thrashes between warmup and the timed pass,
       // re-paying janino compilation (seconds for wide expression trees)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // InferFiltersFromGenerate clones the whole generator expression into
+      // a scan-side size()>0 filter, so shingle towers (zip_with chains)
+      // evaluate twice per row; nothing here prunes on it (no partitioned
+      // sources), so the inference is pure double-compute — excluded
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // shuffle/spill blocks on tmpfs: the harness box shows multi-second
       // disk stalls on /tmp that randomize per-query timings
       .config("spark.local.dir", "/dev/shm/graft-local")

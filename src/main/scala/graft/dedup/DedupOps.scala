@@ -323,8 +323,12 @@ object DedupOps {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: String,
       text: String, n: Int): DataFrame = {
+    // `withShingles` is per-doc distinct and `id` is unique, so the exploded
+    // (id, sg) pairs are already globally distinct — no dedup shuffle. Only
+    // the benchmark side needs a global DISTINCT (the same shingle can occur
+    // in many benchmark docs and must count once).
     val corpusSh = withShingles(corpus, id, text, n)
-      .select(col(id), explode(col("shingles")).as("sg")).distinct()
+      .select(col(id), explode(col("shingles")).as("sg"))
     val benchSh = withShingles(benchmark, id, text, n)
       .select(explode(col("shingles")).as("sg")).distinct()
     val shared = corpusSh.join(benchSh, "sg")
