@@ -346,6 +346,43 @@ object SparkEntry {
             "'30_quality', s3) as (stage, survivors)"))
     }),
 
+    // sparse TF-IDF cosine pairs via inverted index (the sparse-vector
+    // sibling of d06's dense embedding near-dup)
+    "d11_sparse_cosine" -> ((s, d) =>
+      DedupOps.tfidfCosinePairs(docs(s, d), "doc_id", "text", threshold = 0.9)),
+
+    // Pearson correlation of numeric column pairs, melted tall — the
+    // feature-analysis staple; one aggregate pass for all pairs
+    "a17_corr_pairs" -> ((s, d) =>
+      li(s, d).agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c_qp"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("c_qd"),
+          round(corr(col("l_extendedprice"), col("l_tax")), 6).as("c_pt"))
+        .select(expr(
+          "stack(3, 'quantity~extendedprice', c_qp, 'quantity~discount', c_qd, " +
+            "'extendedprice~tax', c_pt) as (pair, r)"))),
+
+    // daily active / new / cumulative-unique users. Running distinct count
+    // without a window-distinct (unsupported + unbounded state): first-seen
+    // day per user, then a running total. The cumsum window is over
+    // |calendar days| rows (bounded by time, not data volume), so its
+    // single-partition sort is the right plan at any corpus size
+    "w11_cum_uniques" -> ((s, d) => {
+      val active = ev(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val firsts = ev(s, d)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      active.join(firsts, Seq("day"), "left")
+        .na.fill(0L, Seq("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+    }),
+
     // end-to-end dedup survivor list: LSH pairs → components → drop
     // non-canonical members; untouched docs bypass the component step
     "d10_dedup_keep" -> ((s, d) =>
@@ -1221,6 +1258,50 @@ object SparkEntry {
          SELECT '30_quality', COUNT(*) FROM f
          WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
            AND n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4""",
+
+    "d11_sparse_cosine" ->
+      """WITH toks AS (
+           SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         wts AS (SELECT doc_id, term,
+                        tf * (LN((n + 1.0) / (df + 1.0)) + 1.0) AS w
+                 FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wts GROUP BY 1),
+         dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dp
+                  FROM wts a JOIN wts b
+                    ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT id_a, id_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS sim
+         FROM dots
+         JOIN norms na ON na.doc_id = id_a
+         JOIN norms nb ON nb.doc_id = id_b
+         WHERE dp / (na.nrm * nb.nrm) >= 0.9""",
+
+    "a17_corr_pairs" ->
+      """WITH c AS (SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS c_qp,
+                           ROUND(CORR(l_quantity, l_discount), 6) AS c_qd,
+                           ROUND(CORR(l_extendedprice, l_tax), 6) AS c_pt
+                    FROM lineitem)
+         SELECT 'quantity~extendedprice' AS pair, c_qp AS r FROM c
+         UNION ALL SELECT 'quantity~discount', c_qd FROM c
+         UNION ALL SELECT 'extendedprice~tax', c_pt FROM c""",
+
+    "w11_cum_uniques" ->
+      """WITH a AS (SELECT CAST(ts AS DATE) AS day,
+                           COUNT(DISTINCT user_id) AS active_users
+                    FROM events GROUP BY 1),
+         f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+               FROM events GROUP BY 1),
+         nu AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+         SELECT a.day, a.active_users,
+                COALESCE(nu.new_users, 0) AS new_users,
+                CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY a.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_users
+         FROM a LEFT JOIN nu ON nu.day = a.day""",
 
     "w10_sliding_window" ->
       """WITH g AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k),

@@ -296,6 +296,44 @@ object DedupOps {
           when(col(s"__v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** Sparse TF-IDF cosine similarity over an inverted index: weight each
+    * (doc, term) posting by `tf · smoothIdf`, join postings on the term
+    * (never doc×doc — only docs sharing a term ever meet), sum the weight
+    * products, and normalize by the per-doc L2 norms. Exact cosine for
+    * every pair above `threshold`.
+    *
+    * Scale note: a term appearing in k docs contributes k² join rows, so
+    * stop-like terms dominate the posting join at corpus scale. Their IDF
+    * weight is near zero — at 100 TB, cap the index at a max document
+    * frequency (prune-then-rescore) or LSH-bucket the postings; this exact
+    * form is the correctness baseline, same framing as `jaccardAllPairs`.
+    */
+  def tfidfCosinePairs(docs: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), explode(TextFns.tokens(col(text))).as("term"))
+    val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val wts = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .select(col(id), col("term"),
+        (col("tf") * TextFns.smoothIdf(col("__n"), col("df"))).as("w"))
+      .localCheckpoint(false)
+    val norms = wts.groupBy(col(id)).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = wts.as("a")
+      .join(wts.as("b"),
+        col("a.term") === col("b.term") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dp"))
+    dots
+      .join(norms.select(col(id).as("id_a"), col("nrm").as("__na")), Seq("id_a"))
+      .join(norms.select(col(id).as("id_b"), col("nrm").as("__nb")), Seq("id_b"))
+      .filter(col("dp") / (col("__na") * col("__nb")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("dp") / (col("__na") * col("__nb")), 6).as("sim"))
+  }
+
   /** End-to-end near-dup removal: LSH-verified pairs → connected
     * components → drop every non-canonical member. The survivor list is
     * the corpus anti-joined with the victim set, so untouched docs (the
