@@ -346,6 +346,36 @@ object SparkEntry {
             "'30_quality', s3) as (stage, survivors)"))
     }),
 
+    // OLAP grouping sets: revenue at (flag, status), per-flag subtotal,
+    // and grand total in ONE pass — rollup's partial aggregates combine
+    // map-side; the reference computes each granularity as a separate scan
+    "a18_rollup" -> ((s, d) =>
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("revenue"), col("n"))),
+
+    // ordered funnel conversion: users whose first signup precedes their
+    // first click precedes their first purchase — one pivot of min-ts per
+    // stage, no self-joins
+    "u06_funnel_stages" -> ((s, d) => {
+      val m = ev(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("signup", "click", "purchase"))
+        .agg(min(col("ts")))
+      m.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("signup").isNotNull, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("signup") < col("click"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("signup") < col("click") && col("click") < col("purchase"),
+            1L).otherwise(0L)).as("s3"))
+        .select(expr(
+          "stack(4, '00_any', s0, '10_signup', s1, '20_then_click', s2, " +
+            "'30_then_purchase', s3) as (stage, users)"))
+    }),
+
     // sparse TF-IDF cosine pairs via inverted index (the sparse-vector
     // sibling of d06's dense embedding near-dup)
     "d11_sparse_cosine" -> ((s, d) =>
@@ -1258,6 +1288,31 @@ object SparkEntry {
          SELECT '30_quality', COUNT(*) FROM f
          WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
            AND n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4""",
+
+    "a18_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "u06_funnel_stages" ->
+      """WITH m AS (
+           SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')
+           GROUP BY 1)
+         SELECT '00_any' AS stage, COUNT(*) AS users FROM m
+         UNION ALL
+         SELECT '10_signup', COUNT(*) FROM m WHERE t_signup IS NOT NULL
+         UNION ALL
+         SELECT '20_then_click', COUNT(*) FROM m WHERE t_signup < t_click
+         UNION ALL
+         SELECT '30_then_purchase', COUNT(*) FROM m
+         WHERE t_signup < t_click AND t_click < t_purchase""",
 
     "d11_sparse_cosine" ->
       """WITH toks AS (
