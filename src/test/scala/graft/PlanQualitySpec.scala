@@ -123,6 +123,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assertSinglePartitionOnlyForGlobalAgg("ml04_pack_bins", finalPlan("ml04_pack_bins"))
   }
 
+  test("sparse cosine joins postings on the term, never doc-by-doc") {
+    val p = finalPlan("d11_sparse_cosine")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("rollup computes all granularities in one aggregate with expand, no re-scan") {
+    val p = plan("a18_rollup")
+    assert(p.contains("Expand"))
+    // one scan feeds the whole grouping-set tree
+    assert("FileScan parquet".r.findAllIn(p).size === 1)
+  }
+
   test("centroids aggregate with a map-side partial before the shuffle") {
     val p = plan("v04_centroid")
     // partial_avg present → per-(group,dim) rows combine before the exchange
