@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.functions.TextFns
+import graft.operators.FoldOps
+
+/** Beyond-reference façade: the standard large-corpus curation chain —
+  * quality gate → exact dedup → near-dup collapse → benchmark
+  * decontamination → deterministic downsampling → sequence packing —
+  * composed from the same operator combinators the individual `SparkEntry`
+  * queries exercise (each stage is oracle-checked there in isolation).
+  *
+  * The whole chain is ONE lazy plan per stage boundary; nothing is
+  * collected. Every stage is a filter/anti-join over the surviving corpus,
+  * so the dominant cost (shingling for the dedup stages) is paid on
+  * already-shrunk survivors, and every decision is a deterministic function
+  * of content — re-running on a different cluster yields the same corpus.
+  */
+object CorpusCurator {
+
+  /** Column bindings + thresholds. `langAllow` empty = keep all languages. */
+  case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      stratumCol: String = "source",
+      langAllow: Seq[String] = Seq("en"),
+      minTokens: Int = 20,
+      maxTokens: Int = 500,
+      maxStopRatio: Double = 0.4,
+      stopWords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+      dedupShingleN: Int = 3,
+      minhashK: Int = 12,
+      lshBands: Int = 6,
+      jaccardThreshold: Double = 0.5,
+      decontamShingleN: Int = 5,
+      sampleSixteenths: Map[String, Int] = Map.empty,
+      sampleDefault: Int = 16,
+      packCapacity: Int = 256)
+
+  /** Stage 1 — quality gate (the `q01_funnel` predicate set). */
+  def qualityFilter(docs: DataFrame, cfg: Config): DataFrame = {
+    val toks = TextFns.tokens(col(cfg.textCol))
+    val n = size(toks)
+    val stopR = TextFns.tokenCountIn(toks, cfg.stopWords).cast("double") / n
+    val langOk =
+      if (cfg.langAllow.isEmpty) lit(true) else col(cfg.langCol).isin(cfg.langAllow: _*)
+    docs.filter(langOk && n.between(cfg.minTokens, cfg.maxTokens) &&
+      stopR < cfg.maxStopRatio)
+  }
+
+  /** Stage 2 — exact dedup: keep the smallest id per content fingerprint. */
+  def exactDedup(docs: DataFrame, cfg: Config): DataFrame = {
+    val canon = DedupOps.exactGroups(docs, cfg.idCol, cfg.textCol)
+      .select(col("canonical_id").as(cfg.idCol))
+    docs.join(canon, Seq(cfg.idCol), "left_semi")
+  }
+
+  /** Stage 3 — near-dup collapse (LSH → components → canonical survivors). */
+  def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
+    DedupOps.dropNearDups(docs, cfg.idCol, cfg.textCol,
+      cfg.dedupShingleN, cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)
+
+  /** Stage 4 — drop docs sharing any `decontamShingleN`-gram with the
+    * benchmark set.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, cfg: Config): DataFrame = {
+    val flagged = DedupOps.decontaminate(docs, benchmark, cfg.idCol,
+      cfg.textCol, cfg.decontamShingleN)
+    docs.join(flagged.filter(col("contaminated") === 1).select(cfg.idCol),
+      Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Stage 5 — deterministic stratified downsample (no-op when every
+    * stratum keeps 16/16).
+    */
+  def sample(docs: DataFrame, cfg: Config): DataFrame =
+    FoldOps.stratifiedHashSample(docs, col(cfg.idCol), col(cfg.stratumCol),
+      cfg.sampleSixteenths, cfg.sampleDefault).drop("h16")
+
+  /** Stage 6 — sequence packing: append `n_tokens` and `bin_id`. */
+  def pack(docs: DataFrame, cfg: Config): DataFrame =
+    FoldOps.packByCumsum(
+      docs.withColumn("n_tokens", size(TextFns.tokens(col(cfg.textCol)))),
+      Seq(cfg.stratumCol), Seq(cfg.idCol), col("n_tokens"), cfg.packCapacity)
+
+  /** The full chain. */
+  def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame =
+    pack(sample(decontaminate(nearDedup(exactDedup(
+      qualityFilter(docs, cfg), cfg), cfg), benchmark, cfg), cfg), cfg)
+
+  /** The chain plus the per-stage survivor funnel (one count action per
+    * stage — the curation report every corpus run ships with).
+    */
+  def curateWithReport(docs: DataFrame, benchmark: DataFrame,
+      cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
+    val s1 = qualityFilter(docs, cfg)
+    val s2 = exactDedup(s1, cfg)
+    val s3 = nearDedup(s2, cfg)
+    val s4 = decontaminate(s3, benchmark, cfg)
+    val s5 = sample(s4, cfg)
+    val out = pack(s5, cfg)
+    val report = Seq(
+      "00_input" -> docs.count(), "10_quality" -> s1.count(),
+      "20_exact_dedup" -> s2.count(), "30_near_dedup" -> s3.count(),
+      "40_decontaminated" -> s4.count(), "50_sampled" -> s5.count())
+    (out, report)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Golden end-to-end corpus curation on the sf0.001 documents table:
+  * the full quality → dedup → decontaminate → sample → pack chain with
+  * pinned per-stage counts (the curation-report ritual, deterministic by
+  * construction so the pin is stable across runs and partitionings).
+  */
+class CorpusCuratorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def split(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val all = Tables.documents(spark, d)
+    (all.filter(col("doc_id") % 37 =!= 0), all.filter(col("doc_id") % 37 === 0))
+  }
+
+  test("golden curation run: pinned funnel, packed output, deterministic") {
+    val (corpus, bench) = split()
+    val cfg = CorpusCurator.Config(
+      langAllow = Seq("en", "de"),
+      sampleSixteenths = Map("src0" -> 8),
+      sampleDefault = 16)
+    val (out, report) = CorpusCurator.curateWithReport(corpus, bench, cfg)
+
+    val counts = report.toMap
+    // pinned golden funnel — every stage decision is a deterministic
+    // function of content, so these survive any cluster or partitioning
+    assert(report === Seq(
+      "00_input" -> 486L, "10_quality" -> 232L, "20_exact_dedup" -> 232L,
+      "30_near_dedup" -> 226L, "40_decontaminated" -> 225L,
+      "50_sampled" -> 224L))
+
+    // every surviving row carries a valid pack assignment
+    val packed = out.select("doc_id", "source", "n_tokens", "bin_id")
+      .as[(Long, String, Int, Int)].collect()
+    assert(packed.forall(r => r._3 > 0 && r._4 >= 0))
+    assert(packed.length === counts("50_sampled"))
+
+    // a bin may exceed capacity only via its last doc crossing the boundary
+    // (the cut lands on the row that crosses); totals stay < capacity + max doc
+    val maxDoc = packed.map(_._3).max
+    val tooBig = packed.groupBy(r => (r._2, r._4))
+      .filter(_._2.map(_._3).sum >= cfg.packCapacity + maxDoc)
+    assert(tooBig.isEmpty, s"bins grossly over capacity: ${tooBig.keys}")
+
+    // determinism: same counts from a repartitioned input
+    val (_, report2) = CorpusCurator.curateWithReport(corpus.repartition(13), bench, cfg)
+    assert(report2 === report)
+  }
+}
