@@ -376,10 +376,11 @@ object SparkEntry {
             "'30_then_purchase', s3) as (stage, users)"))
     }),
 
-    // sparse TF-IDF cosine pairs via inverted index (the sparse-vector
-    // sibling of d06's dense embedding near-dup)
+    // sparse TF-IDF cosine pairs over a trigram inverted index (the
+    // sparse-vector sibling of d06's dense embedding near-dup)
     "d11_sparse_cosine" -> ((s, d) =>
-      DedupOps.tfidfCosinePairs(docs(s, d), "doc_id", "text", threshold = 0.9)),
+      DedupOps.tfidfCosinePairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)),
 
     // Pearson correlation of numeric column pairs, melted tall — the
     // feature-analysis staple; one aggregate pass for all pairs
@@ -1315,9 +1316,14 @@ object SparkEntry {
          WHERE t_signup < t_click AND t_click < t_purchase""",
 
     "d11_sparse_cosine" ->
-      """WITH toks AS (
-           SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
-           FROM documents),
+      """WITH t AS (
+           SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         toks AS (
+           SELECT doc_id, UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END) AS term
+           FROM t),
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
          dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
          n AS (SELECT COUNT(*) AS n FROM documents),
@@ -1333,7 +1339,7 @@ object SparkEntry {
          FROM dots
          JOIN norms na ON na.doc_id = id_a
          JOIN norms nb ON nb.doc_id = id_b
-         WHERE dp / (na.nrm * nb.nrm) >= 0.9""",
+         WHERE dp / (na.nrm * nb.nrm) >= 0.5""",
 
     "a17_corr_pairs" ->
       """WITH c AS (SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS c_qp,

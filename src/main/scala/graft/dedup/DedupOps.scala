@@ -296,22 +296,26 @@ object DedupOps {
           when(col(s"__v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** Sparse TF-IDF cosine similarity over an inverted index: weight each
-    * (doc, term) posting by `tf · smoothIdf`, join postings on the term
-    * (never doc×doc — only docs sharing a term ever meet), sum the weight
-    * products, and normalize by the per-doc L2 norms. Exact cosine for
-    * every pair above `threshold`.
+  /** Sparse TF-IDF cosine similarity over an inverted index of `shingleN`-
+    * token shingles: weight each (doc, shingle) posting by `tf · smoothIdf`,
+    * join postings on the shingle (never doc×doc — only docs sharing a
+    * shingle ever meet), sum the weight products, and normalize by the
+    * per-doc L2 norms. Exact cosine for every pair above `threshold`.
     *
-    * Scale note: a term appearing in k docs contributes k² join rows, so
-    * stop-like terms dominate the posting join at corpus scale. Their IDF
-    * weight is near zero — at 100 TB, cap the index at a max document
-    * frequency (prune-then-rescore) or LSH-bucket the postings; this exact
-    * form is the correctness baseline, same framing as `jaccardAllPairs`.
+    * The posting term is a SHINGLE, not a unigram, on purpose: a posting
+    * with document frequency k contributes k² join rows, and unigram
+    * vocabularies are tiny relative to any corpus (every doc shares every
+    * term → the index degenerates toward all-pairs). Shingle cardinality
+    * grows with the corpus, keeping the index sparse — the same property
+    * that makes `jaccardAllPairs` viable. For adversarial high-df shingles
+    * at 100 TB, cap the index at a max document frequency (near-zero IDF
+    * weight anyway) or LSH-bucket the postings.
     */
   def tfidfCosinePairs(docs: DataFrame, id: String, text: String,
-      threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double): DataFrame = {
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
-      .select(col(id), explode(TextFns.tokens(col(text))).as("term"))
+      .select(col(id),
+        explode(TextFns.rawShingles(TextFns.tokens(col(text)), shingleN)).as("term"))
     val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
