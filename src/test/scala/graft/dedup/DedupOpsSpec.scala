@@ -125,6 +125,49 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(t.getSeq[String](1) === Seq("a b a", "b a b"))
   }
 
+  test("tfidfCosinePairs: identical docs hit 1.0, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // exact clone → cosine 1
+      (3L, "one two three four five six seven") // disjoint trigrams
+    ).toDF("doc_id", "text")
+    val got = DedupOps.tfidfCosinePairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-9)
+  }
+
+  test("tfidfCosinePairs matches a hand-computed two-doc cosine") {
+    // docs sharing exactly one trigram "a b c"; n=2 docs
+    // doc1 trigrams: {a b c, b c d}; doc2: {a b c, b c e}
+    // df(a b c)=2, df(b c d)=df(b c e)=1; idf = ln((n+1)/(df+1))+1
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = DedupOps.tfidfCosinePairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    val wShared = math.log(3.0 / 3.0) + 1.0   // 1.0
+    val wRare = math.log(3.0 / 2.0) + 1.0
+    val expected = wShared * wShared / (math.hypot(wShared, wRare) * math.hypot(wShared, wRare))
+    assert(got.length === 1)
+    assert(math.abs(got(0)._3 - BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("decontaminate is invariant under corpus repartitioning") {
+    val all = (1L to 60L).map(i =>
+      (i, if (i % 7 == 0) "shared marker phrase appears right here today"
+          else s"unique text body number $i with several filler tokens")).toDF("doc_id", "text")
+    val corpus = all.filter($"doc_id" % 3 =!= 0L)
+    val bench = all.filter($"doc_id" % 3 === 0L)
+    val a = DedupOps.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = DedupOps.decontaminate(corpus.repartition(11), bench.repartition(5),
+      "doc_id", "text", 5).as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+    // docs with the shared phrase and not in bench must flag contaminated
+    val contaminatedIds = a.filter(_._3 == 1).map(_._1)
+    assert(contaminatedIds === (1L to 60L).filter(i => i % 7 == 0 && i % 3 != 0).toSet)
+  }
+
   test("dropNearDups keeps the canonical member of each group, all singletons") {
     val shared = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
