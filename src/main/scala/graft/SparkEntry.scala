@@ -918,6 +918,30 @@ object SparkEntry {
     // sink writes to a fresh temp dir, source reads it back with an
     // explicit schema; the oracle checks the round-trip is lossless
     // against the original table
+    // S4 — latin-1 TSV round-trip: non-ASCII labels survive the
+    // ISO-8859-1 encode → decode cycle losslessly
+    "s04_latin1_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s04").toString
+      val src = nat(s, d).select(col("n_nationkey"),
+        concat(col("n_name"), lit(" Müller-José")).as("n_label"))
+      src.write.mode("overwrite").option("header", "true").option("sep", "\t")
+        .option("encoding", "ISO-8859-1").csv(out)
+      graft.sources.Readers.tsvLatin1(s, out, src.schema)
+        .select("n_nationkey", "n_label")
+    }),
+
+    // S6 — partitioned-parquet sink round-trip: one dataset partitioned by
+    // the entity key (not N per-entity files), read back under partition
+    // pruning and aggregated
+    "s06_partitioned_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s06").toString
+      val src = li(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
+      graft.sources.Sinks.partitionedParquet(src, out, Seq("l_returnflag"))
+      s.read.parquet(out).filter(col("l_returnflag") === "R")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
     "s03_tsv_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft_s03").toString
       val src = nat(s, d).select("n_nationkey", "n_name", "n_regionkey")
@@ -2072,6 +2096,14 @@ object SparkEntry {
 
     "s03_tsv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "s04_latin1_roundtrip" ->
+      "SELECT n_nationkey, n_name || ' Müller-José' AS n_label FROM nation",
+
+    "s06_partitioned_roundtrip" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""",
 
     "s05_csvgz_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
