@@ -346,6 +346,18 @@ object SparkEntry {
             "'30_quality', s3) as (stage, survivors)"))
     }),
 
+    // per-group z-score outlier flagging (data-quality pass): group stats
+    // via one aggregate, re-attached with an AQE-sized join — no window
+    // sort over the fact table
+    "dq02_outliers" -> ((s, d) => {
+      val stats = ev(s, d).groupBy("event_type")
+        .agg(avg("value").as("__mu"), stddev_samp(col("value")).as("__sd"))
+      ev(s, d).join(stats, Seq("event_type"))
+        .withColumn("z", (col("value") - col("__mu")) / col("__sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), round(col("z"), 6).as("z"))
+    }),
+
     // OLAP grouping sets: revenue at (flag, status), per-flag subtotal,
     // and grand total in ONE pass — rollup's partial aggregates combine
     // map-side; the reference computes each granularity as a separate scan
@@ -1313,6 +1325,14 @@ object SparkEntry {
          SELECT '30_quality', COUNT(*) FROM f
          WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
            AND n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4""",
+
+    "dq02_outliers" ->
+      """WITH s AS (SELECT event_type, AVG(value) AS mu,
+                           STDDEV_SAMP(value) AS sd
+                    FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) AS z
+         FROM events e JOIN s USING (event_type)
+         WHERE ABS((value - mu) / sd) > 2.5""",
 
     "a18_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -76,6 +76,16 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static semi join: filter a live event stream to a static
+    * cohort/allow-list (the streaming face of `JoinOps.semiFilter`). The
+    * static side is planned per micro-batch, so an updated cohort table is
+    * picked up on the next trigger; no state is kept — the join is a
+    * stateless per-batch hash probe.
+    */
+  def cohortFilterStream(events: DataFrame, cohort: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(cohort.select(keys.map(col): _*).distinct(), keys, "left_semi")
+
   /** Streaming twin of exact dedup (`DedupOps.exactGroups` membership): emit
     * each document once, keyed by its content fingerprint, suppressing
     * re-arrivals inside the watermark horizon. State is one fingerprint per

@@ -99,6 +99,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static cohort semi-join equals the batch semi filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-semi")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val cohort = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") % 5 === 0).select("user_id").distinct()
+
+    val stream = EventStreams.cohortFilterStream(
+      spark.readStream.schema(rawSchema).parquet(dir.toString),
+      cohort, Seq("user_id"))
+      .select("event_id")
+
+    val q = stream.writeStream
+      .format("memory").queryName("semi").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("semi").as[Long].collect().toSet
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .join(cohort, Seq("user_id"), "left_semi")
+      .select("event_id").as[Long].collect().toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming exact dedup emits one row per distinct fingerprint (batch parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup")
