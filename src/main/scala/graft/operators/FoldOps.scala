@@ -69,30 +69,61 @@ object FoldOps {
     * stratum by the md5 of their key (plus the key itself as tie-break)
     * and keep the first `n`. The reservoir-sampling answer with none of
     * its order-dependence — same `n` rows per stratum on any cluster.
-    * One window sort per stratum (parallel across strata); for
-    * fraction-based sampling prefer `stratifiedHashSample`, which needs
-    * no sort at all.
+    *
+    * Two-phase, because strata are typically FEW and HUGE (languages,
+    * sources): a single per-stratum window would sort a whole stratum in
+    * one task. Phase 1 takes the top-n inside each (stratum, hash-salt)
+    * slice — uniform 1/fanout portions, so every sort is small; the global
+    * top-n is necessarily a subset of the ≤ fanout·n survivors, which
+    * phase 2 ranks exactly. For fraction-based sampling prefer
+    * `stratifiedHashSample`, which needs no sort at all.
     */
   def perStratumTopN(df: DataFrame, stratum: Column, key: Column, n: Int,
-      rankCol: String = "rk"): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)
-    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+      rankCol: String = "rk", fanout: Int = 64): DataFrame = {
+    val h = md5(key.cast("string"))
+    val salt = pmod(xxhash64(key.cast("string")), lit(fanout.toLong))
+    val wLocal = Window.partitionBy(stratum, salt).orderBy(h, key)
+    val survivors = df.withColumn("__tn_lr", row_number().over(wLocal))
+      .filter(col("__tn_lr") <= n).drop("__tn_lr")
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+    survivors.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
   /** Greedy-by-order sequence packing: rows are laid end-to-end in
     * (`partKeys`, `orderCols`) order and cut into fixed-`capacity` bins by
     * the running size prefix-sum (a row starts the next bin when its
-    * predecessor total crosses a capacity boundary). One window cumsum per
-    * stratum — no global pass, no driver loop; strata pack in parallel.
-    * Oversized rows (> capacity) get a bin of their own, as in standard
-    * sequence-packing practice.
+    * predecessor total crosses a capacity boundary). Oversized rows
+    * (> capacity) get a bin of their own, as in standard packing practice.
+    *
+    * The prefix sum is two-phase (`RankOps.globalRowNumber`'s scheme,
+    * generalized per stratum): range-partition on (stratum, order), local
+    * cumsum per range bucket, then per-(stratum, bucket) totals turned
+    * into prefix offsets by a tiny triangular join — strata are typically
+    * few and huge, so a plain per-stratum window would funnel a whole
+    * stratum through one task.
     */
   def packByCumsum(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
       size: Column, capacity: Int, name: String = "bin_id"): DataFrame = {
-    val w = Window.partitionBy(partKeys.map(col): _*)
+    val keys = (partKeys ++ orderCols).map(col)
+    val ranged = df.repartitionByRange(keys: _*)
+      .withColumn("__pb_pid", spark_partition_id())
+    val bucketKeys = partKeys.map(col) :+ col("__pb_pid")
+    val wLocal = Window.partitionBy(bucketKeys: _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(name,
-      floor((sum(size).over(w) - size) / lit(capacity.toDouble)).cast("int"))
+    val local = ranged.withColumn("__pb_cum", sum(size).over(wLocal))
+    val totals = ranged.groupBy(bucketKeys: _*).agg(sum(size).as("__pb_n"))
+    val offsets = totals.alias("a")
+      .join(totals.alias("b"),
+        partKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+          .foldLeft(col("b.__pb_pid") < col("a.__pb_pid"))(_ && _), "left")
+      .groupBy(partKeys.map(k => col(s"a.$k").as(k)) :+
+        col("a.__pb_pid").as("__pb_pid"): _*)
+      .agg(coalesce(sum(col("b.__pb_n")), lit(0L)).as("__pb_off"))
+    local.join(offsets, partKeys :+ "__pb_pid")
+      .withColumn(name,
+        floor((col("__pb_cum") + col("__pb_off") - size) / lit(capacity.toDouble))
+          .cast("int"))
+      .drop("__pb_pid", "__pb_cum", "__pb_off")
   }
 }

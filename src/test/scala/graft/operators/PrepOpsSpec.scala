@@ -49,6 +49,18 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got === Map(1 -> 0, 2 -> 0, 3 -> 0, 4 -> 1, 5 -> 2))
   }
 
+  test("packByCumsum is invariant under input repartitioning (two-phase prefix sum)") {
+    val df = (1 to 500).map(i => (s"s${i % 3}", i, 10 + i % 90)).toDF("src", "id", "n")
+    val a = FoldOps.packByCumsum(df, Seq("src"), Seq("id"), col("n"), 256)
+      .select("src", "id", "bin_id").as[(String, Int, Int)].collect().toSet
+    val b = FoldOps.packByCumsum(df.repartition(17), Seq("src"), Seq("id"), col("n"), 256)
+      .select("src", "id", "bin_id").as[(String, Int, Int)].collect().toSet
+    assert(a === b)
+    // bins are contiguous from 0 per stratum
+    val bins = a.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).toSeq.sorted }
+    bins.foreach { case (_, bs) => assert(bs.distinct === (0 to bs.max)) }
+  }
+
   test("rollingBySeconds frames trail the configured span, peers included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(
