@@ -320,6 +320,10 @@ object DedupOps {
       .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
+    // checkpointed: consumed three times (norms + both self-join sides);
+    // without it each consumer replays the tf⋈df⋈n subtree. The residual
+    // wall-clock here is stage-count floor, not data volume (PlanAudit:
+    // every exchange is KB-scale at test sf)
     val wts = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .select(col(id), col("term"),
         (col("tf") * TextFns.smoothIdf(col("__n"), col("df"))).as("w"))
