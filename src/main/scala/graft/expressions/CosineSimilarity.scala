@@ -110,11 +110,15 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    // plan lint: surfaces (or, in strict mode, rejects) single-partition
+    // global windows — see graft.plans.GlobalWindowGuard
+    ext.injectOptimizerRule(graft.plans.GlobalWindowGuard)
+  }
 }
