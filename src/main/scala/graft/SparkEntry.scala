@@ -930,6 +930,21 @@ object SparkEntry {
     // sink writes to a fresh temp dir, source reads it back with an
     // explicit schema; the oracle checks the round-trip is lossless
     // against the original table
+    // S8 — text-report sink round-trip: formatted summary lines written to
+    // a single text file, read back verbatim (the reference's printed
+    // cohort-count ritual as a durable artifact)
+    "s08_report_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s08")
+        .resolve("report.txt").toString
+      val summary = ord(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .select(concat(lit("status "), col("o_orderstatus"),
+          lit(": n="), col("n"), lit(" avg="), col("avg_price").cast("string"))
+          .as("line"))
+      graft.sources.Sinks.textReport(summary, r => r.getString(0), out)
+      s.read.text(out).select(col("value").as("line"))
+    }),
+
     // S4 — latin-1 TSV round-trip: non-ASCII labels survive the
     // ISO-8859-1 encode → decode cycle losslessly
     "s04_latin1_roundtrip" -> ((s, d) => {
@@ -2119,6 +2134,12 @@ object SparkEntry {
 
     "s04_latin1_roundtrip" ->
       "SELECT n_nationkey, n_name || ' Müller-José' AS n_label FROM nation",
+
+    "s08_report_roundtrip" ->
+      """SELECT 'status ' || o_orderstatus || ': n=' || COUNT(*)
+                || ' avg=' || CAST(ROUND(AVG(o_totalprice), 2) AS VARCHAR)
+                AS line
+         FROM orders GROUP BY o_orderstatus""",
 
     "s06_partitioned_roundtrip" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
