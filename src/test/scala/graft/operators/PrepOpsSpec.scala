@@ -120,6 +120,25 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got(2L) === Seq(-128, -128, -128))
   }
 
+  test("empty inputs: sampling, packing, top-n, centroids degrade to empty, not errors") {
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "lang")
+    assert(FoldOps.stratifiedHashSample(noDocs, col("id"), col("lang"),
+      Map("en" -> 4), 8).count() === 0)
+    assert(FoldOps.perStratumTopN(noDocs, col("lang"), col("id"), 5).count() === 0)
+    val noSized = Seq.empty[(String, Long, Int)].toDF("src", "id", "n")
+    assert(FoldOps.packByCumsum(noSized, Seq("src"), Seq("id"), col("n"), 64).count() === 0)
+    val noVecs = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Knn.centroids(noVecs, "label", "embedding").count() === 0)
+  }
+
+  test("decontaminate with an empty benchmark flags nothing") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Long, Int)].collect()
+    assert(got === Array((1L, 0L, 0)))
+  }
+
   test("decontaminate counts distinct shared shingles; clean docs flag 0") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 5-grams with bench
