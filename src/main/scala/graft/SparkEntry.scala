@@ -930,6 +930,25 @@ object SparkEntry {
     // sink writes to a fresh temp dir, source reads it back with an
     // explicit schema; the oracle checks the round-trip is lossless
     // against the original table
+    // full ConText tag set per section — all four modifier classes
+    // (negation / historical / family / hypothetical analogues) in ONE
+    // scan pass, each a codegen'd rlike; reference tags these classes per
+    // entity (notes_preproc.py:163-224), here with corpus-vocabulary cue
+    // sets standing in for the clinical rule lists
+    "t15_context_classes" -> ((s, d) => {
+      val nlp = graft.functions.NotesNlp
+      val secs = nlp.splitSections(docs(s, d), "doc_id", "text", " data ")
+      secs.select(col("doc_id"), col("sec_no"),
+        nlp.cueFlag(col("section"), Seq("slow", "small"), Seq("scan", "query"), 2)
+          .as("negated"),
+        nlp.cueFlag(col("section"), Seq("old", "prior", "batch"), Seq("join", "merge"), 2)
+          .as("historical"),
+        nlp.cueFlag(col("section"), Seq("group", "cluster"), Seq("key", "row"), 2)
+          .as("family"),
+        nlp.cueFlag(col("section"), Seq("fast", "stream"), Seq("sort", "filter"), 2)
+          .as("hypothetical"))
+    }),
+
     // S8 — text-report sink round-trip: formatted summary lines written to
     // a single text file, read back verbatim (the reference's printed
     // cohort-count ritual as a durable artifact)
@@ -2134,6 +2153,26 @@ object SparkEntry {
 
     "s04_latin1_roundtrip" ->
       "SELECT n_nationkey, n_name || ' Müller-José' AS n_label FROM nation",
+
+    "t15_context_classes" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents),
+         s AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS sec_no, parts[i] AS section
+               FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500)) AS i)
+               WHERE i <= LEN(parts))
+         SELECT doc_id, sec_no,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(slow|small)(\s+\w+){0,2}\s+(scan|query)(\s|$)')
+                     THEN 1 ELSE 0 END AS negated,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(old|prior|batch)(\s+\w+){0,2}\s+(join|merge)(\s|$)')
+                     THEN 1 ELSE 0 END AS historical,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(group|cluster)(\s+\w+){0,2}\s+(key|row)(\s|$)')
+                     THEN 1 ELSE 0 END AS family,
+                CASE WHEN REGEXP_MATCHES(section,
+                       '(^|\s)(fast|stream)(\s+\w+){0,2}\s+(sort|filter)(\s|$)')
+                     THEN 1 ELSE 0 END AS hypothetical
+         FROM s""",
 
     "s08_report_roundtrip" ->
       """SELECT 'status ' || o_orderstatus || ': n=' || COUNT(*)
