@@ -426,6 +426,16 @@ object SparkEntry {
             .cast("long"))
     }),
 
+    // incremental near-dup: the 20% "new batch" (doc_id % 5 = 0) against
+    // the 80% "existing index" — candidates are new×index only
+    "d12_incremental_neardup" -> ((s, d) => {
+      val all = docs(s, d)
+      DedupOps.nearDupAgainstIndex(
+        all.filter(col("doc_id") % 5 === 0),
+        all.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+    }),
+
     // end-to-end dedup survivor list: LSH pairs → components → drop
     // non-canonical members; untouched docs bypass the component step
     "d10_dedup_keep" -> ((s, d) =>
@@ -1454,6 +1464,50 @@ object SparkEntry {
                 ROUND(SUM(value), 2) AS sum_value
          FROM e CROSS JOIN g
          GROUP BY 1, 2""",
+
+    "d12_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_new, c.id_old, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_new
+                     JOIN ex b ON b.doc_id = c.id_old AND b.sg = a.sg
+                   GROUP BY 1, 2)
+         SELECT id_new, id_old,
+                ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_new
+         JOIN sizes sb ON sb.doc_id = id_old
+         WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
 
     "d10_dedup_keep" ->
       """WITH RECURSIVE

@@ -157,6 +157,45 @@ object DedupOps {
     jaccardVerify(cands, shingled, id, threshold)
   }
 
+  /** Incremental near-dup: a NEW ingest batch tested against an EXISTING
+    * corpus index — candidates are (new × indexed) band-bucket matches,
+    * never new×new or indexed×indexed. This is the growth path of a live
+    * corpus: each batch pays LSH cost proportional to the batch, while the
+    * index side is the historical band-key + shingle frames (persistable
+    * as bucketed tables, so the join co-locates without a fresh shuffle of
+    * the corpus). The bucket cap guards the unbounded index side.
+    */
+  def nearDupAgainstIndex(newDocs: DataFrame, indexDocs: DataFrame, id: String,
+      text: String, shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 100000): DataFrame = {
+    val shNew = withShingles(newDocs, id, text, shingleN).localCheckpoint(false)
+    val shIdx = withShingles(indexDocs, id, text, shingleN).localCheckpoint(false)
+    val bkNew = lshBandKeys(signaturesFromShingles(shNew, id, k), id, bands, k / bands)
+    val bkIdx = lshBandKeys(signaturesFromShingles(shIdx, id, k), id, bands, k / bands)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    val cappedIdx = bkIdx.filter(col("band_key").isNotNull)
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val cands = bkNew.filter(col("band_key").isNotNull)
+      .select(col("band"), col("band_key"), col(id).as("id_new"))
+      .join(cappedIdx.select(col("band"), col("band_key"), col(id).as("id_old")),
+        Seq("band", "band_key"))
+      .select("id_new", "id_old").distinct()
+    val sizesNew = shNew.select(col(id).as("id_new"),
+      size(col("shingles")).cast("long").as("sz_new"))
+    val sizesIdx = shIdx.select(col(id).as("id_old"),
+      size(col("shingles")).cast("long").as("sz_old"))
+    val exNew = shNew.select(col(id).as("id_new"), explode(col("shingles")).as("s"))
+    val exIdx = shIdx.select(col(id).as("id_old"), explode(col("shingles")).as("s"))
+    val inter = cands.join(exNew, Seq("id_new")).join(exIdx, Seq("id_old", "s"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("n_inter"))
+    inter.join(sizesNew, Seq("id_new")).join(sizesIdx, Seq("id_old"))
+      .withColumn("__j", col("n_inter").cast("double") /
+        (col("sz_new") + col("sz_old") - col("n_inter")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: band on the signature's first
     * `bandBits` bits (hamming-close signatures agree on short prefixes with
     * high probability), then verify exact hamming distance ≤ `maxHamming`

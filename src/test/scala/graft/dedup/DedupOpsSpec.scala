@@ -168,6 +168,25 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(contaminatedIds === (1L to 60L).filter(i => i % 7 == 0 && i % 3 != 0).toSet)
   }
 
+  test("nearDupAgainstIndex pairs new-batch docs with the index only, never new x new") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val newBatch = Seq(
+      (100L, shared),            // dup of indexed 1
+      (101L, shared + " twist"), // dup of indexed 1 AND of 100 — but 100x101 must NOT pair
+      (102L, "fresh content with no match anywhere in the existing corpus")
+    ).toDF("doc_id", "text")
+    val index = Seq(
+      (1L, shared),
+      (2L, "unrelated indexed document about entirely different things")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.nearDupAgainstIndex(newBatch, index, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(got.forall { case (n, o) => n >= 100L && o < 100L })
+    assert(got.contains((100L, 1L)))
+    assert(!got.exists { case (n, o) => n >= 100L && o >= 100L })
+  }
+
   test("dropNearDups keeps the canonical member of each group, all singletons") {
     val shared = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
