@@ -611,6 +611,22 @@ object SparkEntry {
         simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
 
+    // multi-probe IVF: label-centroid quantizer, each query probes its 2
+    // nearest clusters. Rows-only check like v03 (cross-engine argmin on
+    // borderline vectors is not bit-stable); KnnSpec proves nProbe=C
+    // degrades to exact brute force
+    "v06_ann_multiprobe" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val cents = Knn.centroids(e, "label", "embedding").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      Knn.multiProbeTopK(e, "vec_id", "embedding", cents, nProbe = 2, k = 3,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
+
     "v02_ann_clustered" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3,

@@ -126,6 +126,37 @@ object Knn {
       Seq(id))
   }
 
+  /** Multi-probe IVF top-k: each query searches its `nProbe` NEAREST
+    * clusters instead of only its own — the standard recall/cost knob of
+    * IVF indexes (probing p of C clusters scans ~p/C of the corpus).
+    * Probe selection reuses the literal centroid matrix: per-query
+    * distances to all C centroids, the p closest cluster ids via an
+    * array sort (ties to the smaller id), exploded to (query, probe)
+    * rows, then ONE equi-join on the cluster id — the same join shape as
+    * `clusteredTopK`, with p rows per query on the probe side. With
+    * `nProbe = C` this degrades gracefully to exact brute force
+    * (asserted in KnnSpec).
+    */
+  def multiProbeTopK(corpus: DataFrame, id: String, emb: String,
+      centroids: Seq[Seq[Double]], nProbe: Int, k: Int,
+      simFn: Sim = VectorFns.cosine): DataFrame = {
+    val e = VectorFns.toDoubleArr(col(emb))
+    val cs = typedLit(centroids.map(_.toSeq))
+    val dists = transform(cs, c =>
+      aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    val idxed = zip_with(dists, sequence(lit(0), lit(centroids.size - 1)),
+      (dst, i) => struct(dst.as("d"), i.as("i")))
+    val probeIds = transform(slice(array_sort(idxed), 1, nProbe), s => s.getField("i"))
+    val q = corpus.select(col(id).as("query_id"), e.as("__qe"),
+      explode(probeIds).as("__b"))
+    val c = assignClusters(corpus, id, emb, centroids)
+      .select(col("cluster").as("__b"), col(id).as("neighbor_id"),
+        VectorFns.toDoubleArr(col(emb)).as("__ne"))
+    val joined = q.join(c, Seq("__b")).filter(col("query_id") =!= col("neighbor_id"))
+    simRank(joined, k, simFn)
+  }
+
   /** Per-group embedding centroid in tall form (group, pos, mean_v):
     * posexplode + one hash aggregate keyed on (group, dimension). The tall
     * shape is deliberate — per-dimension partial means combine map-side,

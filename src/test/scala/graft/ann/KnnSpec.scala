@@ -36,6 +36,25 @@ class KnnSpec extends AnyFunSuite {
     assert(got.count(_._1 == 0L) === 2) // only its own cluster's other members
   }
 
+  test("multiProbeTopK with nProbe = C equals exact brute force; nProbe=1 stays in-cluster") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.5)) // arbitrary quantizer
+    val full = Knn.multiProbeTopK(vecs, "vec_id", "embedding", centroids,
+        nProbe = 2, k = 4)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Knn.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === brute)
+
+    val one = Knn.multiProbeTopK(vecs, "vec_id", "embedding", centroids,
+        nProbe = 1, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // single probe ⊆ full probe's pair set, and strictly smaller here
+    assert(one.toSet.subsetOf(brute.map(t => (t._1, t._2))))
+    assert(one.length < brute.size)
+  }
+
   test("kmeans quantizer: separable clusters split correctly, assignment deterministic") {
     import spark.implicits._
     // two well-separated blobs in 4-d
