@@ -148,11 +148,18 @@ object Knn {
     val idxed = zip_with(dists, sequence(lit(0), lit(centroids.size - 1)),
       (dst, i) => struct(dst.as("d"), i.as("i")))
     val probeIds = transform(slice(array_sort(idxed), 1, nProbe), s => s.getField("i"))
-    val q = corpus.select(col(id).as("query_id"), e.as("__qe"),
-      explode(probeIds).as("__b"))
-    val c = assignClusters(corpus, id, emb, centroids)
-      .select(col("cluster").as("__b"), col(id).as("neighbor_id"),
-        VectorFns.toDoubleArr(col(emb)).as("__ne"))
+    // one distance pass serves both roles: a vector's OWN cluster is its
+    // first probe (same argmin + smallest-id tie-break as assignClusters),
+    // so the corpus side reuses probes(1) instead of re-ranking centroids
+    // checkpointed: both join sides consume it — the centroid ranking runs
+    // once per vector, not once per side
+    val withProbes = corpus
+      .select(col(id), VectorFns.toDoubleArr(col(emb)).as("__e"), probeIds.as("__ps"))
+      .localCheckpoint(false)
+    val q = withProbes.select(col(id).as("query_id"), col("__e").as("__qe"),
+      explode(col("__ps")).as("__b"))
+    val c = withProbes.select(element_at(col("__ps"), 1).as("__b"),
+      col(id).as("neighbor_id"), col("__e").as("__ne"))
     val joined = q.join(c, Seq("__b")).filter(col("query_id") =!= col("neighbor_id"))
     simRank(joined, k, simFn)
   }
