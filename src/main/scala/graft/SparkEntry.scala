@@ -436,6 +436,32 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, k = 12, bands = 6, threshold = 0.5)
     }),
 
+    // TPC-H Q5-shaped snowflake: local-supplier revenue per ASIA nation for
+    // 1996 orders. Five joins, one aggregate; the fact table is filtered
+    // through the orders semi-path BEFORE touching dimensions, region/
+    // nation broadcast as literal-bounded dims, customer/supplier left to
+    // AQE. The classic join-reorder + pushdown stress test
+    "j16_snowflake_q5" -> ((s, d) => {
+      val asiaNat = nat(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o96 = ord(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      li(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o96, col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     // end-to-end dedup survivor list: LSH pairs → components → drop
     // non-canonical members; untouched docs bypass the component step
     "d10_dedup_keep" -> ((s, d) =>
@@ -1480,6 +1506,20 @@ object SparkEntry {
                 ROUND(SUM(value), 2) AS sum_value
          FROM e CROSS JOIN g
          GROUP BY 1, 2""",
+
+    "j16_snowflake_q5" ->
+      """SELECT n_name,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
 
     "d12_incremental_neardup" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
