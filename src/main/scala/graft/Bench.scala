@@ -82,10 +82,23 @@ object Bench {
     val passes = (1 to 3).map(_ => timedPass().toMap)
     val results = passes.head.keys.toSeq.sorted
       .map(k => k -> passes.map(_(k)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def entries(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    // The harness captures only the last ~2000 bytes of output, so the
+    // printed line must stay well under that: rounded values, and only the
+    // 20 slowest queries inline. The complete per-query map goes to
+    // BENCH_FULL.json alongside the repo for offline comparison.
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""n":${results.size},"queries":${entries(slowest)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""queries":${entries(results)},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }
