@@ -1083,10 +1083,174 @@ object SparkEntry {
           round(element_at(col("features"), 2), 6).as("f1"),
           round(element_at(col("features"), 3), 6).as("f2"),
           round(element_at(col("features"), 4), 6).as("f3"))
-    })
+    }),
+
+    // JSONL round-trip (the LLM-corpus interchange format): docs → .jsonl
+    // files → explicit-schema scan → aggregate; lossless vs the parquet
+    // original
+    "s11_jsonl_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s11").toString
+      val src = docs(s, d).select("doc_id", "lang", "n_chars")
+      graft.sources.Sinks.jsonl(src, out)
+      graft.sources.Readers.jsonl(s, out, src.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+    }),
+
+    // global token-budget sampling: best-first corpus prefix (longest docs
+    // first here) kept while the running token total fits the budget —
+    // two-phase prefix sum, no single-partition exchange
+    "ml06_token_budget" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("n_chars"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+      FoldOps.takeByBudget(t,
+          Seq(col("n_chars").desc, col("doc_id").asc), col("n_toks"),
+          budget = 8000L, cumName = "cum_toks")
+        .select(col("doc_id"), col("n_toks"), col("cum_toks").cast("long").as("cum_toks"))
+    }),
+
+    // per-source unigram entropy + type/token counts (corpus diversity
+    // report): explode → two stacked hash aggregates
+    "t16_source_entropy" -> ((s, d) =>
+      SummaryOps.groupEntropy(
+        Tables.spread(docs(s, d).select("source", "text"), tinyBytes = 0L)
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok")),
+        "source", "tok")
+        .withColumnRenamed("n_rows", "n_tokens")
+        .withColumnRenamed("n_categories", "n_types")),
+
+    // inter-document n-gram duplication (the CCNet/Gopher "dup 5-gram
+    // fraction" quality signal): share of a doc's 5-gram positions whose
+    // gram also occurs in some OTHER doc — explode, corpus-wide
+    // distinct-doc counts per gram, join back, per-doc ratio
+    "t17_dup_ngrams" -> ((s, d) => {
+      val g = Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
+        .select(col("doc_id"),
+          explode(TextFns.rawShingles(TextFns.tokens(col("text")), 5)).as("g"))
+      val docsPerGram = g.groupBy("g").agg(countDistinct(col("doc_id")).as("__nd"))
+      g.join(docsPerGram, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"),
+          round(avg(when(col("__nd") >= 2, 1.0).otherwise(0.0)), 6).as("dup_fraction"))
+    }),
+
+    // bounded-window EWMA smoothing (8-tap, α=1/2, exact binary-fraction
+    // weights): per-entity FIR filter as explicit lags — partition count
+    // grows with the entity population, frame is O(1) rows
+    "w12_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val taps = (0 to 7).map(j =>
+        (if (j == 0) col("value") else lag(col("value"), j).over(w),
+          math.pow(0.5, j)))
+      val num = taps.map { case (c, wt) => coalesce(c * wt, lit(0.0)) }.reduce(_ + _)
+      val den = taps.map { case (c, wt) =>
+        when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      ev(s, d).select(col("event_id"), col("user_id"),
+        round(num / den, 6).as("ewma8"))
+    }),
+
+    // weekly retention triangle: per-user cohort week (week of first
+    // event) × activity-week offset → distinct active users
+    "q02_retention" -> ((s, d) => {
+      val weeks = ev(s, d).select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).cast("int").as("wk"))
+        .distinct()
+      val first = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      weeks.join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+    }),
+
+    // behavioral diversity: Shannon entropy of each user's event-type mix
+    "a19_behavior_entropy" -> ((s, d) =>
+      SummaryOps.groupEntropy(ev(s, d), "user_id", "event_type")
+        .withColumnRenamed("n_rows", "n_events")
+        .withColumnRenamed("n_categories", "n_types"))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s11_jsonl_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
+
+    "ml06_token_budget" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+                CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_toks
+              FROM documents),
+         c AS (SELECT doc_id, n_toks,
+                CAST(SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_toks
+               FROM t)
+         SELECT doc_id, n_toks, cum_toks FROM c WHERE cum_toks <= 8000""",
+
+    "t16_source_entropy" ->
+      """WITH tok AS (SELECT source,
+                UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+              FROM documents),
+         c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+         SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_types,
+                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+         FROM c GROUP BY source""",
+
+    "t17_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                             toks[i+3] || ' ' || toks[i+4])) AS g
+               FROM t WHERE LEN(toks) >= 5),
+         nd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                ROUND(AVG(CASE WHEN nd.nd >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_fraction
+         FROM g JOIN nd USING (g) GROUP BY g.doc_id""",
+
+    "w12_ewma" ->
+      """SELECT event_id, user_id,
+           ROUND((COALESCE(value * 1.0, 0)
+                + COALESCE(LAG(value, 1) OVER w * 0.5, 0)
+                + COALESCE(LAG(value, 2) OVER w * 0.25, 0)
+                + COALESCE(LAG(value, 3) OVER w * 0.125, 0)
+                + COALESCE(LAG(value, 4) OVER w * 0.0625, 0)
+                + COALESCE(LAG(value, 5) OVER w * 0.03125, 0)
+                + COALESCE(LAG(value, 6) OVER w * 0.015625, 0)
+                + COALESCE(LAG(value, 7) OVER w * 0.0078125, 0))
+             / (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
+                + CASE WHEN LAG(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+                + CASE WHEN LAG(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+                + CASE WHEN LAG(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+                + CASE WHEN LAG(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+                + CASE WHEN LAG(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+                + CASE WHEN LAG(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+                + CASE WHEN LAG(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END), 6)
+             AS ewma8
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "q02_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                  AS INTEGER) AS wk
+              FROM events),
+         first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1)
+         SELECT f.cohort_wk, w.wk - f.cohort_wk AS week_offset,
+                CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM wk w JOIN first f USING (user_id)
+         GROUP BY 1, 2""",
+
+    "a19_behavior_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                CAST(COUNT(*) AS BIGINT) AS n_types,
+                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+         FROM c GROUP BY user_id""",
+
     "s01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
 

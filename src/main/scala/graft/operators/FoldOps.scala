@@ -89,6 +89,20 @@ object FoldOps {
     survivors.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
+  /** Global budget prefix: keep rows, in `sortCols` order (highest-priority
+    * first; must be a total order), while the running total of `size` stays
+    * within `budget` — the "sample the best N-token subset" primitive of a
+    * training-data pipeline (token budgets, storage quotas, labeling
+    * budgets). A row survives iff the budget covers it AND every row ranked
+    * ahead of it, so membership is independent of partitioning and cluster
+    * size. The prefix sum is [[RankOps.globalCumsum]] — two-phase,
+    * range-partitioned, no single-partition exchange anywhere.
+    */
+  def takeByBudget(df: DataFrame, sortCols: Seq[Column], size: Column,
+      budget: Long, cumName: String = "cum_size"): DataFrame =
+    RankOps.globalCumsum(df, sortCols, size, cumName)
+      .filter(col(cumName) <= budget)
+
   /** Greedy-by-order sequence packing: rows are laid end-to-end in
     * (`partKeys`, `orderCols`) order and cut into fixed-`capacity` bins by
     * the running size prefix-sum (a row starts the next bin when its

@@ -44,12 +44,38 @@ object RankOps {
     * frame is bounded by the shuffle-partition count, so the triangular
     * join is O(P²) tiny and fully distributed.
     */
-  private[operators] def bucketOffsets(ranged: DataFrame): DataFrame = {
-    val counts = ranged.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_n"))
+  private[operators] def bucketOffsets(ranged: DataFrame): DataFrame =
+    bucketOffsetsOf(ranged, count(lit(1)).as("__gr_n"))
+
+  /** Generalization: prefix offsets of an arbitrary per-bucket aggregate
+    * (row counts for ranking, value sums for prefix sums). Same bounded
+    * triangular join, same exchange-parallel plan.
+    */
+  private[operators] def bucketOffsetsOf(ranged: DataFrame, perBucket: Column): DataFrame = {
+    val counts = ranged.groupBy(col("__gr_pid")).agg(perBucket.as("__gr_n"))
     counts.alias("a")
       .join(counts.alias("b"), col("b.__gr_pid") < col("a.__gr_pid"), "left")
       .groupBy(col("a.__gr_pid").as("__gr_pid"))
       .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
+  }
+
+  /** Exact global running sum of `value` in `sortCols` order (a total order
+    * for deterministic output), without a single-partition exchange — the
+    * same two-phase scheme as [[globalRowNumber]] with sums in place of
+    * counts. Adds `outName` = sum of `value` over all rows at-or-before the
+    * current row. The range exchange is shared between the window branch
+    * and the per-bucket totals via ReusedExchange.
+    */
+  def globalCumsum(df: DataFrame, sortCols: Seq[Column], value: Column,
+      outName: String): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__gr_lcs", sum(value).over(w))
+    local.join(bucketOffsetsOf(ranged, sum(value)), Seq("__gr_pid"))
+      .withColumn(outName, col("__gr_lcs") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_lcs", "__gr_off")
   }
 
   /** Dense vocabulary encoding (SURVEY F23): 1-based contiguous ids over the

@@ -46,6 +46,22 @@ object SummaryOps {
     df.groupBy(group).agg(count(lit(1)).as("__cnt"))
       .agg(max(col("__cnt")).as("max_group_size"))
 
+  /** Shannon entropy (nats) of the `category` distribution within each
+    * `group` — the diversity score of corpus-curation reports (label
+    * balance, source mix, behavioral spread). Two stacked hash aggregates
+    * with map-side partials; H = ln N − (Σ c·ln c)/N keeps the per-category
+    * pass a plain sum, so no per-group normalization join is needed.
+    */
+  def groupEntropy(df: DataFrame, group: String, category: String): DataFrame =
+    df.groupBy(group, category).agg(count(lit(1)).as("__c"))
+      .groupBy(group).agg(
+        sum("__c").cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_categories"),
+        round(
+          log(sum("__c")) -
+            sum(col("__c").cast("double") * log(col("__c"))) / sum("__c"), 6)
+          .as("entropy"))
+
   // ---- approximate scale paths ----------------------------------------
   // Exact countDistinct / percentile shuffle every distinct value; at
   // 100 TB the sketch forms below are the production path (bounded-size

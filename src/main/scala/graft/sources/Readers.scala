@@ -42,6 +42,14 @@ object Readers {
   /** S9 — glob scan + implicit union over many files of one schema. */
   def glob(spark: SparkSession, pattern: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(pattern)
+
+  /** S11 — JSON-lines corpus scan (the interchange format of LLM training
+    * corpora: one JSON object per line, newline-delimited, gzip-splittable
+    * per file). Schema is explicit as everywhere else — inference would
+    * scan the corpus twice, unacceptable at 100 TB.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
 
 /** Sinks (S5-S7): parquet for every intermediate (types preserved — the
@@ -66,6 +74,12 @@ object Sinks {
   /** S7 — records + vocab/meta as parquet (replaces pickle). */
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** S11 — JSON-lines export edge (one object per line; field order follows
+    * the schema, so round-trips are stable).
+    */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 
   /** S8 — human-readable summary report (reference cohort report,
     * `day_intervals_cohort.py:355-365`): formatted lines from a computed

@@ -61,6 +61,46 @@ class PrepOpsSpec extends AnyFunSuite {
     bins.foreach { case (_, bs) => assert(bs.distinct === (0 to bs.max)) }
   }
 
+  test("takeByBudget keeps exactly the best-first prefix that fits the budget") {
+    val df = Seq((1L, 50L), (2L, 30L), (3L, 30L), (4L, 20L), (5L, 5L))
+      .toDF("id", "sz")
+    // priority = smallest id first; running totals 50,80,110,130,135
+    val kept = FoldOps.takeByBudget(df, Seq(col("id").asc), col("sz"), budget = 110L)
+      .select("id", "cum_size").as[(Long, Long)].collect().toMap
+    assert(kept === Map(1L -> 50L, 2L -> 80L, 3L -> 110L))
+  }
+
+  test("takeByBudget membership is invariant under input repartitioning") {
+    val df = (1L to 1000L).map(i => (i, 1L + i % 37)).toDF("id", "sz")
+    val a = FoldOps.takeByBudget(df, Seq(col("sz").desc, col("id").asc), col("sz"), 5000L)
+      .select("id").as[Long].collect().toSet
+    val b = FoldOps.takeByBudget(df.repartition(13), Seq(col("sz").desc, col("id").asc),
+        col("sz"), 5000L)
+      .select("id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("globalCumsum matches the single-window reference on every row") {
+    val df = (1L to 800L).map(i => (i * 2654435761L % 997, i)).toDF("k", "id")
+    val got = RankOps.globalCumsum(df, Seq(col("k").asc, col("id").asc), col("k"), "cs")
+      .select("id", "cs").as[(Long, Long)].collect().toMap
+    val ref = df.sort(col("k").asc, col("id").asc)
+      .select(col("id"), col("k")).as[(Long, Long)].collect()
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, k)) => (id, acc + k) }.drop(1).toMap
+    assert(got === ref)
+  }
+
+  test("groupEntropy: uniform mix → ln k, single category → 0") {
+    val df = (Seq.tabulate(40)(i => ("u", s"t${i % 4}")) ++ Seq.fill(7)(("v", "only")))
+      .toDF("g", "cat")
+    val got = SummaryOps.groupEntropy(df, "g", "cat")
+      .select("g", "n_rows", "n_categories", "entropy")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("u")._2 === 40L && got("u")._3 === 4L)
+    assert(math.abs(got("u")._4 - math.log(4.0)) < 1e-6)
+    assert(got("v") === (("v", 7L, 1L, 0.0)))
+  }
+
   test("rollingBySeconds frames trail the configured span, peers included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(

@@ -14,6 +14,16 @@ class ReadersSpec extends AnyFunSuite {
 
   private def tmpDir() = Files.createTempDirectory("graft-io").toString
 
+  test("jsonl roundtrip preserves rows and types with explicit schema") {
+    val dir = tmpDir()
+    val src = Seq((1L, "en", "a b c"), (2L, "zh", "x \"quoted\" y"), (3L, "de", ""))
+      .toDF("doc_id", "lang", "text")
+    Sinks.jsonl(src, dir)
+    val back = Readers.jsonl(spark, dir, src.schema)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect().toSet
+    assert(back === Set((1L, "en", "a b c"), (2L, "zh", "x \"quoted\" y"), (3L, "de", "")))
+  }
+
   test("csv.gz roundtrip preserves rows with explicit schema") {
     val dir = tmpDir()
     val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "v")
