@@ -117,6 +117,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    // plan rewrite: global row_number top-k → sort + limit
+    // (TakeOrderedAndProject), then the lint below sees a bounded window
+    ext.injectOptimizerRule(graft.plans.TopKRewrite)
     // plan lint: surfaces (or, in strict mode, rejects) single-partition
     // global windows — see graft.plans.GlobalWindowGuard
     ext.injectOptimizerRule(graft.plans.GlobalWindowGuard)
