@@ -86,6 +86,33 @@ object EventStreams {
       keys: Seq[String]): DataFrame =
     events.join(cohort.select(keys.map(col): _*).distinct(), keys, "left_semi")
 
+  /** Stream-stream point-in-interval join — the streaming twin of
+    * `JoinOps.asOfPointInInterval` without the as-of tie-break (every
+    * covering interval matches; the tie-break needs totality over a closed
+    * set, which a stream never is). Both inputs are event-time streams:
+    * points match intervals with the same `partKey` whose start lies in
+    * `[pointTs - window, pointTs]`.
+    *
+    * State stays bounded because BOTH sides are watermarked on their
+    * event-time columns and the join condition carries an explicit
+    * event-time range (`start <= ts <= start + window`), so each side's
+    * buffered rows are evicted once the other side's watermark passes
+    * `horizon + window`. The equi-key (`partKey`) keeps the join a hash
+    * shuffle on both streams — co-partitioned by key, never a broadcast of
+    * an unbounded side.
+    */
+  def pointInIntervalStream(points: DataFrame, intervals: DataFrame,
+      partKey: String, pointTs: String, startCol: String,
+      window: org.apache.spark.sql.Column, horizon: String): DataFrame = {
+    val p = points.withWatermark(pointTs, horizon)
+    val i = intervals.withWatermark(startCol, horizon)
+    p.join(i,
+      p(partKey) === i(partKey) &&
+        p(pointTs) >= i(startCol) &&
+        p(pointTs) <= i(startCol) + window,
+      "inner").drop(i(partKey))
+  }
+
   /** Streaming twin of exact dedup (`DedupOps.exactGroups` membership): emit
     * each document once, keyed by its content fingerprint, suppressing
     * re-arrivals inside the watermark horizon. State is one fingerprint per

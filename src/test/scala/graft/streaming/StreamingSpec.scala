@@ -131,6 +131,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream point-in-interval join equals the batch interval join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssjoin")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src() = EventStreams.withEventTime(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
+
+    val clicks = src().filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val signups = src().filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("session_start"))
+    val joined = EventStreams.pointInIntervalStream(
+      clicks, signups, "user_id", "ts", "session_start",
+      expr("INTERVAL 2 HOURS"), horizon = "4 hours")
+    val q = joined.select("event_id", "session_start").writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin")
+      .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val bc = ev.filter($"event_type" === "click").select($"event_id", $"user_id", $"ts")
+    val bs = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("su"), $"ts".as("session_start"))
+    val batch = bc.join(bs,
+        $"user_id" === $"su" && $"ts" >= $"session_start" &&
+          $"ts" <= $"session_start" + expr("INTERVAL 2 HOURS"))
+      .select("event_id", "session_start")
+      .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming exact dedup emits one row per distinct fingerprint (batch parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup")
