@@ -142,4 +142,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_avg") || p.contains("partial avg"))
     assertSinglePartitionOnlyForGlobalAgg("v04_centroid", p)
   }
+
+  test("token-budget prefix sum is range-partitioned, never single-partition") {
+    val p = finalPlan("ml06_token_budget")
+    assertSinglePartitionOnlyForGlobalAgg("ml06_token_budget", p)
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p)
+  }
+
+  test("dup-ngram fraction joins grams on the gram key, never doc-by-doc") {
+    val p = finalPlan("t17_dup_ngrams")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assertSinglePartitionOnlyForGlobalAgg("t17_dup_ngrams", p)
+  }
+
+  test("entropy and retention are pure hash-aggregate towers — no windows, no sorts") {
+    Seq("t16_source_entropy", "a19_behavior_entropy", "q02_retention").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assertSinglePartitionOnlyForGlobalAgg(q, p)
+    }
+  }
+
+  test("EWMA window is keyed per entity — no single-partition exchange") {
+    assertSinglePartitionOnlyForGlobalAgg("w12_ewma", finalPlan("w12_ewma"))
+  }
 }
