@@ -1168,6 +1168,39 @@ object SparkEntry {
       SummaryOps.groupEntropy(ev(s, d), "user_id", "event_type")
         .withColumnRenamed("n_rows", "n_events")
         .withColumnRenamed("n_categories", "n_types"))
+,
+    // CCNet-style perplexity proxy: train an add-1-smoothed unigram model
+    // on the corpus itself, score each doc by mean negative log-likelihood.
+    // The 1-row (N, V) aggregate broadcasts (bounded by construction); the
+    // token↔prob join shuffles on the token — vocab never sits on one task
+    "t18_unigram_logprob" -> ((s, d) => {
+      val tok = Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy("tok").agg(count(lit(1)).as("__c"))
+      val stats = counts.agg(sum("__c").cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__v"))
+      val probs = counts.crossJoin(broadcast(stats))
+        .select(col("tok"),
+          ((col("__c").cast("double") + 1.0) / (col("__n") + col("__v"))).as("__p"))
+      tok.join(probs, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_toks"),
+          round(avg(-log(col("__p"))), 6).as("avg_nll"))
+    }),
+
+    // DoReMi-flavored domain mixing: per-source token share vs a uniform
+    // target → resampling weight = target_share / observed_share
+    "ml07_mix_weights" -> ((s, d) => {
+      val perSource = docs(s, d)
+        .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("__t"))
+        .groupBy("source").agg(sum("__t").as("__toks"))
+      val tot = perSource.agg(sum("__toks").cast("double").as("__total"),
+        count(lit(1)).cast("double").as("__k"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("__toks").cast("long").as("n_toks"),
+          round(col("__toks") / col("__total"), 6).as("share"),
+          round(col("__total") / (col("__k") * col("__toks")), 6).as("weight"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1250,6 +1283,27 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_types,
                 ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
          FROM c GROUP BY user_id""",
+
+    "t18_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents),
+         c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+         st AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM c),
+         p AS (SELECT tok, (CAST(c AS DOUBLE) + 1.0) / (n + v) AS p
+               FROM c CROSS JOIN st)
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                ROUND(AVG(-LN(p.p)), 6) AS avg_nll
+         FROM tok t JOIN p USING (tok) GROUP BY t.doc_id""",
+
+    "ml07_mix_weights" ->
+      """WITH s AS (SELECT source,
+                CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_toks
+              FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_toks) AS DOUBLE) AS total,
+                      CAST(COUNT(*) AS DOUBLE) AS k FROM s)
+         SELECT source, n_toks, ROUND(n_toks / total, 6) AS share,
+                ROUND(total / (k * n_toks), 6) AS weight
+         FROM s CROSS JOIN t""",
 
     "s01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
