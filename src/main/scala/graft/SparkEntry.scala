@@ -1188,6 +1188,18 @@ object SparkEntry {
           round(avg(-log(col("__p"))), 6).as("avg_nll"))
     }),
 
+    // value-ordered per-group top-k over few huge strata: two-phase form
+    // (local top-k per salt slice, exact rank over the bounded survivors) —
+    // the naive per-stratum window would sort a whole stratum in one task
+    "o05_topk_per_group" -> ((s, d) =>
+      FoldOps.perStratumTopNBy(
+          li(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          col("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc),
+          tieBreak = col("l_orderkey") * 10 + col("l_linenumber"), n = 3)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rk").cast("int").as("rk"))),
+
     // DoReMi-flavored domain mixing: per-source token share vs a uniform
     // target → resampling weight = target_share / observed_share
     "ml07_mix_weights" -> ((s, d) => {
@@ -1294,6 +1306,14 @@ object SparkEntry {
          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
                 ROUND(AVG(-LN(p.p)), 6) AS avg_nll
          FROM tok t JOIN p USING (tok) GROUP BY t.doc_id""",
+
+    "o05_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice DESC, l_orderkey,
+                           l_orderkey * 10 + l_linenumber) AS INTEGER) AS rk
+         FROM lineitem
+         QUALIFY rk <= 3""",
 
     "ml07_mix_weights" ->
       """WITH s AS (SELECT source,

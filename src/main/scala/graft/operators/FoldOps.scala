@@ -89,6 +89,30 @@ object FoldOps {
     survivors.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
+  /** Exact value-ordered top-n per stratum ("top 3 items per region by
+    * revenue"). Same two-phase scheme as [[perStratumTopN]], but ordered by
+    * caller-supplied columns instead of a sampling hash: strata are often
+    * FEW and HUGE, so the naive per-stratum window would sort a whole
+    * stratum in one task. Phase 1 takes the local top-n inside each
+    * (stratum, salt) slice — the global top-n is necessarily a subset of
+    * the ≤ fanout·n survivors — and phase 2 ranks that bounded set exactly.
+    *
+    * `orderCols` + `tieBreak` must form a total order per stratum (tie
+    * ambiguity would make the kept set nondeterministic); `tieBreak` also
+    * seeds the salt, so slices are uniform regardless of the value
+    * distribution.
+    */
+  def perStratumTopNBy(df: DataFrame, stratum: Column, orderCols: Seq[Column],
+      tieBreak: Column, n: Int, rankCol: String = "rk", fanout: Int = 64): DataFrame = {
+    val fullOrder = orderCols :+ tieBreak.asc
+    val salt = pmod(xxhash64(tieBreak.cast("string")), lit(fanout.toLong))
+    val wLocal = Window.partitionBy(stratum, salt).orderBy(fullOrder: _*)
+    val survivors = df.withColumn("__tb_lr", row_number().over(wLocal))
+      .filter(col("__tb_lr") <= n).drop("__tb_lr")
+    val w = Window.partitionBy(stratum).orderBy(fullOrder: _*)
+    survivors.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
   /** Global budget prefix: keep rows, in `sortCols` order (highest-priority
     * first; must be a total order), while the running total of `size` stays
     * within `budget` — the "sample the best N-token subset" primitive of a

@@ -101,6 +101,23 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got("v") === (("v", 7L, 1L, 0.0)))
   }
 
+  test("perStratumTopNBy equals the naive per-stratum window, stable under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 900).map(i => (s"s${i % 3}", i.toLong, (i * 2654435761L % 997).toDouble))
+      .toDF("src", "id", "v")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      FoldOps.perStratumTopNBy(in, col("src"),
+          Seq(col("v").desc), tieBreak = col("id"), n = 5)
+        .select("src", "id", "rk").as[(String, Long, Int)].collect().toSet
+    val naive = df.withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rk") <= 5)
+      .select("src", "id", "rk").as[(String, Long, Int)].collect().toSet
+    assert(run(df) === naive)
+    assert(run(df.repartition(11)) === naive)
+    assert(naive.groupBy(_._1).forall(_._2.size === 5))
+  }
+
   test("rollingBySeconds frames trail the configured span, peers included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(
