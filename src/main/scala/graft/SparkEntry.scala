@@ -1212,6 +1212,72 @@ object SparkEntry {
         .select(col("source"), col("__toks").cast("long").as("n_toks"),
           round(col("__toks") / col("__total"), 6).as("share"),
           round(col("__total") / (col("__k") * col("__toks")), 6).as("weight"))
+    }),
+
+    // RefinedWeb/CCNet-style segment-level boilerplate removal: aligned
+    // 4-token segments occurring ≥2 times corpus-wide are dropped from
+    // every doc; docs are reassembled from the survivors in order
+    "d13_segment_dedup" -> ((s, d) =>
+      DedupOps.dropDuplicateSegments(docs(s, d), "doc_id", "text",
+        w = 4, minDup = 2L)),
+
+    // BM25 keyword retrieval: top-10 docs for a 3-term query; the final
+    // top-k is TakeOrderedAndProject, never a global window
+    "t19_bm25_topk" -> ((s, d) =>
+      RetrievalOps.bm25TopK(docs(s, d), "doc_id", "text",
+        terms = Seq("spark", "window", "join"), k = 10)),
+
+    // group-relative quality gate: keep docs at/above their source's
+    // median length — the per-domain curation threshold pattern
+    "q03_domain_quantile_gate" -> ((s, d) =>
+      CleaningOps.quantileGate(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", 0.5)
+        .select("doc_id", "source", "n_chars")),
+
+    // PSI drift between even- and odd-user event values, 10 equal-width
+    // bins over the combined range; total PSI = sum(psi_contrib)
+    "dq03_psi" -> ((s, d) =>
+      MetricsOps.psi(ev(s, d), col("value"), col("user_id") % 2 === 0,
+        bins = 10)),
+
+    // robust per-type outlier flags: median/MAD z-score > 3.5
+    "dq04_mad_outliers" -> ((s, d) =>
+      CleaningOps.madOutliers(
+          ev(s, d).select("event_id", "event_type", "value"),
+          "event_type", "value", cutoff = 3.5)
+        .filter(col("is_outlier") === 1)
+        .select("event_id", "event_type", "value", "robust_z")),
+
+    // Efraimidis-Spirakis weighted sampling: 50 docs, inclusion odds
+    // proportional to n_chars, membership a pure function of the key
+    "ml08_weighted_sample" -> ((s, d) =>
+      FoldOps.weightedSample(docs(s, d).select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), n = 50)),
+
+    // ANN quality gauge: recall@3 of the label-bucketed IVF path against
+    // exact brute force, per query (vec_id < 8)
+    "v07_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Knn.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3)
+      val approx = Knn.clusteredTopK(e, "vec_id", "embedding", "label", k = 3)
+        .filter(col("query_id") < 8)
+      Knn.recallAtK(exact, approx)
+    }),
+
+    // S12 — additive schema evolution: two parquet writer generations
+    // (second adds a column), one mergeSchema scan padding nulls
+    "s12_mergeschema_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s12").toString
+      val n = nat(s, d)
+      n.filter(col("n_nationkey") < 12).select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      n.filter(col("n_nationkey") >= 12)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      graft.sources.Readers.mergedParquet(s, out)
+        .select("n_nationkey", "n_name", "n_regionkey")
     })
   )
 
@@ -2556,6 +2622,124 @@ object SparkEntry {
                 ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 8 THEN ASCII(SUBSTR(text, 8, 1)) / 255.0 ELSE 0.0 END, 6) AS f1,
                 ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 15 THEN ASCII(SUBSTR(text, 15, 1)) / 255.0 ELSE 0.0 END, 6) AS f2,
                 ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 22 THEN ASCII(SUBSTR(text, 22, 1)) / 255.0 ELSE 0.0 END, 6) AS f3
-         FROM documents"""
+         FROM documents""",
+
+    "d13_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         segs AS (SELECT doc_id,
+                    UNNEST(GENERATE_SERIES(0, CAST(FLOOR((LEN(toks) - 1) / 4.0) AS INT))) AS seg_idx,
+                    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(0, CAST(FLOOR((LEN(toks) - 1) / 4.0) AS INT)),
+                      i -> ARRAY_TO_STRING(toks[i*4+1 : i*4+4], ' '))) AS seg
+                  FROM t),
+         c AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY 1)
+         SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+                CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                COALESCE(STRING_AGG(CASE WHEN c.c < 2 THEN s.seg END, ' ' ORDER BY s.seg_idx), '')
+                  AS clean_text
+         FROM segs s JOIN c USING (seg) GROUP BY s.doc_id""",
+
+    "t19_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM tok WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2),
+         dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+         SELECT tf.doc_id,
+                ROUND(SUM(LN((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                  * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+                  AS score
+         FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+         GROUP BY tf.doc_id
+         ORDER BY score DESC, tf.doc_id ASC LIMIT 10""",
+
+    "q03_domain_quantile_gate" ->
+      """WITH b AS (SELECT source, QUANTILE_CONT(n_chars, 0.5) AS thr
+                    FROM documents GROUP BY 1)
+         SELECT doc_id, source, n_chars
+         FROM documents JOIN b USING (source) WHERE n_chars >= thr""",
+
+    "dq03_psi" ->
+      """WITH d AS (SELECT CAST(value AS DOUBLE) AS v,
+                           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS b
+                    FROM events WHERE value IS NOT NULL),
+         ext AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM d),
+         counted AS (SELECT CASE WHEN hi = lo THEN 0
+                            ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+                            END AS bin,
+                            SUM(b) AS nb, SUM(1 - b) AS nc
+                     FROM d CROSS JOIN ext GROUP BY 1),
+         tot AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM counted),
+         dense AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bin),
+         f AS (SELECT dense.bin,
+                      (COALESCE(nb, 0) + 1.0) / (tb + 10.0) AS p,
+                      (COALESCE(nc, 0) + 1.0) / (tc + 10.0) AS q
+               FROM dense LEFT JOIN counted USING (bin) CROSS JOIN tot)
+         SELECT CAST(bin AS INTEGER) AS bin, ROUND(p, 6) AS p_base,
+                ROUND(q, 6) AS p_curr, ROUND((p - q) * LN(p / q), 6) AS psi_contrib
+         FROM f""",
+
+    "dq04_mad_outliers" ->
+      """WITH med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         dev AS (SELECT e.event_id, e.event_type, e.value,
+                        ABS(e.value - m.med) AS absdev
+                 FROM events e JOIN med m USING (event_type)
+                 WHERE e.value IS NOT NULL),
+         mad AS (SELECT event_type, QUANTILE_CONT(absdev, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.value,
+                ROUND(d.absdev / (1.4826 * m.mad), 6) AS robust_z
+         FROM dev d JOIN mad m USING (event_type)
+         WHERE m.mad > 0 AND d.absdev / (1.4826 * m.mad) > 3.5""",
+
+    "ml08_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  LN((CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      + 0.5) / 4294967296.0) / n_chars AS pri
+           FROM documents)
+         ORDER BY pri DESC, doc_id ASC LIMIT 50""",
+
+    "v07_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+                           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE vec_id < 8) q
+             CROSS JOIN e c WHERE c.vec_id <> q.vec_id) WHERE rn <= 3),
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE vec_id < 8) q
+             JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id) WHERE rn <= 3),
+         hits AS (SELECT x.query_id, COUNT(*) AS n_hits
+                  FROM exact x JOIN approx a
+                    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+                  GROUP BY 1)
+         SELECT x.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                CAST(COUNT(*) AS BIGINT) AS k,
+                ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) AS recall
+         FROM exact x LEFT JOIN hits h USING (query_id)
+         GROUP BY x.query_id, h.n_hits""",
+
+    "s12_mergeschema_roundtrip" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+         FROM nation WHERE n_nationkey < 12
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey
+         FROM nation WHERE n_nationkey >= 12"""
   )
 }

@@ -175,4 +175,24 @@ object Knn {
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
       .groupBy(col(groupCol), col("pos"))
       .agg(round(avg(col("__v").cast("double")), 6).as("mean_v"))
+
+  /** Recall@k of an approximate neighbor list against the exact one — the
+    * standard ANN quality gauge. Both inputs are (query_id, neighbor_id)
+    * ranked frames (e.g. `clusteredTopK` vs `bruteForceTopK`); output is
+    * per-query (n_hits, k, recall). One left-semi join on the pair key +
+    * two small aggregates — cost is |result lists|, never corpus-sized.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        col("k"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / col("k"), 6)
+          .as("recall"))
+  }
 }

@@ -406,6 +406,44 @@ object DedupOps {
     * of shingles), so there is no broadcast hint: AQE promotes the join at
     * runtime iff the set actually fits.
     */
+  /** Segment-level boilerplate removal (the RefinedWeb/CCNet "line dedup"
+    * pass, adapted to whitespace corpora with no line structure): each doc
+    * is cut into aligned `w`-token segments, segments whose corpus-wide
+    * occurrence count reaches `minDup` are dropped everywhere, and every
+    * doc is reassembled from its surviving segments in order.
+    *
+    * Scale shape: one hash aggregate over |distinct segments| for the
+    * counts, one equi-join back on the segment text (AQE-sized — the count
+    * side is NOT provably small), and one per-doc aggregate for the
+    * reassembly. Never doc×doc; reassembly state is bounded by the longest
+    * single document, the same bound the tokenizer already implies.
+    */
+  def dropDuplicateSegments(docs: DataFrame, id: String, text: String,
+      w: Int, minDup: Long): DataFrame = {
+    val segs = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("seg_idx",
+        explode(sequence(lit(0), floor((col("__n") - 1) / w).cast("int"))))
+      .select(col(id), col("seg_idx"),
+        array_join(slice(col("__toks"), col("seg_idx") * w + 1, lit(w)), " ")
+          .as("seg"))
+    val counts = segs.groupBy("seg").agg(count(lit(1)).as("__c"))
+    segs.join(counts, Seq("seg"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__c") >= minDup, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulls `when` leaves for dropped segments;
+        // array_sort on (seg_idx, seg) structs restores document order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__c") < minDup, struct(col("seg_idx"), col("seg"))))),
+            _.getField("seg")),
+          " ").as("clean_text"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: String,
       text: String, n: Int): DataFrame = {
     // `withShingles` is per-doc distinct and `id` is unique, so the exploded

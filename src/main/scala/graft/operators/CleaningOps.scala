@@ -97,4 +97,39 @@ object CleaningOps {
     df.join(percentileBounds(df, key, value, lo, hi), Seq(key), "left")
       .filter(col(value) >= col("__lo") && col(value) <= col("__hi"))
       .drop("__lo", "__hi")
+
+  /** Group-relative quantile gate (corpus curation: "keep documents at or
+    * above their domain's p-quantile of a quality signal"). Same two-pass
+    * shape as the clamp: exact type-7 quantile per group, joined back
+    * AQE-sized, filter is a plain predicate.
+    */
+  def quantileGate(df: DataFrame, key: String, value: String, p: Double): DataFrame =
+    df.join(percentileBounds(df, key, value, p, p).select(col(key), col("__lo").as("__thr")),
+        Seq(key), "left")
+      .filter(col(value) >= col("__thr"))
+      .drop("__thr")
+
+  /** Robust per-group outlier flags via median/MAD z-score: |x − med| /
+    * (1.4826·MAD) > cutoff (1.4826 rescales MAD to σ under normality —
+    * standard robust-statistics constant). Two grouped exact-median passes
+    * (values, then absolute deviations), each the same ranked-window
+    * aggregate as the percentile clamp; no global sort, no driver stats.
+    * MAD==0 groups (over half the values identical) flag nothing.
+    */
+  def madOutliers(df: DataFrame, key: String, value: String, cutoff: Double): DataFrame = {
+    val med = percentileBounds(df, key, value, 0.5, 0.5)
+      .select(col(key), col("__lo").as("__med"))
+    val withDev = df.join(med, Seq(key), "left")
+      .withColumn("__absdev", abs(col(value) - col("__med")))
+    val mad = percentileBounds(withDev, key, "__absdev", 0.5, 0.5)
+      .select(col(key), col("__lo").as("__mad"))
+    withDev.join(mad, Seq(key), "left")
+      .withColumn("__z",
+        when(col("__mad") > 0, col("__absdev") / (lit(1.4826) * col("__mad"))))
+      // flag from the UNROUNDED score (a boundary value must not round
+      // itself across the cutoff); round only the reported column
+      .withColumn("is_outlier", when(col("__z") > cutoff, 1).otherwise(0))
+      .withColumn("robust_z", round(col("__z"), 6))
+      .drop("__med", "__absdev", "__mad", "__z")
+  }
 }

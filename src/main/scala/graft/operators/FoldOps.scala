@@ -127,6 +127,31 @@ object FoldOps {
     RankOps.globalCumsum(df, sortCols, size, cumName)
       .filter(col(cumName) <= budget)
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, public algorithm): each row gets priority ln(u)/w —
+    * equivalent to ranking by u^(1/w) — where u is a uniform derived from
+    * the md5 of the row key (first 8 hex nibbles, +0.5 so u is never 0)
+    * and `w` is the row's weight; the top-`n` priorities are the sample.
+    * Inclusion probability is proportional to weight; membership is a pure
+    * function of (key, weight), so the same rows survive on any cluster
+    * size, partitioning, or engine.
+    *
+    * Plan: a projection plus `orderBy().limit(n)` —
+    * TakeOrderedAndProject, per-partition heaps, no global sort.
+    */
+  def weightedPriority(key: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    log(u) / weight.cast("double")
+  }
+
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+      priCol: String = "__ws_pri"): DataFrame =
+    df.withColumn(priCol, weightedPriority(key, weight))
+      .orderBy(col(priCol).desc, key.asc)
+      .limit(n)
+      .drop(priCol)
+
   /** Greedy-by-order sequence packing: rows are laid end-to-end in
     * (`partKeys`, `orderCols`) order and cut into fixed-`capacity` bins by
     * the running size prefix-sum (a row starts the next bin when its

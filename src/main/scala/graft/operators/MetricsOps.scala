@@ -55,6 +55,46 @@ object MetricsOps {
         sum(when(col("__t") === 1 && col("__p") === 0, 1L).otherwise(0L)).as("fn"))
   }
 
+  /** Population Stability Index between a baseline and a current segment of
+    * one score column — the standard drift monitor for model scores and
+    * feature distributions. Equal-width bins over the combined min/max;
+    * Laplace-smoothed shares p,q = (n+1)/(N+bins) so empty bins stay
+    * finite; per-bin rows carry the two shares and the PSI contribution
+    * (p−q)·ln(p/q) — total PSI is their sum.
+    *
+    * Scale shape: one min/max aggregate (1 row, rides as a cross join), one
+    * grouped count over ≤`bins` keys, and a `bins`-row densify — no sort,
+    * no driver collection, output bounded by `bins` regardless of input.
+    */
+  def psi(df: DataFrame, score: Column, isBaseline: Column, bins: Int): DataFrame = {
+    val d = df.select(score.cast("double").as("__v"),
+        isBaseline.cast("int").as("__b"))
+      .filter(col("__v").isNotNull)
+    val ext = d.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val counted = d.crossJoin(ext)
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((col("__v") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / lit(bins.toDouble))),
+            lit((bins - 1).toLong)))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(sum(col("__b")).cast("long").as("__nb"),
+        sum(lit(1) - col("__b")).cast("long").as("__nc"))
+    val tot = counted.agg(sum("__nb").as("__tb"), sum("__nc").as("__tc"))
+    val p = (col("__nb") + lit(1.0)) / (col("__tb") + lit(bins.toDouble))
+    val q = (col("__nc") + lit(1.0)) / (col("__tc") + lit(bins.toDouble))
+    tot.select(explode(sequence(lit(0), lit(bins - 1))).as("bin"),
+        col("__tb"), col("__tc"))
+      .join(counted, Seq("bin"), "left")
+      .na.fill(0L, Seq("__nb", "__nc"))
+      .select(col("bin"),
+        round(p, 6).as("p_base"),
+        round(q, 6).as("p_curr"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+  }
+
   /** A14 — calibration bins (`evaluation.py:219-250`): digitize `prob` into
     * `bins` equal buckets (prob==1 clipped into the last), per-bin accuracy
     * and mean confidence.

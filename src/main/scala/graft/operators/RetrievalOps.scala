@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Keyword retrieval over a document corpus: BM25 scoring (Robertson &
+  * Spärck Jones probabilistic relevance framework, the public Okapi BM25
+  * formulation) as pure relational operators.
+  *
+  * Scale shape: the corpus is tokenized once; the term filter collapses the
+  * exploded frame to |matching postings| rows before any shuffle; document
+  * frequencies and the corpus stats are tiny aggregates (|terms| rows and 1
+  * row) that ride as AQE-broadcast joins; the final top-k is
+  * `orderBy().limit(k)` — TakeOrderedAndProject, no single-partition window.
+  */
+object RetrievalOps {
+
+  /** Top-`k` documents by BM25 score for a bag of query `terms`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Lucene-style
+    * floor-free variant, always positive. Docs matching no term are absent
+    * (score 0). Ties break on rounded score then ascending id.
+    */
+  def bm25TopK(docs: DataFrame, id: String, text: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .select(col(id), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__tok"))
+    val lens = toks.groupBy(col(id)).agg(first(col("__dl")).as("__dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = toks.filter(col("__tok").isin(terms: _*))
+      .groupBy(col(id), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    val df_ = tf.groupBy(col("__tok"))
+      .agg(countDistinct(col(id)).cast("double").as("__df"))
+    val idf = log((col("__n") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0))
+    val norm = col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(df_, "__tok").crossJoin(stats)
+      .groupBy(col(id))
+      .agg(round(sum(idf * norm), 6).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+  }
+}

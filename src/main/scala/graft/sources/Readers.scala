@@ -50,6 +50,15 @@ object Readers {
     */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** S12 — schema-evolution scan: union parquet files written under
+    * DIFFERENT schema versions (columns added over time) into the merged
+    * superset schema, older files padding the missing columns with null.
+    * `mergeSchema` reconciles footers at planning time — no rewrite of old
+    * data, the standard additive-evolution path for append-only corpora.
+    */
+  def mergedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
 
 /** Sinks (S5-S7): parquet for every intermediate (types preserved — the

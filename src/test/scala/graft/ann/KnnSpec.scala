@@ -73,4 +73,22 @@ class KnnSpec extends AnyFunSuite {
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     assert(a2 === a1)
   }
+
+  test("recallAtK: perfect overlap is 1, partial overlap counts hits, misses are 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), // 2 of 3 hit
+      (2L, 98L), (2L, 97L), (2L, 96L))                // 0 of 3 hit
+      .toDF("query_id", "neighbor_id")
+    val got = graft.ann.Knn.recallAtK(exact, approx)
+      .select("query_id", "n_hits", "k", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) === ((2L, 3L, 0.666667)))
+    assert(got(2L) === ((0L, 3L, 0.0)))
+    val perfect = graft.ann.Knn.recallAtK(exact, exact)
+      .select("recall").as[Double].collect()
+    assert(perfect.forall(_ === 1.0))
+  }
 }

@@ -205,4 +205,30 @@ class DedupOpsSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(DedupOps.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
+
+  test("dropDuplicateSegments removes corpus-repeated segments, keeps order") {
+    val docs = Seq(
+      (1L, "a b c d"),   // segs: "a b" (dup ×3), "c d"
+      (2L, "a b x y"),   // segs: "a b", "x y"
+      (3L, "p q"),       // unique single segment
+      (4L, "a b")        // entirely boilerplate → empty clean_text
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dropDuplicateSegments(docs, "doc_id", "text", w = 2, minDup = 2L)
+      .select("doc_id", "n_segs", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) === ((2L, 1L, "c d")))
+    assert(got(2L) === ((2L, 1L, "x y")))
+    assert(got(3L) === ((1L, 0L, "p q")))
+    assert(got(4L) === ((1L, 1L, "")))
+  }
+
+  test("dropDuplicateSegments reassembly preserves multi-segment order") {
+    // no duplicates anywhere → clean_text must round-trip the document
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = DedupOps.dropDuplicateSegments(docs, "doc_id", "text", w = 4, minDup = 2L)
+      .select("clean_text").as[String].collect()(0)
+    assert(got === text)
+  }
 }

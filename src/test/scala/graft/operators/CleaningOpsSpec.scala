@@ -39,4 +39,27 @@ class CleaningOpsSpec extends AnyFunSuite {
       .select("v").as[Double].collect()
     assert(got.min === 2.0 && got.max === 98.0 && got.length === 97)
   }
+
+  test("quantileGate keeps rows at or above their group's median") {
+    // g1 median of 1..5 = 3 → keeps 3,4,5; g2 median of (10,20) = 15 → keeps 20
+    val df = ((1 to 5).map(v => ("g1", v.toDouble)) ++
+      Seq(("g2", 10.0), ("g2", 20.0))).toDF("grp", "v")
+    val got = CleaningOps.quantileGate(df, "grp", "v", 0.5)
+      .select("grp", "v").as[(String, Double)].collect().toSet
+    assert(got === Set(("g1", 3.0), ("g1", 4.0), ("g1", 5.0), ("g2", 20.0)))
+  }
+
+  test("madOutliers flags by hand-computed robust z, MAD-zero groups flag nothing") {
+    // g1: values 1,2,3,4,100 → med 3, absdevs 2,1,0,1,97 → MAD 1
+    //   z(100) = 97/1.4826 ≈ 65.4 → flagged; z(1) = 2/1.4826 ≈ 1.35 → not
+    // g2: constant values → MAD 0 → nothing flagged
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g1", _)) ++
+      Seq.fill(5)(("g2", 7.0))).toDF("grp", "v")
+    val got = CleaningOps.madOutliers(df, "grp", "v", cutoff = 3.5)
+    val flagged = got.filter($"is_outlier" === 1)
+      .select("grp", "v", "robust_z").as[(String, Double, Double)].collect()
+    assert(flagged.toSeq === Seq(("g1", 100.0,
+      math.rint(97.0 / 1.4826 * 1e6) / 1e6)))
+    assert(got.filter($"grp" === "g2" && $"is_outlier" === 1).count() === 0)
+  }
 }

@@ -53,4 +53,27 @@ class MetricsOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("psi is zero when baseline and current distributions are identical") {
+    // every value appears once per segment → every bin has p == q
+    val df = (1 to 100).flatMap(v => Seq((v.toDouble, 0L), (v.toDouble, 1L)))
+      .toDF("score", "seg")
+    val bins = MetricsOps.psi(df, col("score"), col("seg") === 0L, bins = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(bins.length === 10)
+    assert(bins.map(_._1).sorted.toSeq === (0 until 10))
+    bins.foreach { case (_, p, q, c) => assert(p === q); assert(c === 0.0) }
+    // smoothed shares sum to ~1 per segment
+    assert(math.abs(bins.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("psi detects a shifted current distribution, empty bins stay finite") {
+    val df = ((1 to 100).map(v => (v.toDouble, 0L)) ++
+      (81 to 180).map(v => (v.toDouble, 1L))).toDF("score", "seg")
+    val rows = MetricsOps.psi(df, col("score"), col("seg") === 1L, bins = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    assert(rows.length === 10)
+    assert(rows.forall { case (_, c) => !c.isNaN && !c.isInfinite })
+    assert(rows.map(_._2).sum > 0.5) // a 45%-range shift is a large drift
+  }
 }

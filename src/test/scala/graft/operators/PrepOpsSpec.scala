@@ -209,4 +209,28 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((0L, 0)))
     assert(got(3L) === ((0L, 0)))
   }
+
+  test("weightedSample is exact-n, deterministic, and repartition-stable") {
+    val df = (1L to 500L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val a = FoldOps.weightedSample(df, col("id"), col("w"), n = 40)
+      .select("id").as[Long].collect().toSet
+    val b = FoldOps.weightedSample(df.repartition(13), col("id"), col("w"), n = 40)
+      .select("id").as[Long].collect().toSet
+    assert(a.size === 40)
+    assert(a === b)
+  }
+
+  test("weightedSample: a dominating weight is always selected, weights bias inclusion") {
+    // ln(u)/w → 0⁻ as w → ∞, so the heavy row outranks every unit-weight row
+    val df = ((1L to 200L).map(i => (i, 1L)) :+ (999L, 1000000L)).toDF("id", "w")
+    val got = FoldOps.weightedSample(df, col("id"), col("w"), n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(999L))
+    // doubling every weight rescales priorities monotonically per row but
+    // NOT uniformly across rows — membership may shift; what must hold is
+    // determinism of each run
+    val again = FoldOps.weightedSample(df, col("id"), col("w"), n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got === again)
+  }
 }
