@@ -167,4 +167,27 @@ class PlanQualitySpec extends AnyFunSuite {
   test("EWMA window is keyed per entity — no single-partition exchange") {
     assertSinglePartitionOnlyForGlobalAgg("w12_ewma", finalPlan("w12_ewma"))
   }
+
+  test("BM25 and weighted sampling top-k are TakeOrderedAndProject, not global sorts") {
+    val p19 = finalPlan("t19_bm25_topk")
+    assert(p19.contains("TakeOrderedAndProject"))
+    assertSinglePartitionOnlyForGlobalAgg("t19_bm25_topk", p19)
+    val p08 = finalPlan("ml08_weighted_sample")
+    assert(p08.contains("TakeOrderedAndProject"))
+    assert(!p08.contains("Window"))
+  }
+
+  test("segment dedup joins on the segment key, never doc-by-doc; no windows") {
+    val p = finalPlan("d13_segment_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"))
+    assertSinglePartitionOnlyForGlobalAgg("d13_segment_dedup", p)
+  }
+
+  test("quantile gate / MAD / PSI never single-partition the fact side") {
+    Seq("q03_domain_quantile_gate", "dq04_mad_outliers", "dq03_psi").foreach { q =>
+      assertSinglePartitionOnlyForGlobalAgg(q, finalPlan(q))
+    }
+  }
 }
