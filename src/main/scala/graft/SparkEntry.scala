@@ -1266,6 +1266,32 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // exact global percent-rank with RANK tie semantics, assigned via the
+    // two-phase distinct-value cumsum — the fact table is never globally
+    // sorted and nothing passes through one task
+    "f24_percent_rank" -> ((s, d) =>
+      RankOps.globalPercentRank(
+          li(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_extendedprice", "pr")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          round(col("pr"), 6).as("pr"))),
+
+    // PMI collocations over adjacent token pairs, low-frequency tail pruned
+    "t20_pmi_bigrams" -> ((s, d) =>
+      SummaryOps.pmiBigrams(docs(s, d), "text", minCount = 5L)),
+
+    // curriculum phases: rank docs by a difficulty proxy (length) and cut
+    // into 4 contiguous stages; the rank is the two-phase distributed form,
+    // the phase an exact integer division (no double rounding at 10¹⁵ rows)
+    "ml09_curriculum_phase" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("n_chars"))
+      RankOps.globalRowNumber(scored,
+          Seq(col("n_chars").asc, col("doc_id").asc), "rn")
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id"), col("n_chars"), col("rn"),
+          expr("CAST(((rn - 1) * 4) DIV __n AS INT)").as("phase"))
+    }),
+
     // S12 — additive schema evolution: two parquet writer generations
     // (second adds a column), one mergeSchema scan padding nulls
     "s12_mergeschema_roundtrip" -> ((s, d) => {
@@ -2740,6 +2766,40 @@ object SparkEntry {
          FROM nation WHERE n_nationkey < 12
          UNION ALL
          SELECT n_nationkey, n_name, n_regionkey
-         FROM nation WHERE n_nationkey >= 12"""
+         FROM nation WHERE n_nationkey >= 12""",
+
+    "f24_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+                ROUND(PERCENT_RANK() OVER (ORDER BY l_extendedprice), 6) AS pr
+         FROM lineitem""",
+
+    "t20_pmi_bigrams" ->
+      """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         uc AS (SELECT tok, COUNT(*) AS c FROM
+                  (SELECT UNNEST(toks) AS tok FROM t) GROUP BY 1),
+         tu AS (SELECT CAST(SUM(c) AS DOUBLE) AS tu FROM uc),
+         bc AS (SELECT gram, COUNT(*) AS n_pairs FROM
+                  (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+                   FROM t WHERE LEN(toks) >= 2) GROUP BY 1),
+         tb AS (SELECT CAST(SUM(n_pairs) AS DOUBLE) AS tb FROM bc)
+         SELECT STRING_SPLIT(gram, ' ')[1] AS tok_a,
+                STRING_SPLIT(gram, ' ')[2] AS tok_b,
+                CAST(n_pairs AS BIGINT) AS n_pairs,
+                ROUND(LN((n_pairs / tb.tb) / ((a.c / tu.tu) * (b.c / tu.tu))), 6) AS pmi
+         FROM bc CROSS JOIN tb CROSS JOIN tu
+         JOIN uc a ON a.tok = STRING_SPLIT(gram, ' ')[1]
+         JOIN uc b ON b.tok = STRING_SPLIT(gram, ' ')[2]
+         WHERE n_pairs >= 5""",
+
+    "ml09_curriculum_phase" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+                ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+              FROM documents),
+         n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
+                CAST(((rn - 1) * 4) // n AS INTEGER) AS phase
+         FROM r CROSS JOIN n"""
   )
 }

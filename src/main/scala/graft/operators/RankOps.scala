@@ -85,4 +85,24 @@ object RankOps {
     */
   def vocabIds(df: DataFrame, valueCol: String, idName: String): DataFrame =
     globalRowNumber(df.select(valueCol).distinct(), Seq(col(valueCol).asc), idName)
+
+  /** Exact global percent_rank of `valueCol` — RANK-tie semantics,
+    * (rank − 1)/(N − 1), matching SQL `PERCENT_RANK() OVER (ORDER BY v)` —
+    * without a single-partition exchange. rank(v) = (# rows < v) + 1 falls
+    * out of the two-phase cumsum over the DISTINCT-value counts frame (|v|
+    * rows, unbounded at corpus scale, hence ranked distributively); rows
+    * then re-join their value's rank — the fact table is never sorted
+    * globally. Single-row frames get percent_rank 0 (the SQL convention).
+    */
+  def globalPercentRank(df: DataFrame, valueCol: String, outName: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__pr_c"))
+    val cum = globalCumsum(counts, Seq(col(valueCol).asc), col("__pr_c"), "__pr_cum")
+    val tot = cum.agg(sum(col("__pr_c")).as("__pr_n"))
+    val ranked = cum.crossJoin(broadcast(tot))
+      .select(col(valueCol),
+        when(col("__pr_n") > 1,
+          (col("__pr_cum") - col("__pr_c")).cast("double") / (col("__pr_n") - 1))
+          .otherwise(0.0).as(outName))
+    df.join(ranked, Seq(valueCol))
+  }
 }

@@ -62,6 +62,39 @@ object SummaryOps {
             sum(col("__c").cast("double") * log(col("__c"))) / sum("__c"), 6)
           .as("entropy"))
 
+  /** Pointwise mutual information of adjacent token pairs — the standard
+    * collocation detector of corpus analysis: PMI(a,b) = ln( P(ab) /
+    * (P(a)·P(b)) ) with P from corpus unigram/bigram counts; `minCount`
+    * prunes the unstable low-frequency tail (standard practice).
+    *
+    * Scale shape: two hash aggregates over the exploded token/bigram
+    * streams (map-side partials), two equi-joins of the surviving bigrams
+    * against the unigram counts frame (|vocab| rows — unbounded, so
+    * AQE-sized, NOT force-broadcast), and two 1-row total frames that do
+    * ride as broadcasts. No windows, no sorts, no doc×doc.
+    */
+  def pmiBigrams(docs: DataFrame, text: String, minCount: Long): DataFrame = {
+    import graft.functions.TextFns
+    val toks = graft.Tables.spread(docs.select(col(text)), tinyBytes = 0L)
+      .select(TextFns.tokens(col(text)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__uc"))
+    val totU = uni.agg(sum("__uc").cast("double").as("__tu"))
+    val bi = toks.select(explode(TextFns.rawShingles(col("__toks"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_pairs"))
+    val totB = bi.agg(sum("n_pairs").cast("double").as("__tb"))
+    bi.filter(col("n_pairs") >= minCount)
+      .withColumn("tok_a", split(col("gram"), " ").getItem(0))
+      .withColumn("tok_b", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("tok_a"), col("__uc").as("__ua")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("__uc").as("__ub")), Seq("tok_b"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .select(col("tok_a"), col("tok_b"), col("n_pairs"),
+        round(log((col("n_pairs") / col("__tb")) /
+          ((col("__ua") / col("__tu")) * (col("__ub") / col("__tu")))), 6)
+          .as("pmi"))
+  }
+
   // ---- approximate scale paths ----------------------------------------
   // Exact countDistinct / percentile shuffle every distinct value; at
   // 100 TB the sketch forms below are the production path (bounded-size

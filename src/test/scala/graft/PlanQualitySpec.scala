@@ -190,4 +190,19 @@ class PlanQualitySpec extends AnyFunSuite {
       assertSinglePartitionOnlyForGlobalAgg(q, finalPlan(q))
     }
   }
+
+  test("percent-rank and curriculum ranks are range-partitioned, never one task") {
+    Seq("f24_percent_rank", "ml09_curriculum_phase").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), q)
+      assertSinglePartitionOnlyForGlobalAgg(q, p)
+    }
+  }
+
+  test("PMI joins bigrams on the token keys, never doc-by-doc; no windows") {
+    val p = finalPlan("t20_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+    assertSinglePartitionOnlyForGlobalAgg("t20_pmi_bigrams", p)
+  }
 }

@@ -179,6 +179,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RankOps.globalPercentRank equals the builtin percent_rank, with ties") {
+    val gen: Gen[List[Int]] = Gen.nonEmptyListOf(Gen.choose(0, 15)) // dense → many ties
+    samples(gen, 6).foreach { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (v.toDouble, i.toLong) }
+      val df = rows.toDF("v", "id")
+      val got = RankOps.globalPercentRank(df, "v", "pr")
+        .select("id", "pr").as[(Long, Double)].collect().toMap
+      val expected = df
+        .withColumn("pr", org.apache.spark.sql.functions.percent_rank()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+        .select("id", "pr").as[(Long, Double)].collect().toMap
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (id, pr) =>
+        assert(math.abs(pr - expected(id)) < 1e-12, s"id=$id on $vals")
+      }
+      // stable under repartitioning
+      val again = RankOps.globalPercentRank(df.repartition(5), "v", "pr")
+        .select("id", "pr").as[(Long, Double)].collect().toMap
+      assert(again === got)
+    }
+  }
+
   test("fold assignment is total, stable, and within [0, k)") {
     val gen = for {
       ids <- Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))

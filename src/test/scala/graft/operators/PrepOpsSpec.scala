@@ -210,6 +210,27 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0)))
   }
 
+  test("pmiBigrams matches hand-computed PMI on a fixed corpus") {
+    // corpus tokens: "a b" ×3 docs, "a c" ×1 → unigrams: a=4, b=3, c=1 (T=8)
+    // bigrams: (a,b)=3, (a,c)=1 (TB=4)
+    val docs = Seq("a b", "a b", "a b", "a c").toDF("text")
+    val got = SummaryOps.pmiBigrams(docs, "text", minCount = 1L)
+      .select("tok_a", "tok_b", "n_pairs", "pmi")
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ab = r6(math.log((3.0 / 4.0) / ((4.0 / 8.0) * (3.0 / 8.0))))
+    val ac = r6(math.log((1.0 / 4.0) / ((4.0 / 8.0) * (1.0 / 8.0))))
+    assert(got === Map(("a", "b") -> ((3L, ab)), ("a", "c") -> ((1L, ac))))
+  }
+
+  test("pmiBigrams minCount prunes the low-frequency tail") {
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val kept = SummaryOps.pmiBigrams(docs, "text", minCount = 2L)
+      .select("tok_a", "tok_b").as[(String, String)].collect()
+    assert(kept.toSeq === Seq(("a", "b")))
+  }
+
   test("weightedSample is exact-n, deterministic, and repartition-stable") {
     val df = (1L to 500L).map(i => (i, 1L + i % 7)).toDF("id", "w")
     val a = FoldOps.weightedSample(df, col("id"), col("w"), n = 40)
