@@ -1266,6 +1266,32 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // CDC reconciliation of two snapshot generations: one full-outer
+    // equi-join classifying insert/delete/update by null-safe comparison
+    "u07_snapshot_diff" -> ((s, d) => {
+      val o = ord(s, d)
+      val old = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val nw = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      JoinOps.snapshotDiff(old, nw, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .filter(col("op") =!= "unchanged")
+        .select("o_orderkey", "op")
+    }),
+
+    // SCD-2 history from an event log: consecutive equal values collapse
+    // into [valid_from, valid_to) intervals, all windows keyed per entity
+    "w13_scd_intervals" -> ((s, d) =>
+      WindowOps.runLengthIntervals(
+          ev(s, d).select("user_id", "event_id", "ts", "event_type"),
+          Seq("user_id"), Seq("ts", "event_id"), col("event_type"), col("ts"))
+        .select(col("user_id"), col("value").as("event_type"),
+          col("valid_from"), col("valid_to"),
+          col("n_events").cast("long").as("n_events"))),
+
     // exact global percent-rank with RANK tie semantics, assigned via the
     // two-phase distinct-value cumsum — the fact table is never globally
     // sorted and nothing passes through one task
@@ -2800,6 +2826,42 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n FROM documents)
          SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
                 CAST(((rn - 1) * 4) // n AS INTEGER) AS phase
-         FROM r CROSS JOIN n"""
+         FROM r CROSS JOIN n""",
+
+    "u07_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM orders WHERE o_orderkey % 5 <> 0),
+         neu AS (SELECT o_orderkey, o_orderstatus,
+                        CASE WHEN o_orderkey % 3 = 0
+                             THEN ROUND(o_totalprice * 1.1, 2)
+                             ELSE o_totalprice END AS o_totalprice
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+         d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                      CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                           WHEN n.o_orderkey IS NULL THEN 'delete'
+                           WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                             THEN 'update'
+                           ELSE 'unchanged' END AS op
+               FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey, op FROM d WHERE op <> 'unchanged'""",
+
+    "w13_scd_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+                CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
+                     THEN 0 ELSE 1 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT user_id, ts, event_type,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM e),
+         g AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                      MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM r GROUP BY 1, 2)
+         SELECT user_id, event_type, valid_from,
+                LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+                n_events
+         FROM g"""
   )
 }

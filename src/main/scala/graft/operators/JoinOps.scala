@@ -104,6 +104,33 @@ object JoinOps {
     * the id window shuffles on `partKey`, the same key the join hashes on,
     * so Catalyst reuses the exchange instead of adding one.
     */
+  /** Snapshot diff / CDC changelog: classify every key of two snapshot
+    * generations as insert / delete / update / unchanged by null-safe
+    * comparison of `compareCols`. ONE full-outer equi-join on the key —
+    * the standard re-crawl reconciliation primitive for append-only
+    * corpora (which rows of the new crawl are actually new or changed).
+    * Both sides are unbounded, so no broadcast hint; AQE sizes the join.
+    */
+  def snapshotDiff(old: DataFrame, newer: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = old.select(
+      (col(key) +: compareCols.map(c => col(c).as(s"__o_$c"))) :+
+        lit(1).as("__in_o"): _*)
+    val n = newer.select(
+      (col(key) +: compareCols.map(c => col(c).as(s"__n_$c"))) :+
+        lit(1).as("__in_n"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__in_o").isNull, "insert")
+          .when(col("__in_n").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .drop("__in_o", "__in_n")
+  }
+
   def asOfPointInInterval(
       points: DataFrame,
       intervals: DataFrame,

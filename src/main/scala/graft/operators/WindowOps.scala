@@ -68,4 +68,34 @@ object WindowOps {
     df.withColumn(avgName, avg(value).over(w))
       .withColumn(cntName, count(value).over(w))
   }
+
+  /** Run-length value intervals (slowly-changing-dimension history from an
+    * event log): consecutive equal values of `value` per key collapse into
+    * one row with [valid_from, valid_to) bounds; the last run's valid_to is
+    * null (open interval). Change points come from a null-safe lag compare;
+    * the running change-count names the run; one grouped aggregate
+    * collapses it; a per-key lead closes each interval. All three windows
+    * are keyed on the entity — no global window anywhere, state bounded by
+    * one key's history exactly like every other per-entity window here.
+    *
+    * `orderCols` must totally order each key's events (include a unique
+    * tie-break) or run boundaries are nondeterministic.
+    */
+  def runLengthIntervals(df: DataFrame, partKeys: Seq[String],
+      orderCols: Seq[String], value: Column, orderOut: Column): DataFrame = {
+    val w = spec(partKeys, orderCols)
+    val runs = df
+      .withColumn("__chg", when(lag(value, 1).over(w) <=> value, 0).otherwise(1))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(partKeys.map(col) :+ col("__run"): _*)
+      .agg(first(value).as("value"),
+        min(orderOut).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    // ordered by the run index, not valid_from: equal-timestamp runs would
+    // tie on valid_from and make the interval close nondeterministic
+    val wRun = Window.partitionBy(partKeys.map(col): _*).orderBy(col("__run"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .drop("__run")
+  }
 }

@@ -61,4 +61,19 @@ class JoinOpsSpec extends AnyFunSuite {
     val anti = JoinOps.antiFilter(df, Seq("id"), keep).select("id").as[Long].collect().toSet
     assert(semi === Set(1L, 3L) && anti === Set(2L))
   }
+
+  test("snapshotDiff classifies insert/delete/update/unchanged, null-safe") {
+    val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Option.empty[String]),
+      (5L, Some("E"))).toDF("id", "v")
+    val neu = Seq((2L, Some("B2")), (3L, Option.empty[String]), (4L, Some("D")),
+      (5L, Some("E"))).toDF("id", "v")
+    val got = JoinOps.snapshotDiff(old, neu, "id", Seq("v"))
+      .select("id", "op").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "delete",     // only in old
+      2L -> "update",     // value changed
+      3L -> "unchanged",  // null <=> null
+      4L -> "insert",     // only in new
+      5L -> "unchanged")) // equal values
+  }
 }

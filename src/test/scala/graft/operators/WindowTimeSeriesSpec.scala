@@ -65,4 +65,19 @@ class WindowTimeSeriesSpec extends AnyFunSuite {
       .select("v", "q").as[(Int, Int)].collect().toMap
     assert(got === Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 2, 5 -> 3, 6 -> 3, 7 -> 4, 8 -> 4))
   }
+
+  test("runLengthIntervals collapses runs into chained [from, to) intervals") {
+    // user u: A(t1) A(t2) B(t3) A(t4) → runs (A,t1→t3,2) (B,t3→t4,1) (A,t4→∅,1)
+    val df = Seq(("u", 1L, "A"), ("u", 2L, "A"), ("u", 3L, "B"), ("u", 4L, "A"),
+      ("v", 9L, "Z")).toDF("user", "t", "typ")
+    val got = WindowOps.runLengthIntervals(df, Seq("user"), Seq("t"),
+        col("typ"), col("t"))
+      .select("user", "value", "valid_from", "valid_to", "n_events")
+      .as[(String, String, Long, Option[Long], Long)].collect().toSet
+    assert(got === Set(
+      ("u", "A", 1L, Some(3L), 2L),
+      ("u", "B", 3L, Some(4L), 1L),
+      ("u", "A", 4L, None, 1L),
+      ("v", "Z", 9L, None, 1L)))
+  }
 }
