@@ -605,6 +605,12 @@ object SparkEntry {
       DedupOps.jaccardAllPairs(
         DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.5)),
 
+    // asymmetric containment (quote-inclusion detector): |A∩B| / |smaller
+    // side| gate, both directions reported — Jaccard misses short-in-long
+    "d14_containment_pairs" -> ((s, d) =>
+      DedupOps.containmentPairs(
+        DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.6)),
+
     "d07_simhash_neardup" -> ((s, d) =>
       DedupOps.simhashNearDups(docs(s, d), "doc_id", "text", bandBits = 8, maxHamming = 6)),
 
@@ -2187,6 +2193,23 @@ object SparkEntry {
          SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
+
+    "d14_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+                   FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                ROUND(cnt * 1.0 / sa.n, 6) AS containment_a,
+                ROUND(cnt * 1.0 / sb.n, 6) AS containment_b
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE cnt * 1.0 / LEAST(sa.n, sb.n) >= 0.6""",
 
     "d07_simhash_neardup" ->
       """WITH toks AS (

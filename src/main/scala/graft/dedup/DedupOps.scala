@@ -141,6 +141,34 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
   }
 
+  /** Asymmetric containment similarity: |A ∩ B| / |A| over distinct
+    * shingle sets — the quote-inclusion detector. A short document fully
+    * quoted inside a long one scores containment ≈ 1 while its Jaccard
+    * stays low (the union is dominated by the long side), so Jaccard-gated
+    * dedup misses it. Same inverted-index join shape as
+    * [[jaccardAllPairs]] — docs only meet through a shared shingle, never
+    * doc×doc — emitting BOTH directions of each pair (containment is not
+    * symmetric). `threshold` gates on the containment of the smaller side.
+    */
+  def containmentPairs(shingled: DataFrame, id: String, threshold: Double): DataFrame = {
+    val ck = shingled.localCheckpoint(false)
+    val sizes = ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
+    val ex = ck.select(col(id), explode(col("shingles")).as("s"))
+    val inter = ex.select(col(id).as("id_a"), col("s"))
+      .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("__c", col("n_inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") / col("sz_a"), 6).as("containment_a"),
+        round(col("n_inter").cast("double") / col("sz_b"), 6).as("containment_b"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
     * → exact-Jaccard verify.
     */

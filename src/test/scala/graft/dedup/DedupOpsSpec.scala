@@ -206,6 +206,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(DedupOps.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
 
+  test("containmentPairs flags short-in-long quoting that Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon"
+    val long = ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 " +
+      "x16 x17 x18 x19 x20 ") + quote
+    val docs = Seq((1L, quote), (2L, long),
+      (3L, "totally unrelated words with no shared trigrams at all")).toDF("doc_id", "text")
+    val sh = DedupOps.withShingles(docs, "doc_id", "text", 3)
+    val cont = DedupOps.containmentPairs(sh, "doc_id", 0.9)
+      .select("id_a", "id_b", "containment_a")
+      .as[(Long, Long, Double)].collect()
+    // doc 1's 3 trigrams are all inside doc 2 → containment_a = 1.0
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    // ...while Jaccard at the same gate sees nothing (union dominated by doc 2)
+    val jac = DedupOps.jaccardAllPairs(sh, "doc_id", 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("dropDuplicateSegments removes corpus-repeated segments, keeps order") {
     val docs = Seq(
       (1L, "a b c d"),   // segs: "a b" (dup ×3), "c d"
