@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -127,4 +127,66 @@ object EventStreams {
       .withWatermark(watermarkCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
       .select(col(id), col("fp"))
+
+  /** Fixed-edge bin index in [0, bins): values below `lo` clamp to bin 0,
+    * at/above `hi` to the last bin. Fixed edges, not data min/max — a
+    * stream has no global extremes, and drift monitoring needs bins that
+    * mean the same thing in every window anyway.
+    */
+  private def fixedBin(value: Column, lo: Double, hi: Double, bins: Int): Column =
+    least(greatest(floor((value - lo) / ((hi - lo) / bins)), lit(0L)),
+      lit((bins - 1).toLong)).cast("int")
+
+  /** Laplace-smoothed fixed-bin shares of a BATCH reference frame —
+    * (count(bin)+1)/(N+bins), the baseline profile `psiStream` compares
+    * live windows against. Returns `bins` doubles (bounded by
+    * construction); the only driver-side materialization is this tiny
+    * vector, exactly like the k-means centroid matrix.
+    */
+  def fixedBinShares(df: DataFrame, value: Column, lo: Double, hi: Double,
+      bins: Int): Seq[Double] = {
+    val counts = df.filter(value.isNotNull)
+      .select(fixedBin(value, lo, hi, bins).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    (0 until bins).map(b =>
+      (counts.getOrElse(b, 0L) + 1.0) / (total + bins.toDouble))
+  }
+
+  /** Streaming drift monitor: per tumbling 1 h window, the PSI of the live
+    * `value` distribution against a static `baseline` share vector (from
+    * [[fixedBinShares]] over reference data). Output: one row per
+    * (window, bin) with both shares and the PSI contribution — the
+    * window's total PSI is their sum, alertable downstream.
+    *
+    * ONE stateful aggregation: the fixed bins pivot into `bins` count
+    * columns inside the windowed agg (state = bins longs per open window,
+    * bounded by the watermark), and shares/contributions explode back to
+    * tall rows STATELESSLY afterwards. No chained streaming aggregates,
+    * no stream-side join — the baseline rides as literals.
+    */
+  def psiStream(events: DataFrame, baseline: Seq[Double],
+      lo: Double, hi: Double): DataFrame = {
+    val bins = baseline.length
+    val cnts = (0 until bins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val total = (0 until bins).map(b => col(s"__c$b")).reduce(_ + _)
+    val rows = (0 until bins).map { b =>
+      val p = lit(baseline(b))
+      val q = (col(s"__c$b") + lit(1.0)) / (total + lit(bins.toDouble))
+      struct(lit(b).as("bin"),
+        round(p, 6).as("p_base"),
+        round(q, 6).as("p_curr"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+    }
+    events.filter(col("value").isNotNull)
+      .withColumn("__bin", fixedBin(col("value"), lo, hi, bins))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(cnts.head, cnts.tail: _*)
+      .select(col("window.start").as("win_start"), explode(array(rows: _*)).as("__x"))
+      .select(col("win_start"), col("__x.bin"), col("__x.p_base"),
+        col("__x.p_curr"), col("__x.psi_contrib"))
+  }
 }

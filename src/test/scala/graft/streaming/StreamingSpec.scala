@@ -196,4 +196,40 @@ class StreamingSpec extends AnyFunSuite {
       docs, "doc_id", "text").count()
     assert(batchGroups === 2)
   }
+
+  test("streaming PSI drift monitor equals the batch computation per window") {
+    val dir = Files.createTempDirectory("graft-psi")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+    // baseline profile from the even-user segment; live stream = all events
+    val baseline = EventStreams.fixedBinShares(
+      batchEvents.filter(col("user_id") % 2 === 0), col("value"),
+      lo = 0.0, hi = 100.0, bins = 10)
+    assert(baseline.length === 10)
+    assert(math.abs(baseline.sum - 1.0) < 1e-9)
+
+    val stream = EventStreams.psiStream(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)),
+      baseline, lo = 0.0, hi = 100.0)
+    val q = stream.writeStream
+      .format("memory").queryName("psi").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("psi").collect().map(_.toSeq).toSet
+
+    val batch = EventStreams.psiStream(batchEvents, baseline,
+      lo = 0.0, hi = 100.0).collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // every (window, bin) present and finite
+    val byWin = spark.table("psi").groupBy("win_start").count().collect()
+    assert(byWin.forall(_.getLong(1) === 10))
+  }
 }
