@@ -188,6 +188,31 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(Knn.centroids(noVecs, "label", "embedding").count() === 0)
   }
 
+  test("empty inputs: round-4 ops degrade to empty frames, not errors") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(RetrievalOps.bm25TopK(noDocs, "doc_id", "text", Seq("x"), 5).count() === 0)
+    assert(DedupOps.dropDuplicateSegments(noDocs, "doc_id", "text", 4, 2L).count() === 0)
+    assert(SummaryOps.pmiBigrams(noDocs, "text", 1L).count() === 0)
+    val noVals = Seq.empty[(String, Double)].toDF("grp", "v")
+    assert(CleaningOps.quantileGate(noVals, "grp", "v", 0.5).count() === 0)
+    assert(CleaningOps.madOutliers(noVals, "grp", "v", 3.5).count() === 0)
+    val noEvents = Seq.empty[(Long, Long, Double)].toDF("id", "seg", "score")
+    assert(graft.operators.MetricsOps.psi(noEvents, col("score"),
+      col("seg") === 0L, 10).count() === 10) // densified bins, zero counts
+    val noKeyed = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(FoldOps.weightedSample(noKeyed, col("id"), col("w"), 5).count() === 0)
+    // n larger than the frame returns the whole frame
+    val three = (1L to 3L).map((_, 1L)).toDF("id", "w")
+    assert(FoldOps.weightedSample(three, col("id"), col("w"), 10).count() === 3)
+    val noSnap = Seq.empty[(Long, String)].toDF("id", "v")
+    assert(JoinOps.snapshotDiff(noSnap, noSnap, "id", Seq("v")).count() === 0)
+    assert(WindowOps.runLengthIntervals(
+      Seq.empty[(String, Long, String)].toDF("k", "t", "v"),
+      Seq("k"), Seq("t"), col("v"), col("t")).count() === 0)
+    assert(RankOps.globalPercentRank(
+      Seq.empty[(Double, Long)].toDF("v", "id"), "v", "pr").count() === 0)
+  }
+
   test("decontaminate with an empty benchmark flags nothing") {
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
