@@ -1272,6 +1272,20 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // salted skew join under the oracle gate: the hot-key scatter machinery
+    // (ScaleJoinSpec proves the plan) must be result-identical to a plain
+    // equi-join — here a revenue rollup through the salted path
+    "j17_salted_join" -> ((s, d) =>
+      JoinOps.saltedEquiJoin(
+          li(s, d).select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          ord(s, d).select("o_orderkey", "o_orderstatus"),
+          "o_orderkey", salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // CDC reconciliation of two snapshot generations: one full-outer
     // equi-join classifying insert/delete/update by null-safe comparison
     "u07_snapshot_diff" -> ((s, d) => {
@@ -2850,6 +2864,13 @@ object SparkEntry {
          SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
                 CAST(((rn - 1) * 4) // n AS INTEGER) AS phase
          FROM r CROSS JOIN n""",
+
+    "j17_salted_join" ->
+      """SELECT o_orderstatus,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
 
     "u07_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -32,6 +32,8 @@ object CorpusCurator {
       maxTokens: Int = 500,
       maxStopRatio: Double = 0.4,
       stopWords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+      scrubSegmentW: Int = 0,
+      scrubMinDup: Long = 2L,
       dedupShingleN: Int = 3,
       minhashK: Int = 12,
       lshBands: Int = 6,
@@ -51,6 +53,23 @@ object CorpusCurator {
     docs.filter(langOk && n.between(cfg.minTokens, cfg.maxTokens) &&
       stopR < cfg.maxStopRatio)
   }
+
+  /** Stage 1.5 — boilerplate scrub (off by default, `scrubSegmentW` > 0
+    * enables): corpus-repeated aligned `scrubSegmentW`-token segments are
+    * removed from EVERY doc (RefinedWeb-style line dedup) and the text
+    * column is replaced by the scrubbed text — so the dedup stages compare
+    * actual content, not shared boilerplate, and packing budgets don't pay
+    * for it. Drops no documents; only rewrites them.
+    */
+  def scrubBoilerplate(docs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.scrubSegmentW <= 0) docs
+    else {
+      val cleaned = DedupOps.dropDuplicateSegments(docs, cfg.idCol,
+          cfg.textCol, cfg.scrubSegmentW, cfg.scrubMinDup)
+        .select(col(cfg.idCol), col("clean_text"))
+      docs.join(cleaned, Seq(cfg.idCol))
+        .withColumn(cfg.textCol, col("clean_text")).drop("clean_text")
+    }
 
   /** Stage 2 — exact dedup: keep the smallest id per content fingerprint. */
   def exactDedup(docs: DataFrame, cfg: Config): DataFrame = {
@@ -89,8 +108,8 @@ object CorpusCurator {
 
   /** The full chain. */
   def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame =
-    pack(sample(decontaminate(nearDedup(exactDedup(
-      qualityFilter(docs, cfg), cfg), cfg), benchmark, cfg), cfg), cfg)
+    pack(sample(decontaminate(nearDedup(exactDedup(scrubBoilerplate(
+      qualityFilter(docs, cfg), cfg), cfg), cfg), benchmark, cfg), cfg), cfg)
 
   /** The chain plus the per-stage survivor funnel (one count action per
     * stage — the curation report every corpus run ships with).
@@ -98,7 +117,8 @@ object CorpusCurator {
   def curateWithReport(docs: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
     val s1 = qualityFilter(docs, cfg)
-    val s2 = exactDedup(s1, cfg)
+    val s15 = scrubBoilerplate(s1, cfg)
+    val s2 = exactDedup(s15, cfg)
     val s3 = nearDedup(s2, cfg)
     val s4 = decontaminate(s3, benchmark, cfg)
     val s5 = sample(s4, cfg)

@@ -54,4 +54,35 @@ class CorpusCuratorSpec extends AnyFunSuite {
     val (_, report2) = CorpusCurator.curateWithReport(corpus.repartition(13), bench, cfg)
     assert(report2 === report)
   }
+
+  test("boilerplate scrub unmasks duplicates that per-site headers hide") {
+    // docs 1 and 2 share a body but carry DIFFERENT site headers, each of
+    // which repeats 3× corpus-wide: unscrubbed, the headers inflate the
+    // shingle union so Jaccard ≈ 0.38 < 0.5 and the pair survives near-dup;
+    // scrubbed (segments with ≥3 occurrences dropped — the 2× body stays),
+    // both reduce to the bare body and exact dedup collapses them
+    val hA = "ha1 ha2 ha3 ha4 ha5 ha6 ha7 ha8"
+    val hB = "hb1 hb2 hb3 hb4 hb5 hb6 hb7 hb8"
+    val body = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    def tail(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$hA $body"), (2L, s"$hB $body"),
+      (4L, s"$hA ${tail("c")}"), (6L, s"$hA ${tail("d")}"),
+      (5L, s"$hB ${tail("e")}"), (7L, s"$hB ${tail("f")}"))
+      .map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val base = CorpusCurator.Config(minTokens = 10, maxTokens = 500)
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+    val without = CorpusCurator.curate(docs, bench, base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(without === Set(1L, 2L, 4L, 5L, 6L, 7L),
+      "different headers mask the duplicate pair")
+
+    val withScrub = CorpusCurator.curate(docs, bench,
+        base.copy(scrubSegmentW = 4, scrubMinDup = 3L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(withScrub === Set(1L, 4L, 5L, 6L, 7L),
+      "scrubbed texts collapse doc 2 into canonical doc 1")
+  }
 }
