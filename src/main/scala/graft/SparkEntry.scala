@@ -1272,6 +1272,13 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // hashing-trick featurizer: fixed 64-dim buckets from portable md5,
+    // no vocabulary pass or id-assignment shuffle — tall sparse output
+    "f25_feature_hash" -> ((s, d) =>
+      FoldOps.featureHash(
+        docs(s, d).select(col("doc_id"), col("text")),
+        "doc_id", TextFns.tokens(col("text")), dim = 64)),
+
     // salted skew join under the oracle gate: the hot-key scatter machinery
     // (ScaleJoinSpec proves the plan) must be result-identical to a plain
     // equi-join — here a revenue rollup through the salted path
@@ -2864,6 +2871,15 @@ object SparkEntry {
          SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
                 CAST(((rn - 1) * 4) // n AS INTEGER) AS phase
          FROM r CROSS JOIN n""",
+
+    "f25_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents)
+         SELECT doc_id,
+                CAST(CAST(('0x' || SUBSTRING(MD5(tok), 1, 4)) AS BIGINT) % 64 AS INTEGER)
+                  AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM tok GROUP BY 1, 2""",
 
     "j17_salted_join" ->
       """SELECT o_orderstatus,

@@ -127,6 +127,24 @@ object FoldOps {
     RankOps.globalCumsum(df, sortCols, size, cumName)
       .filter(col(cumName) <= budget)
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009, public
+    * algorithm): tokens map to a FIXED-dimension bucket via a hash, so the
+    * featurizer needs no vocabulary pass, no vocabulary broadcast, and no
+    * id-assignment shuffle — the classic scale answer when `vocabIds`'
+    * distinct-frame ranking is overkill. Output is the tall sparse form
+    * (id, bucket, cnt); collisions are the accepted trade-off. The bucket
+    * comes from md5 (first 4 nibbles mod `dim`) so the SAME features come
+    * out on any engine, partitioning, or cluster — xxhash/murmur seeds are
+    * engine-private, md5 of the token string is portable.
+    */
+  def featureHash(df: DataFrame, id: String, toks: Column, dim: Int): DataFrame =
+    df.select(col(id), explode(toks).as("__tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("int"),
+          lit(dim)))
+      .groupBy(col(id), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis 2006, public algorithm): each row gets priority ln(u)/w —
     * equivalent to ranking by u^(1/w) — where u is a uniform derived from

@@ -235,6 +235,20 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0)))
   }
 
+  test("featureHash: fixed dim, repartition-stable, counts preserved") {
+    val df = Seq((1L, "a b a c"), (2L, "a a a a")).toDF("id", "text")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val a = FoldOps.featureHash(df, "id", toks, dim = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a.forall { case (_, b, _) => b >= 0 && b < 8 })
+    // token multiplicity survives hashing: doc 2's single bucket holds 4
+    assert(a.filter(_._1 == 2L).map(_._3).sum === 4L)
+    assert(a.filter(_._1 == 1L).map(_._3).sum === 4L)
+    val b = FoldOps.featureHash(df.repartition(5), "id", toks, dim = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(b === a)
+  }
+
   test("pmiBigrams matches hand-computed PMI on a fixed corpus") {
     // corpus tokens: "a b" ×3 docs, "a c" ×1 → unigrams: a=4, b=3, c=1 (T=8)
     // bigrams: (a,b)=3, (a,c)=1 (TB=4)
