@@ -241,9 +241,10 @@ class PrepOpsSpec extends AnyFunSuite {
     val a = FoldOps.featureHash(df, "id", toks, dim = 8)
       .as[(Long, Int, Long)].collect().toSet
     assert(a.forall { case (_, b, _) => b >= 0 && b < 8 })
-    // token multiplicity survives hashing: doc 2's single bucket holds 4
-    assert(a.filter(_._1 == 2L).map(_._3).sum === 4L)
-    assert(a.filter(_._1 == 1L).map(_._3).sum === 4L)
+    // token multiplicity survives hashing: each doc's counts total 4
+    // (toSeq first — Set.map would collapse equal counts before summing)
+    assert(a.toSeq.filter(_._1 == 2L).map(_._3).sum === 4L)
+    assert(a.toSeq.filter(_._1 == 1L).map(_._3).sum === 4L)
     val b = FoldOps.featureHash(df.repartition(5), "id", toks, dim = 8)
       .as[(Long, Int, Long)].collect().toSet
     assert(b === a)
