@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-suite plan sweep: EVERY SparkEntry query's physical plan is held to
+  * the 100 TB rules, so a new query can't quietly ship a scale-killer.
+  *
+  * Rules:
+  *  1. No `CartesianProduct`, ever.
+  *  2. `Exchange SinglePartition` may only feed a global aggregate (whose
+  *     input is one partial row per partition — bounded by the cluster,
+  *     not the data). Documented exemption: `w11_cum_uniques`, whose
+  *     running total is over |calendar days| rows — bounded by time.
+  *  3. `BroadcastNestedLoopJoin` (the plan for non-equi/scalar joins) is
+  *     allowed only where the broadcast side is bounded BY CONSTRUCTION —
+  *     the allowlist below names each query's bounded side. Everything
+  *     else must join with a hash/sort-merge/broadcast-HASH join.
+  *
+  * Plans are inspected at compile time (no execution): the pre-AQE plan
+  * already shows every exchange and join strategy choice the rules govern.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  /** queries whose BroadcastNestedLoopJoin sides are bounded by construction */
+  private val bnlBounded: Map[String, String] = Map(
+    "a15_auroc" -> "1-row positive/negative totals frame",
+    "dq03_psi" -> "1-row min/max extent + 1-row bin totals",
+    "f23_vocab_encode" -> "bucket-offset triangle: <= shuffle-partition rows",
+    "f24_percent_rank" -> "bucket-offset triangle + 1-row N",
+    "ml06_token_budget" -> "bucket-offset triangle (globalCumsum)",
+    "ml07_mix_weights" -> "1-row corpus token total",
+    "ml09_curriculum_phase" -> "bucket-offset triangle + 1-row count",
+    "q03_domain_quantile_gate" -> "per-group quantile bounds frame",
+    "t06_tfidf_top_terms" -> "1-row doc count (idf denominator)",
+    "t18_unigram_logprob" -> "1-row corpus n/vocab stats",
+    "t19_bm25_topk" -> "1-row N/avgdl stats",
+    "t20_pmi_bigrams" -> "1-row unigram/bigram totals",
+    "u07_snapshot_diff" -> "full-outer on tiny test frames (AQE picks BNL only under threshold)",
+    "v01_cosine_topk" -> "explicit bounded query set (vec_id < 8), brute-force contract",
+    "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
+    "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
+    "v07_ann_recall" -> "bounded query set (vec_id < 8) on both result lists",
+    "dq04_mad_outliers" -> "per-group median/MAD bounds frame")
+
+  private val singlePartExempt: Map[String, String] = Map(
+    "w11_cum_uniques" -> "running total over |calendar days| rows — time-bounded")
+
+  // same walk as PlanQualitySpec: every SinglePartition exchange must feed
+  // an aggregate once AQE wrapper nodes are skipped
+  private def singlePartViolations(p: String): Seq[String] = {
+    val lines = p.linesIterator.toVector
+    def depth(s: String): Int = s.segmentLength(c => !c.isLetter && c != '*' && c != '(', 0)
+    val wrappers = Seq("ShuffleQueryStage", "AQEShuffleRead", "InputAdapter",
+      "ResultQueryStage", "TableCacheQueryStage", "AdaptiveSparkPlan", "==")
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).flatMap {
+      case (line, i) =>
+        var dep = depth(line)
+        var j = i - 1
+        var parent = ""
+        var found = false
+        while (j >= 0 && !found) {
+          val l = lines(j)
+          if (l.trim.nonEmpty && depth(l) < dep) {
+            if (wrappers.exists(l.contains)) dep = depth(l)
+            else { parent = l; found = true }
+          }
+          j -= 1
+        }
+        if (parent.contains("HashAggregate") || parent.contains("SortAggregate") ||
+          parent.contains("ObjectHashAggregate")) None
+        else Some(parent.trim.take(100))
+    }
+  }
+
+  test("every query plan: no cartesian, bounded BNL joins, no data-sized single partitions") {
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, d).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct"))
+        failures += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnlBounded.contains(name))
+        failures += s"$name: BroadcastNestedLoopJoin with no documented bounded side"
+      if (!singlePartExempt.contains(name)) {
+        val v = singlePartViolations(p)
+        if (v.nonEmpty)
+          failures += s"$name: SinglePartition feeds non-aggregate: ${v.head}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
