@@ -122,4 +122,17 @@ object SummaryOps {
     df.groupBy(group).agg(
       percentile_approx(value,
         array(probs.map(lit): _*), lit(accuracy)).as("approx_pcts"))
+
+  /** Top-k scale path — approximate heavy hitters (Spark's `freqItems`,
+    * the Karp/Shenker/Papadimitriou single-pass counter algorithm): every
+    * item with frequency above `1/support` is GUARANTEED present; false
+    * positives are possible, exact counts are not retained. The sketch
+    * state is ≤ `1/support` entries per partition regardless of
+    * cardinality — the 100 TB answer when the exact hash-agg + top-k
+    * (`t14_ngram_topk`) would shuffle billions of distinct grams. Returns
+    * the candidate item array (one row); re-join it to an exact count pass
+    * over just the candidates when true counts are needed.
+    */
+  def approxHeavyHitters(df: DataFrame, c: String, support: Double): DataFrame =
+    df.stat.freqItems(Seq(c), support)
 }

@@ -47,4 +47,20 @@ class ApproxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("approxHeavyHitters: guaranteed recall of items above the support threshold") {
+    import spark.implicits._
+    // skewed stream: "hot" is 40% of rows, "warm" 20%, the rest unique
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 400).map(i => s"cold$i")
+    val df = rows.toDF("tok").repartition(8)
+    val found = SummaryOps.approxHeavyHitters(df, "tok", support = 0.1)
+      .head().getSeq[String](0).toSet
+    // no false negatives above support: both true heavy hitters present
+    assert(found.contains("hot") && found.contains("warm"))
+    // exact verification pass over just the candidates stays tiny
+    val exact = df.filter(col("tok").isin(found.toSeq: _*))
+      .groupBy("tok").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact("hot") === 400L && exact("warm") === 200L)
+  }
 }
