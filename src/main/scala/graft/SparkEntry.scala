@@ -1272,6 +1272,23 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // interval overlap as a bucket-banded equi-join (never a per-key cross
+    // product): 30-day order-validity windows overlapping per customer
+    "j18_interval_overlap" -> ((s, d) => {
+      val iv = ord(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("s_day"))
+        .withColumn("e_day", col("s_day") + 30)
+      JoinOps.intervalOverlapPairs(iv, "o_custkey", "o_orderkey",
+          "s_day", "e_day", bucketWidth = 32L)
+        .select(col("o_custkey"),
+          col("o_orderkey_a").as("id_a"), col("o_orderkey_b").as("id_b"),
+          (least(col("e_day_a"), col("e_day_b")) -
+            greatest(col("s_day_a"), col("s_day_b"))).cast("long")
+            .as("overlap_days"))
+    }),
+
     // hashing-trick featurizer: fixed 64-dim buckets from portable md5,
     // no vocabulary pass or id-assignment shuffle — tall sparse output
     "f25_feature_hash" -> ((s, d) =>
@@ -2871,6 +2888,17 @@ object SparkEntry {
          SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
                 CAST(((rn - 1) * 4) // n AS INTEGER) AS phase
          FROM r CROSS JOIN n""",
+
+    "j18_interval_overlap" ->
+      """WITH iv AS (SELECT o_custkey, o_orderkey,
+                CAST(DATEDIFF('day', TIMESTAMP '1990-01-01', o_orderdate) AS BIGINT) AS s_day
+              FROM orders)
+         SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+                CAST(LEAST(a.s_day + 30, b.s_day + 30)
+                   - GREATEST(a.s_day, b.s_day) AS BIGINT) AS overlap_days
+         FROM iv a JOIN iv b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+          AND a.s_day < b.s_day + 30 AND b.s_day < a.s_day + 30""",
 
     "f25_feature_hash" ->
       """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok

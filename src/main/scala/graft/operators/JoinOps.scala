@@ -104,6 +104,39 @@ object JoinOps {
     * the id window shuffles on `partKey`, the same key the join hashes on,
     * so Catalyst reuses the exchange instead of adding one.
     */
+  /** All-pairs interval overlap within a partition key — the temporal-
+    * conflict / co-occurrence primitive ("which stays overlapped", "which
+    * sessions ran concurrently"). Intervals are half-open [start, end) on
+    * a numeric axis.
+    *
+    * The naive plan is a non-equi self-join (key equality + two range
+    * predicates) — at scale that is a per-key cross product. Here each
+    * interval registers in every `bucketWidth`-wide bucket it touches, so
+    * candidates meet through ONE equi-join on (key, bucket); the true
+    * range predicate then filters, and a bucket-ownership rule — only the
+    * first bucket both intervals share, `floor(max(starts)/width)`, emits
+    * the pair — deduplicates without a distinct shuffle. Cost follows
+    * bucket co-occupancy (tunable via `bucketWidth` ≈ typical interval
+    * length), not per-key row counts squared.
+    */
+  def intervalOverlapPairs(df: DataFrame, key: String, id: String,
+      start: String, end: String, bucketWidth: Long): DataFrame = {
+    val w = lit(bucketWidth)
+    val reg = df.select(col(key), col(id), col(start), col(end))
+      .withColumn("__bkt",
+        explode(sequence(floor(col(start) / w), floor((col(end) - 1) / w))))
+    val a = reg.columns.foldLeft(reg)((d, c) =>
+      if (c == key || c == "__bkt") d else d.withColumnRenamed(c, s"${c}_a"))
+    val b = reg.columns.foldLeft(reg)((d, c) =>
+      if (c == key || c == "__bkt") d else d.withColumnRenamed(c, s"${c}_b"))
+    a.join(b, Seq(key, "__bkt"))
+      .filter(col(s"${id}_a") < col(s"${id}_b") &&
+        col(s"${start}_a") < col(s"${end}_b") &&
+        col(s"${start}_b") < col(s"${end}_a") &&
+        col("__bkt") === floor(greatest(col(s"${start}_a"), col(s"${start}_b")) / w))
+      .drop("__bkt")
+  }
+
   /** Snapshot diff / CDC changelog: classify every key of two snapshot
     * generations as insert / delete / update / unchanged by null-safe
     * comparison of `compareCols`. ONE full-outer equi-join on the key —

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -60,6 +61,28 @@ class JoinOpsSpec extends AnyFunSuite {
     val semi = JoinOps.semiFilter(df, Seq("id"), keep).select("id").as[Long].collect().toSet
     val anti = JoinOps.antiFilter(df, Seq("id"), keep).select("id").as[Long].collect().toSet
     assert(semi === Set(1L, 3L) && anti === Set(2L))
+  }
+
+  test("intervalOverlapPairs: banded equi-join equals the naive non-equi join, no dup pairs") {
+    // deterministic pseudo-random intervals spanning many buckets
+    val rows = (1L to 120L).map { i =>
+      val k = (i % 5).toString
+      val s = (i * 37 % 200)
+      (k, i, s, s + 1 + (i * 13 % 50))
+    }
+    val df = rows.toDF("k", "id", "s", "e")
+    val banded = JoinOps.intervalOverlapPairs(df, "k", "id", "s", "e", bucketWidth = 16L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(banded.length === banded.distinct.length, "ownership rule must emit each pair once")
+    val naive = df.as("a").join(df.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect()
+    assert(banded.toSet === naive.toSet)
+    // bucket width must not change the answer, only the plan's fan-out
+    val wide = JoinOps.intervalOverlapPairs(df, "k", "id", "s", "e", bucketWidth = 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(wide.toSet === naive.toSet)
   }
 
   test("snapshotDiff classifies insert/delete/update/unchanged, null-safe") {
