@@ -1272,6 +1272,12 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // per-source KL divergence from the corpus unigram distribution — the
+    // domain-shift ranking behind mixture design; unseen-token mass in
+    // closed form, so no source×vocab grid and no cross product
+    "t21_kl_divergence" -> ((s, d) =>
+      SummaryOps.klFromCorpus(docs(s, d), "source", "text")),
+
     // interval overlap as a bucket-banded equi-join (never a per-key cross
     // product): 30-day order-validity windows overlapping per customer
     "j18_interval_overlap" -> ((s, d) => {
@@ -2888,6 +2894,30 @@ object SparkEntry {
          SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
                 CAST(((rn - 1) * 4) // n AS INTEGER) AS phase
          FROM r CROSS JOIN n""",
+
+    "t21_kl_divergence" ->
+      """WITH tok AS (SELECT source, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cc FROM tok GROUP BY 1),
+         st AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM c),
+         lall AS (SELECT SUM(LN((cc + 1.0) / (st.n + st.v))) AS lall
+                  FROM c CROSS JOIN st),
+         seen AS (SELECT source, tok, COUNT(*) AS sc FROM tok GROUP BY 1, 2),
+         g AS (SELECT s.source,
+                      CAST(SUM(s.sc) AS DOUBLE) AS ns,
+                      CAST(COUNT(*) AS DOUBLE) AS vs,
+                      SUM((s.sc + 1.0) * LN(s.sc + 1.0)) AS a,
+                      SUM(s.sc + 1.0) AS b,
+                      SUM((s.sc + 1.0) * LN((c.cc + 1.0) / (st.n + st.v))) AS d,
+                      SUM(LN((c.cc + 1.0) / (st.n + st.v))) AS lseen,
+                      ANY_VALUE(st.v) AS v
+               FROM seen s JOIN c USING (tok) CROSS JOIN st
+               GROUP BY 1)
+         SELECT source, CAST(ns AS BIGINT) AS n_tokens, CAST(vs AS BIGINT) AS n_types,
+                ROUND((a - b * LN(ns + v) - d) / (ns + v)
+                      + (1.0 / (ns + v)) * LN(1.0 / (ns + v)) * (v - vs)
+                      - (1.0 / (ns + v)) * (lall.lall - lseen), 6) AS kl
+         FROM g CROSS JOIN lall""",
 
     "j18_interval_overlap" ->
       """WITH iv AS (SELECT o_custkey, o_orderkey,

@@ -95,6 +95,56 @@ object SummaryOps {
           .as("pmi"))
   }
 
+  /** Per-group KL divergence from the corpus-wide unigram distribution —
+    * the domain-shift signal behind data-mixture design (which sources
+    * look least like the corpus). Both distributions are add-1 smoothed
+    * over the corpus vocabulary V.
+    *
+    * The textbook form sums over the full |groups|×V grid — a cross join
+    * of unbounded frames, banned here. Instead the unseen-token mass has a
+    * closed form: for tokens a group never saw, p_g = 1/(N_g+V) is
+    * constant, so their contribution is
+    * u·ln(u)·(V−V_g) − u·(Σ_all ln p_c − Σ_seen ln p_c), where Σ_all ln p_c
+    * is ONE corpus-level scalar. Everything reduces to the observed
+    * (group, token) ⋈ corpus-counts equi-join plus 1-row aggregates — no
+    * grid, no cross product, exact.
+    */
+  def klFromCorpus(docs: DataFrame, group: String, text: String): DataFrame = {
+    import graft.functions.TextFns
+    val tok = graft.Tables.spread(docs.select(col(group), col(text)), tinyBytes = 0L)
+      .select(col(group), explode(TextFns.tokens(col(text))).as("__tok"))
+    val corpus = tok.groupBy("__tok").agg(count(lit(1)).as("__cc"))
+    val stats = corpus.agg(sum("__cc").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val pc = (col("__cc") + lit(1.0)) / (col("__n") + col("__v"))
+    val lAll = corpus.crossJoin(broadcast(stats))
+      .agg(sum(log(pc)).as("__lall"))
+    val seen = tok.groupBy(col(group), col("__tok")).agg(count(lit(1)).as("__sc"))
+      .join(corpus, "__tok")
+      .crossJoin(broadcast(stats))
+    val ns = sum(col("__sc")).cast("double")
+    val perGroup = seen.groupBy(col(group)).agg(
+      ns.as("__ns"),
+      count(lit(1)).cast("double").as("__vs"),
+      // Σ_seen p_g ln(p_g/p_c) with p_g=(c_g+1)/(N_g+V): N_g enters after
+      // the agg, so carry Σ(c+1)ln(c+1), Σ(c+1), Σ(c+1)ln p_c partials
+      sum((col("__sc") + 1.0) * log(col("__sc") + 1.0)).as("__a"),
+      sum(col("__sc") + 1.0).as("__b"),
+      sum((col("__sc") + 1.0) * log(pc)).as("__d"),
+      sum(log(pc)).as("__lseen"),
+      first(col("__v")).as("__v"))
+    val denom = col("__ns") + col("__v")
+    val u = lit(1.0) / denom
+    val seenPart = (col("__a") - col("__b") * log(denom) - col("__d")) / denom
+    val unseenPart = u * log(u) * (col("__v") - col("__vs")) -
+      u * (col("__lall") - col("__lseen"))
+    perGroup.crossJoin(broadcast(lAll))
+      .select(col(group),
+        col("__ns").cast("long").as("n_tokens"),
+        col("__vs").cast("long").as("n_types"),
+        round(seenPart + unseenPart, 6).as("kl"))
+  }
+
   // ---- approximate scale paths ----------------------------------------
   // Exact countDistinct / percentile shuffle every distinct value; at
   // 100 TB the sketch forms below are the production path (bounded-size

@@ -235,6 +235,31 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0)))
   }
 
+  test("klFromCorpus: closed-form unseen mass equals the brute-force grid") {
+    val docs = Seq(
+      ("s1", "a a a b"), ("s1", "a b c"),
+      ("s2", "x x y a"), ("s2", "y y z"))
+      .toDF("source", "text")
+    val got = SummaryOps.klFromCorpus(docs, "source", "text")
+      .select("source", "kl").as[(String, Double)].collect().toMap
+
+    // brute force in plain Scala: add-1 smoothing over the corpus vocab
+    val toks = Seq("s1" -> Seq("a","a","a","b","a","b","c"),
+      "s2" -> Seq("x","x","y","a","y","y","z"))
+    val corpus = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val n = corpus.values.sum.toDouble; val v = corpus.size.toDouble
+    def pc(t: String) = (corpus.getOrElse(t, 0) + 1.0) / (n + v)
+    toks.foreach { case (src, ts) =>
+      val cnt = ts.groupBy(identity).view.mapValues(_.size).toMap
+      val ns = ts.size.toDouble
+      def pg(t: String) = (cnt.getOrElse(t, 0) + 1.0) / (ns + v)
+      val kl = corpus.keys.map(t => pg(t) * math.log(pg(t) / pc(t))).sum
+      assert(math.abs(got(src) - math.rint(kl * 1e6) / 1e6) < 2e-6, src)
+    }
+    // both sources diverge from the pooled corpus
+    assert(got.values.forall(_ > 0))
+  }
+
   test("featureHash: fixed dim, repartition-stable, counts preserved") {
     val df = Seq((1L, "a b a c"), (2L, "a a a a")).toDF("id", "text")
     val toks = graft.functions.TextFns.tokens(col("text"))
