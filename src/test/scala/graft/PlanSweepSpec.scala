@@ -37,6 +37,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "t18_unigram_logprob" -> "1-row corpus n/vocab stats",
     "t19_bm25_topk" -> "1-row N/avgdl stats",
     "t20_pmi_bigrams" -> "1-row unigram/bigram totals",
+    "t21_kl_divergence" -> "1-row corpus stats + 1-row sum-of-log-probs scalar",
     "u07_snapshot_diff" -> "full-outer on tiny test frames (AQE picks BNL only under threshold)",
     "v01_cosine_topk" -> "explicit bounded query set (vec_id < 8), brute-force contract",
     "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
