@@ -1305,16 +1305,21 @@ object SparkEntry {
     // salted skew join under the oracle gate: the hot-key scatter machinery
     // (ScaleJoinSpec proves the plan) must be result-identical to a plain
     // equi-join — here a revenue rollup through the salted path
-    "j17_salted_join" -> ((s, d) =>
-      JoinOps.saltedEquiJoin(
-          li(s, d).select(col("l_orderkey").as("o_orderkey"),
-            col("l_extendedprice"), col("l_discount")),
+    "j17_salted_join" -> ((s, d) => {
+      // partial-aggregate below the join (map-side combine): the salted
+      // shuffle carries one row per order, not per line item — the same
+      // shape entry() uses; salting then protects the join itself
+      val partial = li(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"),
+          count(lit(1)).as("__n"))
+      JoinOps.saltedEquiJoin(partial,
           ord(s, d).select("o_orderkey", "o_orderstatus"),
           "o_orderkey", salt = 8)
         .groupBy("o_orderstatus")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
-          count(lit(1)).as("n_items"))),
+        .agg(round(sum(col("__rev")), 2).as("revenue"),
+          sum(col("__n")).as("n_items"))
+    }),
 
     // CDC reconciliation of two snapshot generations: one full-outer
     // equi-join classifying insert/delete/update by null-safe comparison
