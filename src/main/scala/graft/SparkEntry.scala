@@ -30,6 +30,18 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** 4 patterned 64-dim centroids for `v03b_assign_fixed` — one closed form
+    * feeds BOTH the Spark literal and the generated oracle SQL, so the two
+    * engines argmin against bit-identical values.
+    */
+  private val fixedCentroids: Seq[Seq[Double]] =
+    (0 until 4).map(j => (0 until 64).map(i => ((i * (j + 3)) % 11) / 11.0 - 0.5).toSeq)
+
+  private def fixedCentroidsSqlValues: String =
+    fixedCentroids.zipWithIndex
+      .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
+      .mkString(", ")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Revenue per
     * nation — scan → broadcast dims → shuffle agg, the engine's join/agg
     * spine (SURVEY §2.3 J1/J2).
@@ -618,6 +630,14 @@ object SparkEntry {
       MetricsOps.calibrationError(li(s, d),
         col("l_discount") * 10.0, when(col("l_returnflag") === "R", 1).otherwise(0), 10)),
 
+    // grid-search temperature scaling over synthetic logits: centered
+    // totalprice as the logit, F-status as the label
+    "a14c_temp_scaling" -> ((s, d) =>
+      MetricsOps.temperatureScale(ord(s, d),
+        col("o_totalprice") / 100000.0 - 1.5,
+        when(col("o_orderstatus") === "F", 1).otherwise(0),
+        Seq(0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75, 3.0))),
+
     "d06_embedding_neardup" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       DedupOps.embeddingNearDups(emb(s, d), "vec_id", "embedding", "label", 0.4,
@@ -642,6 +662,15 @@ object SparkEntry {
       Knn.clusteredTopK(assigned, "vec_id", "embedding", "cluster", k = 3,
         simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
+
+    // the deterministic half of v03, oracled: squared-L2 argmin assignment
+    // against a FIXED centroid literal is engine-portable (no Lloyd's
+    // iteration, no cross-engine float accumulation of centroids) — the
+    // oracle recomputes the same patterned centroids from the same closed
+    // form
+    "v03b_assign_fixed" -> ((s, d) =>
+      Knn.assignClusters(emb(s, d), "vec_id", "embedding", fixedCentroids)
+        .select("vec_id", "cluster")),
 
     // multi-probe IVF: label-centroid quantizer, each query probes its 2
     // nearest clusters. Rows-only check like v03 (cross-engine argmin on
@@ -2301,6 +2330,21 @@ object SparkEntry {
                 ROUND(MAX(ABS(bin_accuracy - bin_confidence)), 6) AS mce
          FROM bins""",
 
+    "a14c_temp_scaling" ->
+      """WITH pts AS (
+           SELECT o_totalprice / 100000.0 - 1.5 AS z,
+                  CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+           FROM orders),
+         grid AS (
+           SELECT CAST(UNNEST([0.5, 0.75, 1.0, 1.25, 1.5, 1.75,
+                               2.0, 2.25, 2.5, 2.75, 3.0]) AS DOUBLE) AS t),
+         losses AS (
+           SELECT t,
+                  AVG(GREATEST(z / t, 0) - (z / t) * y + LN(1 + EXP(-ABS(z / t)))) AS bce
+           FROM pts CROSS JOIN grid GROUP BY t)
+         SELECT t AS best_t, ROUND(bce, 6) AS bce
+         FROM losses ORDER BY bce, t LIMIT 1""",
+
     "d06_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings)
@@ -2311,6 +2355,21 @@ object SparkEntry {
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE LIST_DOT_PRODUCT(a.v, b.v)
                / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.4""",
+
+    "v03b_assign_fixed" ->
+      s"""WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          c(cluster, cv) AS (VALUES $fixedCentroidsSqlValues),
+          d AS (
+            SELECT vec_id, cluster,
+                   LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                     i -> (v[i] - CAST(cv[i] AS DOUBLE)) * (v[i] - CAST(cv[i] AS DOUBLE)))) AS dist
+            FROM e CROSS JOIN c)
+          SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+          FROM (SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+                FROM d)
+          WHERE rn = 1""",
 
     "v01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2384,13 +2443,23 @@ object SparkEntry {
                   CASE WHEN COALESCE(n_items, 0) >= 4 THEN 1 ELSE 0 END AS pred
            FROM orders LEFT JOIN (
              SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1)
-           USING (o_orderkey))
-         SELECT o_orderpriority,
-                CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-                CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-                CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
-         FROM scored GROUP BY o_orderpriority""",
+           USING (o_orderkey)),
+         cells AS (
+           SELECT o_orderpriority,
+                  CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                  CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM scored GROUP BY o_orderpriority)
+         SELECT o_orderpriority, tp, fp, tn, fn,
+                ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS tpr,
+                ROUND(CAST(tn AS DOUBLE) / NULLIF(tn + fp, 0), 6) AS tnr,
+                ROUND(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) AS fpr,
+                ROUND(CAST(fn AS DOUBLE) / NULLIF(fn + tp, 0), 6) AS fnr,
+                ROUND(CAST(tp + fp AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS pr,
+                ROUND(CAST(tn + fn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS nr,
+                ROUND(CAST(tp + tn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS accuracy
+         FROM cells""",
 
     "w05_active_signal" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -2661,13 +2730,23 @@ object SparkEntry {
          melted AS (
            SELECT 'o_orderpriority' AS attribute, o_orderpriority AS grp, truth, pred FROM scored
            UNION ALL
-           SELECT 'o_orderstatus', o_orderstatus, truth, pred FROM scored)
-         SELECT attribute, grp,
-                CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-                CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-                CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
-         FROM melted GROUP BY attribute, grp""",
+           SELECT 'o_orderstatus', o_orderstatus, truth, pred FROM scored),
+         cells AS (
+           SELECT attribute, grp,
+                  CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                  CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM melted GROUP BY attribute, grp)
+         SELECT attribute, grp, tp, fp, tn, fn,
+                ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS tpr,
+                ROUND(CAST(tn AS DOUBLE) / NULLIF(tn + fp, 0), 6) AS tnr,
+                ROUND(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) AS fpr,
+                ROUND(CAST(fn AS DOUBLE) / NULLIF(fn + tp, 0), 6) AS fnr,
+                ROUND(CAST(tp + fp AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS pr,
+                ROUND(CAST(tn + fn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS nr,
+                ROUND(CAST(tp + tn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS accuracy
+         FROM cells""",
 
     "j12b_next_within_gap_range" ->
       """SELECT v.o_orderkey,

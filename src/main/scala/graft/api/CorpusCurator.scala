@@ -67,8 +67,12 @@ object CorpusCurator {
       val cleaned = DedupOps.dropDuplicateSegments(docs, cfg.idCol,
           cfg.textCol, cfg.scrubSegmentW, cfg.scrubMinDup)
         .select(col(cfg.idCol), col("clean_text"))
-      docs.join(cleaned, Seq(cfg.idCol))
-        .withColumn(cfg.textCol, col("clean_text")).drop("clean_text")
+      // left join + coalesce keeps the "drops no documents" contract even
+      // for docs the segmenter yields nothing for (null/empty text → no
+      // segment rows → no clean_text row): they pass through unchanged
+      docs.join(cleaned, Seq(cfg.idCol), "left")
+        .withColumn(cfg.textCol, coalesce(col("clean_text"), col(cfg.textCol)))
+        .drop("clean_text")
     }
 
   /** Stage 2 — exact dedup: keep the smallest id per content fingerprint. */
@@ -125,6 +129,7 @@ object CorpusCurator {
     val out = pack(s5, cfg)
     val report = Seq(
       "00_input" -> docs.count(), "10_quality" -> s1.count(),
+      "15_scrub" -> s15.count(), // rewrites only — equals 10_quality by contract
       "20_exact_dedup" -> s2.count(), "30_near_dedup" -> s3.count(),
       "40_decontaminated" -> s4.count(), "50_sampled" -> s5.count())
     (out, report)

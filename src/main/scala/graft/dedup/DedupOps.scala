@@ -116,17 +116,45 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
   }
 
+  /** Document-frequency cap for inverted-index postings: a posting whose
+    * term appears in k documents contributes k² candidate rows to the
+    * self-join, so ONE adversarial corpus-wide shingle (a boilerplate
+    * header, a templated footer) turns the index quadratic. Postings with
+    * df > `maxDf` are dropped BEFORE the join — exactly the terms that
+    * carry near-zero discriminative signal (IDF ≈ 0). With the cap on, the
+    * operators below are documented lower bounds: pairs that share ONLY
+    * capped terms are missed, and intersection counts omit the capped
+    * terms. `Long.MaxValue` (the default) bypasses the df aggregate
+    * entirely, so default plans and hashes are unchanged.
+    *
+    * Plan shape: one extra hash aggregate over |distinct terms| and one
+    * equi-join back on the term — both linear in the index, the price that
+    * removes the quadratic tail.
+    */
+  private def capPostings(postings: DataFrame, term: String, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) postings
+    else {
+      val dfreq = postings.groupBy(term)
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
+      postings.join(dfreq, Seq(term), "left_semi")
+    }
+
   /** n-gram Jaccard near-dup WITHOUT LSH: all pairs sharing >=1 shingle via
     * the inverted index, thresholded. Exact but heavier than `nearDupPairs`
     * (pair candidates grow with shingle document frequency) — the
-    * correctness baseline the LSH path is validated against.
+    * correctness baseline the LSH path is validated against. `maxDf` caps
+    * the posting document frequency (see [[capPostings]]).
     */
-  def jaccardAllPairs(shingled: DataFrame, id: String, threshold: Double): DataFrame = {
+  def jaccardAllPairs(shingled: DataFrame, id: String, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     // three consumers of the shingle arrays (sizes + both join sides) —
     // truncate lineage so shingling runs once (see nearDupPairs)
     val ck = shingled.localCheckpoint(false)
     val sizes = ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
-    val ex = ck.select(col(id), explode(col("shingles")).as("s"))
+    val ex = capPostings(
+      ck.select(col(id), explode(col("shingles")).as("s")), "s", maxDf)
     val inter = ex.select(col(id).as("id_a"), col("s"))
       .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -150,10 +178,12 @@ object DedupOps {
     * doc×doc — emitting BOTH directions of each pair (containment is not
     * symmetric). `threshold` gates on the containment of the smaller side.
     */
-  def containmentPairs(shingled: DataFrame, id: String, threshold: Double): DataFrame = {
+  def containmentPairs(shingled: DataFrame, id: String, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val ck = shingled.localCheckpoint(false)
     val sizes = ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
-    val ex = ck.select(col(id), explode(col("shingles")).as("s"))
+    val ex = capPostings(
+      ck.select(col(id), explode(col("shingles")).as("s")), "s", maxDf)
     val inter = ex.select(col(id).as("id_a"), col("s"))
       .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -375,17 +405,21 @@ object DedupOps {
     * term → the index degenerates toward all-pairs). Shingle cardinality
     * grows with the corpus, keeping the index sparse — the same property
     * that makes `jaccardAllPairs` viable. For adversarial high-df shingles
-    * at 100 TB, cap the index at a max document frequency (near-zero IDF
-    * weight anyway) or LSH-bucket the postings.
+    * `maxDf` drops postings above a document-frequency ceiling (their IDF
+    * weight is near zero anyway) — with the cap on, pairs connected ONLY
+    * by capped terms are missed and surviving similarities exclude the
+    * capped terms from weights and norms alike (the vocabulary simply
+    * shrinks, so the result is still a true cosine over the kept terms).
     */
   def tfidfCosinePairs(docs: DataFrame, id: String, text: String,
-      shingleN: Int, threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id),
         explode(TextFns.rawShingles(TextFns.tokens(col(text)), shingleN)).as("term"))
     val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
     val n = docs.agg(count(lit(1)).as("__n"))
     // checkpointed: consumed three times (norms + both self-join sides);
     // without it each consumer replays the tf⋈df⋈n subtree. The residual

@@ -186,8 +186,13 @@ object FoldOps {
   def packByCumsum(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
       size: Column, capacity: Int, name: String = "bin_id"): DataFrame = {
     val keys = (partKeys ++ orderCols).map(col)
+    // checkpoint-pinned for the same reason as RankOps.pinnedRangeBuckets:
+    // `ranged` feeds both the local-cumsum window and the per-bucket totals,
+    // and repartitionByRange samples fresh boundaries per execution — the
+    // two consumers must see ONE bucketing or bins mix two numberings.
     val ranged = df.repartitionByRange(keys: _*)
       .withColumn("__pb_pid", spark_partition_id())
+      .localCheckpoint(false)
     val bucketKeys = partKeys.map(col) :+ col("__pb_pid")
     val wLocal = Window.partitionBy(bucketKeys: _*)
       .orderBy(orderCols.map(col): _*)

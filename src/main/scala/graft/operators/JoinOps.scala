@@ -122,7 +122,12 @@ object JoinOps {
   def intervalOverlapPairs(df: DataFrame, key: String, id: String,
       start: String, end: String, bucketWidth: Long): DataFrame = {
     val w = lit(bucketWidth)
+    // Half-open [start, end) contract enforced: a degenerate interval
+    // (end <= start) covers zero buckets, but Spark's `sequence` would step
+    // BACKWARDS through floor(start/w)..floor((end-1)/w) and register it in
+    // a descending bucket range — filter it out before registration.
     val reg = df.select(col(key), col(id), col(start), col(end))
+      .filter(col(end) > col(start))
       .withColumn("__bkt",
         explode(sequence(floor(col(start) / w), floor((col(end) - 1) / w))))
     val a = reg.columns.foldLeft(reg)((d, c) =>

@@ -27,13 +27,36 @@ object MetricsOps {
       .withColumn("recall_", round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
   }
 
-  /** A13 — the same rates per sensitive-attribute group (`fairness.py:71-81`). */
+  /** The reference's per-group fairness report derives seven rates from the
+    * confusion cells (`fairness.py:38-67`): TPR/TNR/FPR/FNR, positive/
+    * negative prediction rates, accuracy — each None (here: null) when its
+    * denominator is zero, exactly as the reference's ZeroDivisionError
+    * handlers do. Pure column arithmetic on the already-aggregated cells,
+    * so the cost is nil at any scale.
+    */
+  private def withRates(cells: DataFrame): DataFrame = {
+    def rate(num: Column, den: Column): Column =
+      round(when(den =!= 0, num.cast("double") / den), 6)
+    val n = col("tp") + col("fp") + col("tn") + col("fn")
+    cells
+      .withColumn("tpr", rate(col("tp"), col("tp") + col("fn")))
+      .withColumn("tnr", rate(col("tn"), col("tn") + col("fp")))
+      .withColumn("fpr", rate(col("fp"), col("fp") + col("tn")))
+      .withColumn("fnr", rate(col("fn"), col("fn") + col("tp")))
+      .withColumn("pr", rate(col("tp") + col("fp"), n))
+      .withColumn("nr", rate(col("tn") + col("fn"), n))
+      .withColumn("accuracy", rate(col("tp") + col("tn"), n))
+  }
+
+  /** A13 — confusion cells + derived rates per sensitive-attribute group
+    * (`fairness.py:71-81`).
+    */
   def groupedConfusion(df: DataFrame, group: String, truth: Column, pred: Column): DataFrame =
-    df.groupBy(group).agg(
+    withRates(df.groupBy(group).agg(
       sum(when(truth === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(truth === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
       sum(when(truth === 0 && pred === 0, 1L).otherwise(0L)).as("tn"),
-      sum(when(truth === 1 && pred === 0, 1L).otherwise(0L)).as("fn"))
+      sum(when(truth === 1 && pred === 0, 1L).otherwise(0L)).as("fn")))
 
   /** A13 multi-attribute form — the reference reports per (attribute ×
     * group) over a melted table (`fairness.py:71-81`); `stack()` melts the
@@ -44,7 +67,7 @@ object MetricsOps {
     */
   def meltedConfusion(df: DataFrame, attrs: Seq[String], truth: Column, pred: Column): DataFrame = {
     val pairs = attrs.map(a => s"'$a', cast(`$a` as string)").mkString(", ")
-    df.select(
+    val cells = df.select(
         expr(s"stack(${attrs.size}, $pairs) as (attribute, grp)"),
         truth.as("__t"), pred.as("__p"))
       .groupBy("attribute", "grp")
@@ -53,6 +76,7 @@ object MetricsOps {
         sum(when(col("__t") === 0 && col("__p") === 1, 1L).otherwise(0L)).as("fp"),
         sum(when(col("__t") === 0 && col("__p") === 0, 1L).otherwise(0L)).as("tn"),
         sum(when(col("__t") === 1 && col("__p") === 0, 1L).otherwise(0L)).as("fn"))
+    withRates(cells)
   }
 
   /** Population Stability Index between a baseline and a current segment of
@@ -119,6 +143,33 @@ object MetricsOps {
           6).as("ece"),
         round(max(abs(col("bin_accuracy") - col("bin_confidence"))), 6).as("mce"))
 
+  /** Temperature scaling, grid-search form (`callibrate_output.py:29-83`):
+    * the reference tunes a scalar T by LBFGS to minimize
+    * `BCEWithLogitsLoss(logits / T, labels)`; here the 1-D search is a
+    * T-grid explode → per-T mean BCE aggregate → argmin row, which is pure
+    * relational and engine-portable. The BCE uses the numerically stable
+    * softplus identity `max(z,0) − z·y + ln(1+e^−|z|)`, the same form
+    * torch's BCEWithLogitsLoss computes.
+    *
+    * Scale shape: each row replicates |grid| times under the explode, but
+    * the groupBy(T) aggregate combines map-side, so the shuffle carries
+    * ≤ |grid| rows per map task and the output is |grid| rows; the argmin
+    * is an `orderBy().limit(1)` over that bounded frame
+    * (TakeOrderedAndProject). Ties break toward the smaller T.
+    */
+  def temperatureScale(df: DataFrame, logit: Column, label: Column,
+      tGrid: Seq[Double]): DataFrame = {
+    val z = col("__z") / col("t")
+    df.select(logit.cast("double").as("__z"), label.cast("double").as("__y"),
+        explode(array(tGrid.map(lit): _*)).as("t"))
+      .groupBy(col("t"))
+      .agg(avg(greatest(z, lit(0.0)) - z * col("__y") +
+        log(lit(1.0) + exp(-abs(z)))).as("__bce"))
+      .orderBy(col("__bce").asc, col("t").asc)
+      .limit(1)
+      .select(col("t").as("best_t"), round(col("__bce"), 6).as("bce"))
+  }
+
   /** A15 — AUROC via the Mann-Whitney rank-sum identity
     * (`evaluation.py:95-108` uses sklearn; this is the distributed form):
     * AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), with a
@@ -135,8 +186,15 @@ object MetricsOps {
     // — so the big frame is aggregated per range bucket FIRST and the
     // global rank never needs to be joined back onto it.
     val base = df.select(label.cast("long").as("__lab"), score.as("__s"), tie.as("__t"))
+    // localCheckpoint pins ONE bucketing: repartitionByRange SAMPLES its
+    // range boundaries per execution, and `perBucket` below is consumed
+    // twice by the triangular self-join — without the pin, local rank sums
+    // from one sampling combine with offsets from another, giving wrong,
+    // nondeterministic AUC (observed at sf0.1). Exchange reuse is not a
+    // guarantee; the checkpoint is.
     val ranged = base.repartitionByRange(col("__s").asc, col("__t").asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("__pid")).orderBy(col("__s").asc, col("__t").asc)
     val perBucket = ranged
       .withColumn("__lrn", row_number().over(w).cast("long"))

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *      single-partition window, so the whole plan stays exchange-parallel;
   *   4. global rank = bucket offset + local rank.
   *
-  * The range exchange is shared between the count branch and the window
-  * branch via Spark's ReusedExchange, so the input is shuffled once.
+  * The range-bucketed frame is pinned with a lazy localCheckpoint (see
+  * [[RankOps.pinnedRangeBuckets]]) so the count branch and the window
+  * branch provably see the SAME bucketing and the input is shuffled once.
   */
 object RankOps {
 
@@ -31,14 +32,28 @@ object RankOps {
     * exchange. Adds `outName` (long) to the frame.
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column], outName: String): DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__gr_pid", spark_partition_id())
+    val ranged = pinnedRangeBuckets(df, sortCols)
     val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
     val local = ranged.withColumn("__gr_lrn", row_number().over(w).cast("long"))
     local.join(bucketOffsets(ranged), Seq("__gr_pid"))
       .withColumn(outName, col("__gr_lrn") + col("__gr_off"))
       .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
+
+  /** Range-bucket the frame on `sortCols` and PIN the bucketing with a lazy
+    * localCheckpoint. `repartitionByRange` samples fresh range boundaries on
+    * every execution, and the bucketed frame always has two consumers here
+    * (the window branch and the offsets branch); if each triggered its own
+    * execution, local ranks from one sampling would combine with offsets
+    * from another — wrong, nondeterministic output. ReusedExchange usually
+    * collapses the two executions into one, but it is an optimization, not
+    * a contract (exactly this broke `aurocRankSum` before it pinned);
+    * the checkpoint makes single-execution semantics explicit.
+    */
+  private[operators] def pinnedRangeBuckets(df: DataFrame, sortCols: Seq[Column]): DataFrame =
+    df.repartitionByRange(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(false)
 
   /** (__gr_pid, __gr_off): rows preceding each range bucket. The counts
     * frame is bounded by the shuffle-partition count, so the triangular
@@ -63,13 +78,12 @@ object RankOps {
     * for deterministic output), without a single-partition exchange — the
     * same two-phase scheme as [[globalRowNumber]] with sums in place of
     * counts. Adds `outName` = sum of `value` over all rows at-or-before the
-    * current row. The range exchange is shared between the window branch
-    * and the per-bucket totals via ReusedExchange.
+    * current row. The bucketing is checkpoint-pinned so the window branch
+    * and the per-bucket totals see one execution.
     */
   def globalCumsum(df: DataFrame, sortCols: Seq[Column], value: Column,
       outName: String): DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__gr_pid", spark_partition_id())
+    val ranged = pinnedRangeBuckets(df, sortCols)
     val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__gr_lcs", sum(value).over(w))
@@ -99,10 +113,14 @@ object RankOps {
     val cum = globalCumsum(counts, Seq(col(valueCol).asc), col("__pr_c"), "__pr_cum")
     val tot = cum.agg(sum(col("__pr_c")).as("__pr_n"))
     val ranked = cum.crossJoin(broadcast(tot))
-      .select(col(valueCol),
+      .select(col(valueCol).as("__pr_v"),
         when(col("__pr_n") > 1,
           (col("__pr_cum") - col("__pr_c")).cast("double") / (col("__pr_n") - 1))
           .otherwise(0.0).as(outName))
-    df.join(ranked, Seq(valueCol))
+    // null-safe join: a null value is a legitimate rank group (sorted
+    // first, the SQL NULLS FIRST convention `globalCumsum`'s asc order
+    // already applies) — a plain equality join would silently drop null
+    // rows from the output while still counting them in N
+    df.join(ranked, col(valueCol) <=> col("__pr_v")).drop("__pr_v")
   }
 }

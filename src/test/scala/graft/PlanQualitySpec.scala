@@ -143,10 +143,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assertSinglePartitionOnlyForGlobalAgg("v04_centroid", p)
   }
 
+  /** The two-phase rank/cumsum operators pin their range-bucketed frame
+    * with a localCheckpoint (determinism — one bucketing for all
+    * consumers), so the final plan shows the pinned scan carrying the
+    * bucket-id column rather than the range exchange that produced it.
+    */
+  private def rangeBucketed(p: String): Boolean =
+    p.contains("rangepartitioning") || p.contains("RangePartitioning") ||
+      (p.contains("ExistingRDD") && p.contains("__gr_pid"))
+
   test("token-budget prefix sum is range-partitioned, never single-partition") {
     val p = finalPlan("ml06_token_budget")
     assertSinglePartitionOnlyForGlobalAgg("ml06_token_budget", p)
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p)
+    assert(rangeBucketed(p), p)
   }
 
   test("dup-ngram fraction joins grams on the gram key, never doc-by-doc") {
@@ -194,7 +203,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("percent-rank and curriculum ranks are range-partitioned, never one task") {
     Seq("f24_percent_rank", "ml09_curriculum_phase").foreach { q =>
       val p = finalPlan(q)
-      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), q)
+      assert(rangeBucketed(p), q)
       assertSinglePartitionOnlyForGlobalAgg(q, p)
     }
   }

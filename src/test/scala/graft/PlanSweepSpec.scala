@@ -25,7 +25,7 @@ class PlanSweepSpec extends AnyFunSuite {
 
   /** queries whose BroadcastNestedLoopJoin sides are bounded by construction */
   private val bnlBounded: Map[String, String] = Map(
-    "a15_auroc" -> "1-row positive/negative totals frame",
+    "a15_auroc" -> "bucket-offset triangle: <= shuffle-partition rows (aurocRankSum prefix offsets)",
     "dq03_psi" -> "1-row min/max extent + 1-row bin totals",
     "f23_vocab_encode" -> "bucket-offset triangle: <= shuffle-partition rows",
     "f24_percent_rank" -> "bucket-offset triangle + 1-row N",
@@ -38,7 +38,6 @@ class PlanSweepSpec extends AnyFunSuite {
     "t19_bm25_topk" -> "1-row N/avgdl stats",
     "t20_pmi_bigrams" -> "1-row unigram/bigram totals",
     "t21_kl_divergence" -> "1-row corpus stats + 1-row sum-of-log-probs scalar",
-    "u07_snapshot_diff" -> "full-outer on tiny test frames (AQE picks BNL only under threshold)",
     "v01_cosine_topk" -> "explicit bounded query set (vec_id < 8), brute-force contract",
     "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
     "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
@@ -47,6 +46,16 @@ class PlanSweepSpec extends AnyFunSuite {
 
   private val singlePartExempt: Map[String, String] = Map(
     "w11_cum_uniques" -> "running total over |calendar days| rows — time-bounded")
+
+  /** Per-query session-conf overrides applied while the plan is built.
+    * u07's full-outer join picks BroadcastNestedLoopJoin only because the
+    * TEST frames sit under the broadcast threshold — a data-size accident,
+    * not a bounded-by-construction property, so instead of allowlisting it
+    * the sweep disables auto-broadcast for this query and asserts the join
+    * compiles to the hash/sort-merge plan it would run at scale.
+    */
+  private val confOverride: Map[String, Seq[(String, String)]] = Map(
+    "u07_snapshot_diff" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
 
   // same walk as PlanQualitySpec: every SinglePartition exchange must feed
   // an aggregate once AQE wrapper nodes are skipped
@@ -78,7 +87,15 @@ class PlanSweepSpec extends AnyFunSuite {
   test("every query plan: no cartesian, bounded BNL joins, no data-sized single partitions") {
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val p = fn(spark, d).queryExecution.executedPlan.toString
+      val overrides = confOverride.getOrElse(name, Nil)
+      val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val p =
+        try fn(spark, d).queryExecution.executedPlan.toString
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       if (p.contains("CartesianProduct"))
         failures += s"$name: CartesianProduct"
       if (p.contains("BroadcastNestedLoopJoin") && !bnlBounded.contains(name))

@@ -33,7 +33,9 @@ class CorpusCuratorSpec extends AnyFunSuite {
     // pinned golden funnel — every stage decision is a deterministic
     // function of content, so these survive any cluster or partitioning
     assert(report === Seq(
-      "00_input" -> 486L, "10_quality" -> 232L, "20_exact_dedup" -> 232L,
+      "00_input" -> 486L, "10_quality" -> 232L,
+      "15_scrub" -> 232L, // scrub rewrites, never drops — equals 10_quality
+      "20_exact_dedup" -> 232L,
       "30_near_dedup" -> 226L, "40_decontaminated" -> 225L,
       "50_sampled" -> 224L))
 

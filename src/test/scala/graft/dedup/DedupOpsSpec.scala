@@ -74,6 +74,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(math.abs(got((0L, 1L)) - 0.75) < 1e-6)
   }
 
+  test("posting df-cap bounds candidates under an adversarial corpus-wide shingle") {
+    // every doc opens with the same boilerplate trigram; the rest is unique —
+    // the inverted index's quadratic worst case (one posting with df = N)
+    val adv = (1 to 40).map(i => (i.toLong, s"common header line unique$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val sh = DedupOps.withShingles(adv, "doc_id", "text", 3)
+    // uncapped: all 40·39/2 pairs meet through the universal shingle
+    assert(DedupOps.jaccardAllPairs(sh, "doc_id", 0.0).count() === 780L)
+    // capped at df 10: the universal posting is dropped, nothing else is
+    // shared, so the candidate set (and output) collapses to zero
+    assert(DedupOps.jaccardAllPairs(sh, "doc_id", 0.0, maxDf = 10L).count() === 0L)
+    assert(DedupOps.containmentPairs(sh, "doc_id", 0.0, maxDf = 10L).count() === 0L)
+    assert(DedupOps.tfidfCosinePairs(adv, "doc_id", "text", 3, 0.0, maxDf = 10L).count() === 0L)
+    // a cap above every df is a no-op — same pairs as the default
+    assert(DedupOps.jaccardAllPairs(sh, "doc_id", 0.0, maxDf = 1000L).count() === 780L)
+  }
+
   test("simhash: 32-bit string, deterministic, distance tracks similarity") {
     val got = DedupOps.simhash32(docs, "doc_id", "text").as[(Long, String)].collect().toMap
     assert(got.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))

@@ -85,6 +85,18 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(wide.toSet === naive.toSet)
   }
 
+  test("intervalOverlapPairs: degenerate intervals (end <= start) register in no bucket") {
+    val df = Seq(
+      ("k", 1L, 10L, 20L), // real interval
+      ("k", 2L, 15L, 15L), // empty — a point would "overlap" id 1 if registered
+      ("k", 3L, 18L, 12L), // negative — sequence() would walk a DESCENDING bucket range
+      ("k", 4L, 12L, 19L)  // real, overlaps id 1
+    ).toDF("k", "id", "s", "e")
+    val got = JoinOps.intervalOverlapPairs(df, "k", "id", "s", "e", bucketWidth = 16L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L)))
+  }
+
   test("snapshotDiff classifies insert/delete/update/unchanged, null-safe") {
     val old = Seq((1L, Some("A")), (2L, Some("B")), (3L, Option.empty[String]),
       (5L, Some("E"))).toDF("id", "v")

@@ -30,6 +30,41 @@ class MetricsOpsSpec extends AnyFunSuite {
     assert(math.abs(auc - 5.0 / 6.0) < 1e-6)
   }
 
+  test("groupedConfusion derives the reference's per-group rates, null on zero denominators") {
+    // g1: tp=1, fp=0, tn=0, fn=1 — no actual negatives → tnr/fpr null
+    // g2: tp=0, fp=1, tn=1, fn=0 — no actual positives → tpr/fnr null
+    val df = Seq(("g1", 1, 1), ("g1", 1, 0), ("g2", 0, 0), ("g2", 0, 1))
+      .toDF("g", "truth", "pred")
+    val rows = MetricsOps.groupedConfusion(df, "g", col("truth"), col("pred"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = rows("g1")
+    assert(g1.getDouble(g1.fieldIndex("tpr")) === 0.5)
+    assert(g1.isNullAt(g1.fieldIndex("tnr")) && g1.isNullAt(g1.fieldIndex("fpr")))
+    assert(g1.getDouble(g1.fieldIndex("fnr")) === 0.5)
+    assert(g1.getDouble(g1.fieldIndex("pr")) === 0.5)
+    assert(g1.getDouble(g1.fieldIndex("nr")) === 0.5)
+    assert(g1.getDouble(g1.fieldIndex("accuracy")) === 0.5)
+    val g2 = rows("g2")
+    assert(g2.isNullAt(g2.fieldIndex("tpr")) && g2.isNullAt(g2.fieldIndex("fnr")))
+    assert(g2.getDouble(g2.fieldIndex("tnr")) === 0.5)
+    assert(g2.getDouble(g2.fieldIndex("fpr")) === 0.5)
+    assert(g2.getDouble(g2.fieldIndex("accuracy")) === 0.5)
+  }
+
+  test("temperatureScale picks the grid argmin of the stable BCE") {
+    val data = Seq((2.0, 1.0), (-1.0, 0.0), (0.5, 1.0), (-2.0, 0.0), (3.0, 0.0))
+    val grid = Seq(0.5, 1.0, 2.0, 4.0)
+    def bce(t: Double): Double = data.map { case (z0, y) =>
+      val z = z0 / t
+      math.max(z, 0.0) - z * y + math.log1p(math.exp(-math.abs(z)))
+    }.sum / data.size
+    val (expLoss, expT) = grid.map(t => (bce(t), t)).min
+    val r = MetricsOps.temperatureScale(data.toDF("z", "y"), col("z"), col("y"), grid)
+      .collect()(0)
+    assert(r.getDouble(0) === expT)
+    assert(math.abs(r.getDouble(1) - expLoss) < 1e-6)
+  }
+
   test("calibrationBins clips prob=1.0 into the last bin") {
     val df = Seq((0.05, 0), (0.95, 1), (1.0, 1)).toDF("p", "y")
     val bins = MetricsOps.calibrationBins(df, col("p"), col("y"), 10)
