@@ -1402,6 +1402,23 @@ object SparkEntry {
           expr("CAST(((rn - 1) * 4) DIV __n AS INT)").as("phase"))
     }),
 
+    // S13 — bucketed-table co-located join: both sides bucketed on the join
+    // key at write time, so the join itself runs with NO exchange (the
+    // storage-level shuffle elimination for repeatedly-joined fact tables;
+    // plan asserted shuffle-free in PlanQualitySpec)
+    "s13_bucketed_join" -> ((s, d) => {
+      graft.sources.Sinks.bucketedTable(
+        ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_s13_orders", "o_orderkey", 8)
+      graft.sources.Sinks.bucketedTable(
+        li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(round(sum(col("l_quantity")), 6).as("qty")),
+        "graft_s13_items", "o_orderkey", 8)
+      s.table("graft_s13_orders")
+        .join(s.table("graft_s13_items"), Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "qty")
+    }),
+
     // S12 — additive schema evolution: two parquet writer generations
     // (second adds a column), one mergeSchema scan padding nulls
     "s12_mergeschema_roundtrip" -> ((s, d) => {
@@ -2937,6 +2954,13 @@ object SparkEntry {
                 ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) AS recall
          FROM exact x LEFT JOIN hits h USING (query_id)
          GROUP BY x.query_id, h.n_hits""",
+
+    "s13_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, qty
+         FROM orders JOIN (
+           SELECT l_orderkey AS o_orderkey, ROUND(SUM(l_quantity), 6) AS qty
+           FROM lineitem GROUP BY 1)
+         USING (o_orderkey)""",
 
     "s12_mergeschema_roundtrip" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey

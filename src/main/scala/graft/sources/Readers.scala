@@ -84,6 +84,30 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** S13 — bucketed table: hash-bucket (and sort) on the join key at WRITE
+    * time, so every later equi-join or aggregation on that key reads
+    * co-located buckets and SKIPS its shuffle — the storage-level answer
+    * for a 100 TB fact table that is joined on the same key by every
+    * pipeline run (pay the shuffle once at ingest, never again). Spark ties
+    * bucketing metadata to the catalog, hence `saveAsTable`; files land
+    * under `spark.sql.warehouse.dir`. Two tables bucketed on their join
+    * key with the same bucket count sort-merge-join with ZERO exchanges
+    * (asserted in PlanQualitySpec).
+    */
+  def bucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // managed-table files outlive the in-memory catalog that created them
+    // (a previous session's warehouse leftovers make saveAsTable refuse the
+    // name with LOCATION_ALREADY_EXISTS) — drop both registration and files
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** S11 — JSON-lines export edge (one object per line; field order follows
     * the schema, so round-trips are stable).
     */

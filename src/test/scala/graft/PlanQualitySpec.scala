@@ -56,6 +56,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed-table join runs with zero exchanges on either side") {
+    // disable auto-broadcast so the tiny test tables take the same
+    // sort-merge path the full-size tables would — the claim under test is
+    // that bucketing removed BOTH shuffles, not that one side fit in memory
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("s13_bucketed_join")(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("filters and projections are pushed into the parquet scan") {
     val p = plan("s01_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"))
