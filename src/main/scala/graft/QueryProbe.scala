@@ -29,12 +29,14 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (d <- sfDirs; aqe <- Seq("true", "false"); r <- 1 to runs) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
       val h = df.select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("__h"))
         .agg(coalesce(bit_xor(col("__h")), lit(0L))).collect()(0).getLong(0)
+      val ms = (System.nanoTime() - t0) / 1000000
       val head = df.orderBy(df.columns.map(col): _*).limit(1).collect()
         .headOption.map(_.toString).getOrElse("<empty>")
-      println(s"PROBE $name sf=$d aqe=$aqe run=$r hash=$h first=$head")
+      println(s"PROBE $name sf=$d aqe=$aqe run=$r hash=$h ms=$ms first=$head")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

@@ -416,6 +416,13 @@ object DedupOps {
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id),
         explode(TextFns.rawShingles(TextFns.tokens(col(text)), shingleN)).as("term"))
+    // df stays an AGGREGATE + join-back, NOT a `count().over(partitionBy
+    // (term))` window: the window form measures faster at test sf (one
+    // exchange instead of agg+join) but ships every posting of a hot term
+    // into ONE window task — no map-side combine — which is precisely the
+    // adversarial-shingle skew this operator must survive at corpus scale.
+    // The aggregate combines partials before the shuffle and the join-back
+    // is AQE-skew-splittable.
     val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
