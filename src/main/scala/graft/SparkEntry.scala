@@ -327,7 +327,12 @@ object SparkEntry {
       val t = docs(s, d)
         .withColumn("toks", TextFns.tokens(col("text")))
         .withColumn("__n", size(col("toks")))
-      t.withColumn("chunk_idx",
+      // zero-token docs yield zero chunks: without the filter,
+      // sequence(0, floor(-1/W)) = sequence(0, -1) walks BACKWARDS and
+      // emits two garbage chunk rows (same hazard class as
+      // intervalOverlapPairs' degenerate intervals)
+      t.filter(col("__n") > 0)
+        .withColumn("chunk_idx",
           explode(sequence(lit(0), floor((col("__n") - 1) / W).cast("int"))))
         .select(col("doc_id"), col("chunk_idx"),
           array_join(slice(col("toks"), col("chunk_idx") * W + 1, lit(W)), " ")

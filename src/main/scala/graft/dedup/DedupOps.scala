@@ -489,9 +489,14 @@ object DedupOps {
     */
   def dropDuplicateSegments(docs: DataFrame, id: String, text: String,
       w: Int, minDup: Long): DataFrame = {
+    // zero-token docs carry no segments and produce NO output row (callers
+    // that must keep them attach the result with a left join — see
+    // CorpusCurator.scrubBoilerplate); unguarded, sequence(0, -1) would
+    // walk backwards and fabricate two empty-string segments per empty doc
     val segs = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id), TextFns.tokens(col(text)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
       .withColumn("seg_idx",
         explode(sequence(lit(0), floor((col("__n") - 1) / w).cast("int"))))
       .select(col(id), col("seg_idx"),

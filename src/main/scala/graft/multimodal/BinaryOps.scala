@@ -61,7 +61,10 @@ object BinaryOps {
   def sampleFrames(df: DataFrame, id: String, payload: String,
       frameLen: Int, every: Int): DataFrame = {
     val step = frameLen * every
-    df.select(col(id), col(payload),
+    // empty payloads yield zero frames — unguarded, sequence(0, -1) would
+    // walk backwards and emit two bogus frame rows
+    df.filter(length(col(payload)) > 0)
+      .select(col(id), col(payload),
         explode(sequence(lit(0),
           floor((length(col(payload)) - 1) / step).cast("int"))).as("frame_no"))
       .select(col(id), col("frame_no"),

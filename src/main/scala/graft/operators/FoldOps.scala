@@ -37,9 +37,13 @@ object FoldOps {
     * sampling loop.
     */
   def oversample(df: DataFrame, isMinority: Column, factor: Int,
-      copyCol: String = "copy_id"): DataFrame =
+      copyCol: String = "copy_id"): DataFrame = {
+    // factor 0 would make sequence(1, 0) walk BACKWARDS (two copies, ids
+    // 1 and 0) instead of dropping the row — reject it at the API edge
+    require(factor >= 1, s"oversample factor must be >= 1, got $factor")
     df.withColumn(copyCol,
       explode(sequence(lit(1), when(isMinority, factor).otherwise(1))))
+  }
 
   /** Hash bucket in [0, 16) from the last md5 nibble of the key's string
     * form. Engine-portable (md5 of the decimal rendering is identical

@@ -257,6 +257,21 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, 1L, "")))
   }
 
+  test("dropDuplicateSegments: null-text docs emit no row; empty-string docs keep one '' segment") {
+    // the tokenizer maps "" to [""] (size 1), so a whitespace doc has ONE
+    // empty segment; null text tokenizes to null (size null) and the
+    // zero-token guard keeps sequence(0, floor(-1/w)) from walking
+    // backwards and fabricating phantom segments
+    val docs = Seq((1L, Some("a b c d")), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = DedupOps.dropDuplicateSegments(docs, "doc_id", "text", w = 2, minDup = 2L)
+      .select("doc_id", "n_segs", "n_dropped").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((2L, 0L)))
+    assert(got(2L) === ((1L, 0L))) // its '' segment occurs once — below minDup
+  }
+
   test("dropDuplicateSegments reassembly preserves multi-segment order") {
     // no duplicates anywhere → clean_text must round-trip the document
     val text = (1 to 20).map(i => s"tok$i").mkString(" ")

@@ -36,4 +36,11 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(new String(got(0)._3, "UTF-8") === "abc")
     assert(new String(got(1)._3, "UTF-8") === "ghi")
   }
+
+  test("sampleFrames: empty payload yields zero frames, not a backwards sequence") {
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val withBin = BinaryOps.withPayload(empty, "text", "payload")
+    assert(BinaryOps.sampleFrames(withBin, "doc_id", "payload",
+      frameLen = 3, every = 2).count() === 0L)
+  }
 }
