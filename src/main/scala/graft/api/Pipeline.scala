@@ -235,7 +235,13 @@ object TimeSeriesGenerator {
         array_sort(collect_list(struct(col(bucketCol).as("b"), col(valueCol).as("v")))),
         x => x.getField("v")).as("__series"))
       .groupBy(col(visitKey))
-      .agg(map_from_entries(collect_list(struct(col(codeCol), col("__series"))))
+      // entries sorted by code before map assembly: collect_list order is
+      // partition/merge-order dependent, and while map CONTENT would be
+      // identical either way, the serialized entry order (parquet bytes,
+      // to_json) would vary run to run — the sort is bounded by the
+      // curated vocabulary, so it costs nothing at scale
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col(codeCol), col("__series")))))
         .as("series"))
 
   /** Typed boundary for the export (SURVEY §1.1): the parquet-writable
