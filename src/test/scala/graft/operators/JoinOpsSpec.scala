@@ -64,18 +64,26 @@ class JoinOpsSpec extends AnyFunSuite {
   }
 
   test("intervalOverlapPairs: banded equi-join equals the naive non-equi join, no dup pairs") {
-    // deterministic pseudo-random intervals spanning many buckets
+    // deterministic pseudo-random intervals spanning many buckets; every
+    // 7th row is degenerate (empty or negative) and must pair with nothing
     val rows = (1L to 120L).map { i =>
       val k = (i % 5).toString
       val s = (i * 37 % 200)
-      (k, i, s, s + 1 + (i * 13 % 50))
+      val e =
+        if (i % 7 == 0) s - (i % 3) // empty (len 0) or negative
+        else s + 1 + (i * 13 % 50)
+      (k, i, s, e)
     }
     val df = rows.toDF("k", "id", "s", "e")
     val banded = JoinOps.intervalOverlapPairs(df, "k", "id", "s", "e", bucketWidth = 16L)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(banded.length === banded.distinct.length, "ownership rule must emit each pair once")
+    // the naive reference must ALSO encode the half-open contract: an empty
+    // interval strictly inside another satisfies the raw range predicate
+    // but overlaps nothing by definition
     val naive = df.as("a").join(df.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+          col("a.s") < col("a.e") && col("b.s") < col("b.e") &&
           col("a.s") < col("b.e") && col("b.s") < col("a.e"))
       .select(col("a.id"), col("b.id")).as[(Long, Long)].collect()
     assert(banded.toSet === naive.toSet)
