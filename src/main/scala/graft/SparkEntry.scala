@@ -693,6 +693,14 @@ object SparkEntry {
         simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
 
+    // the deterministic half of v06, oracled: probe selection (2 nearest
+    // of the FIXED patterned centroids per query) is engine-portable the
+    // same way v03b's argmin is — only the final borderline top-k argmin
+    // stays rows-only
+    "v06b_probe_fixed" -> ((s, d) =>
+      Knn.probeSelection(emb(s, d), "vec_id", "embedding", fixedCentroids,
+        nProbe = 2)),
+
     "v02_ann_clustered" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3,
@@ -2392,6 +2400,22 @@ object SparkEntry {
                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
                 FROM d)
           WHERE rn = 1""",
+
+    "v06b_probe_fixed" ->
+      s"""WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          c(cluster, cv) AS (VALUES $fixedCentroidsSqlValues),
+          d AS (
+            SELECT vec_id, cluster,
+                   LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                     i -> (v[i] - CAST(cv[i] AS DOUBLE)) * (v[i] - CAST(cv[i] AS DOUBLE)))) AS dist
+            FROM e CROSS JOIN c)
+          SELECT vec_id, CAST(rn AS INTEGER) AS probe_rank,
+                 CAST(cluster AS INTEGER) AS cluster
+          FROM (SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+                FROM d)
+          WHERE rn <= 2""",
 
     "v01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -137,17 +137,44 @@ object Knn {
     * `nProbe = C` this degrades gracefully to exact brute force
     * (asserted in KnnSpec).
     */
-  def multiProbeTopK(corpus: DataFrame, id: String, emb: String,
-      centroids: Seq[Seq[Double]], nProbe: Int, k: Int,
-      simFn: Sim = VectorFns.cosine): DataFrame = {
-    val e = VectorFns.toDoubleArr(col(emb))
+  /** The `nProbe` nearest cluster ids for one embedding, ranked by
+    * squared-L2 distance to the literal centroid matrix (ties to the
+    * smaller cluster id) — the probe-selection kernel shared by
+    * `multiProbeTopK` and `probeSelection`.
+    */
+  private def probeIdsExpr(e: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column = {
     val cs = typedLit(centroids.map(_.toSeq))
     val dists = transform(cs, c =>
       aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
     val idxed = zip_with(dists, sequence(lit(0), lit(centroids.size - 1)),
       (dst, i) => struct(dst.as("d"), i.as("i")))
-    val probeIds = transform(slice(array_sort(idxed), 1, nProbe), s => s.getField("i"))
+    transform(slice(array_sort(idxed), 1, nProbe), s => s.getField("i"))
+  }
+
+  /** The deterministic half of the multi-probe path, in the open:
+    * (id, probe_rank, cluster) — each vector's `nProbe` nearest centroids
+    * from a FIXED centroid literal. No Lloyd's iteration and no
+    * cross-engine float accumulation, so (unlike the final top-k argmin)
+    * this frame IS engine-portable and carries a closed-form SQL oracle,
+    * the same way `assignClusters` does for the single-probe case.
+    */
+  def probeSelection(corpus: DataFrame, id: String, emb: String,
+      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame =
+    corpus
+      .select(col(id),
+        posexplode(probeIdsExpr(VectorFns.toDoubleArr(col(emb)), centroids, nProbe))
+          .as(Seq("__p", "__c")))
+      .select(col(id),
+        (col("__p") + 1).cast("int").as("probe_rank"),
+        col("__c").cast("int").as("cluster"))
+
+  def multiProbeTopK(corpus: DataFrame, id: String, emb: String,
+      centroids: Seq[Seq[Double]], nProbe: Int, k: Int,
+      simFn: Sim = VectorFns.cosine): DataFrame = {
+    val e = VectorFns.toDoubleArr(col(emb))
+    val probeIds = probeIdsExpr(e, centroids, nProbe)
     // one distance pass serves both roles: a vector's OWN cluster is its
     // first probe (same argmin + smallest-id tie-break as assignClusters),
     // so the corpus side reuses probes(1) instead of re-ranking centroids

@@ -55,6 +55,20 @@ class KnnSpec extends AnyFunSuite {
     assert(one.length < brute.size)
   }
 
+  test("probeSelection: rank 1 equals assignClusters; nProbe=C ranks every cluster") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.5))
+    val probes = Knn.probeSelection(vecs, "vec_id", "embedding", centroids, nProbe = 2)
+      .select("vec_id", "probe_rank", "cluster").as[(Long, Int, Int)].collect()
+    // every vector ranks all C clusters exactly once each
+    assert(probes.length === vecs.count() * centroids.size)
+    assert(probes.groupBy(_._1).values.forall(_.map(_._3).toSet === Set(0, 1)))
+    // the first probe IS the squared-L2 argmin assignment
+    val first = probes.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val assigned = Knn.assignClusters(vecs, "vec_id", "embedding", centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(first === assigned)
+  }
+
   test("kmeans quantizer: separable clusters split correctly, assignment deterministic") {
     import spark.implicits._
     // two well-separated blobs in 4-d
