@@ -38,6 +38,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // load-bearing plan lint: no single-partition global windows anywhere
+      // in the suite — fail, don't warn (also kills the WindowExec warning
+      // flood in the bench tail)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.graft.failOnGlobalWindow", "true")
       // the whole-suite working set is hundreds of codegen units; the
       // default 100-entry cache thrashes between warmup and the timed pass,
       // re-paying janino compilation (seconds for wide expression trees)

@@ -424,9 +424,12 @@ object SparkEntry {
 
     // daily active / new / cumulative-unique users. Running distinct count
     // without a window-distinct (unsupported + unbounded state): first-seen
-    // day per user, then a running total. The cumsum window is over
-    // |calendar days| rows (bounded by time, not data volume), so its
-    // single-partition sort is the right plan at any corpus size
+    // day per user, then a running total. The cumsum runs through RankOps'
+    // two-phase distributed form — the days frame is calendar-bounded so a
+    // single-partition window would also survive, but using the exchange-
+    // parallel path keeps the suite at ZERO global windows, which lets
+    // Verify/Bench run with spark.graft.failOnGlobalWindow=true and no
+    // exemptions
     "w11_cum_uniques" -> ((s, d) => {
       val active = ev(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -434,13 +437,10 @@ object SparkEntry {
       val firsts = ev(s, d)
         .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
         .groupBy("day").agg(count(lit(1)).as("new_users"))
-      active.join(firsts, Seq("day"), "left")
+      val joined = active.join(firsts, Seq("day"), "left")
         .na.fill(0L, Seq("new_users"))
-        .withColumn("cum_users",
-          sum(col("new_users")).over(
-            Window.orderBy(col("day"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("long"))
+      RankOps.globalCumsum(joined, Seq(col("day").asc), col("new_users"), "cum_users")
+        .withColumn("cum_users", col("cum_users").cast("long"))
     }),
 
     // incremental near-dup: the 20% "new batch" (doc_id % 5 = 0) against

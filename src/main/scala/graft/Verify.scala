@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // load-bearing plan lint: the suite has ZERO single-partition global
+      // windows (w11 runs RankOps.globalCumsum), so the guard fails the
+      // round if one sneaks back in instead of warning about it
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.graft.failOnGlobalWindow", "true")
       // the whole-suite working set is hundreds of codegen units; the
       // default 100-entry cache thrashes between warmup and the timed pass,
       // re-paying janino compilation (seconds for wide expression trees)

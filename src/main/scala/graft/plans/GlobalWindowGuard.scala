@@ -9,10 +9,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * with an EMPTY partition spec. Such a window physically plans as
   * `Exchange SinglePartition` + one sort, funneling the entire frame
   * through one task — correct at test scale, dead at 100 TB. This engine's
-  * own operators avoid the pattern (see `RankOps` for the two-phase
-  * alternative and `w11_cum_uniques` for the one documented
-  * calendar-bounded exception), but user queries composed on top of the
-  * library can reintroduce it silently; this rule makes it visible.
+  * own operators avoid the pattern entirely (see `RankOps` for the
+  * two-phase alternative — since round 6 even the calendar-bounded
+  * `w11_cum_uniques` runs through it), but user queries composed on top of
+  * the library can reintroduce it silently; this rule makes it visible.
+  * `graft.Verify` and `graft.Bench` run with the strict mode ON, so a
+  * regression fails the round instead of warning.
   *
   * Behavior: logs a warning per offending window. With
   * `spark.graft.failOnGlobalWindow=true` (strict/CI mode) it raises

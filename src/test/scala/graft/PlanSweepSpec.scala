@@ -42,10 +42,14 @@ class PlanSweepSpec extends AnyFunSuite {
     "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
     "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
     "v07_ann_recall" -> "bounded query set (vec_id < 8) on both result lists",
-    "dq04_mad_outliers" -> "per-group median/MAD bounds frame")
+    "dq04_mad_outliers" -> "per-group median/MAD bounds frame",
+    "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)")
 
-  private val singlePartExempt: Map[String, String] = Map(
-    "w11_cum_uniques" -> "running total over |calendar days| rows — time-bounded")
+  /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
+    * funnels data through a single-partition non-aggregate anymore, and
+    * Verify/Bench enforce that with spark.graft.failOnGlobalWindow=true
+    */
+  private val singlePartExempt: Map[String, String] = Map.empty
 
   /** Per-query session-conf overrides applied while the plan is built.
     * u07's full-outer join picks BroadcastNestedLoopJoin only because the
