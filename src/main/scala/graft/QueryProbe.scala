@@ -31,8 +31,13 @@ object QueryProbe {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
-      val h = df.select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("__h"))
-        .agg(coalesce(bit_xor(col("__h")), lit(0L))).collect()(0).getLong(0)
+      // multiplicity-safe order-insensitive hash (same algebra as
+      // DeterminismSpec): hash (distinct row, count) pairs so a row with
+      // even multiplicity can't xor-cancel to a colliding hash
+      val h = df.select(to_json(struct(df.columns.map(col): _*)).as("__j"))
+        .groupBy(col("__j")).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(bit_xor(xxhash64(col("__j"), col("__c"))), lit(0L)))
+        .collect()(0).getLong(0)
       val ms = (System.nanoTime() - t0) / 1000000
       val head = df.orderBy(df.columns.map(col): _*).limit(1).collect()
         .headOption.map(_.toString).getOrElse("<empty>")

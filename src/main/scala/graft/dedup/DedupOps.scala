@@ -97,11 +97,18 @@ object DedupOps {
   /** Exact shingle-set Jaccard for the given pairs, via an inverted index:
     * |A∩B| from a shingle equi-join restricted to candidate docs, |A∪B| from
     * per-doc set sizes. Keeps pairs with jaccard >= `threshold`.
+    *
+    * `maxDf` (default off) applies the [[capPostings]] vocabulary cap to
+    * the verification index: with the cap, similarities are exact over the
+    * SURVIVING shingles (sizes shrink coherently with intersections via
+    * [[cappedSetSizes]]), so a corpus-wide boilerplate shingle neither
+    * inflates the per-pair intersection work nor biases scores low.
     */
   def jaccardVerify(pairs: DataFrame, shingled: DataFrame, id: String,
-      threshold: Double): DataFrame = {
-    val sizes = shingled.select(col(id), size(col("shingles")).cast("long").as("sz"))
-    val ex = shingled.select(col(id), explode(col("shingles")).as("s"))
+      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val ex = capPostings(
+      shingled.select(col(id), explode(col("shingles")).as("s")), "s", maxDf)
+    val sizes = cappedSetSizes(shingled, ex, id, maxDf)
     val inter = pairs
       .join(ex.select(col(id).as("id_a"), col("s")), Seq("id_a"))
       .join(ex.select(col(id).as("id_b"), col("s")), Seq("id_b", "s"))
@@ -121,11 +128,15 @@ object DedupOps {
     * self-join, so ONE adversarial corpus-wide shingle (a boilerplate
     * header, a templated footer) turns the index quadratic. Postings with
     * df > `maxDf` are dropped BEFORE the join — exactly the terms that
-    * carry near-zero discriminative signal (IDF ≈ 0). With the cap on, the
-    * operators below are documented lower bounds: pairs that share ONLY
-    * capped terms are missed, and intersection counts omit the capped
-    * terms. `Long.MaxValue` (the default) bypasses the df aggregate
-    * entirely, so default plans and hashes are unchanged.
+    * carry near-zero discriminative signal (IDF ≈ 0). With the cap on,
+    * pairs that share ONLY capped terms are missed, and both intersections
+    * AND set sizes are computed over the SURVIVING vocabulary (see
+    * [[cappedSetSizes]]) — so jaccard/containment are exact similarities
+    * over the kept terms, the same coherent-shrinking semantics
+    * `tfidfCosinePairs` applies to its weights and norms, rather than a
+    * biased-low hybrid of capped intersections against uncapped sizes.
+    * `Long.MaxValue` (the default) bypasses the df aggregate entirely, so
+    * default plans and hashes are unchanged.
     *
     * Plan shape: one extra hash aggregate over |distinct terms| and one
     * equi-join back on the term — both linear in the index, the price that
@@ -141,6 +152,21 @@ object DedupOps {
       postings.join(dfreq, Seq(term), "left_semi")
     }
 
+  /** Per-doc set size consistent with [[capPostings]]: with no cap, the
+    * cheap `size(shingles)` projection; with a cap, the count of SURVIVING
+    * postings per doc — one more hash aggregate over the already-capped
+    * index, linear and map-side-combining. Keeping sizes and intersections
+    * on the same vocabulary makes capped jaccard/containment exact over
+    * the kept terms (a doc pair identical except for boilerplate scores
+    * 1.0, not below-threshold).
+    */
+  private def cappedSetSizes(ck: DataFrame, capped: DataFrame, id: String,
+      maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue)
+      ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
+    else
+      capped.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+
   /** n-gram Jaccard near-dup WITHOUT LSH: all pairs sharing >=1 shingle via
     * the inverted index, thresholded. Exact but heavier than `nearDupPairs`
     * (pair candidates grow with shingle document frequency) — the
@@ -152,9 +178,9 @@ object DedupOps {
     // three consumers of the shingle arrays (sizes + both join sides) —
     // truncate lineage so shingling runs once (see nearDupPairs)
     val ck = shingled.localCheckpoint(false)
-    val sizes = ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
     val ex = capPostings(
       ck.select(col(id), explode(col("shingles")).as("s")), "s", maxDf)
+    val sizes = cappedSetSizes(ck, ex, id, maxDf)
     val inter = ex.select(col(id).as("id_a"), col("s"))
       .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -181,9 +207,9 @@ object DedupOps {
   def containmentPairs(shingled: DataFrame, id: String, threshold: Double,
       maxDf: Long = Long.MaxValue): DataFrame = {
     val ck = shingled.localCheckpoint(false)
-    val sizes = ck.select(col(id), size(col("shingles")).cast("long").as("sz"))
     val ex = capPostings(
       ck.select(col(id), explode(col("shingles")).as("s")), "s", maxDf)
+    val sizes = cappedSetSizes(ck, ex, id, maxDf)
     val inter = ex.select(col(id).as("id_a"), col("s"))
       .join(ex.select(col(id).as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -204,7 +230,7 @@ object DedupOps {
     */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000, maxDf: Long = Long.MaxValue): DataFrame = {
     // The shingle set feeds three consumers (signatures, the verify join's
     // two sides); localCheckpoint truncates the lineage so the md5/shingle
     // work runs once instead of once per branch. Lazy: nothing computes
@@ -212,7 +238,7 @@ object DedupOps {
     val shingled = withShingles(docs, id, text, shingleN).localCheckpoint(false)
     val sigs = signaturesFromShingles(shingled, id, k)
     val cands = lshCandidatePairs(lshBandKeys(sigs, id, bands, k / bands), id, maxBucket)
-    jaccardVerify(cands, shingled, id, threshold)
+    jaccardVerify(cands, shingled, id, threshold, maxDf)
   }
 
   /** Incremental near-dup: a NEW ingest batch tested against an EXISTING
@@ -457,8 +483,10 @@ object DedupOps {
     * the component computation at all.
     */
   def dropNearDups(docs: DataFrame, id: String, text: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val pairs = nearDupPairs(docs, id, text, shingleN, k, bands, threshold)
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 100000, maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = nearDupPairs(docs, id, text, shingleN, k, bands, threshold,
+      maxBucket, maxDf)
     val victims = connectedComponents(pairs, "id_a", "id_b")
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as(id))

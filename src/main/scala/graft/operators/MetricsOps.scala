@@ -156,6 +156,13 @@ object MetricsOps {
     * ≤ |grid| rows per map task and the output is |grid| rows; the argmin
     * is an `orderBy().limit(1)` over that bounded frame
     * (TakeOrderedAndProject). Ties break toward the smaller T.
+    *
+    * The argmin orders on the ROUNDED mean BCE: engines (and partition
+    * counts) sum the per-row losses in different orders, so two near-tied
+    * grid temperatures could otherwise flip best_t on sub-ulp differences
+    * even when both values agree at 6 decimals. Rounding before the
+    * ordering (matching the oracle side) makes the selection
+    * ulp-insensitive; exact ties still break toward the smaller T.
     */
   def temperatureScale(df: DataFrame, logit: Column, label: Column,
       tGrid: Seq[Double]): DataFrame = {
@@ -163,11 +170,11 @@ object MetricsOps {
     df.select(logit.cast("double").as("__z"), label.cast("double").as("__y"),
         explode(array(tGrid.map(lit): _*)).as("t"))
       .groupBy(col("t"))
-      .agg(avg(greatest(z, lit(0.0)) - z * col("__y") +
-        log(lit(1.0) + exp(-abs(z)))).as("__bce"))
+      .agg(round(avg(greatest(z, lit(0.0)) - z * col("__y") +
+        log(lit(1.0) + exp(-abs(z)))), 6).as("__bce"))
       .orderBy(col("__bce").asc, col("t").asc)
       .limit(1)
-      .select(col("t").as("best_t"), round(col("__bce"), 6).as("bce"))
+      .select(col("t").as("best_t"), col("__bce").as("bce"))
   }
 
   /** A15 — AUROC via the Mann-Whitney rank-sum identity

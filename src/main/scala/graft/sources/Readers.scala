@@ -96,13 +96,27 @@ object Sinks {
     */
   def bucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    // managed-table files outlive the in-memory catalog that created them
-    // (a previous session's warehouse leftovers make saveAsTable refuse the
-    // name with LOCATION_ALREADY_EXISTS) — drop both registration and files
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    // refuse identifiers that could escape the derived warehouse path (the
+    // fallback delete below is a recursive rm — a name like "../x" must
+    // never reach it)
+    require(table.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"bucketedTable: unsafe table identifier '$table'")
+    if (spark.catalog.tableExists(table)) {
+      // a MANAGED table's files are removed by the drop itself; resolving
+      // through the catalog (instead of string-deriving the path) means an
+      // external table's or non-default-database table's files are left
+      // alone
+      spark.sql(s"DROP TABLE `$table`")
+    } else {
+      // no catalog entry, but managed-table files can outlive the
+      // in-memory catalog that created them (a previous session's
+      // warehouse leftovers make saveAsTable refuse the name with
+      // LOCATION_ALREADY_EXISTS) — clear the default-database derived
+      // path, which nothing else can legitimately own for this name
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)

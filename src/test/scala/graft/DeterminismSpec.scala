@@ -24,42 +24,93 @@ import org.scalatest.funsuite.AnyFunSuite
   * that masking and asserts results don't depend on the optimizer mode a
   * cluster happens to run.
   *
-  * The comparison is an order-insensitive content hash:
-  * `bit_xor(xxhash64(to_json(struct(*))))` + the row count. `to_json`
-  * normalizes every column type (arrays, structs, binary) into a
-  * deterministic string, so one formula covers all ~150 queries.
+  * The comparison is an order-insensitive content hash over DISTINCT rows
+  * with their multiplicities: rows collapse to `(to_json(struct(*)),
+  * count)` groups first, then `bit_xor(xxhash64(json, count))`. Hashing
+  * the (row, count) pairs — rather than xor'ing per-row hashes — keeps
+  * duplicate multiplicity observable: a plain per-row xor cancels any row
+  * appearing an even number of times, so {A,A,X} and {B,B,X} would
+  * collide. Grouped rows are distinct by construction, so nothing can
+  * cancel. `to_json` normalizes every column type (arrays, structs,
+  * binary) into a deterministic string, so one formula covers all ~150
+  * queries.
+  *
+  * The full suite runs at sf0.001; the slowest 25 queries (per
+  * BENCH_FULL.json at sf0.1) plus every range-bucketed operator re-run at
+  * sf0.01 — the a15 instability was INVISIBLE at sf0.001 (every range
+  * sample lands identically on 60 rows) and only surfaced where sampling
+  * actually varies.
   */
 class DeterminismSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val d = "/root/testdata/sf0.001"
+  private val d01 = "/root/testdata/sf0.01"
+
+  /** the sf0.01 re-check subset: 25 slowest at sf0.1 (bench ordering) ∪
+    * every query built on a repartitionByRange/localCheckpoint pinning
+    * operator (RankOps / aurocRankSum / packByCumsum) — the class the gate
+    * exists for
+    */
+  private val deepSubset: Seq[String] = Seq(
+    // 25 slowest per BENCH_FULL.json (sf0.1)
+    "d11_sparse_cosine", "f24_percent_rank", "v03_ann_kmeans",
+    "d08_dedup_components", "o05_topk_per_group", "d10_dedup_keep",
+    "dq01_profile", "v06_ann_multiprobe", "s13_bucketed_join",
+    "j17_salted_join", "d03_lsh_neardup", "a06_percentile_clamp",
+    "d14_containment_pairs", "a02_mean_frequency", "d13_segment_dedup",
+    "d12_incremental_neardup", "d05_jaccard_pairs", "t17_dup_ngrams",
+    "dq04_mad_outliers", "a05_mode_dominance", "s06_partitioned_roundtrip",
+    "d07_simhash_neardup", "a13b_fairness_melt", "t06_tfidf_top_terms",
+    "a13_grouped_confusion",
+    // range-bucketed operators not already above
+    "a15_auroc", "ml04_pack_bins", "ml06_token_budget",
+    "ml09_curriculum_phase", "f23_vocab_encode", "w11_cum_uniques")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
-    val row = df
-      .select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("__h"))
-      .agg(coalesce(bit_xor(col("__h")), lit(0L)).as("__hx"),
-        count(lit(1)).as("__n"))
+    val grouped = df
+      .select(to_json(struct(df.columns.map(col): _*)).as("__j"))
+      .groupBy(col("__j")).agg(count(lit(1)).as("__c"))
+    val row = grouped
+      .agg(coalesce(bit_xor(xxhash64(col("__j"), col("__c"))), lit(0L)).as("__hx"),
+        coalesce(sum(col("__c")), lit(0L)).as("__n"))
       .head()
     (row.getLong(0), row.getLong(1))
   }
 
+  /** run every named query twice — once per (key, value) mode — and return
+    * the mismatches
+    */
+  private def sweep(names: Seq[String], dir: String, key: String,
+      modeA: String, modeB: String): Seq[String] = {
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set(key, modeA)
+      val first = contentHash(fn(spark, dir))
+      spark.conf.set(key, modeB)
+      val second = contentHash(fn(spark, dir))
+      if (first != second)
+        failures += s"$name: $key=$modeA=(hash=${first._1}, n=${first._2}) " +
+          s"$key=$modeB=(hash=${second._1}, n=${second._2})"
+      // range-bucketed operators pin intermediates with localCheckpoint;
+      // drop the leftovers so the block manager doesn't accumulate dead
+      // blocks across ~300 executions
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    failures.toSeq
+  }
+
+  private val allNames = SparkEntry.queries.keys.toSeq.sorted
+
   test("every query: AQE-on and AQE-off executions, identical content hash") {
     val key = "spark.sql.adaptive.enabled"
     val saved = spark.conf.getOption(key)
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        spark.conf.set(key, "true")
-        val first = contentHash(fn(spark, d))
-        spark.conf.set(key, "false")
-        val second = contentHash(fn(spark, d))
-        if (first != second)
-          failures += s"$name: aqeOn=(hash=${first._1}, n=${first._2}) " +
-            s"aqeOff=(hash=${second._1}, n=${second._2})"
+    val failures =
+      try sweep(allNames, d, key, "true", "false")
+      finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
       }
-    } finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
     assert(failures.isEmpty,
       s"nondeterministic queries:\n${failures.mkString("\n")}")
   }
@@ -72,19 +123,33 @@ class DeterminismSpec extends AnyFunSuite {
     // salt) that cancel out of the final result.
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        spark.conf.set(key, saved)
-        val first = contentHash(fn(spark, d))
-        spark.conf.set(key, "7")
-        val second = contentHash(fn(spark, d))
-        if (first != second)
-          failures += s"$name: P=$saved=(hash=${first._1}, n=${first._2}) " +
-            s"P=7=(hash=${second._1}, n=${second._2})"
-      }
-    } finally spark.conf.set(key, saved)
+    val failures =
+      try sweep(allNames, d, key, saved, "7")
+      finally spark.conf.set(key, saved)
     assert(failures.isEmpty,
       s"partition-count-dependent queries:\n${failures.mkString("\n")}")
+  }
+
+  test("slowest + range-bucketed queries: AQE-mode invariance at sf0.01") {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.getOption(key)
+    val failures =
+      try sweep(deepSubset, d01, key, "true", "false")
+      finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(failures.isEmpty,
+      s"nondeterministic at sf0.01:\n${failures.mkString("\n")}")
+  }
+
+  test("slowest + range-bucketed queries: partition-count invariance at sf0.01") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val failures =
+      try sweep(deepSubset, d01, key, saved, "7")
+      finally spark.conf.set(key, saved)
+    assert(failures.isEmpty,
+      s"partition-count-dependent at sf0.01:\n${failures.mkString("\n")}")
   }
 }

@@ -89,6 +89,21 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(DedupOps.tfidfCosinePairs(adv, "doc_id", "text", 3, 0.0, maxDf = 10L).count() === 0L)
     // a cap above every df is a no-op — same pairs as the default
     assert(DedupOps.jaccardAllPairs(sh, "doc_id", 0.0, maxDf = 1000L).count() === 780L)
+
+    // capped similarities are EXACT over the surviving vocabulary: two docs
+    // identical except for the boilerplate header score 1.0 under the cap
+    // (sizes shrink coherently with the intersections), not biased low
+    val adv2 = adv.union(Seq(
+      (100L, "common header line same tail of text"),
+      (101L, "common header line same tail of text")).toDF("doc_id", "text"))
+    val sh2 = DedupOps.withShingles(adv2, "doc_id", "text", 3)
+    val capped = DedupOps.jaccardAllPairs(sh2, "doc_id", 0.9, maxDf = 10L)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSeq === Seq((100L, 101L, 1.0)))
+    val cont = DedupOps.containmentPairs(sh2, "doc_id", 0.9, maxDf = 10L)
+      .select("id_a", "id_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.toSeq === Seq((100L, 101L, 1.0, 1.0)))
   }
 
   test("simhash: 32-bit string, deterministic, distance tracks similarity") {
