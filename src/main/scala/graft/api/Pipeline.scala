@@ -22,8 +22,16 @@ case class Mortality(deathCol: String) extends Task
 /** Label 1 iff a later visit of the same subject starts within `gapDays`
   * of this visit's end (reference `:136-177`; boundary inclusive, last
   * visit control).
+  *
+  * `strictOverlap = false` (default) uses the `lead(1)` window form — one
+  * shuffle, exact under the non-overlapping-visits contract most visit
+  * tables satisfy. Set `strictOverlap = true` for visit sets where
+  * admissions can OVERLAP (transfers, concurrent stays): that routes to
+  * the reference's all-later-visits semantics with the
+  * `admit_j > disch_i` guard (`day_intervals_cohort.py:158-161`) — the
+  * lead form could otherwise bind to a concurrent visit and mislabel.
   */
-case class Readmission(gapDays: Int) extends Task
+case class Readmission(gapDays: Int, strictOverlap: Boolean = false) extends Task
 
 /** Label 1 iff the visit lasts at least `thresholdDays`
   * (reference `:114-133`).
@@ -60,19 +68,27 @@ object CohortExtractor {
   def label(cohort: DataFrame, cfg: CohortConfig): DataFrame = cfg.task match {
     case Mortality(dod) =>
       CohortOps.intervalLabel(cohort, col(dod), col(cfg.admitCol), col(cfg.dischCol), "label")
-    case Readmission(gap) =>
-      // gap measured end→next-start; window keyed on subject, ordered by
-      // admit with the visit key as deterministic tie-break
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(cfg.subjectKey)
-        .orderBy(col(cfg.admitCol).asc, col(cfg.visitKey).asc)
-      cohort
-        .withColumn("__next_admit", lead(col(cfg.admitCol), 1).over(w))
-        .withColumn("label",
-          when(col("__next_admit").isNotNull &&
-            col("__next_admit") <= col(cfg.dischCol) + expr(s"INTERVAL ${gap} DAYS"), 1)
-            .otherwise(0))
-        .drop("__next_admit")
+    case Readmission(gap, strictOverlap) =>
+      if (strictOverlap)
+        // overlapping-visit route: all-later-visits scan with the
+        // reference's admit_j > disch_i guard, no window-order assumption
+        CohortOps.nextWithinGapLabelRange(cohort, cfg.subjectKey,
+          cfg.admitCol, cfg.dischCol, cfg.visitKey,
+          expr(s"INTERVAL ${gap} DAYS"), "label")
+      else {
+        // gap measured end→next-start; window keyed on subject, ordered by
+        // admit with the visit key as deterministic tie-break
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(cfg.subjectKey)
+          .orderBy(col(cfg.admitCol).asc, col(cfg.visitKey).asc)
+        cohort
+          .withColumn("__next_admit", lead(col(cfg.admitCol), 1).over(w))
+          .withColumn("label",
+            when(col("__next_admit").isNotNull &&
+              col("__next_admit") <= col(cfg.dischCol) + expr(s"INTERVAL ${gap} DAYS"), 1)
+              .otherwise(0))
+          .drop("__next_admit")
+      }
     case LengthOfStay(days) =>
       CohortOps.thresholdLabel(cohort,
         col(cfg.dischCol) - col(cfg.admitCol), expr(s"INTERVAL ${days} DAYS"), "label")

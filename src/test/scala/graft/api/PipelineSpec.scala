@@ -48,6 +48,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels === Map(101L -> 0, 201L -> 1, 202L -> 0, 203L -> 0))
   }
 
+  test("readmission with overlapping stays: strictOverlap routes to the range form") {
+    // subject 4: visit 401 (Jan 1-20) OVERLAPS concurrent visit 402
+    // (Jan 5-8, e.g. a transfer record); 403 is months later. NO visit
+    // starts within 30 days after any discharge, so every strict label is 0.
+    val overlapping = Seq(
+      (4L, 401L, ts("2021-01-01 00:00:00"), ts("2021-01-20 00:00:00")),
+      (4L, 402L, ts("2021-01-05 00:00:00"), ts("2021-01-08 00:00:00")),
+      (4L, 403L, ts("2021-03-15 00:00:00"), ts("2021-03-16 00:00:00"))
+    ).toDF("subject_id", "hadm_id", "admittime", "dischtime")
+    val adults = Seq((4L, 50, Option.empty[Timestamp])).toDF("subject_id", "age", "dod")
+
+    // strict semantics (admit_j > disch_i guard): 402 starts BEFORE 401's
+    // discharge → not a readmission of 401; 403 is beyond every 30d window
+    val strict = CohortExtractor.extract(overlapping, adults,
+      cfg.copy(task = Readmission(30, strictOverlap = true)))
+      .select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    assert(strict === Map(401L -> 0, 402L -> 0, 403L -> 0))
+
+    // the lead(1) form, by contrast, binds 401 to the CONCURRENT 402
+    // (admitted Jan 5 ≤ Jan 20 + 30d) and mislabels it 1 — the silent
+    // divergence the flag exists to avoid
+    val lead = CohortExtractor.extract(overlapping, adults,
+      cfg.copy(task = Readmission(30)))
+      .select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    assert(lead === Map(401L -> 1, 402L -> 0, 403L -> 0))
+  }
+
   test("length-of-stay cohort: threshold label") {
     val cohort = CohortExtractor.extract(admissions, patients,
       cfg.copy(task = LengthOfStay(7)))
