@@ -38,6 +38,14 @@ object CorpusCurator {
       minhashK: Int = 12,
       lshBands: Int = 6,
       jaccardThreshold: Double = 0.5,
+      // 100 TB guard rails for the near-dup stage, surfaced here so a
+      // façade caller can tune them without dropping to DedupOps: LSH
+      // buckets larger than `lshMaxBucket` are discarded before the
+      // quadratic self-join, and (when `verifyMaxDf` is set) shingles with
+      // document frequency above it leave the verification index — both
+      // bound the damage a corpus-wide boilerplate shingle can do
+      lshMaxBucket: Int = 100000,
+      verifyMaxDf: Long = Long.MaxValue,
       decontamShingleN: Int = 5,
       sampleSixteenths: Map[String, Int] = Map.empty,
       sampleDefault: Int = 16,
@@ -82,10 +90,14 @@ object CorpusCurator {
     docs.join(canon, Seq(cfg.idCol), "left_semi")
   }
 
-  /** Stage 3 — near-dup collapse (LSH → components → canonical survivors). */
+  /** Stage 3 — near-dup collapse (LSH → components → canonical survivors).
+    * The `lshMaxBucket` / `verifyMaxDf` guards ride along, so the façade's
+    * quadratic bounds are tunable per corpus.
+    */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
     DedupOps.dropNearDups(docs, cfg.idCol, cfg.textCol,
-      cfg.dedupShingleN, cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)
+      cfg.dedupShingleN, cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold,
+      cfg.lshMaxBucket, cfg.verifyMaxDf)
 
   /** Stage 4 — drop docs sharing any `decontamShingleN`-gram with the
     * benchmark set.

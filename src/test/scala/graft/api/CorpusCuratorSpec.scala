@@ -57,6 +57,41 @@ class CorpusCuratorSpec extends AnyFunSuite {
     assert(report2 === report)
   }
 
+  test("near-dup guard knobs (lshMaxBucket / verifyMaxDf) plumb through the façade") {
+    // every doc opens with the same 6-token boilerplate — the adversarial
+    // corpus-wide shingle that makes LSH buckets and posting lists blow up
+    // at scale; docs 1/2 additionally share a body differing by ONE token
+    // (a true near-dup pair, not an exact one)
+    val boiler = "z1 z2 z3 z4 z5 z6"
+    def tail(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val docs = (Seq(
+      (1L, s"$boiler ${tail("b")}"),
+      (2L, s"$boiler ${(1 to 11).map(i => s"b$i").mkString(" ")} bX")) ++
+      (3L to 8L).map(i => (i, s"$boiler ${tail(('b' + i.toInt).toChar.toString)}")))
+      .map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val base = CorpusCurator.Config(minTokens = 5, maxTokens = 500)
+
+    def survivors(cfg: CorpusCurator.Config): Set[Long] =
+      CorpusCurator.curate(docs, bench, cfg).select("doc_id").as[Long].collect().toSet
+
+    // defaults: the near-dup stage collapses 2 into canonical 1
+    assert(survivors(base) === Set(1L, 3L, 4L, 5L, 6L, 7L, 8L))
+
+    // bucket guard: cap 1 discards every multi-doc LSH bucket BEFORE the
+    // quadratic self-join — zero candidate pairs, so nothing collapses.
+    // (The production setting bounds damage; 1 makes the bound observable.)
+    assert(survivors(base.copy(lshMaxBucket = 1)) === (1L to 8L).toSet)
+
+    // df guard: dropping shingles with df > 2 removes the boilerplate
+    // (df = 8) from the verification index, yet the true pair still
+    // verifies at 1.0-ish jaccard over the SURVIVING vocabulary — the cap
+    // bounds work without costing the real duplicate
+    assert(survivors(base.copy(verifyMaxDf = 2L)) ===
+      Set(1L, 3L, 4L, 5L, 6L, 7L, 8L))
+  }
+
   test("boilerplate scrub unmasks duplicates that per-site headers hide") {
     // docs 1 and 2 share a body but carry DIFFERENT site headers, each of
     // which repeats 3× corpus-wide: unscrubbed, the headers inflate the
