@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample run as partition-local batch transforms.
   *
-  * The decode kernels themselves are STUBBED (this container has no media
-  * codecs): `stubFeatures` is a deterministic byte-sampling fake standing in
-  * for a real decoder. Everything around it — the binary column schema, the
-  * typed Dataset batch shape, the mapPartitions execution (one iterator per
-  * partition, so a real decoder would amortize model/codec init per
-  * partition, the same shape `mapInPandas` batches take in PySpark) — is
-  * real and tested.
+  * The IMAGE path is a real codec: [[encodePng]] / [[decodePngMeta]] run
+  * actual PNG compression/decompression through `javax.imageio` (pure JVM,
+  * no native deps) inside `mapPartitions` — one decoder per partition, the
+  * same batch shape a `mapInPandas` decode UDF takes in PySpark. Audio and
+  * video codecs aren't in this container, so [[stubFeatures]] remains a
+  * deterministic byte-sampling stand-in for those modalities; the plumbing
+  * around it (binary column schema, typed Dataset batches, partition-local
+  * init) is identical to the real PNG path.
   */
 object BinaryOps {
 
@@ -50,6 +51,84 @@ object BinaryOps {
         // per-partition init of a real codec/model would go here
         it.map { case (docId, bytes) =>
           MediaFeatures(docId, stubFeatures(bytes, dims, stride))
+        }
+      }
+  }
+
+  /** Row shape for decoded image metadata: dimensions plus two
+    * order-insensitive pixel checksums (sum and xor of the 8-bit gray
+    * samples) — the deterministic face of a lossy-looking pipeline stage.
+    */
+  case class PngMeta(doc_id: Long, width: Int, height: Int,
+      px_sum: Long, px_xor: Long)
+
+  /** Encode a `w`×`h` 8-bit grayscale PNG whose pixel at raster index `i`
+    * is `payload(i % payload.length)` (0 for an empty payload) — a real,
+    * losslessly-round-trippable image derived deterministically from the
+    * payload bytes. Pure JVM (`javax.imageio`), no native codecs.
+    */
+  def encodePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    val n = payload.length
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, if (n == 0) 0 else payload(i % n) & 0xff)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a real PNG payload column: each row's `payloadCol` bytes are
+    * rendered into a `wCol`×`hCol` grayscale image and PNG-compressed.
+    * mapPartitions so the encoder warms once per partition.
+    */
+  def withPngPayload(spark: SparkSession, df: DataFrame, id: String,
+      payload: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(payload), col(wCol).cast("int"),
+        col(hCol).cast("int"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes, w, h) => (docId, encodePng(bytes, w, h)) }
+      }
+      .toDF(id, "png")
+  }
+
+  /** REAL image decode: parse the PNG byte stream (`javax.imageio`, full
+    * inflate + defilter), read dimensions off the decoded image, and
+    * checksum the raw raster samples. Raster access (`getSample`) reads the
+    * stored gray values directly — no color-space conversion — so a
+    * lossless 8-bit gray PNG round-trips bit-exactly and the checksums
+    * admit a closed-form oracle over the source bytes.
+    */
+  def decodePngMeta(spark: SparkSession, df: DataFrame, id: String,
+      png: String): Dataset[PngMeta] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(png))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition: ImageIO's reader SPI lookup is amortized here
+        it.map { case (docId, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var (sum, xor) = (0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0).toLong
+              sum += v; xor ^= v
+              x += 1
+            }
+            y += 1
+          }
+          PngMeta(docId, w, h, sum, xor)
         }
       }
   }

@@ -37,6 +37,38 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(new String(got(1)._3, "UTF-8") === "ghi")
   }
 
+  test("encodePng produces a parseable PNG; decode round-trips dims and pixels") {
+    val payload = "abcdefghij".getBytes("UTF-8")
+    val png = BinaryOps.encodePng(payload, w = 4, h = 3)
+    // real PNG container: magic bytes
+    assert(png.take(8).toSeq ===
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert((img.getWidth, img.getHeight) === (4, 3))
+    // pixel i = payload(i % len): 12 pixels over a 10-byte payload wraps
+    val expected = (0 until 12).map(i => payload(i % payload.length) & 0xff)
+    val got = for (y <- 0 until 3; x <- 0 until 4)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(got === expected)
+  }
+
+  test("withPngPayload + decodePngMeta: distributed codec round-trip with checksums") {
+    val src = docs.selectExpr("doc_id", "CAST(text AS BINARY) AS payload",
+      "CAST(3 AS INT) AS w", "CAST(2 AS INT) AS h")
+    val png = BinaryOps.withPngPayload(spark, src, "doc_id", "payload", "w", "h")
+    val metas = BinaryOps.decodePngMeta(spark, png, "doc_id", "png")
+      .collect().map(m => m.doc_id -> m).toMap
+    // doc 1: "abcdef" → sum 597, xor a^b^c^d^e^f
+    val bytes1 = "abcdef".getBytes("UTF-8").map(_ & 0xff)
+    assert(metas(1L).width === 3 && metas(1L).height === 2)
+    assert(metas(1L).px_sum === bytes1.map(_.toLong).sum)
+    assert(metas(1L).px_xor === bytes1.map(_.toLong).reduce(_ ^ _))
+    // doc 2: "xy" wraps → pixels x y x y x y
+    val bytes2 = (0 until 6).map(i => "xy".getBytes("UTF-8")(i % 2) & 0xff)
+    assert(metas(2L).px_sum === bytes2.map(_.toLong).sum)
+    assert(metas(2L).px_xor === bytes2.map(_.toLong).reduce(_ ^ _))
+  }
+
   test("sampleFrames: empty payload yields zero frames, not a backwards sequence") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     val withBin = BinaryOps.withPayload(empty, "text", "payload")
