@@ -169,6 +169,41 @@ object JoinOps {
       .drop("__in_o", "__in_n")
   }
 
+  /** `skewSafe = false` (default): the point id is a `row_number` window
+    * keyed on `partKey` — ONE shuffle serves both the id window and the
+    * join (Catalyst reuses the exchange). The catch, measured not guessed:
+    * that very reuse puts a `WindowExec` between the shuffle stage and the
+    * SortMergeJoin, and AQE's `OptimizeSkewedJoin` only matches a join
+    * whose children are sorts over bare shuffle stages — so a HOT partition
+    * key (one patient/session holding half the points) rides one
+    * monster task that AQE cannot split.
+    *
+    * `skewSafe = true` re-derives the id from the point's FULL row content
+    * (a `row_number` over a window keyed on every point column — spread by
+    * content, so no hot key; identical duplicate rows get interchangeable
+    * occurrence numbers exactly as before), AND inserts an explicit
+    * repartition on the point identity between the join and the tie-break.
+    * Both are load-bearing: the id change gives the join its own bare
+    * shuffle stage underneath, and the repartition frees the join's OUTPUT
+    * partitioning — any per-point grouping contains `partKey`, so
+    * `hashpartitioning(partKey)` subset-satisfies it and the tie-break
+    * would otherwise sit exchange-free on the join, forcing AQE to
+    * preserve the join's clustering (`ValidateRequirements` then vetoes
+    * the skew split). Net cost: three balanced shuffles of the points
+    * instead of one — versus one task carrying the hot key to the horizon.
+    * Skew-splittability is asserted in ScaleJoinSpec; same rows out either
+    * way. Pick the route by key distribution.
+    *
+    * Operational caveat (measured): AQE detects skew from COMPRESSED map
+    * output bytes. A hot key whose rows arrive as one sorted low-entropy
+    * run (exactly what the id window emits for narrow point schemas) can
+    * lz4-compress down to the cold partitions' size, and the rule then
+    * sees "0 skewed partitions" even though the row-count skew is 30×.
+    * Real point rows carry payload columns with entropy, which keeps the
+    * byte statistics honest — but if you project points down to (key, ts)
+    * before this join at 100 TB, byte-based skew detection may go blind;
+    * prefer the salted route there.
+    */
   def asOfPointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -176,11 +211,22 @@ object JoinOps {
       pointTs: String,
       startCol: String,
       endCol: String,
-      asOfName: String): DataFrame = {
-    val restCols = points.columns.filterNot(_ == partKey).map(col(_).asc)
-    val idOrder = if (restCols.isEmpty) Array(lit(1).asc) else restCols
-    val idW = Window.partitionBy(col(partKey)).orderBy(idOrder.toSeq: _*)
-    val p = points.withColumn("__pid", row_number().over(idW))
+      asOfName: String,
+      skewSafe: Boolean = false): DataFrame = {
+    val p =
+      if (skewSafe) {
+        // occurrence number among EXACT duplicate rows only: the window
+        // clusters by full content, so cardinality per partition follows
+        // duplicate multiplicity, not the hot key
+        val occW = Window.partitionBy(points.columns.map(col).toSeq: _*)
+          .orderBy(lit(1).asc)
+        points.withColumn("__pid", row_number().over(occW))
+      } else {
+        val restCols = points.columns.filterNot(_ == partKey).map(col(_).asc)
+        val idOrder = if (restCols.isEmpty) Array(lit(1).asc) else restCols
+        val idW = Window.partitionBy(col(partKey)).orderBy(idOrder.toSeq: _*)
+        points.withColumn("__pid", row_number().over(idW))
+      }
     val iv = intervals.select(
       col(partKey).as("__k"),
       col(startCol).as("__start"),
@@ -190,10 +236,21 @@ object JoinOps {
       p(partKey) === col("__k") &&
         p(pointTs) >= col("__start") && p(pointTs) <= col("__end"),
       "left")
-    // __pid is unique only within its partKey group → window on both
-    val w = Window.partitionBy(p(partKey), col("__pid"))
+    // default: __pid is unique within its partKey group → (partKey, __pid)
+    // identifies one input point. skewSafe: __pid is only the duplicate-
+    // occurrence number, so the identity spans (all point columns, __pid) —
+    // every point column is constant within a group either way, so the
+    // groups (and results) coincide; only the shuffle key width differs
+    val idCols =
+      if (skewSafe) points.columns.map(p(_)).toSeq :+ col("__pid")
+      else Seq(p(partKey), col("__pid"))
+    val w = Window.partitionBy(idCols: _*)
       .orderBy(col("__start").desc_nulls_last)
-    joined
+    // skewSafe: the explicit exchange that decouples the tie-break from
+    // the join's output partitioning (see scaladoc) — without it the skew
+    // split is vetoed even though the join's inputs are splittable
+    val tieBreakSrc = if (skewSafe) joined.repartition(idCols: _*) else joined
+    tieBreakSrc
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn(asOfName, col("__start"))
