@@ -111,11 +111,21 @@ object Knn {
       .map(_.getSeq[Double](0).toIndexedSeq)
       .toIndexedSeq
     val dim = centroids.head.length
+    // each round's means are QUANTIZED to 6 decimals before they become
+    // the next round's centroids: the unrounded mean depends on the
+    // engine's (and partition count's) summation order at the ulp level,
+    // and Lloyd's iterations AMPLIFY those ulps into different
+    // assignments. Rounding re-synchronizes every round's input to an
+    // exactly-representable value, which makes the whole iteration
+    // engine-portable (v03 carries a full cross-engine oracle because of
+    // this) — and costs nothing for a coarse quantizer, where centroid
+    // precision beyond 1e-6 is noise.
     (1 to iters).foreach { _ =>
       val means = assignClusters(base, id, "__e", centroids)
         .groupBy("cluster")
         .agg(count(lit(1)).as("__n"),
-          (0 until dim).map(i => avg(element_at(col("__e"), i + 1)).as(s"__m$i")): _*)
+          (0 until dim).map(i =>
+            round(avg(element_at(col("__e"), i + 1)), 6).as(s"__m$i")): _*)
         .collect()
         .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i)))
         .toMap
