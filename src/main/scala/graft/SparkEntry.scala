@@ -228,6 +228,13 @@ object SparkEntry {
       MetricsOps.aurocRankSum(ord(s, d), col("o_totalprice"),
         when(col("o_orderstatus") === "F", 1).otherwise(0), col("o_orderkey"))),
 
+    // exact average precision (PR-curve area, sklearn step form) — the
+    // companion scalar to a15; fixed-point term accumulation keeps the
+    // ~|distinct scores|-term sum order-insensitive (see MetricsOps scaladoc)
+    "a20_auprc" -> ((s, d) =>
+      MetricsOps.averagePrecision(ord(s, d), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0))),
+
     // ---------------- windows ----------------
     "w02_group_max_year" -> ((s, d) =>
       CohortOps.groupMax(ord(s, d), "o_custkey", year(col("o_orderdate")), "max_year")
@@ -1344,6 +1351,11 @@ object SparkEntry {
         .filter(col("is_outlier") === 1)
         .select("event_id", "event_type", "value", "robust_z")),
 
+    // two-sample KS drift statistic on the same even/odd-user split as
+    // dq03 — binning-free companion to PSI, bit-exact cross-engine
+    "dq05_ks" -> ((s, d) =>
+      MetricsOps.ksStatistic(ev(s, d), col("value"), col("user_id") % 2 === 0)),
+
     // Efraimidis-Spirakis weighted sampling: 50 docs, inclusion odds
     // proportional to n_chars, membership a pure function of the key
     "ml08_weighted_sample" -> ((s, d) =>
@@ -1761,6 +1773,25 @@ object SparkEntry {
          SELECT ROUND((SUM(CASE WHEN lab = 1 THEN rn ELSE 0 END) - SUM(lab) * (SUM(lab) + 1) / 2)
                 * 1.0 / (SUM(lab) * (COUNT(*) - SUM(lab))), 6) AS auc
          FROM r""",
+
+    // same fixed-point accumulation as the Spark side: each threshold term
+    // is an exact correctly-rounded double, rounded to integer nanos and
+    // summed as BIGINT, so engine/partition summation order cannot move the
+    // 6-decimal result
+    "a20_auprc" ->
+      """WITH g AS (
+           SELECT o_totalprice AS s,
+                  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+                  COUNT(*) AS nt
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT np,
+                  SUM(np) OVER (ORDER BY s DESC) AS tp,
+                  SUM(nt) OVER (ORDER BY s DESC) AS al
+           FROM g)
+         SELECT ROUND(SUM(CAST(ROUND(np * tp * 1.0 / al * 1e9, 0) AS BIGINT)) / 1e9
+                      / (SELECT SUM(np) FROM g), 6) AS auprc
+         FROM c""",
 
     "w02_group_max_year" ->
       """SELECT o_orderkey,
@@ -3099,6 +3130,20 @@ object SparkEntry {
                 ROUND(d.absdev / (1.4826 * m.mad), 6) AS robust_z
          FROM dev d JOIN mad m USING (event_type)
          WHERE m.mad > 0 AND d.absdev / (1.4826 * m.mad) > 3.5""",
+
+    "dq05_ks" ->
+      """WITH g AS (
+           SELECT value AS v,
+                  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+                  SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS b
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         c AS (
+           SELECT SUM(a) OVER (ORDER BY v) AS ca,
+                  SUM(b) OVER (ORDER BY v) AS cb
+           FROM g)
+         SELECT ROUND(MAX(ABS(ca * 1.0 / (SELECT SUM(a) FROM g)
+                            - cb * 1.0 / (SELECT SUM(b) FROM g))), 6) AS ks
+         FROM c""",
 
     "ml08_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

@@ -225,4 +225,55 @@ object MetricsOps {
         (col("__rsum") - col("__npos") * (col("__npos") + 1) / 2).cast("double") /
           (col("__npos") * (col("__n") - col("__npos"))), 6).as("auc"))
   }
+
+  /** A20 — exact average precision (area under the precision-recall curve in
+    * the step formulation: AP = Σᵢ ΔRᵢ·Pᵢ over distinct thresholds, ties
+    * grouped — the `sklearn.metrics.average_precision_score` definition the
+    * reference's eval path exposes alongside AUROC, `evaluation.py:95-108`).
+    *
+    * Distributed shape: one hash aggregate to the distinct-score frame
+    * (|thresholds| rows — unbounded at prediction-table scale, so never one
+    * task), then cumulative TP and cumulative N descending by score via ONE
+    * pinned range shuffle ([[RankOps.globalCumsums]]), then a scalar sum.
+    *
+    * Cross-engine / partition-count exactness: each term npᵢ·tpᵢ/alᵢ is a
+    * correctly-rounded double (identical everywhere), but a plain float SUM
+    * over ~|thresholds| terms is summation-order-sensitive at ~1e-10 — enough
+    * to straddle a ROUND(…,6) boundary between engines or AQE modes. The
+    * terms are therefore accumulated in FIXED POINT: each rounded to integer
+    * nanos and summed as longs (exact, order-free), with the two divisions
+    * applied once at the end. DuckDB mirrors the same algebra.
+    */
+  def averagePrecision(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.groupBy(score.as("__s"))
+      .agg(sum(label.cast("long")).as("__np"), count(lit(1)).as("__nt"))
+    val c = RankOps.globalCumsums(g, Seq(col("__s").desc),
+      Seq(col("__np") -> "__tp", col("__nt") -> "__al"))
+    val nanos = round(col("__np") * col("__tp") / col("__al") * 1e9, 0).cast("long")
+    c.agg(round(sum(nanos) / 1e9 / sum(col("__np")), 6).as("auprc"))
+  }
+
+  /** DQ5 — two-sample Kolmogorov–Smirnov statistic: D = max |F̂ₐ(v) − F̂ᵦ(v)|
+    * over the pooled support, the standard nonparametric drift gauge next to
+    * [[psi]] (which needs binning; KS does not).
+    *
+    * Distributed shape: per-distinct-value counts for both samples in one
+    * aggregate, both empirical CDFs via ONE pinned range shuffle
+    * ([[RankOps.globalCumsums]]), then a scalar max. Bit-exact across
+    * engines and partitionings: every CDF value is a correctly-rounded
+    * long/long division and max is order-insensitive.
+    */
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val g = df.filter(value.isNotNull)
+      .groupBy(value.as("__v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__a"),
+        sum(when(inA, 0L).otherwise(1L)).as("__b"))
+    val c = RankOps.globalCumsums(g, Seq(col("__v").asc),
+      Seq(col("__a") -> "__ca", col("__b") -> "__cb"))
+    val tot = c.agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
+    c.crossJoin(broadcast(tot))
+      .agg(round(max(abs(
+        col("__ca").cast("double") / col("__na") -
+          col("__cb").cast("double") / col("__nb"))), 6).as("ks"))
+  }
 }

@@ -82,14 +82,39 @@ object RankOps {
     * and the per-bucket totals see one execution.
     */
   def globalCumsum(df: DataFrame, sortCols: Seq[Column], value: Column,
-      outName: String): DataFrame = {
+      outName: String): DataFrame =
+    globalCumsums(df, sortCols, Seq(value -> outName))
+
+  /** Multi-value variant of [[globalCumsum]]: N running sums over the SAME
+    * sort order share one range shuffle, one pinned bucketing, and one
+    * per-bucket window pass — a caller needing cumulative TP and cumulative
+    * N (PR curves, CDF pairs) pays exactly the single-cumsum plan cost.
+    */
+  def globalCumsums(df: DataFrame, sortCols: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
     val ranged = pinnedRangeBuckets(df, sortCols)
     val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__gr_lcs", sum(value).over(w))
-    local.join(bucketOffsetsOf(ranged, sum(value)), Seq("__gr_pid"))
-      .withColumn(outName, col("__gr_lcs") + col("__gr_off"))
-      .drop("__gr_pid", "__gr_lcs", "__gr_off")
+    val local = values.foldLeft(ranged) { case (acc, (v, name)) =>
+      acc.withColumn(s"__gr_lcs_$name", sum(v).over(w))
+    }
+    // one triangular pass produces every column's prefix offset
+    val perBucket = ranged.groupBy(col("__gr_pid")).agg(
+      sum(values.head._1).as(s"__gr_n_${values.head._2}"),
+      values.tail.map { case (v, name) => sum(v).as(s"__gr_n_$name") }: _*)
+    val offs = perBucket.alias("a")
+      .join(perBucket.alias("b"), col("b.__gr_pid") < col("a.__gr_pid"), "left")
+      .groupBy(col("a.__gr_pid").as("__gr_pid"))
+      .agg(
+        coalesce(sum(col(s"b.__gr_n_${values.head._2}")), lit(0L))
+          .as(s"__gr_off_${values.head._2}"),
+        values.tail.map { case (_, name) =>
+          coalesce(sum(col(s"b.__gr_n_$name")), lit(0L)).as(s"__gr_off_$name")
+        }: _*)
+    values.foldLeft(local.join(offs, Seq("__gr_pid"))) { case (acc, (_, name)) =>
+      acc.withColumn(name, col(s"__gr_lcs_$name") + col(s"__gr_off_$name"))
+        .drop(s"__gr_lcs_$name", s"__gr_off_$name")
+    }.drop("__gr_pid")
   }
 
   /** Dense vocabulary encoding (SURVEY F23): 1-based contiguous ids over the

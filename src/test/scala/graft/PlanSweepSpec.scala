@@ -43,6 +43,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
     "v07_ann_recall" -> "bounded query set (vec_id < 8) on both result lists",
     "dq04_mad_outliers" -> "per-group median/MAD bounds frame",
+    "a20_auprc" -> "bucket-offset triangle (globalCumsums) — <= shuffle-partition rows",
+    "dq05_ks" -> "bucket-offset triangle (globalCumsums) + 1-row sample totals",
     "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite

@@ -201,6 +201,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RankOps.globalCumsums: two columns in one pass equal two globalCumsum calls") {
+    val gen: Gen[List[(Int, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 50), Gen.choose(0, 9)))
+    samples(gen, 6).foreach { rows =>
+      val keyed = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a.toLong, b.toLong) }
+      val df = keyed.toDF("k", "a", "b")
+      val fused = RankOps.globalCumsums(df.repartition(5), Seq(col("k").asc),
+          Seq(col("a") -> "ca", col("b") -> "cb"))
+        .select("k", "ca", "cb").as[(Long, Long, Long)].collect().toList.sorted
+      // sequential reference scan
+      val (expected, _, _) = keyed.sortBy(_._1)
+        .foldLeft((List.empty[(Long, Long, Long)], 0L, 0L)) {
+          case ((acc, sa, sb), (k, a, b)) => ((k, sa + a, sb + b) :: acc, sa + a, sb + b)
+        }
+      assert(fused === expected.reverse, s"fused cumsums diverge on $rows")
+    }
+  }
+
   test("fold assignment is total, stable, and within [0, k)") {
     val gen = for {
       ids <- Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))

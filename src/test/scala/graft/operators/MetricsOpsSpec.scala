@@ -111,4 +111,52 @@ class MetricsOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, c) => !c.isNaN && !c.isInfinite })
     assert(rows.map(_._2).sum > 0.5) // a 45%-range shift is a large drift
   }
+
+  test("averagePrecision matches the hand-computed sklearn step value, ties grouped") {
+    // descending thresholds: 0.9 (1 pos of 1) → P=1/1; 0.8 (1 pos of 2,
+    // cum 2 pos of 3) → P=2/3; 0.7 (0 pos) contributes nothing; 0.6
+    // (1 pos, cum 3 of 5) → P=3/5. AP = (1 + 2/3 + 3/5) / 3
+    val df = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.6, 1))
+      .toDF("score", "label")
+    val ap = MetricsOps.averagePrecision(df, col("score"), col("label"))
+      .as[Double].collect()(0)
+    assert(math.abs(ap - (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0) < 1e-6)
+  }
+
+  test("averagePrecision is 1.0 when every positive outranks every negative") {
+    val df = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("score", "label")
+    val ap = MetricsOps.averagePrecision(df, col("score"), col("label"))
+      .as[Double].collect()(0)
+    assert(ap === 1.0)
+  }
+
+  test("ksStatistic: identical samples → 0, disjoint supports → 1, nulls ignored") {
+    val same = Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (2.0, 1L))
+      .toDF("value", "user_id")
+    val ks0 = MetricsOps.ksStatistic(same, col("value"), col("user_id") % 2 === 0)
+      .as[Double].collect()(0)
+    assert(ks0 === 0.0)
+
+    val disjoint = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+      .toDF("value", "user_id")
+    val ks1 = MetricsOps.ksStatistic(disjoint, col("value"), col("user_id") % 2 === 0)
+      .as[Double].collect()(0)
+    assert(ks1 === 1.0)
+
+    val withNull = Seq((Some(1.0), 0L), (Some(1.0), 1L), (None, 0L))
+      .toDF("value", "user_id")
+    val ksN = MetricsOps.ksStatistic(withNull, col("value"), col("user_id") % 2 === 0)
+      .as[Double].collect()(0)
+    assert(ksN === 0.0)
+  }
+
+  test("ksStatistic matches the hand-computed max CDF gap") {
+    // A = {1, 1, 2}, B = {3, 4}: at v=2 F_A=1, F_B=0 → D = 1 is reached;
+    // at v=1 the gap is 2/3 — max wins
+    val df = Seq((1.0, 0L), (1.0, 2L), (2.0, 4L), (3.0, 1L), (4.0, 3L))
+      .toDF("value", "user_id")
+    val ks = MetricsOps.ksStatistic(df, col("value"), col("user_id") % 2 === 0)
+      .as[Double].collect()(0)
+    assert(ks === 1.0)
+  }
 }
