@@ -574,6 +574,24 @@ object SparkEntry {
           expr("INTERVAL 30 MINUTES"), "session_no")
         .select("event_id", "session_no")),
 
+    // per-user interval union: each event opens a [ts, ts+|value| s] span;
+    // overlapping/touching spans merge into islands, then per-user coverage
+    // totals — all epoch-µs long arithmetic, hash-exact cross-engine
+    "ts04_interval_union" -> ((s, d) => {
+      val base = ev(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("__s"),
+          (unix_micros(col("ts")) +
+            greatest(round(abs(col("value")) * 1e6, 0).cast("long"), lit(1L)))
+            .as("__e"))
+      TimeSeriesOps.mergeIntervals(base, Seq("user_id"), col("__s"), col("__e"),
+          col("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start")).as("covered_us"),
+          max(col("span_end") - col("span_start")).as("max_span_us"))
+    }),
+
     // per-stay tensor export (reference's nested dataDic, §3.3): built as a
     // map of bucket-ordered series, then flattened back to scalars for the
     // oracle — ord_sum is position-weighted, so the series ORDER is checked
@@ -2226,6 +2244,31 @@ object SparkEntry {
                               + INTERVAL 30 MINUTE
                            THEN 1 ELSE 0 END AS new_sess
                FROM events)""",
+
+    "ts04_interval_union" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS s,
+                  epoch_us(ts)
+                    + GREATEST(CAST(ROUND(ABS(value) * 1e6, 0) AS BIGINT), 1) AS e
+           FROM events WHERE value IS NOT NULL),
+         f AS (
+           SELECT user_id, s, e, event_id,
+                  CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                       THEN 1 ELSE 0 END AS nf
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         i AS (
+           SELECT user_id, s, e,
+                  SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS UNBOUNDED PRECEDING) AS iv
+           FROM f),
+         m AS (SELECT user_id, iv, MIN(s) AS ms, MAX(e) AS me
+               FROM i GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_spans,
+                CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+                CAST(MAX(me - ms) AS BIGINT) AS max_span_us
+         FROM m GROUP BY 1""",
 
     "ts03_stay_tensors" ->
       """WITH tall AS (

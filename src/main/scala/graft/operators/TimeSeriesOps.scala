@@ -83,4 +83,35 @@ object TimeSeriesOps {
     tall.groupBy(col(entity), col(bucket))
       .pivot(code, vocab)
       .agg(value)
+
+  /** Per-key interval union: merge overlapping-or-touching `[start, end]`
+    * spans into maximal islands (the utilization/coverage primitive behind
+    * "total monitored hours per stay" questions the reference answers by
+    * resampling to a dense hourly grid, `day_intervals_cohort.py` interval
+    * arithmetic — this form never densifies).
+    *
+    * One sort per key: a span opens a new island iff its start clears the
+    * running max end of every earlier span (two stacked windows, same
+    * sort), then islands collapse via groupBy. `tie` must make the sort a
+    * total order or the cumulative frames are nondeterministic.
+    *
+    * Scale shape: windows are keyed (`GlobalWindowGuard`-clean); a single
+    * key's spans sort in one task — the same per-entity contract as
+    * [[sessionize]] and `WindowOps.runLengthIntervals`. Output is one row
+    * per island, ≤ input rows.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], start: Column,
+      end: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(start.asc, end.asc, tie.asc)
+    val prevMax = max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__iv_new",
+        when(prevMax.isNull || start > prevMax, 1L).otherwise(0L))
+      .withColumn("__iv_id", sum(col("__iv_new")).over(wRun))
+      .groupBy(keys.map(col) :+ col("__iv_id"): _*)
+      .agg(min(start).as("span_start"), max(end).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__iv_id")
+  }
 }

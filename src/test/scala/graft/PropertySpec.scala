@@ -219,6 +219,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeIntervals equals a sequential sweep reference on random interval sets") {
+    val gen: Gen[List[(String, Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      xs <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 60L), Gen.choose(1L, 25L), Gen.choose(0, 2)))
+    } yield xs.map { case (s, len, k) => (s"k$k", s, s + len) }
+    samples(gen, 6).foreach { triples =>
+      val rows = triples.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      val df = rows.toDF("k", "s", "e", "id")
+      val got = TimeSeriesOps.mergeIntervals(df.repartition(5), Seq("k"),
+          col("s"), col("e"), col("id"))
+        .select("k", "span_start", "span_end", "n_merged")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (k, ivs) =>
+        val sorted = ivs.map(t => (t._2, t._3)).sorted
+        val islands = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        for ((s, e) <- sorted) islands.lastOption match {
+          case Some((is, ie, n)) if s <= ie =>
+            islands.update(islands.size - 1, (is, math.max(ie, e), n + 1))
+          case _ => islands += ((s, e, 1L))
+        }
+        islands.map { case (is, ie, n) => (k, is, ie, n) }
+      }.toSet
+      assert(got === expected, s"islands diverge on $triples")
+    }
+  }
+
   test("fold assignment is total, stable, and within [0, k)") {
     val gen = for {
       ids <- Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))

@@ -80,4 +80,29 @@ class WindowTimeSeriesSpec extends AnyFunSuite {
       ("u", "A", 4L, None, 1L),
       ("v", "Z", 9L, None, 1L)))
   }
+
+  test("mergeIntervals: overlap, touch, nesting merge; gaps split; keys isolate") {
+    // u: [1,5] ∪ [3,8] (overlap) ∪ [8,10] (touching) → island [1,10];
+    //    [2,9] nested inside; [12,13] after a gap is its own island.
+    // v: [1,2] alone — keys never mix.
+    val rows = Seq(
+      ("u", 1L, 5L, 1L), ("u", 3L, 8L, 2L), ("u", 8L, 10L, 3L),
+      ("u", 2L, 9L, 4L), ("u", 12L, 13L, 5L),
+      ("v", 1L, 2L, 6L))
+      .toDF("k", "s", "e", "id")
+    val got = TimeSeriesOps.mergeIntervals(rows, Seq("k"), col("s"), col("e"), col("id"))
+      .select("k", "span_start", "span_end", "n_merged")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("u", 1L, 10L, 4L),
+      ("u", 12L, 13L, 1L),
+      ("v", 1L, 2L, 1L)))
+    // island structure is a function of the interval set, not input order
+    val shuffled = TimeSeriesOps.mergeIntervals(
+        rows.orderBy(col("id").desc).repartition(5), Seq("k"),
+        col("s"), col("e"), col("id"))
+      .select("k", "span_start", "span_end", "n_merged")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(shuffled === got)
+  }
 }
