@@ -1456,6 +1456,23 @@ object SparkEntry {
         .select("o_orderkey", "op")
     }),
 
+    // MERGE-style changelog apply: deletes drop, upserts replace, inserts
+    // append, untouched rows stream through one anti-join (AQE broadcasts
+    // the change set) — the lakehouse upsert twin of u07's diff
+    "u08_apply_changelog" -> ((s, d) => {
+      val cur = cust(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      val changes = cur.filter(col("c_custkey") % 10 <= 3)
+        .select(
+          when(col("c_custkey") % 10 === 3, col("c_custkey") + 1000000)
+            .otherwise(col("c_custkey")).as("c_custkey"),
+          col("c_nationkey"),
+          when(col("c_custkey") % 10 === 3, lit(0.0))
+            .otherwise(col("c_acctbal") + 100.0).as("c_acctbal"),
+          when(col("c_custkey") % 10 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      JoinOps.applyChangelog(cur, changes, "c_custkey", "op")
+    }),
+
     // SCD-2 history from an event log: consecutive equal values collapse
     // into [valid_from, valid_to) intervals, all windows keyed per entity
     "w13_scd_intervals" -> ((s, d) =>
@@ -3344,6 +3361,24 @@ object SparkEntry {
                            ELSE 'unchanged' END AS op
                FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
          SELECT o_orderkey, op FROM d WHERE op <> 'unchanged'""",
+
+    "u08_apply_changelog" ->
+      """WITH cur AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+         changes AS (
+           SELECT CASE WHEN c_custkey % 10 = 3 THEN c_custkey + 1000000
+                       ELSE c_custkey END AS c_custkey,
+                  c_nationkey,
+                  CASE WHEN c_custkey % 10 = 3 THEN 0.0
+                       ELSE c_acctbal + 100.0 END AS c_acctbal,
+                  CASE WHEN c_custkey % 10 = 0 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM cur WHERE c_custkey % 10 <= 3)
+         SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+         FROM cur c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+         WHERE ch.c_custkey IS NULL
+         UNION ALL
+         SELECT c_custkey, c_nationkey, c_acctbal FROM changes
+         WHERE op <> 'delete'""",
 
     "w13_scd_intervals" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,

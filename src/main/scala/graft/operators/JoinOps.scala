@@ -169,6 +169,24 @@ object JoinOps {
       .drop("__in_o", "__in_n")
   }
 
+  /** Changelog apply — the MERGE/upsert half of [[snapshotDiff]]: replay a
+    * compacted change set onto the current snapshot. `changes` carries the
+    * snapshot's columns plus `opCol` ∈ {upsert, delete}; a key present in
+    * `changes` replaces (or removes) the current row, everything else
+    * streams through untouched via ONE anti-join on the key. Contract: at
+    * most one change row per key (a compacted changelog) — uncompacted
+    * feeds should be reduced to last-writer-wins first.
+    *
+    * Scale shape: anti-join + unionByName, both unbounded sides, no
+    * broadcast hint — AQE promotes the (typically small) change set to a
+    * broadcast at runtime, making the steady-state cost one scan of each
+    * side and zero shuffles of the big snapshot.
+    */
+  def applyChangelog(current: DataFrame, changes: DataFrame, key: String,
+      opCol: String): DataFrame =
+    current.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "delete").drop(opCol))
+
   /** `skewSafe = false` (default): the point id is a `row_number` window
     * keyed on `partKey` — ONE shuffle serves both the id window and the
     * join (Catalyst reuses the exchange). The catch, measured not guessed:

@@ -119,4 +119,19 @@ class JoinOpsSpec extends AnyFunSuite {
       4L -> "insert",     // only in new
       5L -> "unchanged")) // equal values
   }
+
+  test("applyChangelog: upsert replaces, delete removes, insert appends, rest untouched") {
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B", "upsert"), (3L, "c", "delete"), (9L, "z", "upsert"))
+      .toDF("id", "v", "op")
+    val got = JoinOps.applyChangelog(cur, changes, "id", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (9L, "z")))
+    // diff of (current, applied) replays exactly the change set
+    val applied = JoinOps.applyChangelog(cur, changes, "id", "op")
+    val diff = JoinOps.snapshotDiff(cur, applied, "id", Seq("v"))
+      .filter(col("op") =!= "unchanged")
+      .select("id", "op").as[(Long, String)].collect().toMap
+    assert(diff === Map(2L -> "update", 3L -> "delete", 9L -> "insert"))
+  }
 }
