@@ -42,6 +42,19 @@ object SparkEntry {
       .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
       .mkString(", ")
 
+  /** PQ codebooks for `v08_pq_adc`: 8 subspaces × 4 codewords × 8 dims,
+    * the same rational-lattice family as [[fixedCentroids]] so both
+    * engines parse the identical doubles.
+    */
+  private val pqCodebooks: graft.ann.Pq.Codebooks =
+    (0 until 8).map(j => (0 until 4).map(c =>
+      (0 until 8).map(t => (((j * 8 + t) * (c + 3)) % 11) / 11.0 - 0.5).toSeq).toSeq)
+
+  private def pqCodebookSqlValues: String =
+    pqCodebooks.zipWithIndex.flatMap { case (cws, j) =>
+      cws.zipWithIndex.map { case (cw, c) => s"($j, $c, [${cw.mkString(", ")}])" }
+    }.mkString(", ")
+
   /** One-time ingest for `s13_bucketed_join`: bucket both join sides on the
     * key at write time, once per (session, sf dir). Re-invocations with the
     * same inputs are no-ops, so a timed query run measures the
@@ -754,6 +767,15 @@ object SparkEntry {
     "v06b_probe_fixed" -> ((s, d) =>
       Knn.probeSelection(emb(s, d), "vec_id", "embedding", fixedCentroids,
         nProbe = 2)),
+
+    // product-quantization ADC: corpus compressed to 8 int codes/vector,
+    // each query resolves distances through its precomputed m×k lookup
+    // table — the memory-bound ANN path (64× smaller corpus residency)
+    "v08_pq_adc" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.ann.Pq.pqTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", pqCodebooks, k = 3)
+    }),
 
     "v02_ann_clustered" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
@@ -2606,6 +2628,46 @@ object SparkEntry {
                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
                 FROM d)
           WHERE rn <= 2""",
+
+    // encode argmin and every distance term are sequential folds over
+    // literal-indexed elements (the v03b portability argument); the ADC sum
+    // over subspaces is LIST_SUM of a j-ORDERED list, matching the Spark
+    // side's sequential fold — bit-exact before the 6dp round
+    "v08_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          cb(j, c, cw) AS (VALUES $pqCodebookSqlValues),
+          dist AS (
+            SELECT e.vec_id, cb.j, cb.c,
+                   LIST_SUM(LIST_TRANSFORM(range(1, 9), t ->
+                     (v[cb.j*8 + t] - CAST(cw[t] AS DOUBLE))
+                     * (v[cb.j*8 + t] - CAST(cw[t] AS DOUBLE)))) AS dd
+            FROM e CROSS JOIN cb),
+          enc AS (
+            SELECT vec_id, j, c AS code
+            FROM (SELECT vec_id, j, c,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                           ORDER BY dd ASC, c ASC) AS rn
+                  FROM dist)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+          term AS (
+            SELECT q.query_id, en.vec_id AS neighbor_id, en.j,
+                   LIST_SUM(LIST_TRANSFORM(range(1, 9), t ->
+                     (qv[en.j*8 + t] - CAST(cb.cw[t] AS DOUBLE))
+                     * (qv[en.j*8 + t] - CAST(cb.cw[t] AS DOUBLE)))) AS dd
+            FROM q JOIN enc en ON en.vec_id <> q.query_id
+            JOIN cb ON cb.j = en.j AND cb.c = en.code),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(LIST_SUM(LIST(dd ORDER BY j)), 6) AS adc
+            FROM term GROUP BY 1, 2)
+          SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT query_id, neighbor_id, adc,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc ASC, neighbor_id ASC) AS rn
+                FROM adc)
+          WHERE rn <= 3""",
 
     // full multi-probe oracle (r6): every stage is ulp-insensitive — the
     // label centroids round to 6dp (Knn.centroids), probe selection over

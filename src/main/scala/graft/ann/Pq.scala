@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Product quantization (Jégou, Douze, Schmid 2011, public algorithm) —
+  * the memory-bound ANN scale path next to [[Knn]]'s brute-force baseline
+  * and IVF cluster routing: a d-dim vector compresses to `m` small integer
+  * codes (one per subspace), and query↔code distances resolve through a
+  * per-query lookup table instead of touching the original floats.
+  *
+  * At the 100 TB design point this is what makes a billion-vector corpus
+  * searchable: the encoded corpus is m bytes/vector (64× smaller at d=64,
+  * m=8, 4 codewords), the codebook is a bounded literal (m·k·(d/m) doubles)
+  * compiled into the plan exactly like [[Knn.assignClusters]]'s centroid
+  * matrix, and the ADC scan is O(m) table lookups per pair — no
+  * per-pair float vector math at all.
+  *
+  * Everything is deterministic and engine-portable by the same argument as
+  * `v03b`: encode argmins and distance sums are sequential left-to-right
+  * folds over literal-indexed elements, so any engine computing IEEE
+  * doubles produces bit-identical codes and ADC values; ranking orders on
+  * the 6dp-rounded distance with an id tie-break.
+  */
+object Pq {
+
+  /** `codebooks(j)(c)` = the `c`-th codeword (d/m doubles) of subspace `j`. */
+  type Codebooks = Seq[Seq[Seq[Double]]]
+
+  private def codebookLit(codebooks: Codebooks): Column =
+    typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Squared-L2 between a slice of `v` starting at 1-based `start` and a
+    * codeword array — a sequential fold, identical on any engine.
+    */
+  private def subDist(v: Column, start: Column, sub: Int, cw: Column): Column =
+    aggregate(zip_with(slice(v, start, lit(sub)), cw, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ-encode: adds `codes` (array<int>, length m) — per subspace, the
+    * index of the nearest codeword, ties to the smaller index. One
+    * codegen'd expression per row; the corpus is scanned once, nothing
+    * shuffles.
+    */
+  def pqEncode(corpus: DataFrame, id: String, emb: String,
+      codebooks: Codebooks): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val e = VectorFns.toDoubleArr(col(emb))
+    val cbs = codebookLit(codebooks)
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(element_at(cbs, j + 1),
+        cw => subDist(e, j * lit(sub) + lit(1), sub, cw))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    corpus.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance top-k: each (broadcast) query precomputes its
+    * m×k distance table ONCE, then every corpus code resolves to an
+    * approximate distance via m table lookups — the classic ADC scan.
+    * The corpus is scanned once (no shuffle before the per-query top-k
+    * window, which partitions on query_id). Output ranks ascend by
+    * 6dp-rounded ADC distance, ties to the smaller neighbor id.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+      codebooks: Codebooks, k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cbs = codebookLit(codebooks)
+    val enc = pqEncode(corpus, id, emb, codebooks)
+      .select(col(id).as("neighbor_id"), col("codes"))
+    // per-query lookup table: __tab[j][c] = ||q_sub_j - codebook[j][c]||²
+    val q = queries.select(col(id).as("query_id"),
+      VectorFns.toDoubleArr(col(emb)).as("__qe"))
+      .withColumn("__tab", transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cbs, j + 1),
+          cw => subDist(col("__qe"), j * lit(sub) + lit(1), sub, cw))))
+      .drop("__qe")
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("__tab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+}

@@ -42,6 +42,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
     "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
     "v07_ann_recall" -> "bounded query set (vec_id < 8) on both result lists",
+    "v08_pq_adc" -> "bounded query set (vec_id < 8) with literal codebook tables",
     "dq04_mad_outliers" -> "per-group median/MAD bounds frame",
     "a20_auprc" -> "bucket-offset triangle (globalCumsums) — <= shuffle-partition rows",
     "dq05_ks" -> "bucket-offset triangle (globalCumsums) + 1-row sample totals",

@@ -105,4 +105,49 @@ class KnnSpec extends AnyFunSuite {
       .select("recall").as[Double].collect()
     assert(perfect.forall(_ === 1.0))
   }
+
+  // 4-dim vectors, 2 subspaces × 2 dims, 2 codewords per subspace
+  private val pqBooks: Pq.Codebooks = Seq(
+    Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),   // subspace 0
+    Seq(Seq(0.0, 1.0), Seq(1.0, 0.0)))   // subspace 1
+
+  test("pqEncode picks the nearest codeword per subspace, ties to the smaller index") {
+    val df = Seq(
+      (0L, Array(0.1f, 0f, 0f, 0.9f)),     // sub0 → cw0, sub1 → cw0
+      (1L, Array(0.9f, 1f, 1f, 0.1f)),     // sub0 → cw1, sub1 → cw1
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f))  // equidistant both → ties to 0
+    ).toDF("vec_id", "embedding")
+    val got = Pq.pqEncode(df, "vec_id", "embedding", pqBooks)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(got === Map(0L -> Seq(0, 0), 1L -> Seq(1, 1), 2L -> Seq(0, 0)))
+  }
+
+  test("pqTopK ADC equals the exact distance to the reconstructed neighbor") {
+    // corpus vectors assembled FROM codewords, so quantization is lossless
+    // and ADC(query, doc) must equal the true squared-L2 distance
+    val corpus = Seq(
+      (10L, Array(0f, 0f, 0f, 1f)),   // codes (0,0) — reconstructs itself
+      (11L, Array(1f, 1f, 1f, 0f)),   // codes (1,1)
+      (12L, Array(0f, 0f, 1f, 0f))    // codes (0,1)
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val got = Pq.pqTopK(corpus, query, "vec_id", "embedding", pqBooks, k = 3)
+      .select("neighbor_id", "adc", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    // exact squared-L2 from (0,0,0,1): to 10 → 0; to 12 → 1+1=2; to 11 → 1+1+1+1=4
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((10L, 0.0), (12L, 2.0), (11L, 4.0)))
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3))
+  }
+
+  test("pqTopK self-pairs are excluded and ranks are per-query dense") {
+    val corpus = Seq(
+      (0L, Array(0f, 0f, 0f, 1f)), (1L, Array(1f, 1f, 1f, 0f)),
+      (2L, Array(0f, 1f, 1f, 0f)), (3L, Array(1f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Pq.pqTopK(corpus, corpus.filter($"vec_id" < 2), "vec_id",
+        "embedding", pqBooks, k = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(got.forall { case (q, n, _) => q != n })
+    assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(_._3).sorted.toSeq === Seq(1, 2) })
+  }
 }
