@@ -1356,6 +1356,15 @@ object SparkEntry {
           round(col("__total") / (col("__k") * col("__toks")), 6).as("weight"))
     }),
 
+    // stride-scheduled source mixing: materialize lang weights into ONE
+    // deterministic global training order (virtual-time merge; per-source
+    // rank and final position both distributed two-phase ranks)
+    "ml11_interleave" -> ((s, d) =>
+      FoldOps.interleaveByWeight(
+          docs(s, d).select("doc_id", "lang"), col("lang"), Seq(col("doc_id").asc),
+          Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+        .select("doc_id", "lang", "src_rank", "pos")),
+
     // RefinedWeb/CCNet-style segment-level boilerplate removal: aligned
     // 4-token segments occurring ≥2 times corpus-wide are dropped from
     // every doc; docs are reassembled from the survivors in order
@@ -1669,6 +1678,21 @@ object SparkEntry {
          SELECT source, n_toks, ROUND(n_toks / total, 6) AS share,
                 ROUND(total / (k * n_toks), 6) AS weight
          FROM s CROSS JOIN t""",
+
+    "ml11_interleave" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS src_rank
+           FROM documents),
+         v AS (
+           SELECT doc_id, lang, src_rank,
+                  (src_rank - 0.5) / CASE lang
+                    WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.15 WHEN 'es' THEN 0.15
+                    WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15 ELSE 1.0 END AS vt
+           FROM r)
+         SELECT doc_id, lang, CAST(src_rank AS BIGINT) AS src_rank,
+                CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, src_rank) AS BIGINT) AS pos
+         FROM v""",
 
     "s01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",

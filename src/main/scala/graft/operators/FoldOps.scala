@@ -82,6 +82,47 @@ object FoldOps {
     * phase 2 ranks exactly. For fraction-based sampling prefer
     * `stratifiedHashSample`, which needs no sort at all.
     */
+  /** Deterministic weighted source interleaving (stride scheduling, the
+    * public lottery-scheduling variant): source `s` emits its `r`-th row at
+    * virtual time `(r − 0.5) / w(s)`, and the interleaved order is the
+    * ascending virtual-time merge — over any prefix the share of source `s`
+    * approaches `w(s)/Σw` with no RNG, and membership of the first-N batch
+    * is a pure function of (source, in-source rank, weights): the batch
+    * sampler that materializes `ml07`-style mixture weights into one
+    * global training order.
+    *
+    * Scale shape: sources are FEW and HUGE (languages, domains), so the
+    * in-source rank is NOT a per-source window (that sorts a whole source
+    * in one task — the exact hazard [[perStratumTopN]] documents). Instead:
+    * one [[RankOps.globalRowNumber]] ordered by (source, orderCols) minus
+    * per-source prefix offsets from a triangular join over the ≤|sources|
+    * counts frame; the final position is a second distributed rank over
+    * virtual time. Nothing funnels through one task at any size.
+    *
+    * `orderCols` must totally order rows WITHIN each source. Sources
+    * missing from `weights` get weight `defaultWeight`. Virtual-time ties
+    * across sources break on (source, in-source rank).
+    */
+  def interleaveByWeight(df: DataFrame, source: Column, orderCols: Seq[Column],
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      posName: String = "pos"): DataFrame = {
+    val g = RankOps.globalRowNumber(df, source.asc +: orderCols, "__il_g")
+    val counts = df.groupBy(source.as("__il_s")).agg(count(lit(1)).as("__il_n"))
+    val offs = counts.alias("a")
+      .join(counts.alias("b"), col("b.__il_s") < col("a.__il_s"), "left")
+      .groupBy(col("a.__il_s").as("__il_s"))
+      .agg(coalesce(sum(col("b.__il_n")), lit(0L)).as("__il_off"))
+    val wl = typedLit(weights)
+    val ranked = g.join(offs, source === col("__il_s"))
+      .withColumn("src_rank", col("__il_g") - col("__il_off"))
+      .withColumn("__il_vt", (col("src_rank").cast("double") - 0.5) /
+        coalesce(element_at(wl, source.cast("string")), lit(defaultWeight)))
+      .drop("__il_s", "__il_n", "__il_off", "__il_g")
+    RankOps.globalRowNumber(ranked,
+        Seq(col("__il_vt").asc, source.asc, col("src_rank").asc), posName)
+      .drop("__il_vt")
+  }
+
   def perStratumTopN(df: DataFrame, stratum: Column, key: Column, n: Int,
       rankCol: String = "rk", fanout: Int = 64): DataFrame = {
     val h = md5(key.cast("string"))

@@ -65,8 +65,9 @@ class DeterminismSpec extends AnyFunSuite {
     // range-bucketed operators not already above
     "a15_auroc", "ml04_pack_bins", "ml06_token_budget",
     "ml09_curriculum_phase", "f23_vocab_encode", "w11_cum_uniques",
-    // globalCumsums consumers (fused range-bucketed cumulative frames)
-    "a20_auprc", "dq05_ks")
+    // globalCumsums / globalRowNumber consumers added r6 (fused
+    // range-bucketed cumulative frames; double-rank interleave)
+    "a20_auprc", "dq05_ks", "ml11_interleave")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df

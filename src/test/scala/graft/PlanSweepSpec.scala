@@ -32,6 +32,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "ml06_token_budget" -> "bucket-offset triangle (globalCumsum)",
     "ml07_mix_weights" -> "1-row corpus token total",
     "ml09_curriculum_phase" -> "bucket-offset triangle + 1-row count",
+    "ml11_interleave" -> "bucket-offset triangles + <=|sources| source-offset triangle",
     "q03_domain_quantile_gate" -> "per-group quantile bounds frame",
     "t06_tfidf_top_terms" -> "1-row doc count (idf denominator)",
     "t18_unigram_logprob" -> "1-row corpus n/vocab stats",

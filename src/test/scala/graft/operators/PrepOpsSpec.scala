@@ -319,4 +319,30 @@ class PrepOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(got === again)
   }
+
+  test("interleaveByWeight: 2:1 stride merge matches the hand-computed order") {
+    // a (w=2): vt 0.25, 0.75, 1.25, 1.75; b (w=1): vt 0.5, 1.5
+    // merged: a1 .25 | b1 .5 | a2 .75 | a3 1.25 | b2 1.5 | a4 1.75
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("b", 5L), ("b", 6L))
+      .toDF("src", "id")
+    val got = FoldOps.interleaveByWeight(df.repartition(4), col("src"),
+        Seq(col("id").asc), Map("a" -> 2.0, "b" -> 1.0))
+      .select("id", "src_rank", "pos").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L), (5L, 1L, 2L), (2L, 2L, 3L),
+      (3L, 3L, 4L), (6L, 2L, 5L), (4L, 4L, 6L)))
+    // prefix shares track the weights: first 3 rows hold 2 a's and 1 b
+    val first3 = got.sortBy(_._3).take(3).map(_._1).toSet
+    assert(first3 === Set(1L, 5L, 2L))
+  }
+
+  test("interleaveByWeight: unknown sources fall back to defaultWeight, order total") {
+    val df = Seq(("a", 1L), ("c", 2L), ("c", 3L)).toDF("src", "id")
+    val got = FoldOps.interleaveByWeight(df, col("src"), Seq(col("id").asc),
+        Map("a" -> 1.0), defaultWeight = 2.0)
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._2)
+    // c (w=2): vt .25, .75; a (w=1): vt .5 → c2, a1, c3
+    assert(got.map(_._1).toSeq === Seq(2L, 1L, 3L))
+  }
 }
