@@ -248,6 +248,12 @@ object SparkEntry {
       MetricsOps.averagePrecision(ord(s, d), col("o_totalprice"),
         when(col("o_orderstatus") === "F", 1).otherwise(0))),
 
+    // decile gains/lift table on the same (score, label) pair — exact
+    // integer deciles via the distributed rank, single-division doubles
+    "a22_gains_deciles" -> ((s, d) =>
+      MetricsOps.gainsTable(ord(s, d), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0), col("o_orderkey"))),
+
     // ---------------- windows ----------------
     "w02_group_max_year" -> ((s, d) =>
       CohortOps.groupMax(ord(s, d), "o_custkey", year(col("o_orderdate")), "max_year")
@@ -1873,6 +1879,20 @@ object SparkEntry {
          SELECT ROUND(SUM(CAST(ROUND(np * tp * 1.0 / al * 1e9, 0) AS BIGINT)) / 1e9
                       / (SELECT SUM(np) FROM g), 6) AS auprc
          FROM c""",
+
+    "a22_gains_deciles" ->
+      """WITH r AS (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders),
+         t AS (SELECT COUNT(*) AS n, SUM(y) AS p FROM r),
+         d AS (SELECT CAST(((rn - 1) * 10) // n AS INTEGER) AS decile, y
+               FROM r CROSS JOIN t)
+         SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+                ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS pos_rate,
+                ROUND((SUM(y) * 1.0 / COUNT(*))
+                      / ((SELECT p FROM t) * 1.0 / (SELECT n FROM t)), 6) AS lift
+         FROM d GROUP BY 1""",
 
     "w02_group_max_year" ->
       """SELECT o_orderkey,

@@ -253,6 +253,28 @@ object MetricsOps {
     c.agg(round(sum(nanos) / 1e9 / sum(col("__np")), 6).as("auprc"))
   }
 
+  /** A22 — decile gains/lift table: rank by score descending, cut into
+    * `buckets` exact-integer strata ((rn−1)·b DIV n — no double rounding at
+    * any scale, the `ml09` formula), then per-stratum positive rate and
+    * lift against the base rate. Ranks come from
+    * [[RankOps.globalRowNumber]], so a billion-row prediction table never
+    * passes through one task; every emitted double is a single
+    * correctly-rounded division — engine- and partitioning-exact.
+    */
+  def gainsTable(df: DataFrame, score: Column, label: Column, tie: Column,
+      buckets: Int = 10): DataFrame = {
+    val base = df.select(score.as("__s"), label.cast("long").as("__y"), tie.as("__t"))
+    val rn = RankOps.globalRowNumber(base, Seq(col("__s").desc, col("__t").asc), "__rn")
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(s"CAST(((__rn - 1) * $buckets) DIV __n AS INT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("pos_rate"),
+        round((sum(col("__y")).cast("double") / count(lit(1))) /
+          (max(col("__p")).cast("double") / max(col("__n"))), 6).as("lift"))
+  }
+
   /** DQ5 — two-sample Kolmogorov–Smirnov statistic: D = max |F̂ₐ(v) − F̂ᵦ(v)|
     * over the pooled support, the standard nonparametric drift gauge next to
     * [[psi]] (which needs binning; KS does not).

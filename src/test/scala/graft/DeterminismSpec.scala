@@ -66,8 +66,8 @@ class DeterminismSpec extends AnyFunSuite {
     "a15_auroc", "ml04_pack_bins", "ml06_token_budget",
     "ml09_curriculum_phase", "f23_vocab_encode", "w11_cum_uniques",
     // globalCumsums / globalRowNumber consumers added r6 (fused
-    // range-bucketed cumulative frames; double-rank interleave)
-    "a20_auprc", "dq05_ks", "ml11_interleave")
+    // range-bucketed cumulative frames; double-rank interleave; deciles)
+    "a20_auprc", "dq05_ks", "ml11_interleave", "a22_gains_deciles")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df

@@ -46,6 +46,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "v08_pq_adc" -> "bounded query set (vec_id < 8) with literal codebook tables",
     "dq04_mad_outliers" -> "per-group median/MAD bounds frame",
     "a20_auprc" -> "bucket-offset triangle (globalCumsums) — <= shuffle-partition rows",
+    "a22_gains_deciles" -> "bucket-offset triangle + 1-row (n, p) totals",
     "dq05_ks" -> "bucket-offset triangle (globalCumsums) + 1-row sample totals",
     "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)")
 

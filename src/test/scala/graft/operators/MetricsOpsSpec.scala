@@ -150,6 +150,25 @@ class MetricsOpsSpec extends AnyFunSuite {
     assert(ksN === 0.0)
   }
 
+  test("gainsTable: exact halves, rates and lift hand-checked") {
+    // 4 rows, 2 buckets: top half by score = {0.9 (pos), 0.8 (neg)} →
+    // rate 0.5; bottom half = {0.7 (pos), 0.6 (neg)} → rate 0.5;
+    // base rate 0.5 → lift 1.0 in both buckets
+    val df = Seq((0.9, 1, 1L), (0.8, 0, 2L), (0.7, 1, 3L), (0.6, 0, 4L))
+      .toDF("score", "label", "id")
+    val got = MetricsOps.gainsTable(df, col("score"), col("label"), col("id"), buckets = 2)
+      .select("decile", "n", "n_pos", "pos_rate", "lift")
+      .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0, 2L, 1L, 0.5, 1.0), (1, 2L, 1L, 0.5, 1.0)))
+
+    // concentrated positives: both in the top bucket → lift 2, bottom 0
+    val skew = Seq((0.9, 1, 1L), (0.8, 1, 2L), (0.2, 0, 3L), (0.1, 0, 4L))
+      .toDF("score", "label", "id")
+    val g2 = MetricsOps.gainsTable(skew, col("score"), col("label"), col("id"), buckets = 2)
+      .select("decile", "pos_rate", "lift").as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(g2.toSeq === Seq((0, 1.0, 2.0), (1, 0.0, 0.0)))
+  }
+
   test("ksStatistic matches the hand-computed max CDF gap") {
     // A = {1, 1, 2}, B = {3, 4}: at v=2 F_A=1, F_B=0 → D = 1 is reached;
     // at v=1 the gap is 2/3 — max wins
