@@ -42,6 +42,17 @@ object SparkEntry {
       .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
       .mkString(", ")
 
+  /** Canonical product-noun dictionary for `f26_fuzzy_normalize` — one list
+    * feeds both the Spark literal and the oracle's VALUES, deliberately
+    * holding exact forms, off-by-one plurals, and terms nothing matches.
+    */
+  private val fuzzyDict: Seq[String] =
+    Seq("anvils", "bolt", "gadget", "gears", "plate", "rings", "rod",
+      "sprocket", "widgets")
+
+  private def fuzzyDictSqlValues: String =
+    fuzzyDict.map(t => s"('$t')").mkString(", ")
+
   /** PQ codebooks for `v08_pq_adc`: 8 subspaces × 4 codewords × 8 dims,
     * the same rational-lattice family as [[fixedCentroids]] so both
     * engines parse the identical doubles.
@@ -1572,7 +1583,56 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$out/gen=2")
       graft.sources.Readers.mergedParquet(s, out)
         .select("n_nationkey", "n_name", "n_regionkey")
-    })
+    }),
+
+    // per-customer OLS spend trend: five exact integer sums per group (days
+    // since epoch × price cents), slope/intercept/R² as single
+    // correctly-rounded divisions — a million trend models in one hash agg
+    "a23_group_ols" -> ((s, d) =>
+      RegressionOps.groupOls(ord(s, d), "o_custkey",
+        datediff(col("o_orderdate"), lit("1992-01-01")),
+        round(col("o_totalprice") * 100, 0))),
+
+    // event-type transition matrix (Markov first-order counts per user)
+    "ts05_transitions" -> ((s, d) =>
+      TimeSeriesOps.transitionCounts(ev(s, d), "user_id", "ts", "event_id",
+        "event_type")),
+
+    // LOCF time-weighted mean of the sampled signal per user — the correct
+    // mean for irregular sampling; fixed-point accumulation (integer
+    // micros × integer seconds) keeps it engine-exact
+    "ts06_time_weighted_avg" -> ((s, d) =>
+      TimeSeriesOps.timeWeightedAvg(ev(s, d), "user_id", "ts", "event_id",
+        col("value"))),
+
+    // dictionary fuzzy normalization of the product-noun vocabulary: best
+    // canonical within 2 edits, (distance, lexicographic) tie-break;
+    // unmatched terms surface as null for review
+    "f26_fuzzy_normalize" -> ((s, d) =>
+      CleaningOps.fuzzyNormalize(prt(s, d),
+        element_at(split(col("p_name"), " "), 2), fuzzyDict, maxDist = 2)),
+
+    // cross-source quantile normalization of document lengths: within-source
+    // decile (exact integer strata) mapped to the corpus-wide decile mean
+    "f28_quantile_normalize" -> ((s, d) =>
+      RegressionOps.quantileNormalize(docs(s, d), "source", col("n_chars"),
+        col("doc_id"), q = 10)),
+
+    // weighted PageRank over the event-type flow graph, 3 unrolled
+    // iterations — fixed-point contribution sums + 9dp trajectory pinning
+    // make the whole trajectory engine- and partition-count-exact
+    "pr01_pagerank" -> ((s, d) => {
+      val edges = TimeSeriesOps.transitionCounts(ev(s, d), "user_id", "ts",
+        "event_id", "event_type")
+      GraphOps.pageRank(edges, "from_state", "to_state", "cnt",
+        iters = 3, damping = 0.85)
+    }),
+
+    // Benford first-digit conformance of the money column — leading digit
+    // from the shortest decimal representation (bit-exact across engines),
+    // per-digit observed vs log10(1+1/d) share and χ² contribution
+    "dq06_benford" -> ((s, d) =>
+      MetricsOps.benfordDigits(ord(s, d), col("o_totalprice")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3502,6 +3562,163 @@ object SparkEntry {
          SELECT user_id, event_type, valid_from,
                 LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
                 n_events
-         FROM g"""
+         FROM g""",
+
+    // mirrors RegressionOps.groupOls EXPRESSION SHAPE: integer sufficient
+    // statistics (exact — x is day counts, y price cents), then the same
+    // double-op sequence (n promoted once, num/den/deny formed identically)
+    // so both engines execute bit-identical IEEE arithmetic
+    "a23_group_ols" ->
+      """WITH b AS (
+           SELECT o_custkey,
+                  CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+                  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y
+           FROM orders),
+         g AS (
+           SELECT o_custkey, COUNT(*) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+           FROM b GROUP BY 1),
+         g2 AS (
+           SELECT o_custkey, n, sx, sy,
+                  CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+                  CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+                  CAST(n AS DOUBLE) * syy - sy * sy AS deny
+           FROM g)
+         SELECT o_custkey, CAST(n AS BIGINT) AS n,
+                ROUND(num / den, 6) AS slope,
+                ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+                ROUND(CASE WHEN deny <> 0 THEN num * num / (den * deny) END, 6) AS r2
+         FROM g2 WHERE n >= 2 AND den <> 0""",
+
+    "ts05_transitions" ->
+      """SELECT event_type AS from_state, next_type AS to_state,
+                COUNT(*) AS cnt
+         FROM (SELECT event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+               FROM events)
+         WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    // same fixed-point form as the Spark side: Δt exact integer seconds
+    // (floor of a µs diff that can't straddle a floor edge), value
+    // quantized to integer micros, BIGINT product sums
+    "ts06_time_weighted_avg" ->
+      """WITH p AS (
+           SELECT user_id, value,
+                  CAST(FLOOR((epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id)) - epoch_us(ts)) / 1000000.0)
+                    AS BIGINT) AS dt_s
+           FROM events WHERE value IS NOT NULL)
+         SELECT user_id, CAST(SUM(dt_s) AS BIGINT) AS held_s,
+                ROUND(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT) * dt_s) / 1e6
+                      / SUM(dt_s), 6) AS twa
+         FROM p WHERE dt_s IS NOT NULL
+         GROUP BY 1 HAVING SUM(dt_s) > 0""",
+
+    "f26_fuzzy_normalize" -> s"""
+         WITH dd AS (SELECT DISTINCT split_part(p_name, ' ', 2) AS dirty
+                     FROM part),
+         c(canon) AS (VALUES $fuzzyDictSqlValues),
+         best AS (
+           SELECT dirty, canon, dist FROM (
+             SELECT dd.dirty, c.canon,
+                    levenshtein(dd.dirty, c.canon) AS dist,
+                    ROW_NUMBER() OVER (PARTITION BY dd.dirty
+                      ORDER BY levenshtein(dd.dirty, c.canon), c.canon) AS rn
+             FROM dd CROSS JOIN c
+             WHERE levenshtein(dd.dirty, c.canon) <= 2) q
+           WHERE rn = 1)
+         SELECT dd.dirty, best.canon, CAST(best.dist AS INTEGER) AS dist
+         FROM dd LEFT JOIN best USING (dirty)""",
+
+    "f28_quantile_normalize" ->
+      """WITH r AS (
+           SELECT source, doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS gn
+           FROM documents),
+         b AS (SELECT source, doc_id, n_chars,
+                      CAST(((rn - 1) * 10) // gn AS INTEGER) AS bucket
+               FROM r),
+         p AS (SELECT bucket,
+                      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS ref
+               FROM b GROUP BY 1)
+         SELECT b.source, b.doc_id, b.n_chars AS orig, b.bucket,
+                ROUND(p.ref, 6) AS normalized
+         FROM b JOIN p USING (bucket)""",
+
+    // 3 unrolled PageRank iterations replaying the exact Spark arithmetic:
+    // fixed-point (pico) contribution sums, 9dp pinning per iteration —
+    // the same trajectory both engines walk step for step
+    "pr01_pagerank" ->
+      """WITH base AS (
+           SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         e AS (SELECT event_type AS src, next_type AS dst,
+                      CAST(COUNT(*) AS DOUBLE) AS w
+               FROM base WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         r0 AS (SELECT node, ROUND(1.0 / n, 9) AS rank
+                FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
+                FROM r0 r JOIN ow ON r.node = ow.src JOIN e ON e.src = r.node
+                GROUP BY 1),
+         d1 AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e12, 0) AS BIGINT)), 0) AS dfp
+                FROM r0 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         r1 AS (SELECT r.node,
+                       ROUND((1.0 - 0.85) / n + 0.85 *
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) AS rank
+                FROM r0 r LEFT JOIN c1 c ON r.node = c.node
+                CROSS JOIN d1 d CROSS JOIN nn),
+         c2 AS (SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
+                FROM r1 r JOIN ow ON r.node = ow.src JOIN e ON e.src = r.node
+                GROUP BY 1),
+         d2 AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e12, 0) AS BIGINT)), 0) AS dfp
+                FROM r1 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         r2 AS (SELECT r.node,
+                       ROUND((1.0 - 0.85) / n + 0.85 *
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) AS rank
+                FROM r1 r LEFT JOIN c2 c ON r.node = c.node
+                CROSS JOIN d2 d CROSS JOIN nn),
+         c3 AS (SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
+                FROM r2 r JOIN ow ON r.node = ow.src JOIN e ON e.src = r.node
+                GROUP BY 1),
+         d3 AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e12, 0) AS BIGINT)), 0) AS dfp
+                FROM r2 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         r3 AS (SELECT r.node,
+                       ROUND((1.0 - 0.85) / n + 0.85 *
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) AS rank
+                FROM r2 r LEFT JOIN c3 c ON r.node = c.node
+                CROSS JOIN d3 d CROSS JOIN nn)
+         SELECT node, ROUND(rank, 6) AS rank FROM r3""",
+
+    // leading digit via the value's shortest decimal representation — a
+    // pure function of the double's bits, identical across engines
+    "dq06_benford" ->
+      """WITH c AS (
+           SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+                    AS INTEGER) AS digit,
+                  COUNT(*) AS n
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0) <> ''
+           GROUP BY 1),
+         t AS (SELECT SUM(n) AS tot FROM c)
+         SELECT digit, CAST(n AS BIGINT) AS n,
+                ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_share,
+                ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS exp_share,
+                ROUND(tot * (CAST(n AS DOUBLE) / tot - LN(1.0 + 1.0 / digit) / LN(10.0))
+                          * (CAST(n AS DOUBLE) / tot - LN(1.0 + 1.0 / digit) / LN(10.0))
+                      / (LN(1.0 + 1.0 / digit) / LN(10.0)), 6) AS chi2_part
+         FROM c CROSS JOIN t"""
   )
 }

@@ -132,4 +132,35 @@ object CleaningOps {
       .withColumn("robust_z", round(col("__z"), 6))
       .drop("__med", "__absdev", "__mad", "__z")
   }
+
+  /** Dictionary fuzzy normalization: map each dirty string to its closest
+    * canonical form within `maxDist` edits — the "collapse mis-keyed
+    * category/unit spellings" cleaner (the reference hand-maintains CSV
+    * alias maps for the same job; edit distance generalizes them to unseen
+    * typos).
+    *
+    * The dictionary is a LITERAL array exploded per row — no join operator
+    * at all, so the plan sweep's no-cartesian invariant holds by
+    * construction; cost is |rows|·|dict| codegen'd `levenshtein` calls.
+    * Best match = (min distance, then lexicographically first canon) via a
+    * min(struct) aggregate — deterministic, no window. Rows beating
+    * `maxDist` nowhere yield a null canon (callers route them to review).
+    *
+    * Scale: dict must be modest (it rides in the task binary — thousands,
+    * not millions); for dictionary-sized dictionaries use a blocked
+    * equi-join on (length band, first char) instead.
+    */
+  def fuzzyNormalize(df: DataFrame, dirty: Column, dict: Seq[String],
+      maxDist: Int): DataFrame = {
+    val cand = explode(lit(dict.toArray))
+    val scored = df.withColumn("__cand", cand)
+      .withColumn("__dist", levenshtein(dirty, col("__cand")))
+    val best = scored
+      .groupBy(dirty.as("dirty"))
+      .agg(min(when(col("__dist") <= maxDist,
+        struct(col("__dist"), col("__cand")))).as("__best"))
+    best.select(col("dirty"),
+      col("__best.__cand").as("canon"),
+      col("__best.__dist").as("dist"))
+  }
 }

@@ -298,4 +298,34 @@ object MetricsOps {
         col("__ca").cast("double") / col("__na") -
           col("__cb").cast("double") / col("__nb"))), 6).as("ks"))
   }
+
+  /** Benford first-digit conformance — the classic fabricated-numbers
+    * smell test for ingested financial/measurement columns: observed share
+    * of each leading significant digit vs log₁₀(1+1/d), with the per-digit
+    * χ² contribution (n·(obs−exp)²/exp).
+    *
+    * The leading digit comes from the value's SHORTEST DECIMAL
+    * REPRESENTATION (first [1-9] of the string cast), not from
+    * `floor(v/10^floor(log10 v))` — shortest-repr digits are a pure
+    * function of the double's bits (identical across engines), whereas a
+    * libm log10 at an exact power of ten may land an ulp low and shift the
+    * digit. Nulls, zeros and signs are ignored.
+    *
+    * Scale: one hash aggregate to ≤9 groups + a 1-row total broadcast.
+    */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val digit = regexp_extract(value.cast("string"), "[1-9]", 0)
+    val counts = df.filter(value.isNotNull && digit =!= "")
+      .groupBy(digit.cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    val obs = col("n").cast("double") / col("__tot")
+    val exp_ = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(obs, 6).as("obs_share"),
+        round(exp_, 6).as("exp_share"),
+        round(col("__tot") * (obs - exp_) * (obs - exp_) / exp_, 6)
+          .as("chi2_part"))
+  }
 }

@@ -114,4 +114,59 @@ object TimeSeriesOps {
         count(lit(1)).as("n_merged"))
       .drop("__iv_id")
   }
+
+  /** First-order transition counts: how often does `state` A immediately
+    * precede state B within a key's timeline — the Markov-chain / user-flow
+    * matrix behind "what happens after an error?" questions, and the edge
+    * list [[graft.operators.GraphOps.pageRank]] consumes.
+    *
+    * One keyed window (total order via `tie`) for the successor, then a
+    * hash aggregate over (from, to). A key's final event has no successor
+    * and is dropped. Output ≤ |states|² rows.
+    */
+  def transitionCounts(df: DataFrame, key: String, ts: String, tie: String,
+      state: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(tie).asc)
+    df.withColumn("__next", lead(col(state), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(state).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Time-weighted average of a sampled signal per key: each observation
+    * holds until the next one (LOCF weighting), so
+    * twa = Σ valueᵢ·Δtᵢ / Σ Δtᵢ over consecutive pairs — the correct mean
+    * for irregularly-sampled vitals/prices, where the arithmetic mean
+    * over-weights densely-sampled episodes. The key's last observation has
+    * no holding interval and contributes nothing.
+    *
+    * Determinism: Δt is exact integer seconds (epoch microsecond DIV),
+    * the value is quantized to integer micros once per row, and the
+    * products are summed as BIGINT — the `MetricsOps.averagePrecision`
+    * fixed-point argument — so summation order can't move the 6-decimal
+    * result. Overflow headroom: |value|≤10³ over ~10⁵ s holds ~10¹⁴ per
+    * row, 2^63 ≈ 9·10¹⁸ — fine to ~10⁴ rows/key; widen to DECIMAL
+    * beyond.
+    *
+    * Scale: one keyed window + one hash aggregate; output one row/key.
+    */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String, tie: String,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(tie).asc)
+    // floor-of-double is exact here: the µs diff is an exact-integer double
+    // (< 2^53) whose quotient by 1e6 is ≥1e-6 away from any non-multiple
+    // integer, so the correctly-rounded division can't cross a floor edge
+    val dtS = floor(
+      (unix_micros(lead(col(ts), 1).over(w)) - unix_micros(col(ts))) /
+        lit(1e6)).cast("long")
+    df.filter(value.isNotNull)
+      .withColumn("__dt_s", dtS)
+      .filter(col("__dt_s").isNotNull)
+      .withColumn("__vfp", round(value * 1e6, 0).cast("long"))
+      .groupBy(key)
+      .agg(sum(col("__dt_s")).as("held_s"),
+        round(sum(col("__vfp") * col("__dt_s")) / 1e6 /
+          sum(col("__dt_s")), 6).as("twa"))
+      .filter(col("held_s") > 0)
+  }
 }

@@ -48,7 +48,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "a20_auprc" -> "bucket-offset triangle (globalCumsums) — <= shuffle-partition rows",
     "a22_gains_deciles" -> "bucket-offset triangle + 1-row (n, p) totals",
     "dq05_ks" -> "bucket-offset triangle (globalCumsums) + 1-row sample totals",
-    "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)")
+    "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)",
+    "pr01_pagerank" -> "1-row node count + 1-row dangling-mass frame per superstep",
+    "dq06_benford" -> "1-row digit-count total")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -61,5 +62,28 @@ class CleaningOpsSpec extends AnyFunSuite {
     assert(flagged.toSeq === Seq(("g1", 100.0,
       math.rint(97.0 / 1.4826 * 1e6) / 1e6)))
     assert(got.filter($"grp" === "g2" && $"is_outlier" === 1).count() === 0)
+  }
+
+  test("fuzzyNormalize: exact hit, nearest-within-budget, tie-break, no-match null") {
+    val dict = Seq("bolt", "bolts", "gear", "rings")
+    val df = Seq("bolt", "blt", "ring", "zzzzz", "bolt").toDF("w")
+    val got = CleaningOps.fuzzyNormalize(df, col("w"), dict, maxDist = 2)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(got.size === 4)                                 // distinct dirty values
+    assert(got("bolt") === ((Some("bolt"), 0)))            // exact beats bolts@1
+    // blt: bolt@1 and bolts@2 → min distance wins
+    assert(got("blt") === ((Some("bolt"), 1)))
+    // ring: rings@1 unique within budget (gear@4 is out)
+    assert(got("ring") === ((Some("rings"), 1)))
+    assert(got("zzzzz") === ((None, -1)))                  // nothing within 2 edits
+  }
+
+  test("fuzzyNormalize ties at equal distance resolve lexicographically") {
+    // 'bolx' is distance 1 from both 'bolt' and 'bola' → canon 'bola'
+    val got = CleaningOps.fuzzyNormalize(Seq("bolx").toDF("w"), col("w"),
+      Seq("bolt", "bola"), maxDist = 2).collect()(0)
+    assert(got.getString(1) === "bola")
+    assert(got.getInt(2) === 1)
   }
 }

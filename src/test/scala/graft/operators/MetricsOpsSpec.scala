@@ -178,4 +178,23 @@ class MetricsOpsSpec extends AnyFunSuite {
       .as[Double].collect()(0)
     assert(ks === 1.0)
   }
+
+  test("benfordDigits: leading digit from any magnitude, sign/zero/null ignored") {
+    val df = Seq(Some(123.4), Some(0.0042), Some(-950.0), Some(1.0e7),
+      Some(0.0), None).toDF("v")
+    val got = MetricsOps.benfordDigits(df, col("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // digits: 1 (123.4), 4 (0.0042), 9 (-950), 1 (1e7 → '1.0E7'); 0/null dropped
+    assert(got === Map(1 -> 2L, 4 -> 1L, 9 -> 1L))
+  }
+
+  test("benfordDigits shares and chi2 on a perfectly conforming single digit") {
+    // all values lead with 1 → obs_share 1, exp log10(2), chi2 > 0
+    val df = Seq(1.0, 10.0, 19.9, 100.0).toDF("v")
+    val r = MetricsOps.benfordDigits(df, col("v")).collect()(0)
+    assert(r.getInt(0) === 1)
+    assert(r.getDouble(2) === 1.0)
+    assert(math.abs(r.getDouble(3) - 0.30103) < 1e-6)
+    assert(r.getDouble(4) > 0.0)
+  }
 }

@@ -105,4 +105,63 @@ class WindowTimeSeriesSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(shuffled === got)
   }
+
+  test("transitionCounts: successor pairs per key, last event dropped") {
+    // u: a→b→a→c ; v: b→b — final events have no successor
+    val df = Seq(
+      ("u", 1L, 1L, "a"), ("u", 2L, 2L, "b"), ("u", 3L, 3L, "a"), ("u", 4L, 4L, "c"),
+      ("v", 1L, 5L, "b"), ("v", 2L, 6L, "b"))
+      .toDF("k", "t", "id", "st")
+    val got = TimeSeriesOps.transitionCounts(df, "k", "t", "id", "st")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L), ("b", "b", 1L)))
+  }
+
+  test("transitionCounts: tie column orders simultaneous events deterministically") {
+    val df = Seq(("u", 1L, 2L, "b"), ("u", 1L, 1L, "a"), ("u", 2L, 3L, "c"))
+      .toDF("k", "t", "id", "st")
+    val got = TimeSeriesOps.transitionCounts(df, "k", "t", "id", "st")
+      .as[(String, String, Long)].collect().toSet
+    // same-t rows break by id: a(id1) → b(id2) → c
+    assert(got === Set(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
+  test("timeWeightedAvg weights each value by its holding interval") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u: 10 held 2s, 20 held 8s → twa = (20 + 160) / 10 = 18; last obs free
+    val df = Seq(
+      ("u", ts(0), 1L, Some(10.0)), ("u", ts(2), 2L, Some(20.0)),
+      ("u", ts(10), 3L, Some(99.0)))
+      .toDF("k", "t", "id", "v")
+    val r = TimeSeriesOps.timeWeightedAvg(df, "k", "t", "id", col("v")).collect()(0)
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 18.0)
+  }
+
+  test("timeWeightedAvg: null observations are invisible — interval bridges over them") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // the null at t=1 must not split 10's holding interval
+    val df = Seq(
+      ("u", ts(0), 1L, Some(10.0)), ("u", ts(1), 2L, None),
+      ("u", ts(4), 3L, Some(30.0)), ("u", ts(8), 4L, Some(0.0)))
+      .toDF("k", "t", "id", "v")
+    val r = TimeSeriesOps.timeWeightedAvg(df, "k", "t", "id", col("v")).collect()(0)
+    // 10 held 4s, 30 held 4s → (40 + 120) / 8 = 20
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 20.0)
+  }
+
+  test("timeWeightedAvg drops keys with a single (or zero-span) observation") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq(
+      ("solo", ts(0), 1L, Some(5.0)),
+      ("dup", ts(3), 2L, Some(1.0)), ("dup", ts(3), 3L, Some(2.0)))
+      .toDF("k", "t", "id", "v")
+    val keys = TimeSeriesOps.timeWeightedAvg(df, "k", "t", "id", col("v"))
+      .select("k").as[String].collect().toSet
+    assert(keys === Set.empty[String])
+  }
 }
