@@ -1632,7 +1632,28 @@ object SparkEntry {
     // from the shortest decimal representation (bit-exact across engines),
     // per-digit observed vs log10(1+1/d) share and χ² contribution
     "dq06_benford" -> ((s, d) =>
-      MetricsOps.benfordDigits(ord(s, d), col("o_totalprice")))
+      MetricsOps.benfordDigits(ord(s, d), col("o_totalprice"))),
+
+    // revenue concentration: exact Gini over price cents via the two-phase
+    // global rank — one scalar answering "how unequal is customer spend?"
+    "a24_gini" -> ((s, d) =>
+      MetricsOps.giniIndex(ord(s, d),
+        round(col("o_totalprice") * 100, 0), col("o_orderkey"))),
+
+    // Zipf slope of the corpus token distribution — corpus forensics:
+    // ≈ −1 for natural language, flatter for templated text; fixed-point
+    // logs keep the OLS engine-exact
+    "t22_zipf_fit" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      RegressionOps.zipfFit(toks, "tok", "cnt")
+    }),
+
+    // inverse-frequency class weights over document languages — the
+    // weighted-loss input: n_total / (k · n_class), 1.0 when balanced
+    "ml10_class_weights" -> ((s, d) =>
+      FoldOps.classWeights(docs(s, d), "lang"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3719,6 +3740,56 @@ object SparkEntry {
                 ROUND(tot * (CAST(n AS DOUBLE) / tot - LN(1.0 + 1.0 / digit) / LN(10.0))
                           * (CAST(n AS DOUBLE) / tot - LN(1.0 + 1.0 / digit) / LN(10.0))
                       / (LN(1.0 + 1.0 / digit) / LN(10.0)), 6) AS chi2_part
+         FROM c CROSS JOIN t""",
+
+    // exact rank-formula Gini over integer cents: both Σx and Σ r·x are
+    // exact integer sums, the closing arithmetic replays Spark's double
+    // sequence verbatim
+    "a24_gini" ->
+      """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x,
+                           o_orderkey
+                    FROM orders),
+         r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS rn
+               FROM v),
+         g AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(rn * x) AS si FROM r)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
+                ROUND(2.0 * si / (CAST(n AS DOUBLE) * s)
+                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+         FROM g""",
+
+    // same quantized-log OLS as RegressionOps.zipfFit: rank by (count
+    // desc, token asc), ln values rounded to integer 1e5 units, then the
+    // groupOls integer-sum formula
+    "t22_zipf_fit" ->
+      """WITH tok AS (
+           SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+         r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+               FROM c),
+         b AS (SELECT CAST(ROUND(LN(CAST(rn AS DOUBLE)) * 100000.0, 0) AS BIGINT) AS x,
+                      CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 100000.0, 0) AS BIGINT) AS y
+               FROM r),
+         g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+               FROM b),
+         g2 AS (SELECT n, sx, sy,
+                       CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+                       CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+                       CAST(n AS DOUBLE) * syy - sy * sy AS deny
+                FROM g)
+         SELECT CAST(n AS BIGINT) AS n,
+                ROUND(num / den, 6) AS slope,
+                ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+                ROUND(CASE WHEN deny <> 0 THEN num * num / (den * deny) END, 6) AS r2
+         FROM g2 WHERE n >= 2 AND den <> 0""",
+
+    "ml10_class_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                      CAST(COUNT(*) AS BIGINT) AS k FROM c)
+         SELECT lang, CAST(n AS BIGINT) AS n,
+                ROUND(CAST(tot AS DOUBLE) / (k * n), 6) AS weight
          FROM c CROSS JOIN t"""
   )
 }

@@ -257,4 +257,20 @@ object FoldOps {
           .cast("int"))
       .drop("__pb_pid", "__pb_cum", "__pb_off")
   }
+
+  /** Inverse-frequency class weights — `n_total / (k · n_class)` per label,
+    * the standard imbalance correction fed to weighted loss functions (a
+    * balanced dataset yields weight 1.0 for every class). One hash
+    * aggregate to |classes| rows plus a 1-row totals broadcast; the weight
+    * is a single correctly-rounded division over exact integer operands,
+    * engine-exact.
+    */
+  def classWeights(df: DataFrame, label: String): DataFrame = {
+    val counts = df.groupBy(label).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(label), col("n"),
+        round(col("__tot").cast("double") / (col("__k") * col("n")), 6)
+          .as("weight"))
+  }
 }

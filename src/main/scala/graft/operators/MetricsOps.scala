@@ -313,6 +313,31 @@ object MetricsOps {
     *
     * Scale: one hash aggregate to ≤9 groups + a 1-row total broadcast.
     */
+  /** Gini coefficient of a non-negative integer-valued distribution — the
+    * concentration/inequality gauge (what share of corpus tokens sits in a
+    * few sources? of revenue in a few customers?). Exact rank formula on
+    * ascending order: G = 2·Σ rᵢxᵢ / (n·Σxᵢ) − (n+1)/n.
+    *
+    * The global rank comes from `RankOps.globalRowNumber` (two-phase — the
+    * fact table is never sorted into one partition), and with integer `x`
+    * both Σxᵢ and Σ rᵢxᵢ are exact BIGINT sums: the closing arithmetic is
+    * a fixed sequence of correctly-rounded double ops, engine- and
+    * partition-exact. Ties are rank-permutation-invariant (equal x).
+    * Overflow: Σ r·x caps near 2^63 around ~10⁹ rows of ~10⁹-sized values;
+    * beyond that widen to DECIMAL.
+    */
+  def giniIndex(df: DataFrame, value: Column, tie: Column): DataFrame = {
+    val ranked = RankOps.globalRowNumber(
+      df.select(value.cast("long").as("__x"), tie.as("__t")),
+      Seq(col("__x").asc, col("__t").asc), "__rn")
+    val g = ranked.agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+      sum(col("__rn") * col("__x")).as("__si"))
+    val nd = col("n").cast("double")
+    g.select(col("n"), col("__s").as("total"),
+      round(lit(2.0) * col("__si") / (nd * col("__s")) -
+        (nd + lit(1.0)) / nd, 6).as("gini"))
+  }
+
   def benfordDigits(df: DataFrame, value: Column): DataFrame = {
     val digit = regexp_extract(value.cast("string"), "[1-9]", 0)
     val counts = df.filter(value.isNotNull && digit =!= "")

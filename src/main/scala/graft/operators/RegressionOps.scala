@@ -84,4 +84,27 @@ object RegressionOps {
       .select(col(group), tie, value.as("orig"), col("bucket"),
         round(col("__ref"), 6).as("normalized"))
   }
+
+  /** Zipf rank-frequency fit: OLS of ln(count) on ln(rank) over a term
+    * frequency table — slope ≈ −1 flags a natural-language token
+    * distribution, flatter slopes flag templated/synthetic corpora (a
+    * corpus-forensics one-liner on top of [[groupOls]]).
+    *
+    * Rank is the two-phase global row number (count desc, term asc — no
+    * single-partition sort of the vocabulary), and both logs are QUANTIZED
+    * to fixed point (×`quant`, default 10⁵, rounded to integer) before the
+    * sums — so [[groupOls]]'s exact-integer determinism argument carries
+    * through verbatim; the ~10⁻⁵ stat perturbation is far below the
+    * 6-decimal reporting precision. Output: one row (n, slope, intercept,
+    * r2).
+    */
+  def zipfFit(counts: DataFrame, term: String, cnt: String,
+      quant: Double = 1e5): DataFrame = {
+    val ranked = RankOps.globalRowNumber(counts,
+      Seq(col(cnt).desc, col(term).asc), "__zr")
+    groupOls(ranked.withColumn("__corpus", lit("all")), "__corpus",
+        round(log(col("__zr")) * quant, 0),
+        round(log(col(cnt)) * quant, 0))
+      .drop("__corpus")
+  }
 }

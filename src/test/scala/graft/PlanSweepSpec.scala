@@ -50,7 +50,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "dq05_ks" -> "bucket-offset triangle (globalCumsums) + 1-row sample totals",
     "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)",
     "pr01_pagerank" -> "1-row node count + 1-row dangling-mass frame per superstep",
-    "dq06_benford" -> "1-row digit-count total")
+    "dq06_benford" -> "1-row digit-count total",
+    "a24_gini" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
+    "t22_zipf_fit" -> "bucket-offset triangle (globalRowNumber) over the vocab frame",
+    "ml10_class_weights" -> "1-row (total, class-count) stats")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and

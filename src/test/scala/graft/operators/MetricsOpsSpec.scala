@@ -179,6 +179,29 @@ class MetricsOpsSpec extends AnyFunSuite {
     assert(ks === 1.0)
   }
 
+  test("giniIndex: 0 for perfect equality, → 1 as one holder takes all") {
+    val equal = (1L to 10L).map(i => (5L, i)).toDF("x", "id")
+    val gEq = MetricsOps.giniIndex(equal, col("x"), col("id")).collect()(0)
+    assert(gEq.getLong(0) === 10L)
+    assert(gEq.getLong(1) === 50L)
+    assert(gEq.getDouble(2) === 0.0)
+
+    // 9 holders of 0 and one of 100 → G = (n-1)/n = 0.9
+    val skew = ((1L to 9L).map(i => (0L, i)) :+ (100L, 10L)).toDF("x", "id")
+    val gSk = MetricsOps.giniIndex(skew, col("x"), col("id")).collect()(0)
+    assert(gSk.getDouble(2) === 0.9)
+  }
+
+  test("giniIndex matches the hand-computed value and ignores input order") {
+    // sorted x = [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val df = Seq((3L, 1L), (1L, 2L), (4L, 3L), (2L, 4L)).toDF("x", "id")
+    val g1 = MetricsOps.giniIndex(df, col("x"), col("id")).collect()(0).getDouble(2)
+    val g2 = MetricsOps.giniIndex(df.repartition(5), col("x"), col("id"))
+      .collect()(0).getDouble(2)
+    assert(g1 === 0.25)
+    assert(g2 === 0.25)
+  }
+
   test("benfordDigits: leading digit from any magnitude, sign/zero/null ignored") {
     val df = Seq(Some(123.4), Some(0.0042), Some(-950.0), Some(1.0e7),
       Some(0.0), None).toDF("v")

@@ -345,4 +345,17 @@ class PrepOpsSpec extends AnyFunSuite {
     // c (w=2): vt .25, .75; a (w=1): vt .5 → c2, a1, c3
     assert(got.map(_._1).toSeq === Seq(2L, 1L, 3L))
   }
+
+  test("classWeights: balanced classes weigh 1.0, minority inversely more") {
+    val bal = Seq("a", "a", "b", "b").toDF("y")
+    FoldOps.classWeights(bal, "y").collect()
+      .foreach(r => assert(r.getDouble(2) === 1.0))
+
+    // 6 of 'maj', 2 of 'min', k=2 → maj 8/(2·6)=0.666667, min 8/(2·2)=2.0
+    val skew = (Seq.fill(6)("maj") ++ Seq.fill(2)("min")).toDF("y")
+    val w = FoldOps.classWeights(skew, "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w("maj") === ((6L, 0.666667)))
+    assert(w("min") === ((2L, 2.0)))
+  }
 }

@@ -69,4 +69,20 @@ class RegressionOpsSpec extends AnyFunSuite {
     // (rn-1)*2 DIV 3 → 0, 0, 1
     assert(buckets === Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
+
+  test("zipfFit recovers the exponent of an exact power law") {
+    // counts = 1000 / rank for ranks 1..50 → ln-ln slope −1
+    val counts = (1 to 50).map(r => (s"t$r", math.round(100000.0 / r)))
+      .toDF("term", "cnt")
+    val fit = RegressionOps.zipfFit(counts, "term", "cnt").collect()(0)
+    assert(fit.getLong(0) === 50L)
+    assert(math.abs(fit.getDouble(1) - (-1.0)) < 0.001)
+    assert(fit.getDouble(3) > 0.999)
+  }
+
+  test("zipfFit on a flat (templated) distribution reports slope ≈ 0") {
+    val counts = (1 to 30).map(r => (s"t$r", 500L)).toDF("term", "cnt")
+    val fit = RegressionOps.zipfFit(counts, "term", "cnt").collect()(0)
+    assert(math.abs(fit.getDouble(1)) < 1e-6)
+  }
 }
