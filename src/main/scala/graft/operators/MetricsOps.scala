@@ -299,20 +299,6 @@ object MetricsOps {
           col("__cb").cast("double") / col("__nb"))), 6).as("ks"))
   }
 
-  /** Benford first-digit conformance — the classic fabricated-numbers
-    * smell test for ingested financial/measurement columns: observed share
-    * of each leading significant digit vs log₁₀(1+1/d), with the per-digit
-    * χ² contribution (n·(obs−exp)²/exp).
-    *
-    * The leading digit comes from the value's SHORTEST DECIMAL
-    * REPRESENTATION (first [1-9] of the string cast), not from
-    * `floor(v/10^floor(log10 v))` — shortest-repr digits are a pure
-    * function of the double's bits (identical across engines), whereas a
-    * libm log10 at an exact power of ten may land an ulp low and shift the
-    * digit. Nulls, zeros and signs are ignored.
-    *
-    * Scale: one hash aggregate to ≤9 groups + a 1-row total broadcast.
-    */
   /** Gini coefficient of a non-negative integer-valued distribution — the
     * concentration/inequality gauge (what share of corpus tokens sits in a
     * few sources? of revenue in a few customers?). Exact rank formula on
@@ -338,6 +324,20 @@ object MetricsOps {
         (nd + lit(1.0)) / nd, 6).as("gini"))
   }
 
+  /** Benford first-digit conformance — the classic fabricated-numbers
+    * smell test for ingested financial/measurement columns: observed share
+    * of each leading significant digit vs log₁₀(1+1/d), with the per-digit
+    * χ² contribution (n·(obs−exp)²/exp).
+    *
+    * The leading digit comes from the value's SHORTEST DECIMAL
+    * REPRESENTATION (first [1-9] of the string cast), not from
+    * `floor(v/10^floor(log10 v))` — shortest-repr digits are a pure
+    * function of the double's bits (identical across engines), whereas a
+    * libm log10 at an exact power of ten may land an ulp low and shift the
+    * digit. Nulls, zeros and signs are ignored.
+    *
+    * Scale: one hash aggregate to ≤9 groups + a 1-row total broadcast.
+    */
   def benfordDigits(df: DataFrame, value: Column): DataFrame = {
     val digit = regexp_extract(value.cast("string"), "[1-9]", 0)
     val counts = df.filter(value.isNotNull && digit =!= "")
