@@ -1653,7 +1653,13 @@ object SparkEntry {
     // inverse-frequency class weights over document languages — the
     // weighted-loss input: n_total / (k · n_class), 1.0 when balanced
     "ml10_class_weights" -> ((s, d) =>
-      FoldOps.classWeights(docs(s, d), "lang"))
+      FoldOps.classWeights(docs(s, d), "lang")),
+
+    // full ROC curve (fpr, tpr per distinct threshold) behind a15's AUC
+    // scalar — same one-pinned-cumsum shape as a20/dq05
+    "a21_roc_points" -> ((s, d) =>
+      MetricsOps.rocPoints(ord(s, d), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3790,6 +3796,26 @@ object SparkEntry {
                       CAST(COUNT(*) AS BIGINT) AS k FROM c)
          SELECT lang, CAST(n AS BIGINT) AS n,
                 ROUND(CAST(tot AS DOUBLE) / (k * n), 6) AS weight
+         FROM c CROSS JOIN t""",
+
+    // cumulative TP / totals over distinct thresholds descending (no ties
+    // inside the window — grouped support), then correctly-rounded
+    // long/long divisions against the 1-row (P, N) totals
+    "a21_roc_points" ->
+      """WITH g AS (
+           SELECT o_totalprice AS threshold,
+                  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+                  COUNT(*) AS nt
+           FROM orders GROUP BY 1),
+         c AS (SELECT threshold, np, nt,
+                      SUM(np) OVER (ORDER BY threshold DESC) AS tp,
+                      SUM(nt) OVER (ORDER BY threshold DESC) AS al
+               FROM g),
+         t AS (SELECT CAST(SUM(np) AS BIGINT) AS p,
+                      CAST(SUM(nt) AS BIGINT) AS n FROM g)
+         SELECT threshold,
+                ROUND(CAST(tp AS DOUBLE) / p, 6) AS tpr,
+                ROUND(CAST(al - tp AS DOUBLE) / (n - p), 6) AS fpr
          FROM c CROSS JOIN t"""
   )
 }

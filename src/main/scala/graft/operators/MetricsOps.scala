@@ -275,6 +275,30 @@ object MetricsOps {
           (max(col("__p")).cast("double") / max(col("__n"))), 6).as("lift"))
   }
 
+  /** ROC curve points: (fpr, tpr) at every distinct score threshold,
+    * descending — the curve behind [[aurocRankSum]]'s scalar, for
+    * threshold selection and operating-point reports.
+    *
+    * Same distributed shape as [[averagePrecision]]: one hash aggregate to
+    * the distinct-score frame, cumulative TP and total via ONE pinned range
+    * shuffle ([[RankOps.globalCumsums]]), a 1-row (P, N) broadcast, then
+    * per-threshold correctly-rounded long/long divisions — engine- and
+    * partitioning-exact. Output is |distinct scores| rows (bound it
+    * upstream by quantizing scores if the support is pathological).
+    */
+  def rocPoints(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.groupBy(score.as("threshold"))
+      .agg(sum(label.cast("long")).as("__np"), count(lit(1)).as("__nt"))
+    val c = RankOps.globalCumsums(g, Seq(col("threshold").desc),
+      Seq(col("__np") -> "__tp", col("__nt") -> "__al"))
+    val tot = c.agg(sum(col("__np")).as("__p"), sum(col("__nt")).as("__n"))
+    c.crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        round(col("__tp").cast("double") / col("__p"), 6).as("tpr"),
+        round((col("__al") - col("__tp")).cast("double") /
+          (col("__n") - col("__p")), 6).as("fpr"))
+  }
+
   /** DQ5 — two-sample Kolmogorov–Smirnov statistic: D = max |F̂ₐ(v) − F̂ᵦ(v)|
     * over the pooled support, the standard nonparametric drift gauge next to
     * [[psi]] (which needs binning; KS does not).

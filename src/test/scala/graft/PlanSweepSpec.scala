@@ -53,7 +53,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "dq06_benford" -> "1-row digit-count total",
     "a24_gini" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
     "t22_zipf_fit" -> "bucket-offset triangle (globalRowNumber) over the vocab frame",
-    "ml10_class_weights" -> "1-row (total, class-count) stats")
+    "ml10_class_weights" -> "1-row (total, class-count) stats",
+    "a21_roc_points" -> "bucket-offset triangle (globalCumsums) + 1-row (P, N) totals")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and

@@ -179,6 +179,21 @@ class MetricsOpsSpec extends AnyFunSuite {
     assert(ks === 1.0)
   }
 
+  test("rocPoints: curve endpoints and a hand-checked interior point") {
+    // scores desc: 4(+), 3.5(−), 3(+), 2(−), 1(−); P=2, N=3
+    val df = Seq((4.0, 1), (3.5, 0), (3.0, 1), (2.0, 0), (1.0, 0))
+      .toDF("score", "y")
+    val pts = MetricsOps.rocPoints(df, col("score"), col("y"))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(pts(4.0) === ((0.5, 0.0)))       // top threshold: 1 TP, 0 FP
+    assert(pts(3.0) === ((1.0, 0.333333)))  // 2 TP, 1 FP
+    assert(pts(1.0) === ((1.0, 1.0)))       // lowest threshold admits all
+    // tpr and fpr are monotonically non-decreasing as the threshold drops
+    val ordered = pts.toSeq.sortBy(-_._1).map(_._2)
+    assert(ordered.sliding(2).forall { case Seq((t1, f1), (t2, f2)) =>
+      t2 >= t1 && f2 >= f1 })
+  }
+
   test("giniIndex: 0 for perfect equality, → 1 as one holder takes all") {
     val equal = (1L to 10L).map(i => (5L, i)).toDF("x", "id")
     val gEq = MetricsOps.giniIndex(equal, col("x"), col("id")).collect()(0)
