@@ -56,6 +56,40 @@ object EventStreams {
       }
   }
 
+  case class StateEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      state: String)
+  case class LastState(tsMs: Long, eventId: Long, state: String)
+  case class Transition(user_id: Long, from_state: String, to_state: String)
+
+  /** Stateful streaming twin of `TimeSeriesOps.transitionCounts`: emits one
+    * (from, to) pair per consecutive event within a key — the live
+    * Markov-edge feed (aggregate downstream with a plain
+    * `groupBy(from,to).count` in update mode). State is ONE last-event
+    * record per key — O(keys), not O(events) — and transitions spanning
+    * micro-batch boundaries are stitched from it, so the pair stream equals
+    * the batch lead-window form regardless of how the input is batched.
+    * In-batch ordering is restored per group ((ts, event_id) sort, the
+    * [[sessionizeStream]] contract); cross-batch order is the source's.
+    */
+  def transitionStream(events: Dataset[StateEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[StateEvent], state: GroupState[LastState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = sorted.map { e =>
+            val t = last.map(l => Transition(user, l.state, e.state))
+            last = Some(LastState(e.ts.getTime, e.event_id, e.state))
+            t
+          }.flatten
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -38,6 +38,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming transitions equal the batch lead-window counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-trans")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .select($"user_id", $"event_id", $"ts", $"event_type".as("state"))
+      .as[EventStreams.StateEvent]
+    val q = EventStreams.transitionStream(evs)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("transitions")
+      .groupBy("from_state", "to_state").count()
+      .as[(String, String, Long)].collect().map { case (f, t, c) => (f, t) -> c }.toMap
+
+    val batch = graft.operators.TimeSeriesOps.transitionCounts(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long)].collect().map { case (f, t, c) => (f, t) -> c }.toMap
+    assert(streamed === batch)
+  }
+
   test("streaming hourly rollup equals the batch rollup (kappa invariant)") {
     // file source needs a directory of one schema → stage events alone
     val dir = Files.createTempDirectory("graft-stream")
