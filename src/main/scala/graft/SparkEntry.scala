@@ -1659,7 +1659,14 @@ object SparkEntry {
     // scalar — same one-pinned-cumsum shape as a20/dq05
     "a21_roc_points" -> ((s, d) =>
       MetricsOps.rocPoints(ord(s, d), col("o_totalprice"),
-        when(col("o_orderstatus") === "F", 1).otherwise(0)))
+        when(col("o_orderstatus") === "F", 1).otherwise(0))),
+
+    // CUSUM regime-change peaks per user — where (and how strongly) each
+    // signal's level shifted; deviations formed in exact integer arithmetic
+    // (v·n − Σv), so peak choice and tie-breaks are engine-exact
+    "ts07_cusum" -> ((s, d) =>
+      TimeSeriesOps.cusumPeaks(ev(s, d), "user_id", "ts", "event_id",
+        col("value")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3816,6 +3823,31 @@ object SparkEntry {
          SELECT threshold,
                 ROUND(CAST(tp AS DOUBLE) / p, 6) AS tpr,
                 ROUND(CAST(al - tp AS DOUBLE) / (n - p), 6) AS fpr
-         FROM c CROSS JOIN t"""
+         FROM c CROSS JOIN t""",
+
+    // same integer-deviation CUSUM as TimeSeriesOps.cusumPeaks: dᵢ =
+    // vᵢ·n − Σv in BIGINT, running sum and |argmax| compare exact
+    // integers; only the reported score divides
+    "ts07_cusum" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+                  CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfp
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT user_id, ts, event_id, vfp,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n,
+                      SUM(vfp) OVER (PARTITION BY user_id) AS tot
+               FROM p),
+         c AS (SELECT user_id, ts, event_id, n,
+                      SUM(vfp * n - tot) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+               FROM s),
+         r AS (SELECT user_id, n, ts, cusum,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ABS(cusum) DESC, ts, event_id) AS pr
+               FROM c)
+         SELECT user_id, CAST(n AS BIGINT) AS n, ts AS peak_ts,
+                ROUND(ABS(cusum) / 1e6 / n / n, 6) AS cusum_score
+         FROM r WHERE pr = 1"""
   )
 }

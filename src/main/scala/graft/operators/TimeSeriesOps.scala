@@ -150,6 +150,41 @@ object TimeSeriesOps {
     *
     * Scale: one keyed window + one hash aggregate; output one row/key.
     */
+  /** CUSUM change-point score per key: the running sum of deviations from
+    * the key's own mean peaks where the signal's level shifts — the classic
+    * "did this metric change regime, and when?" monitor. Emits the peak
+    * |Sᵢ|, its timestamp, and the normalized score max|Sᵢ|/n.
+    *
+    * Exactness: the value is quantized to integer micros once, and the
+    * deviation is formed WITHOUT a float mean — dᵢ = vᵢ·n − Σv (all BIGINT,
+    * n·vᵢ exact) — so the running sum, its |argmax| and the tie-break
+    * ((|S| desc, ts asc, tie asc)) compare exact integers; only the final
+    * normalization divides. Engine- and partition-count-exact.
+    *
+    * Scale: three stacked keyed windows over ONE sort (whole-partition
+    * stats frame + running sum + peak rank); output one row per key.
+    * Overflow: |v|·n ≤ 2^63 caps n near 10⁹ rows/key for 10³-sized values.
+    */
+  def cusumPeaks(df: DataFrame, key: String, ts: String, tie: String,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(tie).asc)
+    val wAll = Window.partitionBy(key)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df.filter(value.isNotNull)
+      .withColumn("__vfp", round(value * 1e6, 0).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col("__vfp")).over(wAll))
+      .withColumn("__cusum",
+        sum(col("__vfp") * col("__n") - col("__tot")).over(wRun))
+    val wPeak = Window.partitionBy(key)
+      .orderBy(abs(col("__cusum")).desc, col(ts).asc, col(tie).asc)
+    scored.withColumn("__pr", row_number().over(wPeak))
+      .filter(col("__pr") === 1)
+      .select(col(key), col("__n").as("n"), col(ts).as("peak_ts"),
+        round(abs(col("__cusum")) / 1e6 / col("__n") / col("__n"), 6)
+          .as("cusum_score"))
+  }
+
   def timeWeightedAvg(df: DataFrame, key: String, ts: String, tie: String,
       value: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col(tie).asc)

@@ -153,6 +153,30 @@ class WindowTimeSeriesSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 20.0)
   }
 
+  test("cusumPeaks finds the level-shift point of a step signal") {
+    // u: 5,5,5 then 15,15,15 — deviations ±5; |cusum| peaks at the last
+    // low observation (t=3): |S| = n·15 = 90 in v-units → score 90/36... in
+    // exact integer micro units; score = |Σdev|/n = 15/6 = 2.5... /n → 0.416667
+    val df = Seq(
+      ("u", 1L, 1L, Some(5.0)), ("u", 2L, 2L, Some(5.0)), ("u", 3L, 3L, Some(5.0)),
+      ("u", 4L, 4L, Some(15.0)), ("u", 5L, 5L, Some(15.0)), ("u", 6L, 6L, Some(15.0)))
+      .toDF("k", "t", "id", "v")
+    val r = TimeSeriesOps.cusumPeaks(df, "k", "t", "id", col("v")).collect()(0)
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 3L)          // peak at the boundary before the jump
+    // peak |Σ(v-mean)| = 15 (three deviations of −5), score = 15/6²·6/6... :
+    // |S|/(1e6·n·n) with S = 1e6·n·15 → 15/n = 2.5
+    assert(r.getDouble(3) === 2.5)
+  }
+
+  test("cusumPeaks: constant signal scores zero at the first row") {
+    val df = Seq(("u", 1L, 1L, Some(7.0)), ("u", 2L, 2L, Some(7.0)))
+      .toDF("k", "t", "id", "v")
+    val r = TimeSeriesOps.cusumPeaks(df, "k", "t", "id", col("v")).collect()(0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getLong(2) === 1L)          // all-zero cusum ties break earliest
+  }
+
   test("timeWeightedAvg drops keys with a single (or zero-span) observation") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
