@@ -262,4 +262,94 @@ class PropertySpec extends AnyFunSuite {
       got.foreach { case (id, f) => assert(again(id) === f) }
     }
   }
+
+  test("groupOls matches a direct per-group computation on random integer data") {
+    val gen: Gen[List[(String, Long, Long)]] = for {
+      n <- Gen.choose(4, 24)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        x <- Gen.choose(0L, 500L)
+        y <- Gen.choose(-1000L, 1000L)
+      } yield (g, x, y))
+    } yield rows
+    samples(gen, 6).foreach { rows =>
+      val got = RegressionOps.groupOls(rows.toDF("g", "x", "y"), "g", col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val n = rs.size.toDouble
+        val (sx, sy) = (rs.map(_._2).sum.toDouble, rs.map(_._3).sum.toDouble)
+        val sxx = rs.map(r => r._2 * r._2).sum.toDouble
+        val sxy = rs.map(r => r._2 * r._3).sum.toDouble
+        val den = n * sxx - sx * sx
+        if (rs.size >= 2 && den != 0.0) {
+          val slope = (n * sxy - sx * sy) / den
+          assert(math.abs(got(g)._1 - slope) < 1e-6, s"slope group $g of $rows")
+          assert(math.abs(got(g)._2 - (sy - slope * sx) / n) < 1e-6)
+        } else assert(!got.contains(g))
+      }
+    }
+  }
+
+  test("quantileNormalize is total and closed over the bucket profile") {
+    val gen: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(3, 30)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("s1", "s2", "s3")
+        v <- Gen.choose(0L, 100L)
+      } yield (s, v))
+    } yield rows
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((s, v), i) => (s, i.toLong, v) }
+        .toDF("src", "id", "v")
+      val out = RegressionOps.quantileNormalize(df, "src", col("v"), col("id"), 4)
+        .collect()
+      assert(out.length === rows.length)                    // no row lost or duplicated
+      val profile = out.map(r => r.getInt(3) -> r.getDouble(4)).toMap
+      out.foreach { r =>
+        assert(r.getInt(3) >= 0 && r.getInt(3) < 4)
+        assert(r.getDouble(4) === profile(r.getInt(3)))     // one value per stratum
+      }
+    }
+  }
+
+  test("pageRank mass conservation and teleport floor on random graphs") {
+    val gen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(3, 25)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 6L)
+        t <- Gen.choose(0L, 6L)
+        w <- Gen.choose(1L, 5L)
+      } yield (s, t, w))
+    } yield rows
+    samples(gen, 5).foreach { rows =>
+      val r = GraphOps.pageRank(rows.toDF("s", "t", "w"), "s", "t", "w", 6, 0.85)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct.size
+      assert(r.size === nodes)
+      assert(math.abs(r.values.sum - 1.0) < nodes * 5e-7 + 1e-6, s"mass on $rows")
+      // every node keeps at least the teleport share
+      r.values.foreach(v => assert(v >= (1.0 - 0.85) / nodes - 1e-6))
+    }
+  }
+
+  test("timeWeightedAvg stays inside the observed value envelope") {
+    val gen: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.choose(2, 20)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.choose(0L, 10000L)
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (t, v))
+    } yield rows.zipWithIndex.map { case ((t, v), i) => (t, i.toLong, v) }
+    samples(gen, 6).foreach { rows =>
+      val df = rows.map { case (t, i, v) =>
+        ("u", new Timestamp(t * 1000L), i, v) }.toDF("k", "t", "id", "v")
+      TimeSeriesOps.timeWeightedAvg(df, "k", "t", "id", col("v")).collect()
+        .foreach { r =>
+          val (lo, hi) = (rows.map(_._3).min, rows.map(_._3).max)
+          // quantization moves the mean by < 1e-6 per observation
+          assert(r.getDouble(2) >= lo - 1e-5 && r.getDouble(2) <= hi + 1e-5,
+            s"twa outside envelope for $rows")
+        }
+    }
+  }
 }
