@@ -66,16 +66,26 @@ object Bench {
     }
 
     // prime the file-relation cache at the timed scale so listing/footer
-    // costs don't land on whichever query runs first
+    // costs don't land on whichever query runs first. Wrapped: a
+    // malformed/missing table must cost its own queries, not the whole
+    // bench artifact (round 6 lost its bench line to an unwrapped prime)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
-    Tables.events(spark, sfDir).count()
+      .foreach(t => try Tables.load(spark, sfDir, t).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prime $t failed: ${e.getMessage}") })
+    try Tables.events(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prime events failed: ${e.getMessage}") }
 
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // drop the query's leftover localCheckpoint blocks (outside the
         // timed window): without this every checkpointed intermediate in
@@ -97,7 +107,8 @@ object Bench {
     // BENCH_FULL.json alongside the repo for offline comparison.
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""n":${results.size},"queries":${entries(slowest)},"sf":"$sfDir"}"""
+      s""""n":${results.size},"failed":${failed.size},""" +
+      s""""queries":${entries(slowest)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +

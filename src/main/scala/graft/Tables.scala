@@ -57,14 +57,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events` with `ts` as a proper TimestampType (µs), truncated from the
-    * file's nanosecond precision. Integer division keeps full precision —
-    * a Double intermediate would corrupt epoch-nanos (> 2^53).
+  /** `events` with `ts` as a proper TimestampType (µs). Harness data has
+    * shipped `ts` both as TIMESTAMP_NS (early rounds) and TIMESTAMP(µs)
+    * (current), so the loader adapts to the file instead of assuming:
+    * with `nanosAsLong` set, a ns column surfaces as LongType and is
+    * truncated to µs by integer division (a Double intermediate would
+    * corrupt epoch-nanos > 2^53 — and DuckDB truncates identically when
+    * casting TIMESTAMP_NS, so oracles line up); a native µs column passes
+    * through untouched.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(spark), s"$dir/events.parquet#ts"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // value-preserving under the UTC session tz; keeps every
+          // downstream operator on the TimestampType semantics the suite
+          // was built against
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     })
 }

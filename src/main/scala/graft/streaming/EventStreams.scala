@@ -15,11 +15,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Convert the raw nanosecond `ts` long (see `Tables.events`) to a
-    * microsecond timestamp on a streaming frame.
+  /** Normalize `ts` to a microsecond timestamp on a streaming frame.
+    * Mirrors `Tables.events`: a raw epoch-nanos Long (TIMESTAMP_NS file
+    * read under `nanosAsLong`) is integer-truncated to µs; a native
+    * timestamp column passes through untouched.
     */
   def withEventTime(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   /** Hourly tumbling rollup per event type with a 2h watermark for late
     * data. State is bounded: watermark evicts windows older than

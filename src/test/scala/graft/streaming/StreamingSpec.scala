@@ -16,10 +16,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-sess")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
     val evs = EventStreams.withEventTime(
         spark.readStream.schema(rawSchema).parquet(dir.toString))
       .select($"user_id", $"event_id", $"ts")
@@ -43,10 +43,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-trans")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
     val evs = EventStreams.withEventTime(
         spark.readStream.schema(rawSchema).parquet(dir.toString))
       .select($"user_id", $"event_id", $"ts", $"event_type".as("state"))
@@ -72,10 +72,10 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
 
     val stream = EventStreams.hourlyRollup(
       EventStreams.withEventTime(
@@ -103,10 +103,10 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
 
     val stream = EventStreams.slidingRollup(
       EventStreams.withEventTime(
@@ -133,10 +133,10 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
 
     val cohort = Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("user_id") % 5 === 0).select("user_id").distinct()
@@ -164,10 +164,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-ssjoin")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
     def src() = EventStreams.withEventTime(
       spark.readStream.schema(rawSchema).parquet(dir.toString))
 
@@ -229,10 +229,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-psi")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
 
     val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
     // baseline profile from the even-user segment; live stream = all events
