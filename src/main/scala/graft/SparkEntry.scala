@@ -134,7 +134,8 @@ object SparkEntry {
       startCol = "session_start", endCol = "session_end",
       asOfName = "session_start")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---------------- scans / projections / filters ----------------
     "s01_scan_project" -> ((s, d) =>
       li(s, d).filter(col("l_quantity") > 45)
@@ -1667,6 +1668,100 @@ object SparkEntry {
     "ts07_cusum" -> ((s, d) =>
       TimeSeriesOps.cusumPeaks(ev(s, d), "user_id", "ts", "event_id",
         col("value")))
+  ) ++ round7Queries
+
+  /** Per-customer (duration, event) survival frame: days from first to
+    * last order, event = any finalized order, segment from the customer
+    * dim — the `(T, δ)` input both survival estimators consume.
+    */
+  private def survivalSubjects(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy("o_custkey")
+      .agg(
+        datediff(max("o_orderdate"), min("o_orderdate")).cast("long")
+          .as("dur"),
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("ev"))
+      .join(cust(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+
+  private def round7Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Kaplan–Meier survival per market segment — the time-to-event curve
+    // over the cohort labels the reference's extraction produces; exact
+    // integer at-risk counts, fixed-point log-space product
+    "a25_kaplan_meier" -> ((s, d) =>
+      SurvivalOps.kaplanMeier(survivalSubjects(s, d), "segment", "dur",
+        "ev")),
+
+    // two-sample logrank: BUILDING+AUTOMOBILE vs rest — observed vs
+    // expected events under the pooled-hazard null, hypergeometric
+    // variance, all sums in fixed point
+    "a26_logrank" -> ((s, d) =>
+      SurvivalOps.logRank(
+        survivalSubjects(s, d).withColumn("g1",
+          when(col("segment").isin("BUILDING", "AUTOMOBILE"), 1)
+            .otherwise(0)),
+        "g1", "dur", "ev")),
+
+    // χ² / Cramér's V / mutual information between order priority and
+    // status — the categorical feature-selection screen as one cell-keyed
+    // shuffle plus broadcast marginals
+    "a27_cat_assoc" -> ((s, d) =>
+      AssociationOps.categoricalAssociation(ord(s, d),
+        col("o_orderpriority"), col("o_orderstatus"))),
+
+    // top co-purchased part pairs: basket self-join with the quadratic
+    // per-basket guard, deterministic (cnt desc, src, dst) top-100
+    "g01_cooccur_topk" -> ((s, d) =>
+      GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
+        .orderBy(col("cnt").desc, col("src"), col("dst")).limit(100)),
+
+    // triangle census of the brand co-occurrence graph (support ≥ 20) —
+    // degree-ordered forward counting, the O(√m) out-degree bound that
+    // survives hub skew
+    "g02_brand_triangles" -> ((s, d) => {
+      val baskets = li(s, d)
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      GraphOps.triangleCount(
+        GraphOps.coOccurrenceEdges(baskets, "l_orderkey", "p_brand")
+          .filter(col("cnt") >= 20), "src", "dst")
+    }),
+
+    // degree histogram of the part co-occurrence graph — the one-glance
+    // hub/power-law shape check
+    "g03_degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(
+        GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"),
+        "src", "dst")),
+
+    // hour-of-week seasonal baseline per event type: n / mean / std per
+    // calendar cell from exact integer sums (squares in DECIMAL(38,0))
+    "ts08_seasonal_profile" -> ((s, d) =>
+      TimeSeriesOps.seasonalProfile(ev(s, d), "event_type", "ts",
+        col("value"))),
+
+    // readings far from their calendar cell's baseline — profile is
+    // calendar-bounded so the rejoin broadcasts; z from the rounded
+    // (mean, std) pair both engines hold bit-identically
+    "ts09_seasonal_anomaly" -> ((s, d) =>
+      TimeSeriesOps.seasonalAnomalies(ev(s, d), "event_type", "ts",
+        "event_id", col("value"), zThresh = 1.6, minN = 5)),
+
+    // bloom-prefiltered semi join: approximate membership at the fact scan
+    // drops non-members before the shuffle, exact semi join cleans up the
+    // false positives — result-identical to the plain semi join, so fully
+    // oracle-able
+    "j20_bloom_prefilter" -> ((s, d) => {
+      val vips = cust(s, d).filter(col("c_acctbal") > 9000)
+        .select("c_custkey")
+      BloomOps.bloomSemiFilter(
+        ord(s, d).withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey", vips, expectedItems = 2000L, numBits = 1L << 17)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(round(col("o_totalprice") * 100, 0).cast("long")) /
+            100.0, 2).as("revenue"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3848,6 +3943,210 @@ object SparkEntry {
                FROM c)
          SELECT user_id, CAST(n AS BIGINT) AS n, ts AS peak_ts,
                 ROUND(ABS(cusum) / 1e6 / n / n, 6) AS cusum_score
-         FROM r WHERE pr = 1"""
+         FROM r WHERE pr = 1""",
+
+    // same fixed-point log-space KM product: exact integer at-risk
+    // counts, ln(1 − d/n) pinned to integer picos, risk-set-exhausting
+    // time points forced to exactly 0 instead of touching ln(0)
+    "a25_kaplan_meier" ->
+      """WITH subj AS (
+           SELECT c_mktsegment AS segment,
+                  CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS BIGINT) AS dur,
+                  MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY o_custkey, c_mktsegment),
+         p AS (SELECT segment, dur AS t,
+                      CAST(SUM(ev) AS BIGINT) AS d,
+                      CAST(SUM(1 - ev) AS BIGINT) AS c,
+                      CAST(COUNT(*) AS BIGINT) AS m
+               FROM subj GROUP BY 1, 2),
+         r AS (SELECT segment, t, d, c,
+                      SUM(m) OVER (PARTITION BY segment)
+                        - (SUM(m) OVER (PARTITION BY segment ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - m) AS n_risk
+               FROM p),
+         l AS (SELECT *,
+                      CASE WHEN d = 0 THEN 0
+                           WHEN d < n_risk THEN CAST(ROUND(
+                             LN(1 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
+                             AS BIGINT) END AS lfp,
+                      MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY segment ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS dead
+               FROM r)
+         SELECT segment, t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+                CASE WHEN dead = 1 THEN 0.0
+                     ELSE ROUND(EXP(SUM(lfp) OVER (PARTITION BY segment
+                            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / 1e12), 6) END AS surv
+         FROM l""",
+
+    // same hypergeometric logrank terms in integer picos; the o1−e1 sum
+    // and the variance sum are exact BIGINT before the single division
+    "a26_logrank" ->
+      """WITH subj AS (
+           SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                       THEN 1 ELSE 0 END AS g1,
+                  CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS BIGINT) AS dur,
+                  MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY o_custkey, c_mktsegment),
+         p AS (SELECT dur AS t,
+                      CAST(SUM(ev) AS BIGINT) AS d,
+                      CAST(SUM(ev * g1) AS BIGINT) AS d1,
+                      CAST(COUNT(*) AS BIGINT) AS m,
+                      CAST(SUM(g1) AS BIGINT) AS m1
+               FROM subj GROUP BY 1),
+         r AS (SELECT *,
+                      (SELECT SUM(m) FROM p)
+                        - (SUM(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) - m) AS n,
+                      (SELECT SUM(m1) FROM p)
+                        - (SUM(m1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) - m1) AS n1
+               FROM p),
+         f AS (SELECT d, d1, n, n1,
+                      CAST(ROUND(d * n1 / CAST(n AS DOUBLE) * 1e12, 0)
+                        AS BIGINT) AS e1fp,
+                      CAST(ROUND(d * (n1 / CAST(n AS DOUBLE))
+                             * (1 - n1 / CAST(n AS DOUBLE))
+                             * (n - d) / (n - 1) * 1e12, 0)
+                        AS BIGINT) AS vfp
+               FROM r WHERE d > 0 AND n > 1)
+         SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                ROUND(SUM(e1fp) / 1e12, 6) AS e1,
+                ROUND(POWER(SUM(d1 * 1000000000000 - e1fp) / 1e12, 2)
+                      / (SUM(vfp) / 1e12), 6) AS chi2
+         FROM f""",
+
+    // same per-cell fixed-point χ²/MI terms over the DENSIFIED r×c grid
+    // (never-co-occurring combos still contribute (0−e)²/e to χ²; their
+    // MI limit 0·ln0 = 0 is pinned explicitly)
+    "a27_cat_assoc" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                               CAST(COUNT(*) AS BIGINT) AS nab
+                        FROM orders GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         g AS (SELECT CAST(SUM(nab) AS BIGINT) AS N,
+                      CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                      CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+               FROM cells),
+         f AS (SELECT COALESCE(nab, 0) AS nab, na, nb, N, r, c,
+                      na * nb / CAST(N AS DOUBLE) AS e
+               FROM rt CROSS JOIN ct
+               LEFT JOIN cells USING (a, b) CROSS JOIN g),
+         t AS (SELECT N, r, c,
+                      CAST(ROUND((nab - e) * (nab - e) / e * 1e9, 0)
+                        AS BIGINT) AS chifp,
+                      CASE WHEN nab = 0 THEN 0
+                           ELSE CAST(ROUND(nab / CAST(N AS DOUBLE)
+                             * LN(nab * N / (CAST(na AS DOUBLE) * nb))
+                             * 1e12, 0) AS BIGINT) END AS mifp
+               FROM f)
+         SELECT N AS n, r, c,
+                ROUND(SUM(chifp) / 1e9, 6) AS chi2,
+                ROUND(CASE WHEN LEAST(r, c) > 1
+                           THEN SQRT(SUM(chifp) / 1e9 / (N * (LEAST(r, c) - 1)))
+                           ELSE 0.0 END, 6) AS cramers_v,
+                ROUND(SUM(mifp) / 1e12, 6) AS mutual_info
+         FROM t GROUP BY 1, 2, 3""",
+
+    // canonical a<b pair counts; the top-100 boundary is a total order
+    "g01_cooccur_topk" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem)
+         SELECT a.i AS src, b.i AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+         GROUP BY 1, 2
+         ORDER BY cnt DESC, src, dst LIMIT 100""",
+
+    // orientation-free triangle count — for canonical src<dst edges the
+    // (x<y<z) pattern joins each triangle exactly once, matching the
+    // degree-ordered Spark plan's count
+    "g02_brand_triangles" ->
+      """WITH bsk AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                      FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e AS (SELECT a.i AS s, b.i AS t
+               FROM bsk a JOIN bsk b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+         SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM e e1 JOIN e e2 ON e1.t = e2.s
+                   JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t""",
+
+    "g03_degree_hist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+         e AS (SELECT a.i AS s, b.i AS t
+               FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2),
+         d AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM (SELECT s AS n FROM e UNION ALL SELECT t AS n FROM e)
+               GROUP BY 1)
+         SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM d GROUP BY 1""",
+
+    // same exact-integer mean/variance assembly (squares via HUGEINT on
+    // this side, DECIMAL(38,0) on Spark's — same exact integer, same
+    // nearest double); dayofweek is 0=Sunday..6 in both dialects after
+    // Spark's −1 shift
+    "ts08_seasonal_profile" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(dayofweek(ts) AS INT) AS dow,
+                           CAST(hour(ts) AS INT) AS hod,
+                           CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfp
+                    FROM events WHERE value IS NOT NULL)
+         SELECT event_type, dow, hod,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) AS mean_v,
+                ROUND(SQRT((CAST(SUM(CAST(vfp AS HUGEINT) * vfp) AS DOUBLE)
+                              * COUNT(*)
+                            - CAST(SUM(vfp) AS DOUBLE) * SUM(vfp))
+                           / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) / 1e12), 6)
+                  AS std_v
+         FROM e GROUP BY 1, 2, 3""",
+
+    // z from the profile's ROUNDED (mean, std) — one subtraction and one
+    // division on identical doubles, so the cut agrees bit-for-bit
+    "ts09_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(dayofweek(ts) AS INT) AS dow,
+                           CAST(hour(ts) AS INT) AS hod,
+                           CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfp
+                    FROM events WHERE value IS NOT NULL),
+         prof AS (SELECT event_type, dow, hod,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) AS mean_v,
+                         ROUND(SQRT((CAST(SUM(CAST(vfp AS HUGEINT) * vfp)
+                                       AS DOUBLE) * COUNT(*)
+                                     - CAST(SUM(vfp) AS DOUBLE) * SUM(vfp))
+                                    / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))
+                                    / 1e12), 6) AS std_v
+                  FROM e GROUP BY 1, 2, 3)
+         SELECT event_id, events.event_type, CAST(dayofweek(ts) AS INT) AS dow,
+                CAST(hour(ts) AS INT) AS hod, value AS v,
+                ROUND((value - mean_v) / std_v, 3) AS z
+         FROM events JOIN prof
+           ON events.event_type = prof.event_type
+          AND CAST(dayofweek(ts) AS INT) = prof.dow
+          AND CAST(hour(ts) AS INT) = prof.hod
+         WHERE value IS NOT NULL AND std_v > 0 AND n >= 5
+           AND ABS((value - mean_v) / std_v) > 1.6""",
+
+    // the bloom prefilter is result-identical to the plain semi join by
+    // construction (false positives die at the exact stage), so the
+    // oracle is simply the plain semi join
+    "j20_bloom_prefilter" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                      / 100.0, 2) AS revenue
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_acctbal > 9000)
+         GROUP BY 1"""
   )
 }

@@ -75,4 +75,80 @@ object GraphOps {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Undirected co-occurrence edge list from a basket frame: one edge per
+    * unordered item pair appearing in the same basket, weighted by the
+    * number of shared baskets. Edges are canonicalized `src < dst`.
+    *
+    * Scale: the self-join fan-out is Σ k_b² over basket sizes k_b, so one
+    * pathological basket can dominate the whole job — `maxBasket` drops
+    * baskets above the cap BEFORE the join (the `DedupOps` LSH-bucket-cap
+    * argument: bound the quadratic term, loudly, up front). The join
+    * itself is a plain equi-join on the basket key — hash-partitioned,
+    * no broadcast needed, no skew beyond the capped basket size.
+    */
+  def coOccurrenceEdges(baskets: DataFrame, basket: String, item: String,
+      maxBasket: Int = 1000): DataFrame = {
+    val items = baskets.select(col(basket).as("__b"), col(item).as("__i"))
+      .distinct()
+    val small = items
+      .withColumn("__k", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      .filter(col("__k") <= maxBasket).drop("__k")
+    small.alias("a").join(small.alias("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact triangle count of an undirected graph, degree-ordered.
+    *
+    * The naive wedge join enumerates Σ deg(v)² wedges — a single hub node
+    * ruins it. The standard fix (forward / compact-forward counting):
+    * orient every edge from the endpoint with the smaller `(degree, id)`
+    * to the larger, so out-degrees are bounded by O(√m) regardless of how
+    * skewed the raw degrees are, and each triangle is counted exactly
+    * once. Three hash joins, exact integer output, one row.
+    *
+    * Input edges must be canonical undirected (`src < dst`, one row per
+    * edge) — [[coOccurrenceEdges]] output qualifies directly.
+    */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+    val deg = e.select(col("__u").as("__n"))
+      .union(e.select(col("__v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    // orient by (degree, id): u→v iff (deg u, u) < (deg v, v)
+    val oriented = e
+      .join(deg.withColumnRenamed("__n", "__u")
+        .withColumnRenamed("__deg", "__du"), Seq("__u"))
+      .join(deg.withColumnRenamed("__n", "__v")
+        .withColumnRenamed("__deg", "__dv"), Seq("__v"))
+      .select(
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          col("__u")).otherwise(col("__v")).as("s"),
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          col("__v")).otherwise(col("__u")).as("t"))
+    // wedge endpoints are emitted id-ordered (a < b), so the closing edge
+    // is looked up in the CANONICAL list with one hash equi-join — an
+    // either-orientation OR-join against the degree-ordered list would
+    // degenerate to a nested-loop product
+    val wedges = oriented.alias("e1").join(oriented.alias("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    wedges.join(e, col("a") === col("__u") && col("b") === col("__v"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Degree histogram of an undirected edge list: how many nodes have each
+    * degree — the one-glance shape check (hub detection, power-law sanity)
+    * for any graph this module consumes. Two hash aggregations, both on
+    * bounded-cardinality keys.
+    */
+  def degreeHistogram(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(col(src).as("__n"))
+      .union(edges.select(col(dst).as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+      .groupBy(col("__deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
 }

@@ -204,4 +204,64 @@ object TimeSeriesOps {
           sum(col("__dt_s")), 6).as("twa"))
       .filter(col("held_s") > 0)
   }
+
+  /** Seasonal baseline per (key, day-of-week, hour-of-day): count, mean and
+    * population std of `value` in each calendar cell — the profile that
+    * turns "is this reading weird?" into a join instead of a model.
+    *
+    * Day-of-week is 0=Sunday..6 (Spark's `dayofweek` minus 1, matching
+    * DuckDB's `dayofweek` for a portable oracle).
+    *
+    * Determinism: mean and variance are assembled from EXACT sums — value
+    * micros as BIGINT, squared micros as DECIMAL(38,0) (squares overflow a
+    * 64-bit long at ~10⁴ rows of 10²-sized values; 38 digits carries 10¹⁶
+    * rows) — so no float sum ordering is observable; the only doubles are
+    * the final correctly-rounded divisions. Variance uses the exact
+    * integer identity n·Σv² − (Σv)² before any division.
+    *
+    * Scale: one hash aggregation; output cardinality = |keys| × 168
+    * calendar cells, bounded regardless of row count.
+    */
+  def seasonalProfile(df: DataFrame, key: String, ts: String,
+      value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .withColumn("__vfp", round(value * 1e6, 0).cast("long"))
+      .groupBy(col(key), (dayofweek(col(ts)) - 1).as("dow"),
+        hour(col(ts)).as("hod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__vfp")).as("__sv"),
+        sum(col("__vfp").cast("decimal(38,0)") * col("__vfp")).as("__sv2"))
+      .select(col(key), col("dow"), col("hod"), col("n"),
+        round(col("__sv") / col("n") / 1e6, 6).as("mean_v"),
+        round(
+          sqrt((col("__sv2").cast("double") * col("n") -
+            col("__sv").cast("double") * col("__sv")) /
+            (col("n").cast("double") * col("n")) / 1e12), 6).as("std_v"))
+
+  /** Seasonal anomalies: rows whose `value` sits more than `zThresh`
+    * baseline standard deviations from their calendar cell's mean, scored
+    * with the z-value. The profile side is [[seasonalProfile]]'s rounded
+    * (mean, std) — z is then one subtraction and one division on values
+    * both engines hold bit-identically, so the threshold cut and the 3-dp
+    * rounding agree everywhere. Cells with zero variance or fewer than
+    * `minN` observations never flag (no baseline, no verdict).
+    *
+    * Scale: the profile frame is calendar-bounded (|keys| × 168), so the
+    * join back to the full stream is a broadcast — the anomaly scan costs
+    * one pass over the data with no shuffle of the big side.
+    */
+  def seasonalAnomalies(df: DataFrame, key: String, ts: String, id: String,
+      value: Column, zThresh: Double, minN: Long = 24): DataFrame = {
+    val prof = seasonalProfile(df, key, ts, value)
+      .filter(col("std_v") > 0 && col("n") >= minN)
+    df.filter(value.isNotNull)
+      .withColumn("dow", dayofweek(col(ts)) - 1)
+      .withColumn("hod", hour(col(ts)))
+      .join(broadcast(prof), Seq(key, "dow", "hod"))
+      .withColumn("__z", (value - col("mean_v")) / col("std_v"))
+      .filter(abs(col("__z")) > zThresh)
+      .select(col(id), col(key), col("dow"), col("hod"),
+        value.as("v"), round(col("__z"), 3).as("z"))
+  }
 }

@@ -54,7 +54,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "a24_gini" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
     "t22_zipf_fit" -> "bucket-offset triangle (globalRowNumber) over the vocab frame",
     "ml10_class_weights" -> "1-row (total, class-count) stats",
-    "a21_roc_points" -> "bucket-offset triangle (globalCumsums) + 1-row (P, N) totals")
+    "a21_roc_points" -> "bucket-offset triangle (globalCumsums) + 1-row (P, N) totals",
+    "a26_logrank" -> "bucket-offset triangle (globalCumsums) + 1-row (N, N1) totals",
+    "a27_cat_assoc" -> "r x c marginal cross product + 1-row grand totals — bounded by category cardinalities")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and
