@@ -1747,6 +1747,13 @@ object SparkEntry {
       TimeSeriesOps.seasonalAnomalies(ev(s, d), "event_type", "ts",
         "event_id", col("value"), zThresh = 1.6, minN = 5)),
 
+    // sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM): sort-order
+    // locality blocking — catches the typo/truncation near-identicals the
+    // shingle methods' content-overlap blocking is blind to
+    "d15_sorted_neighborhood" -> ((s, d) =>
+      DedupOps.sortedNeighborhood(docs(s, d), "doc_id", "text",
+        window = 3, maxDist = 16)),
+
     // bloom-prefiltered semi join: approximate membership at the fact scan
     // drops non-members before the shuffle, exact semi join cleans up the
     // false positives — result-identical to the plain semi join, so fully
@@ -4136,6 +4143,22 @@ object SparkEntry {
           AND CAST(hour(ts) AS INT) = prof.hod
          WHERE value IS NOT NULL AND std_v > 0 AND n >= 5
            AND ABS((value - mean_v) / std_v) > 1.6""",
+
+    // same (key, id)-total-ordered neighborhood: ROW_NUMBER stands in for
+    // the two-phase global rank, BETWEEN for the anchor explode — both
+    // enumerate exactly the `window` forward neighbors per row
+    "d15_sorted_neighborhood" ->
+      """WITH k AS (SELECT doc_id,
+                           substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                             1, 64) AS key
+                    FROM documents),
+         r AS (SELECT doc_id, key,
+                      ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+               FROM k)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.key, b.key) AS INT) AS dist
+         FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+         WHERE levenshtein(a.key, b.key) <= 16""",
 
     // the bloom prefilter is result-identical to the plain semi join by
     // construction (false positives die at the exact stage), so the

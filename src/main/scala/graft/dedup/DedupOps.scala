@@ -564,4 +564,42 @@ object DedupOps {
         when(coalesce(col("__shared"), lit(0L)) > 0, 1).otherwise(0)
           .as("contaminated"))
   }
+
+  /** Sorted-neighborhood near-duplicate pairs (Hernández–Stolfo SNM, the
+    * classic record-linkage blocking): sort the corpus by a normalized
+    * blocking key, then compare each record only against its `window`
+    * successors in that order, keeping pairs within `maxDist` edits of
+    * each other's keys.
+    *
+    * Complements the d-family's set-similarity methods: MinHash/SimHash
+    * block on CONTENT OVERLAP; SNM blocks on SORT-ORDER LOCALITY, which
+    * catches near-identical records whose small early edits leave them
+    * adjacent (typos, truncations, boilerplate prefixes).
+    *
+    * Shape: the global sort rank comes from [[graft.operators.RankOps
+    * .globalRowNumber]] (two-phase range bucketing — no single-partition
+    * exchange), then each row is exploded to its `window` forward anchor
+    * ranks and the candidate pairs form with ONE equi-join on the anchor
+    * (fan-out = `window`, linear in corpus size — never the quadratic
+    * blowup naive blocking risks when one key bucket is hot). The edit
+    * distance runs only on the `keyLen`-bounded keys, not full documents.
+    *
+    * Determinism: the sort is total-ordered by (key, id); ranks, anchors
+    * and edit distances are exact integers.
+    */
+  def sortedNeighborhood(docs: DataFrame, id: String, text: String,
+      window: Int, maxDist: Int, keyLen: Int = 64): DataFrame = {
+    val keyed = docs.select(col(id),
+      substring(regexp_replace(lower(col(text)), "\\s+", " "), 1, keyLen)
+        .as("__key"))
+    val ranked = graft.operators.RankOps.globalRowNumber(keyed,
+      Seq(col("__key"), col(id)), "__rn")
+    val anchors = ranked.withColumn("__anchor",
+      explode(sequence(col("__rn") + 1, col("__rn") + window)))
+    anchors.alias("a")
+      .join(ranked.alias("b"), col("__anchor") === col("b.__rn"))
+      .filter(levenshtein(col("a.__key"), col("b.__key")) <= maxDist)
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
+        levenshtein(col("a.__key"), col("b.__key")).as("dist"))
+  }
 }

@@ -252,9 +252,20 @@ object TimeSeriesOps {
     * one pass over the data with no shuffle of the big side.
     */
   def seasonalAnomalies(df: DataFrame, key: String, ts: String, id: String,
-      value: Column, zThresh: Double, minN: Long = 24): DataFrame = {
-    val prof = seasonalProfile(df, key, ts, value)
-      .filter(col("std_v") > 0 && col("n") >= minN)
+      value: Column, zThresh: Double, minN: Long = 24): DataFrame =
+    scoreAgainstProfile(df, seasonalProfile(df, key, ts, value),
+      key, ts, id, value, zThresh, minN)
+
+  /** The stateless scoring half of [[seasonalAnomalies]], shared with its
+    * streaming twin (`EventStreams.seasonalAnomalyStream`): join readings
+    * to a prebuilt [[seasonalProfile]] frame and keep the far-from-baseline
+    * ones. Works unchanged on a streaming `df` — every op here is
+    * per-row or a broadcast join, no state.
+    */
+  def scoreAgainstProfile(df: DataFrame, profile: DataFrame, key: String,
+      ts: String, id: String, value: Column, zThresh: Double,
+      minN: Long): DataFrame = {
+    val prof = profile.filter(col("std_v") > 0 && col("n") >= minN)
     df.filter(value.isNotNull)
       .withColumn("dow", dayofweek(col(ts)) - 1)
       .withColumn("hod", hour(col(ts)))

@@ -171,6 +171,22 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
       .select(col(id), col("fp"))
 
+  /** Streaming twin of `TimeSeriesOps.seasonalAnomalies`: live readings
+    * scored against a STATIC seasonal baseline (batch-computed
+    * `seasonalProfile`, re-planned per micro-batch so a refreshed profile
+    * table is picked up on the next trigger). Entirely stateless — the
+    * profile is calendar-bounded (|keys| × 168 cells) so the join is a
+    * broadcast hash probe, and the z-score/threshold logic is the SAME
+    * code as the batch op (`scoreAgainstProfile`), so batch ≡ stream by
+    * construction, asserted in StreamingSpec.
+    */
+  def seasonalAnomalyStream(events: DataFrame, profile: DataFrame,
+      key: String, ts: String, id: String,
+      value: org.apache.spark.sql.Column, zThresh: Double,
+      minN: Long = 24): DataFrame =
+    graft.operators.TimeSeriesOps.scoreAgainstProfile(events, profile,
+      key, ts, id, value, zThresh, minN)
+
   /** Fixed-edge bin index in [0, bins): values below `lo` clamp to bin 0,
     * at/above `hi` to the last bin. Fixed edges, not data min/max — a
     * stream has no global extremes, and drift monitoring needs bins that

@@ -295,4 +295,38 @@ class DedupOpsSpec extends AnyFunSuite {
       .select("clean_text").as[String].collect()(0)
     assert(got === text)
   }
+
+  test("sortedNeighborhood pairs typo-adjacent records, respects the window") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delte"),  // 1 edit from doc 1 — adjacent in sort
+      (3L, "alpha brta gamma delta"),  // 1 edit from doc 1, sorts between 1 and 5
+      (4L, "zzz completely different text here"),
+      (5L, "omega psi chi phi")).toDF("doc_id", "text")
+    val pairs = DedupOps.sortedNeighborhood(docs, "doc_id", "text",
+      window = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sort order: 1, 2, 3 adjacent → all three close pairs found;
+    // 4 and 5 are within the window of 3 but beyond maxDist
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("sortedNeighborhood: whitespace runs collapse before keying") {
+    val docs = Seq((1L, "alpha  beta\tgamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.sortedNeighborhood(docs, "doc_id", "text",
+      window = 1, maxDist = 0).collect()
+    assert(pairs.length === 1 && pairs(0).getInt(2) === 0)
+  }
+
+  test("sortedNeighborhood window=1 sees only immediate successors") {
+    // three identical-prefix docs: window 1 yields the two adjacent pairs
+    // only, never the (first, third) pair
+    val docs = Seq((1L, "same text a"), (2L, "same text b"),
+      (3L, "same text c")).toDF("doc_id", "text")
+    val pairs = DedupOps.sortedNeighborhood(docs, "doc_id", "text",
+      window = 1, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+  }
 }

@@ -260,4 +260,32 @@ class StreamingSpec extends AnyFunSuite {
     val byWin = spark.table("psi").groupBy("win_start").count().collect()
     assert(byWin.forall(_.getLong(1) === 10))
   }
+
+  test("streaming seasonal anomalies equal the batch op (shared scoring core)") {
+    val dir = Files.createTempDirectory("graft-seasonal")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+    val profile = graft.operators.TimeSeriesOps.seasonalProfile(
+      batchEvents, "event_type", "ts", col("value"))
+
+    val stream = EventStreams.seasonalAnomalyStream(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)),
+      profile, "event_type", "ts", "event_id", col("value"),
+      zThresh = 1.5, minN = 5)
+    val q = stream.writeStream
+      .format("memory").queryName("seasonal").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("seasonal").collect().map(_.toSeq).toSet
+
+    val batch = graft.operators.TimeSeriesOps.seasonalAnomalies(
+      batchEvents, "event_type", "ts", "event_id", col("value"),
+      zThresh = 1.5, minN = 5).collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
