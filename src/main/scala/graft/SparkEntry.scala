@@ -1747,6 +1747,31 @@ object SparkEntry {
       TimeSeriesOps.seasonalAnomalies(ev(s, d), "event_type", "ts",
         "event_id", col("value"), zThresh = 1.6, minN = 5)),
 
+    // exact tie-averaged Spearman ρ: quantity has 50-way ties, so the
+    // doubled-average-rank construction is doing real work here
+    "a28_spearman" -> ((s, d) =>
+      RegressionOps.spearman(li(s, d), col("l_quantity"),
+        col("l_extendedprice"))),
+
+    // weekly cohort-retention matrix: first-activity week × offset →
+    // distinct users — the product-analytics triangle view
+    "q04_cohort_matrix" -> ((s, d) => {
+      val wk = floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+        .cast("long")
+      val uw = ev(s, d).select(col("user_id"), wk.as("week")).distinct()
+      val coh = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(coh, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // Heaps'-law vocabulary growth fit over the id-ordered corpus — the
+    // sequential-looking statistic built from global stream indexes,
+    // min_by first occurrences and two bounded cumsums
+    "t23_heaps_fit" -> ((s, d) =>
+      RegressionOps.heapsFit(docs(s, d), "doc_id", "text")),
+
     // sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM): sort-order
     // locality blocking — catches the typo/truncation near-identicals the
     // shingle methods' content-overlap blocking is blind to
@@ -4143,6 +4168,101 @@ object SparkEntry {
           AND CAST(hour(ts) AS INT) = prof.hod
          WHERE value IS NOT NULL AND std_v > 0 AND n >= 5
            AND ABS((value - mean_v) / std_v) > 1.6""",
+
+    // same doubled-average-rank Spearman: HUGEINT carries what Spark's
+    // DECIMAL(38,0) does; the closing Pearson assembly casts each exact
+    // integer to double in the same places
+    "a28_spearman" ->
+      """WITH r0 AS (SELECT l_quantity AS x, l_extendedprice AS y
+                     FROM lineitem
+                     WHERE l_quantity IS NOT NULL
+                       AND l_extendedprice IS NOT NULL),
+         rx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM r0 GROUP BY 1),
+         rx2 AS (SELECT x,
+                        2 * SUM(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - (cnt - 1) AS rxv
+                 FROM rx),
+         ry AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM r0 GROUP BY 1),
+         ry2 AS (SELECT y,
+                        2 * SUM(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - (cnt - 1) AS ryv
+                 FROM ry),
+         j AS (SELECT rxv, ryv FROM r0 JOIN rx2 USING (x) JOIN ry2 USING (y)),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(rxv AS HUGEINT)) AS sx,
+                      SUM(CAST(ryv AS HUGEINT)) AS sy,
+                      SUM(CAST(rxv AS HUGEINT) * rxv) AS sxx,
+                      SUM(CAST(ryv AS HUGEINT) * ryv) AS syy,
+                      SUM(CAST(rxv AS HUGEINT) * ryv) AS sxy
+               FROM j)
+         SELECT n,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+         FROM s""",
+
+    "q04_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                            CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+                     FROM events),
+         coh AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+                CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+         FROM uw JOIN coh USING (user_id)
+         GROUP BY 1, 2""",
+
+    // same global-stream-index Heaps construction: generate_subscripts
+    // stands in for posexplode, min_by for the first-occurrence argmin,
+    // window prefix sums for the two-phase cumsums; the closing OLS
+    // replays groupOls's exact-integer sufficient statistics
+    "t23_heaps_fit" ->
+      """WITH tok AS (SELECT doc_id,
+                             UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+'))
+                               AS tok,
+                             CAST(generate_subscripts(
+                               STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1)
+                               AS BIGINT) AS pos
+                      FROM documents),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+                FROM tok GROUP BY 1),
+         offs AS (SELECT doc_id,
+                         CAST(SUM(ntok) OVER (ORDER BY doc_id ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                           AS cumn,
+                         CAST(SUM(ntok) OVER (ORDER BY doc_id ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+                           AS BIGINT) AS off
+                  FROM pd),
+         st AS (SELECT tok.doc_id, tok.tok, offs.off + tok.pos AS idx
+                FROM tok JOIN offs ON tok.doc_id = offs.doc_id),
+         fd AS (SELECT tok, MIN_BY(doc_id, idx) AS fdoc FROM st GROUP BY 1),
+         np AS (SELECT fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS newv
+                FROM fd GROUP BY 1),
+         curve AS (SELECT offs.doc_id, offs.cumn,
+                          CAST(SUM(COALESCE(np.newv, 0)) OVER (ORDER BY
+                            offs.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                            CURRENT ROW) AS BIGINT) AS cumv
+                   FROM offs LEFT JOIN np ON offs.doc_id = np.doc_id),
+         q AS (SELECT CAST(ROUND(LN(cumn) * 1e4, 0) AS BIGINT) AS xq,
+                      CAST(ROUND(LN(cumv) * 1e4, 0) AS BIGINT) AS yq
+               FROM curve),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(xq) AS sx, SUM(yq) AS sy,
+                      SUM(xq * xq) AS sxx, SUM(xq * yq) AS sxy,
+                      SUM(yq * yq) AS syy
+               FROM q)
+         SELECT n,
+                ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+                ROUND((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                      / CAST(n AS DOUBLE), 6) AS intercept,
+                ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+         FROM s""",
 
     // same (key, id)-total-ordered neighborhood: ROW_NUMBER stands in for
     // the two-phase global rank, BETWEEN for the anchor explode — both

@@ -592,8 +592,12 @@ object DedupOps {
     val keyed = docs.select(col(id),
       substring(regexp_replace(lower(col(text)), "\\s+", " "), 1, keyLen)
         .as("__key"))
+    // the ranked frame feeds BOTH join sides (anchors and probe); the
+    // rank assignment itself is window work on top of the checkpointed
+    // range bucketing, so pin it once instead of paying the window +
+    // offset triangle twice
     val ranked = graft.operators.RankOps.globalRowNumber(keyed,
-      Seq(col("__key"), col(id)), "__rn")
+      Seq(col("__key"), col(id)), "__rn").localCheckpoint(false)
     val anchors = ranked.withColumn("__anchor",
       explode(sequence(col("__rn") + 1, col("__rn") + window)))
     anchors.alias("a")

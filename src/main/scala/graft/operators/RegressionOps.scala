@@ -107,4 +107,112 @@ object RegressionOps {
         round(log(col(cnt)) * quant, 0))
       .drop("__corpus")
   }
+
+  /** Heaps'-law fit of vocabulary growth: `V(n) ≈ K·n^β` over the corpus
+    * read in `id` order, via log-log OLS on the per-document cumulative
+    * (tokens-seen, vocab-size) curve. β ≈ 0.4–0.6 for natural language;
+    * templated/repetitive corpora flatten early — the companion corpus
+    * forensic to [[zipfFit]].
+    *
+    * Fully relational construction of a sequential-looking statistic:
+    * 1. one pass assigns every token its GLOBAL stream index (per-doc
+    *    prefix offsets via [[RankOps.globalCumsum]] + within-doc
+    *    position from `posexplode`);
+    * 2. each distinct token's first occurrence is `min(index)`, and
+    *    `min_by(doc, index)` pins the document that introduced it
+    *    (index is unique, so the argmin is total);
+    * 3. new-tokens-per-doc aggregates back to the per-document frame,
+    *    whose running (Σ tokens, Σ new) pair IS the growth curve;
+    * 4. [[groupOls]] on the quantized logs (the [[zipfFit]] determinism
+    *    argument verbatim).
+    * Output: one row `(n, slope, intercept, r2)` — slope = β,
+    * `exp(intercept)` = K, n = #documents on the curve.
+    *
+    * Scale: two shuffles on token (first-occurrence agg), two bounded
+    * cumsums on the per-doc frame; no global windows, no driver loops.
+    *
+    * `quant` defaults to 10⁴ (not [[zipfFit]]'s 10⁵): the curve has one
+    * point per DOCUMENT with ln(corpus tokens)-sized logs, so Σx ≈
+    * ln(N)·quant·docs and [[groupOls]]'s Σx·Σy long product must stay
+    * under 2^63 — 10⁴ carries ~20k documents per fit; beyond that,
+    * sample the curve (every k-th doc) rather than raising quant.
+    */
+  def heapsFit(docs: DataFrame, id: String, text: String,
+      quant: Double = 1e4): DataFrame = {
+    import graft.functions.TextFns
+    val perDoc = docs
+      .select(col(id).as("__doc"), TextFns.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    // prefix offset of each doc in the id-ordered token stream
+    val offsets = RankOps.globalCumsum(
+      perDoc.select(col("__doc"), col("__ntok")),
+      Seq(col("__doc")), col("__ntok"), "__cumn")
+      .select(col("__doc"), (col("__cumn") - col("__ntok")).as("__off"),
+        col("__cumn"))
+    val stream = perDoc.join(offsets, Seq("__doc"))
+      .select(col("__doc"), col("__off"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .select(col("__doc"), col("__tok"),
+        (col("__off") + col("__pos") + 1).as("__idx"))
+    val firstDoc = stream.groupBy(col("__tok"))
+      .agg(min_by(col("__doc"), col("__idx")).as("__fdoc"))
+    val newPerDoc = firstDoc.groupBy(col("__fdoc").as("__doc"))
+      .agg(count(lit(1)).as("__new"))
+    val curve = RankOps.globalCumsum(
+      offsets.join(newPerDoc, Seq("__doc"), "left")
+        .select(col("__doc"), col("__cumn"),
+          coalesce(col("__new"), lit(0L)).as("__new")),
+      Seq(col("__doc")), col("__new"), "__cumv")
+    groupOls(curve.withColumn("__corpus", lit("all")), "__corpus",
+        round(log(col("__cumn")) * quant, 0),
+        round(log(col("__cumv")) * quant, 0))
+      .drop("__corpus")
+  }
+
+  /** Exact tie-averaged Spearman rank correlation of two numeric columns —
+    * ONE output row `(n, rho)`.
+    *
+    * The textbook statistic is Pearson over AVERAGE ranks (ties share the
+    * mean of the rank block they occupy). Average ranks are half-integers,
+    * so everything is doubled into exact integers: for a value with
+    * inclusive prefix count `cum` and multiplicity `cnt`, the doubled
+    * average rank is `2·cum − (cnt − 1)`. Doubling both sides scales
+    * Pearson's numerator and denominator by the same 4 — ρ is unchanged
+    * and every accumulation stays integral (DECIMAL(38,0): the
+    * rank-product sums reach 4N³, past BIGINT at ~10⁶ rows).
+    *
+    * Shape: per-column distinct-value aggregation (bounded by value
+    * cardinality), prefix counts via [[RankOps.globalCumsum]] — the
+    * two-phase range-bucketed form, no single-partition window — then two
+    * equi-joins back to the rows and one final scalar aggregate. The only
+    * doubles are the closing Pearson assembly, mirrored op-for-op by the
+    * oracle.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val rows = df.select(x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def doubledRanks(v: String, out: String): DataFrame = {
+      val counts = rows.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
+      RankOps.globalCumsum(counts, Seq(col(v)), col("__cnt"), "__cum")
+        .select(col(v), (lit(2) * col("__cum") - (col("__cnt") - 1)).as(out))
+    }
+    rows
+      .join(doubledRanks("__x", "__rx"), Seq("__x"))
+      .join(doubledRanks("__y", "__ry"), Seq("__y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__rx").cast("decimal(38,0)") * col("__rx")).as("__sxx"),
+        sum(col("__ry").cast("decimal(38,0)") * col("__ry")).as("__syy"),
+        sum(col("__rx").cast("decimal(38,0)") * col("__ry")).as("__sxy"))
+      .select(col("n"),
+        round(
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt(
+              (col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+              (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")),
+          6).as("rho"))
+  }
 }

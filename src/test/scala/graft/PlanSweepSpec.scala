@@ -56,7 +56,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "ml10_class_weights" -> "1-row (total, class-count) stats",
     "a21_roc_points" -> "bucket-offset triangle (globalCumsums) + 1-row (P, N) totals",
     "a26_logrank" -> "bucket-offset triangle (globalCumsums) + 1-row (N, N1) totals",
-    "a27_cat_assoc" -> "r x c marginal cross product + 1-row grand totals — bounded by category cardinalities")
+    "a27_cat_assoc" -> "r x c marginal cross product + 1-row grand totals — bounded by category cardinalities",
+    "d15_sorted_neighborhood" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
+    "a28_spearman" -> "bucket-offset triangles (two globalCumsums over distinct-value frames)",
+    "t23_heaps_fit" -> "bucket-offset triangles (two globalCumsums over the per-doc frame)")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and
