@@ -1793,6 +1793,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(round(col("o_totalprice") * 100, 0).cast("long")) /
             100.0, 2).as("revenue"))
+    }),
+
+    // k-anonymity / l-diversity release audit: one hash agg over the
+    // quasi-identifier tuple; sensitive attribute coarsened to $1k
+    // account-balance bands (raw balances are near-unique → l trivial)
+    "dq07_k_anonymity" -> ((s, d) =>
+      PrivacyOps.kAnonymityProfile(cust(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), minK = 10L)),
+
+    // leave-one-out target encoding of order priority against a
+    // high-value flag — per-category agg + AQE-broadcast join back,
+    // never a per-category window
+    "ml12_target_encode" -> ((s, d) =>
+      EncodingOps.targetEncodeLoo(
+          ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+            (col("o_totalprice") > 150000).cast("int").as("y")),
+          "o_orderpriority", col("y"), "loo_enc")
+        .select("o_orderkey", "o_orderpriority", "y", "loo_enc")),
+
+    // weight-of-evidence per order priority for the same flag — the
+    // credit-risk encoding, one output row per category
+    "ml13_woe" -> ((s, d) =>
+      EncodingOps.weightOfEvidence(ord(s, d), "o_orderpriority",
+        (col("o_totalprice") > 150000).cast("int"))),
+
+    // Jaro-Winkler vocabulary reconciliation: distinct part names,
+    // first-character blocking, native codegen'd scorer
+    // (graft.expressions.JaroWinklerSimilarity — byte semantics matched
+    // to the oracle engine's jaro_winkler_similarity)
+    "f30_jw_pairs" -> ((s, d) =>
+      LinkageOps.jaroWinklerPairs(prt(s, d), "p_name", threshold = 0.8)),
+
+    // reciprocal-rank fusion of a lexical (BM25) and a length-prior
+    // ranking — hybrid retrieval without score calibration; ranks via the
+    // exchange-parallel two-phase row_number
+    "t24_rrf_fusion" -> ((s, d) => {
+      val lex = RetrievalOps.bm25TopK(docs(s, d), "doc_id", "text",
+        terms = Seq("spark", "window", "join"), k = 50)
+      val prior = docs(s, d)
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      RetrievalOps.rrfFuse(Seq(lex, prior), "doc_id", k = 20)
     })
   )
 
@@ -4290,6 +4333,76 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_acctbal > 9000)
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "dq07_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS k_count,
+                CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                     AS BIGINT) AS l_distinct,
+                CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS suppress
+         FROM customer GROUP BY 1, 2""",
+
+    "ml12_target_encode" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+                           CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+                    FROM orders),
+         g AS (SELECT o_orderpriority, SUM(y) AS s, COUNT(*) AS c
+               FROM t GROUP BY 1)
+         SELECT t.o_orderkey, t.o_orderpriority, t.y,
+                CASE WHEN g.c > 1
+                     THEN ROUND((g.s - t.y) / CAST(g.c - 1 AS DOUBLE), 6)
+                     END AS loo_enc
+         FROM t JOIN g USING (o_orderpriority)""",
+
+    "ml13_woe" ->
+      """WITH t AS (SELECT o_orderpriority,
+                           CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END AS y
+                    FROM orders),
+         g AS (SELECT o_orderpriority, SUM(y) AS pos, SUM(1.0 - y) AS neg
+               FROM t GROUP BY 1),
+         tot AS (SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM g)
+         SELECT o_orderpriority, pos, neg,
+                ROUND(LN(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6) AS woe
+         FROM g CROSS JOIN tot""",
+
+    "f30_jw_pairs" ->
+      """WITH v AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL)
+         SELECT a.name AS name_a, b.name AS name_b,
+                ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+         FROM v a JOIN v b
+           ON SUBSTR(a.name, 1, 1) = SUBSTR(b.name, 1, 1) AND a.name < b.name
+         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.8""",
+
+    "t24_rrf_fusion" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM tok WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2),
+         dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         lex AS (SELECT tf.doc_id,
+                        ROUND(SUM(LN((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                          * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+                          AS score
+                 FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+                 GROUP BY tf.doc_id
+                 ORDER BY score DESC, tf.doc_id ASC LIMIT 50),
+         pri AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents
+                 ORDER BY score DESC, doc_id ASC LIMIT 50),
+         rl AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+                FROM lex),
+         rp AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+                FROM pri),
+         u AS (SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rl
+               UNION ALL
+               SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rp)
+         SELECT doc_id, ROUND(SUM(rr), 6) AS rrf
+         FROM u GROUP BY 1
+         ORDER BY rrf DESC, doc_id ASC LIMIT 20"""
   )
 }

@@ -103,6 +103,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "scala_udf")
     // Spark's own sketch expressions (the machinery behind runtime
     // row-level filtering), surfaced for explicit bloom pre-filter joins
     // (graft.operators.BloomOps): bloom_agg(xxhash64(k), items, bits) →
@@ -132,6 +135,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinklerSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -48,4 +48,32 @@ object RetrievalOps {
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher's RRF) of several
+    * ranked lists into one hybrid ranking:
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`, docs absent from a list
+    * contribute nothing for it. The standard way to combine lexical
+    * (BM25) and semantic (embedding) retrieval without score calibration
+    * — only RANKS cross lists, so incomparable score scales fuse cleanly.
+    *
+    * Each input must carry (`id`, `score`); ranks are assigned by
+    * (`score` desc, `id` asc) via [[RankOps.globalRowNumber]] — the
+    * two-phase exchange-parallel form, no single-partition window even
+    * when a caller fuses unbounded lists. Output: top-`k` by fused score
+    * (rounded to 6), ties on ascending id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], id: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    val contribs = lists.map { l =>
+      RankOps.globalRowNumber(l.select(col(id), col("score")),
+          Seq(col("score").desc, col(id).asc), "__rank")
+        .select(col(id), (lit(1.0) / (lit(c) + col("__rank"))).as("__rr"))
+    }
+    contribs.reduce(_ unionAll _)
+      .groupBy(col(id))
+      .agg(round(sum(col("__rr")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(id).asc)
+      .limit(k)
+  }
 }

@@ -59,7 +59,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "a27_cat_assoc" -> "r x c marginal cross product + 1-row grand totals — bounded by category cardinalities",
     "d15_sorted_neighborhood" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
     "a28_spearman" -> "bucket-offset triangles (two globalCumsums over distinct-value frames)",
-    "t23_heaps_fit" -> "bucket-offset triangles (two globalCumsums over the per-doc frame)")
+    "t23_heaps_fit" -> "bucket-offset triangles (two globalCumsums over the per-doc frame)",
+    "ml13_woe" -> "1-row pos/neg grand totals (explicit broadcast)",
+    "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and
