@@ -1836,7 +1836,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id").asc).limit(50)
       RetrievalOps.rrfFuse(Seq(lex, prior), "doc_id", k = 20)
-    })
+    }),
+
+    // linear time-interpolation of interior null values per user on the
+    // epoch-µs axis (purchase-only signal, same sparsification as w03);
+    // boundary nulls stay null — one sort exchange, two streaming frames
+    "w14_interpolate" -> ((s, d) => {
+      val base = ev(s, d).withColumn("v",
+        when(col("event_type") === "purchase", col("value")))
+      WindowOps.linearInterpolate(base, Seq("user_id"),
+          Seq("ts", "event_id"), col("ts"), col("v"), "interp")
+        .select(col("event_id"), round(col("interp"), 6).as("interp"))
+    }),
+
+    // information-gain feature screen: both order categoricals ranked
+    // against the high-value flag in one melted aggregate pass
+    "ml14_info_gain" -> ((s, d) =>
+      AssociationOps.infoGainScreen(ord(s, d),
+        Seq("priority" -> col("o_orderpriority"),
+          "status" -> col("o_orderstatus")),
+        (col("o_totalprice") > 150000).cast("int")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4403,6 +4422,63 @@ object SparkEntry {
                SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rp)
          SELECT doc_id, ROUND(SUM(rr), 6) AS rrf
          FROM u GROUP BY 1
-         ORDER BY rrf DESC, doc_id ASC LIMIT 20"""
+         ORDER BY rrf DESC, doc_id ASC LIMIT 20""",
+
+    "w14_interpolate" ->
+      """WITH b AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+                           CASE WHEN event_type = 'purchase' THEN value END AS v
+                    FROM events),
+         n AS (SELECT event_id, t, v,
+                      LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                        OVER w_prev AS pt,
+                      LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+                      FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                        OVER w_next AS nt,
+                      FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv
+               FROM b
+               WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT event_id,
+                ROUND(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                             CASE WHEN nt = pt THEN (pv + nv) / 2.0
+                                  ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE)) END
+                           END, 6) AS interp
+         FROM n""",
+
+    "ml14_info_gain" ->
+      """WITH base AS (SELECT o_orderpriority, o_orderstatus,
+                              CAST(o_totalprice > 150000 AS INT) AS y
+                       FROM orders),
+         melted AS (SELECT 'priority' AS feature,
+                           COALESCE(CAST(o_orderpriority AS VARCHAR), ' null') AS fval,
+                           CAST(y AS VARCHAR) AS yy FROM base
+                    UNION ALL
+                    SELECT 'status', COALESCE(CAST(o_orderstatus AS VARCHAR), ' null'),
+                           CAST(y AS VARCHAR) FROM base),
+         cells AS (SELECT feature, fval, yy, COUNT(*) AS nfy
+                   FROM melted GROUP BY 1, 2, 3),
+         fv AS (SELECT feature, fval, SUM(nfy) AS nf FROM cells GROUP BY 1, 2),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM base),
+         hy AS (SELECT SUM(CAST(ROUND(-(ny / nn) * LN(ny / nn) * 1e12, 0) AS BIGINT))
+                       / 1e12 AS hy
+                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ny FROM base GROUP BY y)
+                CROSS JOIN n),
+         cond AS (SELECT feature,
+                         SUM(CAST(ROUND(-(nfy / nn) * LN(CAST(nfy AS DOUBLE) / nf)
+                           * 1e12, 0) AS BIGINT)) / 1e12 AS hcond
+                  FROM cells JOIN fv USING (feature, fval) CROSS JOIN n
+                  GROUP BY 1),
+         si AS (SELECT feature,
+                       SUM(CAST(ROUND(-(nf / nn) * LN(nf / nn) * 1e12, 0) AS BIGINT))
+                       / 1e12 AS hf
+                FROM fv CROSS JOIN n GROUP BY 1)
+         SELECT feature, ROUND(hy, 6) AS h_target, ROUND(hcond, 6) AS h_cond,
+                ROUND(hy - hcond, 6) AS info_gain,
+                CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
+         FROM cond JOIN si USING (feature) CROSS JOIN hy"""
   )
 }

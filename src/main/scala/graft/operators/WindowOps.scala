@@ -35,6 +35,45 @@ object WindowOps {
     df.withColumn(name, first(value, ignoreNulls = true).over(w))
   }
 
+  /** Linear time-interpolation of interior nulls — the clinical
+    * time-series imputation between ffill and mean-impute (the reference
+    * offers ffill and mean; linear interp is the standard third option a
+    * scale pipeline adds): each null between two non-null neighbors
+    * becomes `prev + (next − prev) · (t − t_prev)/(t_next − t_prev)` on
+    * an epoch-microsecond axis; leading/trailing nulls (no neighbor on
+    * one side) stay null — `forwardFill`/`backwardFill` compose on top if
+    * a caller wants edge fill.
+    *
+    * Both neighbor lookups are IGNORE-NULLS window functions over the one
+    * `(partition, order)` spec, so the whole operator is a single sort
+    * exchange with two streaming frames — state bounded per entity, no
+    * self-join, no skew beyond the entity's own row count.
+    */
+  def linearInterpolate(df: DataFrame, partKeys: Seq[String],
+      orderCols: Seq[String], ts: Column, value: Column,
+      name: String): DataFrame = {
+    val t = unix_micros(ts)
+    val pt = struct(t.as("t"), value.as("v"))
+    val before = spec(partKeys, orderCols)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = spec(partKeys, orderCols)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val prev = last(when(value.isNotNull, pt), ignoreNulls = true).over(before)
+    val next = first(when(value.isNotNull, pt), ignoreNulls = true).over(after)
+    val frac = (t - col("__li_p.t")).cast("double") /
+      (col("__li_n.t") - col("__li_p.t")).cast("double")
+    df.withColumn("__li_p", prev).withColumn("__li_n", next)
+      .withColumn(name,
+        when(value.isNotNull, value.cast("double"))
+          .when(col("__li_p").isNotNull && col("__li_n").isNotNull,
+            // degenerate axis (equal timestamps) → midpoint, not 0/0
+            when(col("__li_n.t") === col("__li_p.t"),
+              (col("__li_p.v") + col("__li_n.v")) / 2.0)
+              .otherwise(col("__li_p.v") +
+                (col("__li_n.v") - col("__li_p.v")) * frac)))
+      .drop("__li_p", "__li_n")
+  }
+
   /** W8 — gap since the previous row in the partition
     * (reference inter-visit day deltas, `preprocess_outcomes.py:129-139`).
     * `gap` receives (previous, current).

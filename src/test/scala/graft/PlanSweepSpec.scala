@@ -61,7 +61,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "a28_spearman" -> "bucket-offset triangles (two globalCumsums over distinct-value frames)",
     "t23_heaps_fit" -> "bucket-offset triangles (two globalCumsums over the per-doc frame)",
     "ml13_woe" -> "1-row pos/neg grand totals (explicit broadcast)",
-    "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists")
+    "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists",
+    "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)")
 
   /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
     * funnels data through a single-partition non-aggregate anymore, and
