@@ -1855,7 +1855,19 @@ object SparkEntry {
       AssociationOps.infoGainScreen(ord(s, d),
         Seq("priority" -> col("o_orderpriority"),
           "status" -> col("o_orderstatus")),
-        (col("o_totalprice") > 150000).cast("int")))
+        (col("o_totalprice") > 150000).cast("int"))),
+
+    // the reference Generator's tensor shape end-to-end: purchase values
+    // bucketed per user-day (exact integer-cent means), densified to the
+    // user's full day span, gaps linearly interpolated on the bucket axis
+    "ts10_resample_interp" -> ((s, d) =>
+      TimeSeriesOps.resampleInterpolate(
+        ev(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+              .cast("long").as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        "user_id", col("day"), col("cents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4479,6 +4491,42 @@ object SparkEntry {
          SELECT feature, ROUND(hy, 6) AS h_target, ROUND(hcond, 6) AS h_cond,
                 ROUND(hy - hcond, 6) AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
-         FROM cond JOIN si USING (feature) CROSS JOIN hy"""
+         FROM cond JOIN si USING (feature) CROSS JOIN hy""",
+
+    "ts10_resample_interp" ->
+      """WITH p AS (SELECT user_id,
+                           CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS bucket,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         obs AS (SELECT user_id, bucket, SUM(cents) AS s, COUNT(cents) AS c
+                 FROM p GROUP BY 1, 2),
+         ov AS (SELECT user_id, bucket,
+                       CASE WHEN c > 0 THEN CAST(s AS DOUBLE) / 100.0 / c END AS v
+                FROM obs),
+         grid AS (SELECT user_id, UNNEST(GENERATE_SERIES(lo, hi)) AS bucket
+                  FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                        FROM ov GROUP BY 1)),
+         dense AS (SELECT g.user_id, g.bucket, ov.v
+                   FROM grid g LEFT JOIN ov USING (user_id, bucket)),
+         n AS (SELECT user_id, bucket, v,
+                      LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                        OVER w_prev AS pt,
+                      LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+                      FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                        OVER w_next AS nt,
+                      FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv
+               FROM dense
+               WINDOW w_prev AS (PARTITION BY user_id ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      w_next AS (PARTITION BY user_id ORDER BY bucket
+                                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT user_id, bucket, ROUND(v, 6) AS value_mean,
+                ROUND(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                             CASE WHEN nt = pt THEN (pv + nv) / 2.0
+                                  ELSE pv + (nv - pv) * (CAST(bucket - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE)) END
+                           END, 6) AS value_interp
+         FROM n"""
   )
 }

@@ -42,6 +42,42 @@ object TimeSeriesOps {
       Seq(entity, bucket), "left_anti")
   }
 
+  /** Resample-then-interpolate — the reference Generator's time-series
+    * tensor shape (`data_generation_icu.py`: fixed-width bucketing, then
+    * imputation across empty buckets) as one composed pipeline: per
+    * entity, an exact mean per bucket (integer-cent sums, so the mean is
+    * engine-order-independent), a DENSE bucket grid spanning the entity's
+    * first..last observation (`sequence` + `explode`), and linear
+    * interpolation across the gaps on the bucket ordinal axis.
+    *
+    * Output: (`key`, `bucket`, `value_mean` — null for empty buckets,
+    * `value_interp` — interpolated, still null outside the entity's
+    * observed value envelope).
+    *
+    * Scale shape: one map-side-combined aggregate to buckets, a bounded
+    * grid explode (|span| rows per entity — the clinical-stay contract:
+    * spans are days-to-weeks, not unbounded), one equi-join on
+    * (key, bucket), one per-entity sort window. No driver loops; skew
+    * bounded by the longest single stay, same as the reference.
+    */
+  def resampleInterpolate(df: DataFrame, key: String, bucket: Column,
+      valueCents: Column): DataFrame = {
+    val obs = df.groupBy(col(key), bucket.cast("long").as("bucket"))
+      .agg(sum(valueCents).as("__s"), count(valueCents).as("__c"))
+      .select(col(key), col("bucket"),
+        when(col("__c") > 0,
+          col("__s").cast("double") / 100.0 / col("__c")).as("__v"))
+    val grid = obs.groupBy(col(key))
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col(key), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val dense = grid.join(obs, Seq(key, "bucket"), "left")
+    WindowOps.linearInterpolateAxis(dense, Seq(key), Seq("bucket"),
+        col("bucket"), col("__v"), "value_interp")
+      .select(col(key), col("bucket"),
+        round(col("__v"), 6).as("value_mean"),
+        round(col("value_interp"), 6).as("value_interp"))
+  }
+
   /** W5 — "active signal": given per-(entity,code) sparse stop-offsets on a
     * bucket grid, forward-fill the stop and emit 1 while `stop > bucket`
     * (reference med-active mask, `data_generation_icu.py:497-501`).

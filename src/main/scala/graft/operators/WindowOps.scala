@@ -51,8 +51,18 @@ object WindowOps {
     */
   def linearInterpolate(df: DataFrame, partKeys: Seq[String],
       orderCols: Seq[String], ts: Column, value: Column,
+      name: String): DataFrame =
+    linearInterpolateAxis(df, partKeys, orderCols, unix_micros(ts), value, name)
+
+  /** Axis-generic core of [[linearInterpolate]]: `axis` is any numeric
+    * position column (epoch micros, a bucket index, a depth) — the
+    * resample-then-interpolate pipelines interpolate over bucket ordinals,
+    * not raw timestamps.
+    */
+  def linearInterpolateAxis(df: DataFrame, partKeys: Seq[String],
+      orderCols: Seq[String], axis: Column, value: Column,
       name: String): DataFrame = {
-    val t = unix_micros(ts)
+    val t = axis
     val pt = struct(t.as("t"), value.as("v"))
     val before = spec(partKeys, orderCols)
       .rowsBetween(Window.unboundedPreceding, -1)
