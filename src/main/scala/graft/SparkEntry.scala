@@ -1857,6 +1857,21 @@ object SparkEntry {
           "status" -> col("o_orderstatus")),
         (col("o_totalprice") > 150000).cast("int"))),
 
+    // exact isotonic calibration (hierarchical PAV over 50 distinct
+    // quantity scores) — the oracle cross-checks via the minimax identity
+    // fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]) run-grouped to blocks
+    "a30_isotonic" -> ((s, d) =>
+      IsotonicOps.isotonicFit(li(s, d), col("l_quantity"),
+        when(col("l_returnflag") === "R", 1).otherwise(0))),
+
+    // Murphy decomposition of the Brier score over the a14 probability
+    // frame — reliability / resolution / uncertainty in one pass, every
+    // float term fixed-point summed
+    "a29_brier" -> ((s, d) =>
+      MetricsOps.brierDecomposition(li(s, d),
+        col("l_discount") * 10.0,
+        when(col("l_returnflag") === "R", 1).otherwise(0), bins = 10)),
+
     // the reference Generator's tensor shape end-to-end: purchase values
     // bucketed per user-day (exact integer-cent means), densified to the
     // user's full day span, gaps linearly interpolated on the bucket axis
@@ -4492,6 +4507,62 @@ object SparkEntry {
                 ROUND(hy - hcond, 6) AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
          FROM cond JOIN si USING (feature) CROSS JOIN hy""",
+
+    "a30_isotonic" ->
+      """WITH pts AS (SELECT CAST(l_quantity AS DOUBLE) AS s,
+                             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                      FROM lineitem),
+         agg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS sy
+                 FROM pts GROUP BY 1),
+         ord AS (SELECT s, n, sy, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+                        SUM(n) OVER (ORDER BY s) AS cn,
+                        SUM(sy) OVER (ORDER BY s) AS cy
+                 FROM agg),
+         pairavg AS (SELECT j.rn AS j, k.rn AS k,
+                            CAST(k.cy - COALESCE(jm.cy, 0) AS DOUBLE)
+                              / CAST(k.cn - COALESCE(jm.cn, 0) AS DOUBLE) AS m
+                     FROM ord j
+                     JOIN ord k ON k.rn >= j.rn
+                     LEFT JOIN ord jm ON jm.rn = j.rn - 1),
+         cand AS (SELECT jr.rn AS j, ir.rn AS i, MIN(p.m) AS minm
+                  FROM ord ir
+                  JOIN ord jr ON jr.rn <= ir.rn
+                  JOIN pairavg p ON p.j = jr.rn AND p.k >= ir.rn
+                  GROUP BY 1, 2),
+         fit AS (SELECT i AS rn, MAX(minm) AS fitted FROM cand GROUP BY 1),
+         runs AS (SELECT o.s, o.n, o.sy, f.fitted, o.rn,
+                         CASE WHEN f.fitted IS DISTINCT FROM
+                           LAG(f.fitted) OVER (ORDER BY o.rn) THEN 1 ELSE 0 END AS brk
+                  FROM ord o JOIN fit f USING (rn)),
+         grp AS (SELECT s, n, sy, fitted,
+                        SUM(brk) OVER (ORDER BY rn) AS g
+                 FROM runs)
+         SELECT MIN(s) AS score_lo, MAX(s) AS score_hi,
+                CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS sy,
+                ROUND(CAST(SUM(sy) AS DOUBLE) / SUM(n), 6) AS fitted
+         FROM grp GROUP BY g""",
+
+    "a29_brier" ->
+      """WITH base AS (SELECT CAST(ROUND(l_discount * 10.0 * 1e6, 0) AS BIGINT) AS pm,
+                              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                              CAST(LEAST(FLOOR(l_discount * 10.0 * 10), 9) AS BIGINT) AS bin
+                       FROM lineitem),
+         cells AS (SELECT bin, COUNT(*) AS nk, SUM(pm) AS sp, SUM(y) AS sy,
+                          SUM(CAST(ROUND(POW(pm / 1e6 - y, 2) * 1e12, 0) AS BIGINT)) AS sb
+                   FROM base GROUP BY 1),
+         tot AS (SELECT SUM(nk) AS N, SUM(sy) / CAST(SUM(nk) AS DOUBLE) AS pbar
+                 FROM cells)
+         SELECT CAST(MIN(t.N) AS BIGINT) AS n,
+                ROUND(SUM(c.sb) / 1e12 / MIN(t.N), 6) AS brier,
+                ROUND(SUM(CAST(ROUND((c.nk / t.N) *
+                  POW(c.sp / 1e6 / c.nk - c.sy / CAST(c.nk AS DOUBLE), 2) * 1e12, 0)
+                  AS BIGINT)) / 1e12, 6) AS reliability,
+                ROUND(SUM(CAST(ROUND((c.nk / t.N) *
+                  POW(c.sy / CAST(c.nk AS DOUBLE) - t.pbar, 2) * 1e12, 0)
+                  AS BIGINT)) / 1e12, 6) AS resolution,
+                ROUND(MIN(t.pbar) * (1 - MIN(t.pbar)), 6) AS uncertainty
+         FROM cells c CROSS JOIN tot t""",
 
     "ts10_resample_interp" ->
       """WITH p AS (SELECT user_id,

@@ -143,6 +143,50 @@ object MetricsOps {
           6).as("ece"),
         round(max(abs(col("bin_accuracy") - col("bin_confidence"))), 6).as("mce"))
 
+  /** Murphy decomposition of the Brier score — the diagnostic behind the
+    * reference's calibration plots (`evaluation.py` calibration section),
+    * as ONE output row `(n, brier, reliability, resolution, uncertainty)`:
+    * `brier = mean((p − y)²)`,
+    * `reliability = Σ_k (n_k/N)(f̄_k − ō_k)²` (bin confidence vs accuracy),
+    * `resolution = Σ_k (n_k/N)(ō_k − p̄)²` (how far bins pull from base
+    * rate), `uncertainty = p̄(1 − p̄)`.
+    *
+    * Determinism: probabilities are scaled to exact integer micros and
+    * every float term (per-row Brier, per-bin reliability/resolution) is
+    * correctly rounded to integer picos and summed as BIGINT — the same
+    * order-insensitivity argument as `categoricalAssociation`. Two hash
+    * aggregates over bounded frames (rows → bins → 1), no windows.
+    */
+  def brierDecomposition(df: DataFrame, prob: Column, label: Column,
+      bins: Int): DataFrame = {
+    val base = df.select(
+      round(prob * 1e6, 0).cast("long").as("__pm"),
+      label.cast("long").as("__y"),
+      least(floor(prob * bins), lit(bins - 1)).cast("long").as("__bin"))
+    val p = col("__pm") / 1e6
+    val cells = base
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__nk"),
+        sum(col("__pm")).as("__sp"),
+        sum(col("__y")).as("__sy"),
+        sum(round(pow(p - col("__y"), 2) * 1e12, 0).cast("long")).as("__sb"))
+    val tot = cells.agg(sum("__nk").as("__N"), sum("__sy").as("__SY"))
+      .select(col("__N"), (col("__SY").cast("double") / col("__N")).as("__pbar"))
+    val fk = col("__sp").cast("double") / 1e6 / col("__nk")
+    val ok = col("__sy").cast("double") / col("__nk")
+    cells.crossJoin(broadcast(tot))
+      .agg(
+        first(col("__N")).as("n"),
+        round(sum(col("__sb")).cast("double") / 1e12 / first(col("__N")), 6)
+          .as("brier"),
+        round(sum(round((col("__nk") / col("__N")) * pow(fk - ok, 2) * 1e12, 0)
+          .cast("long")) / 1e12, 6).as("reliability"),
+        round(sum(round((col("__nk") / col("__N")) * pow(ok - col("__pbar"), 2)
+          * 1e12, 0).cast("long")) / 1e12, 6).as("resolution"),
+        round(first(col("__pbar")) * (lit(1.0) - first(col("__pbar"))), 6)
+          .as("uncertainty"))
+  }
+
   /** Temperature scaling, grid-search form (`callibrate_output.py:29-83`):
     * the reference tunes a scalar T by LBFGS to minimize
     * `BCEWithLogitsLoss(logits / T, labels)`; here the 1-D search is a

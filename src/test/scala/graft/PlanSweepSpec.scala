@@ -62,13 +62,16 @@ class PlanSweepSpec extends AnyFunSuite {
     "t23_heaps_fit" -> "bucket-offset triangles (two globalCumsums over the per-doc frame)",
     "ml13_woe" -> "1-row pos/neg grand totals (explicit broadcast)",
     "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists",
-    "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)")
+    "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)",
+    "a29_brier" -> "1-row (N, base-rate) totals (explicit broadcast)")
 
-  /** empty since w11 moved to RankOps.globalCumsum — no query in the suite
-    * funnels data through a single-partition non-aggregate anymore, and
-    * Verify/Bench enforce that with spark.graft.failOnGlobalWindow=true
+  /** Queries whose single-partition stage provably does NOT carry the
+    * data: document the bound. (Global windows stay banned everywhere —
+    * Verify/Bench enforce that with spark.graft.failOnGlobalWindow=true.)
     */
-  private val singlePartExempt: Map[String, String] = Map.empty
+  private val singlePartExempt: Map[String, String] = Map(
+    "a30_isotonic" -> ("final hierarchical-PAV pass: sorts the (P/8)-times-" +
+      "pooled block remainder, never the row frame (IsotonicOps scaladoc)"))
 
   /** Per-query session-conf overrides applied while the plan is built.
     * u07's full-outer join picks BroadcastNestedLoopJoin only because the
