@@ -1857,6 +1857,36 @@ object SparkEntry {
           "status" -> col("o_orderstatus")),
         (col("o_totalprice") > 150000).cast("int"))),
 
+    // deterministic hard-negative sampling: per user (custkey < 30), 3
+    // same-brand parts never purchased, ranked by a content hash of the
+    // (user, item) pair — block equi-join, never user × catalog
+    "ml15_negative_sample" -> ((s, d) => {
+      val inter = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") < 30)
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey"), col("p_partkey"), col("p_brand"))
+      FoldOps.hardNegatives(inter, "o_custkey", "p_partkey", "p_brand",
+        prt(s, d).select(col("p_partkey"), col("p_brand")), k = 3)
+    }),
+
+    // Charlson-style weighted comorbidity score: distinct purchased part
+    // categories per customer, fixed category weights summed — the
+    // reference's ICD-grouping → severity-score pattern (icd_9to10 /
+    // disease_cohort.py) over the synthetic star schema
+    "q05_comorbidity" -> ((s, d) => {
+      val weight = when(col("p_type").isin("ECONOMY", "STANDARD"), 1)
+        .when(col("p_type").isin("SMALL", "MEDIUM"), 2)
+        .when(col("p_type") === "LARGE", 3)
+        .otherwise(6)
+      li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey"), col("p_type")).distinct()
+        .groupBy("o_custkey")
+        .agg(sum(weight).as("comorbidity_index"),
+          count(lit(1)).as("n_categories"))
+    }),
+
     // exact isotonic calibration (hierarchical PAV over 50 distinct
     // quantity scores) — the oracle cross-checks via the minimax identity
     // fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]) run-grouped to blocks
@@ -4507,6 +4537,42 @@ object SparkEntry {
                 ROUND(hy - hcond, 6) AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
          FROM cond JOIN si USING (feature) CROSS JOIN hy""",
+
+    "ml15_negative_sample" ->
+      """WITH inter AS (SELECT o_custkey, p_partkey, p_brand
+                        FROM lineitem
+                        JOIN orders ON l_orderkey = o_orderkey
+                        JOIN part ON l_partkey = p_partkey
+                        WHERE o_custkey < 30),
+         pos AS (SELECT DISTINCT o_custkey, p_partkey FROM inter),
+         ub AS (SELECT DISTINCT o_custkey, p_brand FROM inter),
+         cand AS (SELECT ub.o_custkey, p.p_partkey,
+                         CAST(('0x' || SUBSTRING(
+                           MD5(CONCAT(ub.o_custkey, '#', p.p_partkey)), 1, 15))
+                           AS BIGINT) AS h
+                  FROM ub JOIN part p USING (p_brand)
+                  WHERE NOT EXISTS (SELECT 1 FROM pos
+                                    WHERE pos.o_custkey = ub.o_custkey
+                                      AND pos.p_partkey = p.p_partkey)),
+         r AS (SELECT o_custkey, p_partkey,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY h, p_partkey) AS neg_rank
+               FROM cand)
+         SELECT o_custkey, p_partkey, CAST(neg_rank AS INTEGER) AS neg_rank
+         FROM r WHERE neg_rank <= 3""",
+
+    "q05_comorbidity" ->
+      """WITH cats AS (SELECT DISTINCT o_custkey, p_type
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey
+                       JOIN part ON l_partkey = p_partkey)
+         SELECT o_custkey,
+                CAST(SUM(CASE WHEN p_type IN ('ECONOMY', 'STANDARD') THEN 1
+                              WHEN p_type IN ('SMALL', 'MEDIUM') THEN 2
+                              WHEN p_type = 'LARGE' THEN 3
+                              ELSE 6 END) AS BIGINT) AS comorbidity_index,
+                CAST(COUNT(*) AS BIGINT) AS n_categories
+         FROM cats GROUP BY 1""",
 
     "a30_isotonic" ->
       """WITH pts AS (SELECT CAST(l_quantity AS DOUBLE) AS s,

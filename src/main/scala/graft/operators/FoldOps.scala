@@ -215,6 +215,36 @@ object FoldOps {
       .limit(n)
       .drop(priCol)
 
+  /** Deterministic hard-negative sampling for contrastive training pairs:
+    * for each user, `k` items the user did NOT interact with, drawn from
+    * the user's own interaction BLOCKS (same `block` value — the
+    * "hard" in hard negatives: candidates resemble the positives),
+    * ranked by a content hash of (user, item) so membership is a pure
+    * function of the pair — reproducible across runs, clusters, engines.
+    *
+    * Scale shape: distinct positives → (user, block) frame → equi-join
+    * on `block` against the bounded catalog (never user × catalog), one
+    * anti-join removes positives, and the per-user top-k is a window
+    * keyed on the user (state bounded by the user's candidate set, which
+    * the block join already bounded).
+    */
+  def hardNegatives(interactions: DataFrame, user: String, item: String,
+      block: String, catalog: DataFrame, k: Int): DataFrame = {
+    val pos = interactions.select(col(user), col(item)).distinct()
+    val userBlocks = interactions.select(col(user), col(block)).distinct()
+    val h = conv(substring(md5(concat_ws("#", col(user), col(item))), 1, 15),
+      16, 10).cast("long")
+    val cand = userBlocks
+      .join(catalog.select(col(item), col(block)), Seq(block))
+      .join(pos, Seq(user, item), "left_anti")
+      .withColumn("__hn_h", h)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(user)).orderBy(col("__hn_h").asc, col(item).asc)
+    cand.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(user), col(item), col("neg_rank"))
+  }
+
   /** Greedy-by-order sequence packing: rows are laid end-to-end in
     * (`partKeys`, `orderCols`) order and cut into fixed-`capacity` bins by
     * the running size prefix-sum (a row starts the next bin when its
