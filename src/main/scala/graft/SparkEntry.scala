@@ -1857,6 +1857,12 @@ object SparkEntry {
           "status" -> col("o_orderstatus")),
         (col("o_totalprice") > 150000).cast("int"))),
 
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // degree/frequency word scores, top-25 phrases corpus-wide
+    "t26_rake_keywords" -> ((s, d) =>
+      RetrievalOps.rakeTopK(docs(s, d), "doc_id", "text",
+        stopWords = Seq("the", "a", "of", "and", "to"), k = 25)),
+
     // deterministic hard-negative sampling: per user (custkey < 30), 3
     // same-brand parts never purchased, ranked by a content hash of the
     // (user, item) pair — block equi-join, never user × catalog
@@ -4537,6 +4543,33 @@ object SparkEntry {
                 ROUND(hy - hcond, 6) AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
          FROM cond JOIN si USING (feature) CROSS JOIN hy""",
+
+    "t26_rake_keywords" ->
+      """WITH tk AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS t
+                     FROM documents),
+         toks AS (SELECT doc_id, i AS pos, t[i] AS w,
+                         t[i] IN ('the', 'a', 'of', 'and', 'to') AS stop
+                  FROM tk, UNNEST(GENERATE_SERIES(1, LEN(t))) AS g(i)),
+         ph AS (SELECT doc_id, pos, w, stop,
+                       SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+                FROM toks),
+         nph AS (SELECT doc_id, pid, w, pos FROM ph WHERE NOT stop),
+         phrases AS (SELECT doc_id, pid,
+                            STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+                            COUNT(*) AS len
+                     FROM nph GROUP BY 1, 2),
+         members AS (SELECT n.doc_id, n.pid, n.w, p.phrase, p.len
+                     FROM nph n JOIN phrases p USING (doc_id, pid)),
+         ws AS (SELECT w,
+                       CAST(ROUND(SUM(len) / CAST(COUNT(*) AS DOUBLE) * 1e12, 0)
+                            AS BIGINT) AS wsfp
+                FROM members GROUP BY 1)
+         SELECT phrase,
+                CAST(COUNT(DISTINCT (m.doc_id, m.pid)) AS BIGINT) AS n_occurrences,
+                ROUND(SUM(wsfp) / COUNT(DISTINCT (m.doc_id, m.pid)) / 1e12, 6) AS score
+         FROM members m JOIN ws USING (w)
+         GROUP BY 1 ORDER BY score DESC, phrase ASC LIMIT 25""",
 
     "ml15_negative_sample" ->
       """WITH inter AS (SELECT o_custkey, p_partkey, p_brand

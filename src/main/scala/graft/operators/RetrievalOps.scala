@@ -76,4 +76,54 @@ object RetrievalOps {
       .orderBy(col("rrf").desc, col(id).asc)
       .limit(k)
   }
+
+  /** RAKE keyword extraction (Rose et al.'s Rapid Automatic Keyword
+    * Extraction) over the whole corpus: candidate phrases are maximal
+    * runs of non-stopword tokens, each word scores
+    * `degree/frequency` (degree = Σ length of the phrases it appears in,
+    * frequency = its occurrence count across phrases), and a phrase
+    * scores the sum of its member word scores. Returns the top-`k`
+    * distinct phrases by score (ties on the phrase text).
+    *
+    * Scale shape: phrase segmentation is a per-doc cumsum window (state
+    * bounded by one document); word and phrase scores are two hash
+    * aggregates over the exploded (phrase, word) frame with an equi-join
+    * between them — never phrase × phrase. Determinism: each word score
+    * is correctly rounded to integer picos before the per-phrase sum, so
+    * the float total is summation-order-independent (the
+    * `categoricalAssociation` argument).
+    */
+  def rakeTopK(docs: DataFrame, id: String, text: String,
+      stopWords: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(id),
+        posexplode(TextFns.tokens(lower(col(text)))).as(Seq("__pos", "__w")))
+      .withColumn("__stop", col("__w").isin(stopWords: _*))
+    // phrase id = running stopword count: consecutive non-stop tokens
+    // share one id, every stopword bumps it (and is then dropped)
+    val w = Window.partitionBy(col(id)).orderBy(col("__pos"))
+    val phrased = toks
+      .withColumn("__pid", sum(col("__stop").cast("long")).over(w))
+      .filter(!col("__stop"))
+    // collect_list order is partition-arbitrary → sort the (pos, word)
+    // structs before joining, so the phrase text is position-ordered
+    val phrases = phrased.groupBy(col(id), col("__pid"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            s => s.getField("__w"))).as("phrase"),
+        count(lit(1)).as("__len"))
+    val members = phrased.select(col(id), col("__pid"), col("__w"))
+      .join(phrases, Seq(id, "__pid"))
+    val wordScores = members.groupBy(col("__w"))
+      .agg((sum(col("__len")).cast("double") / count(lit(1))).as("__ws"))
+      .select(col("__w"),
+        round(col("__ws") * 1e12, 0).cast("long").as("__wsfp"))
+    members.join(wordScores, Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(count_distinct(col(id), col("__pid")).as("n_occurrences"),
+        round((sum(col("__wsfp")) /
+          count_distinct(col(id), col("__pid"))) / 1e12, 6).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
 }
