@@ -1857,6 +1857,12 @@ object SparkEntry {
           "status" -> col("o_orderstatus")),
         (col("o_totalprice") > 150000).cast("int"))),
 
+    // per-source Jensen-Shannon divergence vs the REST of the corpus —
+    // the bounded symmetric drift ranking (t21's KL companion); unseen
+    // mass in closed form, group totals a tiny broadcast
+    "t27_jsd_sources" -> ((s, d) =>
+      SummaryOps.jsdFromRest(docs(s, d), "source", "text")),
+
     // RAKE keyword extraction: stopword-delimited candidate phrases,
     // degree/frequency word scores, top-25 phrases corpus-wide
     "t26_rake_keywords" -> ((s, d) =>
@@ -4543,6 +4549,29 @@ object SparkEntry {
                 ROUND(hy - hcond, 6) AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
          FROM cond JOIN si USING (feature) CROSS JOIN hy""",
+
+    "t27_jsd_sources" ->
+      """WITH tok AS (SELECT source, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t
+                      FROM documents),
+         corpus AS (SELECT t, COUNT(*) AS cc FROM tok GROUP BY 1),
+         total AS (SELECT SUM(cc) AS N FROM corpus),
+         gt AS (SELECT source, COUNT(*) AS Ns FROM tok GROUP BY 1),
+         seen AS (SELECT source, t, COUNT(*) AS sc FROM tok GROUP BY 1, 2),
+         terms AS (SELECT s.source, g.Ns, tt.N,
+                          CAST(s.sc AS DOUBLE) / g.Ns AS p,
+                          CAST(c.cc - s.sc AS DOUBLE) / (tt.N - g.Ns) AS q,
+                          c.cc - s.sc AS rc
+                   FROM seen s JOIN corpus c USING (t)
+                   JOIN gt g USING (source) CROSS JOIN total tt),
+         agg AS (SELECT source, MIN(Ns) AS n_tokens,
+                        SUM(CAST(ROUND((0.5 * p * LN(p / ((p + q) / 2.0)) +
+                          CASE WHEN q > 0 THEN 0.5 * q * LN(q / ((p + q) / 2.0))
+                               ELSE 0 END) * 1e12, 0) AS BIGINT)) / 1e12 AS seenpart,
+                        SUM(rc) / CAST(MIN(N - Ns) AS DOUBLE) AS qcov
+                 FROM terms GROUP BY 1)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                ROUND(seenpart + 0.5 * LN(2) * (1 - qcov), 6) AS jsd
+         FROM agg""",
 
     "t26_rake_keywords" ->
       """WITH tk AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS t

@@ -145,6 +145,49 @@ object SummaryOps {
         round(seenPart + unseenPart, 6).as("kl"))
   }
 
+  /** Per-group Jensen-Shannon divergence between the group's unigram
+    * distribution and the REST of the corpus — the symmetric, bounded
+    * ([0, ln 2]) companion to [[klFromCorpus]] for mixture design: a
+    * source that maximizes JSD is the one contributing the most
+    * distributional novelty.
+    *
+    * No smoothing needed: the mixture M = (P+Q)/2 covers every term
+    * either side carries. Terms the group never saw have p = 0, so their
+    * whole contribution is `0.5·q·ln 2` — summed in closed form as
+    * `0.5·ln 2·(1 − Σ_seen q_t)`, the same no-grid trick as
+    * [[klFromCorpus]]. Group totals are a tiny broadcast (|groups| rows),
+    * so each observed (group, token) row computes its exact contribution
+    * locally; contributions are fixed-point picos summed as BIGINT
+    * (order-independent, engine-exact).
+    */
+  def jsdFromRest(docs: DataFrame, group: String, text: String): DataFrame = {
+    import graft.functions.TextFns
+    val tok = graft.Tables.spread(docs.select(col(group), col(text)), tinyBytes = 0L)
+      .select(col(group), explode(TextFns.tokens(col(text))).as("__tok"))
+    val corpus = tok.groupBy("__tok").agg(count(lit(1)).as("__cc"))
+    val total = corpus.agg(sum("__cc").as("__N"))
+    val groupTotals = tok.groupBy(col(group)).agg(count(lit(1)).as("__Ns"))
+    val seen = tok.groupBy(col(group), col("__tok")).agg(count(lit(1)).as("__sc"))
+      .join(corpus, "__tok")
+      .join(broadcast(groupTotals), Seq(group))
+      .crossJoin(broadcast(total))
+    val p = col("__sc").cast("double") / col("__Ns")
+    val q = (col("__cc") - col("__sc")).cast("double") / (col("__N") - col("__Ns"))
+    val m = (p + q) / 2.0
+    val contrib = lit(0.5) * p * log(p / m) +
+      when(col("__cc") > col("__sc"), lit(0.5) * q * log(q / m)).otherwise(0.0)
+    val ln2 = math.log(2.0)
+    seen.groupBy(col(group))
+      .agg(
+        first(col("__Ns")).as("n_tokens"),
+        (sum(round(contrib * 1e12, 0).cast("long")) / 1e12).as("__seen"),
+        (sum(col("__cc") - col("__sc")).cast("double") /
+          first(col("__N") - col("__Ns"))).as("__qcov"))
+      .select(col(group), col("n_tokens"),
+        round(col("__seen") + lit(0.5 * ln2) * (lit(1.0) - col("__qcov")), 6)
+          .as("jsd"))
+  }
+
   // ---- approximate scale paths ----------------------------------------
   // Exact countDistinct / percentile shuffle every distinct value; at
   // 100 TB the sketch forms below are the production path (bounded-size

@@ -63,7 +63,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "ml13_woe" -> "1-row pos/neg grand totals (explicit broadcast)",
     "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists",
     "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)",
-    "a29_brier" -> "1-row (N, base-rate) totals (explicit broadcast)")
+    "a29_brier" -> "1-row (N, base-rate) totals (explicit broadcast)",
+    "t27_jsd_sources" -> "1-row corpus token total (explicit broadcast)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —
