@@ -1857,6 +1857,17 @@ object SparkEntry {
           "status" -> col("o_orderstatus")),
         (col("o_totalprice") > 150000).cast("int"))),
 
+    // exact Harrell's C-index with censoring — risk-bucketed Fenwick
+    // sweeps + one multi-column time cumsum, never the O(n²) pair join
+    // (the subset keeps the oracle's brute-force theta join tractable;
+    // the engine path is the scale algorithm regardless)
+    "a31_cindex" -> ((s, d) =>
+      ConcordanceOps.cIndex(
+        ord(s, d).filter(col("o_custkey") < 100),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))),
+        when(col("o_orderstatus") === "F", 1).otherwise(0),
+        col("o_totalprice"))),
+
     // per-source Jensen-Shannon divergence vs the REST of the corpus —
     // the bounded symmetric drift ranking (t21's KL companion); unseen
     // mass in closed form, group totals a tiny broadcast
@@ -4549,6 +4560,22 @@ object SparkEntry {
                 ROUND(hy - hcond, 6) AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
          FROM cond JOIN si USING (feature) CROSS JOIN hy""",
+
+    "a31_cindex" ->
+      """WITH s AS (SELECT CAST(DATE_DIFF('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS t,
+                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e,
+                           o_totalprice AS r
+                    FROM orders WHERE o_custkey < 100),
+         p AS (SELECT a.r AS ra, b.r AS rb
+               FROM s a JOIN s b ON a.t < b.t AND a.e = 1)
+         SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS permissible,
+                CAST(SUM(CASE WHEN ra > rb THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS tied_risk,
+                ROUND((SUM(CASE WHEN ra > rb THEN 1 ELSE 0 END) +
+                       0.5 * SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END))
+                      / COUNT(*), 6) AS c_index
+         FROM p""",
 
     "t27_jsd_sources" ->
       """WITH tok AS (SELECT source, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t

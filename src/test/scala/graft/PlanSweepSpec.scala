@@ -64,7 +64,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists",
     "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)",
     "a29_brier" -> "1-row (N, base-rate) totals (explicit broadcast)",
-    "t27_jsd_sources" -> "1-row corpus token total (explicit broadcast)")
+    "t27_jsd_sources" -> "1-row corpus token total (explicit broadcast)",
+    "a31_cindex" -> "bucket-offset triangle (globalCumsums over the distinct-time frame)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —
