@@ -1935,7 +1935,68 @@ object SparkEntry {
             datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
               .cast("long").as("day"),
             round(col("value") * 100, 0).cast("long").as("cents")),
-        "user_id", col("day"), col("cents")))
+        "user_id", col("day"), col("cents"))),
+
+    // exact trailing-7-row median per user — the robust smoother (w12's
+    // EWMA is mean-family; one artifact spike ruins it, the median
+    // shrugs); one partition-keyed sort, bounded frame
+    "w15_rolling_median" -> ((s, d) =>
+      WindowOps.rollingMedian(ev(s, d), Seq("user_id"),
+          Seq("ts", "event_id"), col("value"), k = 7, "roll_med")
+        .select(col("event_id"), round(col("roll_med"), 6).as("roll_med"))),
+
+    // exact tie-corrected Mann-Whitney U, purchase vs view values — the
+    // nonparametric distribution-shift test; ranks via the
+    // exchange-parallel prefix sum, all sufficient statistics integer
+    "a32_mannwhitney" -> ((s, d) =>
+      RegressionOps.mannWhitney(ev(s, d), col("value"), col("event_type"),
+        groupA = "purchase", groupB = "view")),
+
+    // exact population covariance of the 64-dim embedding corpus (upper
+    // triangle) — the PCA/whitening input; pair products generated
+    // map-side by a nested transform, never a self-join
+    "v09_embed_cov" -> ((s, d) =>
+      RegressionOps.embeddingCovariance(emb(s, d), col("embedding"))),
+
+    // leakage-free chronological 80/20 split per user: first 80% of each
+    // user's events (by time) train, tail test — one window pass
+    "ml16_temporal_split" -> ((s, d) =>
+      FoldOps.temporalSplit(ev(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), testFrac = 0.2)
+        .select(col("event_id"), col("split"))),
+
+    // Adamic-Adar link prediction over the STRONG part co-occurrence
+    // graph (pairs seen together in ≥ 2 orders — single co-purchases are
+    // noise and would densify the wedge join ~60×): common-neighbor
+    // count + inverse-log-degree sum per candidate pair, hub-capped
+    "g04_adamic_adar" -> ((s, d) =>
+      GraphOps.adamicAdar(
+        GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
+          .filter(col("cnt") >= 2),
+        "src", "dst", maxDeg = 50, minCommon = 1L)),
+
+    // add-1-smoothed bigram LM trained on the corpus, scoring each doc's
+    // average transition log-likelihood — the cheap perplexity-style
+    // fluency gate of a quality-filter stack
+    "t28_bigram_lm" -> ((s, d) =>
+      SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
+
+    // 24h view→purchase conversion funnel per day: for each view, is
+    // there a purchase by the same user at-or-within 24h after — a
+    // range-frame window (numeric µs axis), never a views×purchases join
+    "q06_conversion_24h" -> ((s, d) => {
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("__us"))
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(Window.currentRow, 24L * 3600 * 1000000)
+      base
+        .withColumn("__p",
+          min(when(col("event_type") === "purchase", col("__us"))).over(w))
+        .filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4753,6 +4814,140 @@ object SparkEntry {
                                   ELSE pv + (nv - pv) * (CAST(bucket - pt AS DOUBLE)
                                        / CAST(nt - pt AS DOUBLE)) END
                            END, 6) AS value_interp
-         FROM n"""
+         FROM n""",
+
+    "w15_rolling_median" ->
+      """SELECT event_id,
+                ROUND(MEDIAN(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_med
+         FROM events""",
+
+    // same doubled-average-rank construction as a28: per distinct value,
+    // group-A count and total; prefix counts via a window cumsum; exact
+    // integer 2·R_A and tie term, double-only closing z assembly
+    "a32_mannwhitney" ->
+      """WITH r0 AS (SELECT value AS v,
+                            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+                     FROM events
+                     WHERE value IS NOT NULL
+                       AND event_type IN ('purchase', 'view')),
+         c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM r0 GROUP BY 1),
+         r AS (SELECT ca, cnt,
+                      CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM c),
+         s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                      CAST(SUM(cnt - ca) AS BIGINT) AS nb,
+                      SUM(CAST(ca AS HUGEINT) * (2 * cum - (cnt - 1))) AS r2a,
+                      SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+               FROM r),
+         u AS (SELECT na, nb,
+                      CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2
+                        AS ua,
+                      ties
+               FROM s)
+         SELECT na AS n_a, nb AS n_b, ROUND(ua, 6) AS u_a,
+                ROUND((ua - CAST(na AS DOUBLE) * nb / 2)
+                      / SQRT(CAST(na AS DOUBLE) * nb / 12
+                             * (CAST(na + nb + 1 AS DOUBLE)
+                                - CAST(ties AS DOUBLE)
+                                  / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))),
+                  6) AS z
+         FROM u""",
+
+    // pair products via the row-local double unnest (generate_subscripts
+    // is 1-based — shifted to the engine's 0-based lambda index)
+    "v09_embed_cov" ->
+      """WITH e AS (SELECT vec_id,
+                           CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                           CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1
+                             AS i
+                    FROM embeddings),
+         p AS (SELECT a.i AS i, b.i AS j, a.x AS xa, b.x AS xb
+               FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+         SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND((SUM(xa * xb) - SUM(xa) * SUM(xb) / COUNT(*))
+                      / COUNT(*), 6) AS cov
+         FROM p GROUP BY 1, 2""",
+
+    "ml16_temporal_split" ->
+      """WITH r AS (SELECT event_id,
+                           ROW_NUMBER() OVER w AS rn,
+                           COUNT(*) OVER (PARTITION BY user_id) AS n
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id,
+                CASE WHEN rn <= CEIL(n * 0.8) THEN 'train' ELSE 'test' END
+                  AS split
+         FROM r""",
+
+    // co-occurrence edges (same construction as g01-g03), adjacency both
+    // directions, hub cap BEFORE the wedge join, shared neighbor has
+    // degree ≥ 2 so 1/LN(deg) is finite
+    "g04_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+         e AS (SELECT a.i AS u, b.i AS v
+               FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS z, v AS n FROM e
+                 UNION ALL SELECT v AS z, u AS n FROM e),
+         deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+         small AS (SELECT adj.z, adj.n, deg.d
+                   FROM adj JOIN deg USING (z) WHERE deg.d <= 50)
+         SELECT a.n AS node_a, b.n AS node_b,
+                CAST(COUNT(*) AS BIGINT) AS common,
+                ROUND(SUM(1.0 / LN(a.d)), 6) AS adamic_adar
+         FROM small a JOIN small b ON a.z = b.z AND a.n < b.n
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 1""",
+
+    // add-1-smoothed bigram model: bigram + unigram count joins over the
+    // per-doc distinct-bigram frame; V a one-row cross join; docs with
+    // < 2 tokens surface with zero bigrams and a NULL score
+    "t28_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                         k -> toks[k] || ' ' || toks[k+1])) AS bg
+                FROM t WHERE LEN(toks) >= 2),
+         m AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+               FROM bg GROUP BY 1, 2),
+         cb AS (SELECT bg, CAST(SUM(m) AS BIGINT) AS cbg FROM m GROUP BY 1),
+         uni AS (SELECT UNNEST(toks) AS tok FROM t),
+         cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
+                       SUM(m.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll
+                FROM m
+                JOIN cb USING (bg)
+                JOIN cu ON cu.tok = SPLIT_PART(m.bg, ' ', 1)
+                CROSS JOIN v
+                GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+                ROUND(sc.ll / sc.nb, 6) AS avg_logprob
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    "q06_conversion_24h" ->
+      """WITH b AS (SELECT user_id, event_type, ts, epoch_us(ts) AS us
+                    FROM events),
+         c AS (SELECT user_id, event_type, ts,
+                      MIN(CASE WHEN event_type = 'purchase' THEN us END)
+                        OVER (PARTITION BY user_id ORDER BY us
+                              RANGE BETWEEN CURRENT ROW
+                                AND 86400000000 FOLLOWING) AS p
+               FROM b)
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS n_views,
+                CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_converted
+         FROM c
+         WHERE event_type = 'view'
+         GROUP BY 1"""
   )
 }

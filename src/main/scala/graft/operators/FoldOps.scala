@@ -303,4 +303,25 @@ object FoldOps {
         round(col("__tot").cast("double") / (col("__k") * col("n")), 6)
           .as("weight"))
   }
+
+  /** Leakage-free chronological train/test split per entity: each
+    * entity's FIRST ceil((1−testFrac)·n) rows (in `orderCols` order) are
+    * "train", the tail is "test" — the split every sequential-model
+    * pipeline needs (random row splits leak future→past). `row_number`
+    * and the partition count share ONE window spec, so the whole
+    * operator is a single partition-keyed sort exchange; no per-entity
+    * count join, no global sort.
+    */
+  def temporalSplit(df: DataFrame, partKeys: Seq[String],
+      orderCols: Seq[Column], testFrac: Double,
+      name: String = "split"): DataFrame = {
+    val w = Window.partitionBy(partKeys.map(col): _*).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(partKeys.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn(name,
+        when(col("__rn") <= ceil(col("__n") * (1.0 - testFrac)), "train")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
 }

@@ -151,4 +151,36 @@ object GraphOps {
       .groupBy("__n").agg(count(lit(1)).as("__deg"))
       .groupBy(col("__deg").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
+
+  /** Link-prediction features per candidate node pair: common-neighbor
+    * count and the Adamic-Adar index Σ_z 1/ln(deg(z)) over shared
+    * neighbors z — the classic "which unlinked pairs are likely related"
+    * score (entity-resolution candidate ranking, recommendation recall).
+    *
+    * The pair generator is the wedge join (adjacency ⋈ adjacency on the
+    * shared endpoint), whose cost is Σ deg(z)² — so hubs above `maxDeg`
+    * are dropped from the SHARED-endpoint side first (the same
+    * bound-the-quadratic-term-up-front argument as the LSH bucket cap; a
+    * hub shared by everything carries no discriminative signal anyway,
+    * exactly like a stopword in the PMI query). A shared neighbor has
+    * deg ≥ 2 by construction, so ln(deg) > 0 and the reciprocal is
+    * always finite.
+    *
+    * Input must be canonical undirected (`src < dst`); output pairs are
+    * id-ordered with `common ≥ minCommon`.
+    */
+  def adamicAdar(edges: DataFrame, src: String, dst: String,
+      maxDeg: Int = 1000, minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+    val adj = e.select(col("__u").as("__z"), col("__v").as("__n"))
+      .union(e.select(col("__v").as("__z"), col("__u").as("__n")))
+    val deg = adj.groupBy("__z").agg(count(lit(1)).as("__deg"))
+    val small = adj.join(deg.filter(col("__deg") <= maxDeg), Seq("__z"))
+    small.alias("a").join(small.alias("b"),
+        col("a.__z") === col("b.__z") && col("a.__n") < col("b.__n"))
+      .groupBy(col("a.__n").as("node_a"), col("b.__n").as("node_b"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("a.__deg"))), 6).as("adamic_adar"))
+      .filter(col("common") >= minCommon)
+  }
 }

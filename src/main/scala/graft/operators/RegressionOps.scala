@@ -215,4 +215,91 @@ object RegressionOps {
               (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")),
           6).as("rho"))
   }
+
+  /** Exact tie-corrected Mann-Whitney U between two groups — the
+    * nonparametric "did distribution A shift vs B" test a monitoring
+    * pipeline runs per segment (the reference reaches for scipy's
+    * `mannwhitneyu` in its evaluation notebooks; here it is three hash
+    * aggregations and one exchange-parallel prefix sum).
+    *
+    * Same doubled-average-rank construction as [[spearman]]: per distinct
+    * value, per-group counts; global rank prefix via
+    * [[RankOps.globalCumsum]] (never a single-partition window); then
+    *
+    *   2·R_A = Σ_v cntA(v) · (2·cum(v) − (cnt(v) − 1))
+    *   2·U_A = 2·R_A − nA·(nA+1)
+    *
+    * with every sufficient statistic an exact integer (DECIMAL(38,0)),
+    * including the tie term Σ(t³−t). Only the closing z assembly is
+    * floating point, mirrored op-for-op by the oracle:
+    *
+    *   z = (U_A − nA·nB/2) / sqrt(nA·nB/12 · (n+1 − Σ(t³−t)/(n·(n−1))))
+    *
+    * Scale: distinct-value frame is the only shuffled intermediate; the
+    * rank rejoin is an equi-join on value; output is one row.
+    */
+  def mannWhitney(df: DataFrame, value: Column, group: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val rows = df.select(value.as("__v"), group.as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isin(groupA, groupB))
+    val counts = rows.groupBy(col("__v")).agg(
+      sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+      count(lit(1)).as("__cnt"))
+    val ranked = RankOps.globalCumsum(counts, Seq(col("__v")), col("__cnt"), "__cum")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    ranked
+      .agg(
+        sum(col("__ca")).as("__na"),
+        sum(col("__cnt") - col("__ca")).as("__nb"),
+        // Σ cntA·(2·cum − (cnt−1)) = 2·R_A, exact
+        sum(dec(col("__ca")) * (lit(2) * col("__cum") - (col("__cnt") - 1)))
+          .as("__2ra"),
+        sum(dec(col("__cnt")) * col("__cnt") * col("__cnt") - dec(col("__cnt")))
+          .as("__ties"))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        ((col("__2ra") - dec(col("__na")) * (col("__na") + 1)).cast("double") / 2)
+          .as("u_a"),
+        col("__2ra"), col("__ties"))
+      .select(col("n_a"), col("n_b"), round(col("u_a"), 6).as("u_a"),
+        round(
+          (col("u_a") - col("n_a").cast("double") * col("n_b") / 2) /
+            sqrt(col("n_a").cast("double") * col("n_b") / 12 *
+              ((col("n_a") + col("n_b") + lit(1)).cast("double") -
+                col("__ties").cast("double") /
+                  ((col("n_a") + col("n_b")).cast("double") *
+                    (col("n_a") + col("n_b") - lit(1))))),
+          6).as("z"))
+  }
+
+  /** Exact population covariance matrix of a fixed-dimension embedding
+    * column — the input to PCA-whitening / decorrelation stages of an
+    * embedding-curation pipeline. Upper triangle only (i ≤ j), one row per
+    * dim pair.
+    *
+    * No self-join: each row expands to its own d·(d+1)/2 (i, j, xi, xj)
+    * quads with a nested `transform` + `flatten` expression tree, so the
+    * pair products are generated map-side and the only shuffle is the
+    * final hash aggregate on the (i, j) key — d²/2 groups, map-side
+    * combined. At d=64 that is 2 080 rows out regardless of input size;
+    * the n·d²/2 intermediate never materializes (it streams through the
+    * partial aggregate). Float lanes are cast to double at extraction;
+    * the closing (Σxy − ΣxΣy/n)/n assembly is mirrored by the oracle.
+    */
+  def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
+    val quads = flatten(transform(vec, (xi, i) =>
+      transform(vec, (xj, j) =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          xi.cast("double").as("a"), xj.cast("double").as("b")))))
+    df.select(explode(quads).as("q"))
+      .select(col("q.i").as("i"), col("q.j").as("j"),
+        col("q.a").as("a"), col("q.b").as("b"))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("__sa"),
+        sum(col("b")).as("__sb"), sum(col("a") * col("b")).as("__sab"))
+      .select(col("i"), col("j"), col("n"),
+        round((col("__sab") - col("__sa") * col("__sb") / col("n")) / col("n"), 6)
+          .as("cov"))
+  }
 }

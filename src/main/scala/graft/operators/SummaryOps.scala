@@ -201,6 +201,46 @@ object SummaryOps {
     * registers, so the shuffle is |groups| rows no matter how many
     * distinct values exist.
     */
+  /** Per-document average bigram log-likelihood under an add-1-smoothed
+    * bigram model trained on the corpus itself — the cheap
+    * perplexity-style fluency score of a quality-filter stack (docs whose
+    * token transitions are unlike the corpus score low: shuffled text,
+    * boilerplate tables, wrong-language fragments).
+    *
+    *   score(d) = (1/|bigrams_d|) Σ ln (c(prev,cur)+1) / (c(prev)+V)
+    *
+    * with c(·) corpus counts and V the unigram vocabulary size. Training
+    * and scoring are the same two hash aggregates (bigram counts, unigram
+    * counts) rejoined to the per-doc distinct-bigram frame — the join
+    * carries each doc's DISTINCT bigrams with multiplicities (collapsed
+    * map-side), never the raw token stream. V is a 1-row broadcast. Docs
+    * with < 2 tokens have no bigrams and are emitted with a null score.
+    */
+  def bigramLogProb(docs: DataFrame, id: String, text: String): DataFrame = {
+    import graft.functions.TextFns
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+    val bg = toks.select(col(id),
+        explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
+      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
+    val bgCounts = bg.groupBy("__bg").agg(sum(col("__m")).as("__cbg"))
+    val uni = toks.select(col(id), explode(col("__t")).as("__tok"))
+    val uniCounts = uni.groupBy("__tok").agg(count(lit(1)).as("__cu"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
+    val scored = bg
+      .join(bgCounts, Seq("__bg"))
+      .withColumn("__prev", substring_index(col("__bg"), " ", 1))
+      .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(id))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__m") * log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))))
+          .as("__ll"))
+    docs.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__ll") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
   def approxDistinctCount(df: DataFrame, group: String, c: String,
       rsd: Double = 0.05): DataFrame =
     df.groupBy(group).agg(approx_count_distinct(col(c), rsd).as("approx_distinct"))

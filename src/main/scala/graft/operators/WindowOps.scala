@@ -88,6 +88,20 @@ object WindowOps {
     * (reference inter-visit day deltas, `preprocess_outcomes.py:129-139`).
     * `gap` receives (previous, current).
     */
+  /** Exact trailing-k-row median per entity — the robust smoother for
+    * noisy clinical / telemetry series (a rolling mean is one artifact
+    * spike away from useless; the reference smooths with pandas
+    * `.rolling(...).median()`). `percentile(v, 0.5)` is Spark's EXACT
+    * percentile aggregate evaluated over a bounded ROWS frame, so state
+    * per window position is k values — partition-keyed, one sort
+    * exchange, no approximation.
+    */
+  def rollingMedian(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      value: Column, k: Int, name: String): DataFrame = {
+    val w = spec(partKeys, orderCols).rowsBetween(-(k - 1), Window.currentRow)
+    df.withColumn(name, percentile(value, lit(0.5)).over(w))
+  }
+
   def lagGap(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
       value: Column, gap: (Column, Column) => Column, name: String): DataFrame = {
     val w = spec(partKeys, orderCols)

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.dedup.DedupOps
+
+/** Hand-computed oracles for the round-7 operator batch. */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Mann-Whitney U ----
+
+  test("mannWhitney: no ties, U and z match the textbook values") {
+    // A = {1, 3}, B = {2, 4}: ranks 1..4, R_A = 4, U_A = 1
+    val df = Seq((1.0, "A"), (3.0, "A"), (2.0, "B"), (4.0, "B"))
+      .toDF("v", "g")
+    val r = RegressionOps.mannWhitney(df, col("v"), col("g"), "A", "B")
+      .collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0)
+    // z = (1 - 2)/sqrt(4/12 * 5) = -0.774597
+    assert(r.getDouble(3) === -0.774597)
+  }
+
+  test("mannWhitney: tied value spans both groups, tie-corrected variance") {
+    // A = {1, 2}, B = {2, 3}: avg ranks 1, 2.5, 2.5, 4 → R_A = 3.5,
+    // U_A = 0.5; one tie group of 2 → Σ(t³−t) = 6
+    val df = Seq((1.0, "A"), (2.0, "A"), (2.0, "B"), (3.0, "B"))
+      .toDF("v", "g")
+    val r = RegressionOps.mannWhitney(df, col("v"), col("g"), "A", "B")
+      .collect()(0)
+    assert(r.getDouble(2) === 0.5)
+    // σ² = (4/12)·(5 − 6/12) = 1.5 → z = -1.5/sqrt(1.5) = -1.224745
+    assert(r.getDouble(3) === -1.224745)
+  }
+
+  test("mannWhitney ignores rows outside the two groups and null values") {
+    val df = Seq((1.0, "A"), (3.0, "A"), (2.0, "B"), (4.0, "B"),
+      (99.0, "C"), (Double.NaN, "zzz"))
+      .toDF("v", "g")
+      .withColumn("v", when(col("g") === "zzz", lit(null)).otherwise(col("v")))
+    val r = RegressionOps.mannWhitney(df, col("v"), col("g"), "A", "B")
+      .collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  // ---- embedding covariance ----
+
+  test("embeddingCovariance: exact 2-dim population covariance") {
+    val df = Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(5f, 12f)).toDF("e")
+    val out = RegressionOps.embeddingCovariance(df, col("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.size === 3) // upper triangle only
+    assert(out((0L, 0L)) === 2.666667) // var dim0 = 8/3
+    assert(out((0L, 1L)) === 6.666667) // cov = 20/3
+    assert(out((1L, 1L)) === 18.666667) // var dim1 = 56/3
+  }
+
+  // ---- rolling median ----
+
+  test("rollingMedian: trailing-3 exact median, interpolated at even count") {
+    val df = Seq((1, 1, 1.0), (1, 2, 9.0), (1, 3, 2.0), (1, 4, 8.0),
+      (1, 5, 3.0)).toDF("u", "t", "v")
+    val out = WindowOps.rollingMedian(df, Seq("u"), Seq("t"), col("v"),
+        k = 3, "med")
+      .orderBy("t").collect().map(_.getDouble(3))
+    assert(out.toSeq === Seq(1.0, 5.0, 2.0, 8.0, 3.0))
+  }
+
+  test("rollingMedian is per-entity: partitions never bleed") {
+    val df = Seq((1, 1, 10.0), (2, 2, 99.0), (1, 3, 20.0)).toDF("u", "t", "v")
+    val out = WindowOps.rollingMedian(df, Seq("u"), Seq("t"), col("v"),
+        k = 3, "med")
+      .orderBy("u", "t").collect().map(_.getDouble(3))
+    assert(out.toSeq === Seq(10.0, 15.0, 99.0))
+  }
+
+  // ---- temporal split ----
+
+  test("temporalSplit: 80/20 boundary is ceil((1-f)·n), order-respecting") {
+    // 5 rows → 4 train + 1 test, the LAST row is the test row
+    val df = (1 to 5).map(i => (7, i)).toDF("u", "t")
+    val out = FoldOps.temporalSplit(df, Seq("u"), Seq(col("t")), 0.2)
+      .orderBy("t").collect().map(_.getString(2))
+    assert(out.toSeq === Seq("train", "train", "train", "train", "test"))
+  }
+
+  test("temporalSplit: tiny entities keep all rows in train (no leakage risk)") {
+    val df = Seq((1, 1), (2, 1), (2, 2)).toDF("u", "t")
+    val out = FoldOps.temporalSplit(df, Seq("u"), Seq(col("t")), 0.2)
+      .collect().map(_.getString(2))
+    assert(out.forall(_ == "train")) // ceil(1·0.8)=1, ceil(2·0.8)=2
+  }
+
+  // ---- Adamic-Adar ----
+
+  test("adamicAdar: shared-neighbor counts and inverse-log-degree sums") {
+    // z—{a,b,c}, w—{a,b}; degrees z=3, w=2, a=2, b=2, c=1
+    val edges = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("a", "w"), ("b", "w"))
+      .toDF("src", "dst")
+    val out = GraphOps.adamicAdar(edges, "src", "dst",
+        maxDeg = 100, minCommon = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // (a,b) share z and w: 1/ln3 + 1/ln2
+    assert(out(("a", "b")) === ((2L, 2.352934)))
+    // (a,c)/(b,c) share z only
+    assert(out(("a", "c")) === ((1L, 0.910239)))
+    assert(out(("b", "c")) === ((1L, 0.910239)))
+    // (w,z) share a and b: 2/ln2
+    assert(out(("w", "z")) === ((2L, 2.88539)))
+    assert(out.size === 4)
+  }
+
+  test("adamicAdar: hub cap drops wedges through over-degree nodes") {
+    val edges = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("a", "w"), ("b", "w"))
+      .toDF("src", "dst")
+    val out = GraphOps.adamicAdar(edges, "src", "dst",
+        maxDeg = 2, minCommon = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // z (deg 3) is capped out as a shared endpoint: (a,b) keeps only its
+    // w-wedge, (w,z) still forms through a and b, c pairs with nobody
+    assert(out === Map(("a", "b") -> 1L, ("w", "z") -> 2L))
+  }
+
+  // ---- bigram LM ----
+
+  test("bigramLogProb: add-1 smoothed transition scores, hand-checked") {
+    // corpus: "a b a", "b a", "x" → c(a)=3, c(b)=2, c(x)=1, V=3
+    // bigram counts: "a b"=1, "b a"=2
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val out = SummaryOps.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // doc1: [ln(2/6) + ln(3/5)]/2 = -0.804719
+    assert(out(1L) === ((2L, -0.804719)))
+    // doc2: ln(3/5) = -0.510826
+    assert(out(2L) === ((1L, -0.510826)))
+    // doc3: no bigrams → null score
+    assert(out(3L) === ((0L, null)))
+  }
+}
