@@ -1981,6 +1981,26 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // a15's AUROC with its DeLong standard error and 95% CI — integer
+    // placement-value moments from ONE pinned cumsum over the
+    // distinct-score frame
+    "a33_auroc_delong" -> ((s, d) =>
+      MetricsOps.aurocDeLong(ord(s, d), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0))),
+
+    // chance-corrected agreement between two cheap labelers (priority-
+    // derived vs price-derived "high/low") — exact integer kappa algebra
+    "a34_cohens_kappa" -> ((s, d) =>
+      AssociationOps.cohensKappa(ord(s, d),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .otherwise("low"),
+        when(col("o_totalprice") > 150000, "high").otherwise("low"))),
+
+    // per-user calendar coverage: active days / span, largest silence gap
+    // — the "is this source still reporting" freshness scorecard
+    "dq08_completeness" -> ((s, d) =>
+      TimeSeriesOps.activityCompleteness(ev(s, d), "user_id", "ts")),
+
     // 24h view→purchase conversion funnel per day: for each view, is
     // there a purchase by the same user at-or-within 24h after — a
     // range-frame window (numeric µs axis), never a views×purchases join
@@ -4932,6 +4952,103 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // mirrors the engine op-for-op: integer placement moments over the
+    // distinct-score frame, double-only closing SE/CI assembly
+    "a33_auroc_delong" ->
+      """WITH r0 AS (SELECT o_totalprice AS s,
+                            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                     FROM orders),
+         c AS (SELECT s, CAST(SUM(y) AS BIGINT) AS cp,
+                      CAST(SUM(1 - y) AS BIGINT) AS cn
+               FROM r0 GROUP BY 1),
+         cum AS (SELECT cp, cn,
+                        CAST(SUM(cp) OVER w AS BIGINT) AS cump,
+                        CAST(SUM(cn) OVER w AS BIGINT) AS cumn
+                 FROM c
+                 WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+         tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS m,
+                        CAST(SUM(cn) AS BIGINT) AS n
+                 FROM c),
+         st AS (SELECT m, n,
+                       SUM(CAST(cp AS HUGEINT) * (2 * cumn - cn)) AS sa,
+                       SUM(CAST(cp AS HUGEINT) * (2 * cumn - cn)
+                           * (2 * cumn - cn)) AS saa,
+                       SUM(CAST(cn AS HUGEINT) * (2 * (m - cump) + cp)
+                           * (2 * (m - cump) + cp)) AS sbb
+                FROM cum CROSS JOIN tot GROUP BY 1, 2),
+         fin AS (SELECT m, n,
+                        CAST(sa AS DOUBLE)
+                          / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS th,
+                        (CAST(saa AS DOUBLE)
+                           / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         - CAST(m AS DOUBLE) * (CAST(sa AS DOUBLE)
+                             / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)))
+                           * (CAST(sa AS DOUBLE)
+                             / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))))
+                          / (CAST(m AS DOUBLE) - 1.0) AS s10,
+                        (CAST(sbb AS DOUBLE)
+                           / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                         - CAST(n AS DOUBLE) * (CAST(sa AS DOUBLE)
+                             / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)))
+                           * (CAST(sa AS DOUBLE)
+                             / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))))
+                          / (CAST(n AS DOUBLE) - 1.0) AS s01
+                 FROM st)
+         SELECT m AS n_pos, n AS n_neg, ROUND(th, 6) AS auc,
+                ROUND(SQRT(s10 / CAST(m AS DOUBLE) + s01 / CAST(n AS DOUBLE)),
+                  6) AS se,
+                ROUND(th - 1.959964 * SQRT(s10 / CAST(m AS DOUBLE)
+                  + s01 / CAST(n AS DOUBLE)), 6) AS ci_lo,
+                ROUND(th + 1.959964 * SQRT(s10 / CAST(m AS DOUBLE)
+                  + s01 / CAST(n AS DOUBLE)), 6) AS ci_hi
+         FROM fin""",
+
+    // κ cleared of denominators: (N·Σ n_kk − Σ n_a·n_b)/(N² − Σ n_a·n_b),
+    // all-integer operands, single rounded division
+    "a34_cohens_kappa" ->
+      """WITH r0 AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 'high' ELSE 'low' END AS a,
+                            CASE WHEN o_totalprice > 150000
+                              THEN 'high' ELSE 'low' END AS b
+                     FROM orders),
+         cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+                   FROM r0 GROUP BY 1, 2),
+         ag AS (SELECT CAST(SUM(CASE WHEN a = b THEN nab ELSE 0 END) AS BIGINT)
+                         AS diag,
+                       CAST(SUM(nab) AS BIGINT) AS n
+                FROM cells),
+         ma AS (SELECT a AS k, CAST(SUM(nab) AS BIGINT) AS na
+                FROM cells GROUP BY 1),
+         mb AS (SELECT b AS k, CAST(SUM(nab) AS BIGINT) AS nb
+                FROM cells GROUP BY 1),
+         pe AS (SELECT SUM(CAST(na AS HUGEINT) * nb) AS sab
+                FROM ma JOIN mb USING (k))
+         SELECT n, ROUND(CAST(diag AS DOUBLE) / n, 6) AS p_obs,
+                ROUND(CAST(sab AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS p_exp,
+                CASE WHEN CAST(n AS HUGEINT) * n <> sab THEN
+                  ROUND(CAST(CAST(n AS HUGEINT) * diag - sab AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * n - sab AS DOUBLE), 6)
+                END AS kappa
+         FROM ag CROSS JOIN pe""",
+
+    "dq08_completeness" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                           CAST(date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS BIGINT) AS day
+                    FROM events),
+         g AS (SELECT user_id, day,
+                      day - LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                        AS gap
+               FROM d)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days,
+                CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+                ROUND(CAST(COUNT(*) AS DOUBLE) / (MAX(day) - MIN(day) + 1), 6)
+                  AS completeness,
+                CAST(COALESCE(MAX(gap), 1) AS BIGINT) AS max_gap
+         FROM g GROUP BY 1""",
 
     "q06_conversion_24h" ->
       """WITH b AS (SELECT user_id, event_type, ts, epoch_us(ts) AS us

@@ -421,4 +421,56 @@ object MetricsOps {
         round(col("__tot") * (obs - exp_) * (obs - exp_) / exp_, 6)
           .as("chi2_part"))
   }
+
+  /** AUROC with the DeLong standard error and 95% CI — the version of a15
+    * a model report actually ships (an AUC without an interval is a point
+    * guess). DeLong's estimator from the placement values:
+    *
+    *   V10_i = Pr̂(s_neg < s_i) + ½Pr̂(s_neg = s_i)   (per positive i)
+    *   V01_j = Pr̂(s_pos > s_j) + ½Pr̂(s_pos = s_j)   (per negative j)
+    *   SE²   = S10/m + S01/n     (sample variances of V10, V01)
+    *
+    * Distributed form: positives/negatives at the same score share one
+    * placement value, so everything reduces to the distinct-score frame
+    * with per-score (cntP, cntN) and BOTH cumulative counts from ONE
+    * pinned range shuffle ([[RankOps.globalCumsums]] — the a20/dq05
+    * shape). With A_v = 2·cumN(v) − cntN(v) = 2n·V10 and
+    * B_v = 2·(m − cumP(v)) + cntP(v) = 2m·V01, every sufficient statistic
+    * (Σ cntP·A, Σ cntP·A², Σ cntN·B, Σ cntN·B²) is an exact integer
+    * summed as DECIMAL(38,0) — order-free, engine-exact; only the closing
+    * SE/CI assembly is floating point, mirrored op-for-op by the oracle.
+    * AUC = Σ cntP·A / (2nm) reproduces a15's rank-sum value exactly.
+    */
+  def aurocDeLong(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val rows = df.select(score.as("__s"), label.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val counts = rows.groupBy(col("__s")).agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("__y") === 1, 0L).otherwise(1L)).as("__cn"))
+    val cum = RankOps.globalCumsums(counts, Seq(col("__s").asc),
+      Seq(col("__cp") -> "__cumP", col("__cn") -> "__cumN"))
+    val tot = counts.agg(sum("__cp").as("__m"), sum("__cn").as("__n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val a = lit(2) * col("__cumN") - col("__cn")
+    val b = lit(2) * (col("__m") - col("__cumP")) + col("__cp")
+    val mD = col("n_pos").cast("double")
+    val nD = col("n_neg").cast("double")
+    val theta = col("__sa").cast("double") / (lit(2.0) * nD * mD)
+    val s10 = (col("__saa").cast("double") / (lit(4.0) * nD * nD) - mD * theta * theta) /
+      (mD - 1.0)
+    val s01 = (col("__sbb").cast("double") / (lit(4.0) * mD * mD) - nD * theta * theta) /
+      (nD - 1.0)
+    val se = sqrt(s10 / mD + s01 / nD)
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("__m")).as("n_pos"), max(col("__n")).as("n_neg"),
+        sum(dec(col("__cp")) * a).as("__sa"),
+        sum(dec(col("__cp")) * a * a).as("__saa"),
+        sum(dec(col("__cn")) * b * b).as("__sbb"))
+      .select(col("n_pos"), col("n_neg"),
+        round(theta, 6).as("auc"),
+        round(se, 6).as("se"),
+        round(theta - lit(1.959964) * se, 6).as("ci_lo"),
+        round(theta + lit(1.959964) * se, 6).as("ci_hi"))
+  }
 }

@@ -311,4 +311,34 @@ object TimeSeriesOps {
       .select(col(id), col(key), col("dow"), col("hod"),
         value.as("v"), round(col("__z"), 3).as("z"))
   }
+
+  /** Per-entity calendar-coverage profile — the data-quality "is this
+    * source still reporting" monitor: span (first→last active day), count
+    * of ACTIVE days, completeness ratio, and the largest gap between
+    * consecutive active days (1 = no gap). A feed whose completeness
+    * decays or whose max_gap spikes is dying quietly; at 100 TB this is
+    * the per-source freshness scorecard.
+    *
+    * Shape: distinct (entity, day) — a hash aggregate that collapses the
+    * event stream BEFORE any window — then one partition-keyed lag window
+    * and a final per-entity aggregate on the same key: two shuffles on
+    * the entity key, state bounded by active days per entity, all counts
+    * exact integers.
+    */
+  def activityCompleteness(df: DataFrame, key: String, ts: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(key),
+        datediff(to_date(col(ts)), lit("1970-01-01")).cast("long").as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("__day"))
+    days
+      .withColumn("__gap", col("__day") - lag(col("__day"), 1).over(w))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("active_days"),
+        (max("__day") - min("__day") + 1).as("span_days"),
+        round(count(lit(1)).cast("double") /
+          (max("__day") - min("__day") + 1), 6).as("completeness"),
+        coalesce(max("__gap"), lit(1L)).as("max_gap"))
+  }
 }

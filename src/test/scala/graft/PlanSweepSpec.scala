@@ -67,7 +67,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "t27_jsd_sources" -> "1-row corpus token total (explicit broadcast)",
     "a31_cindex" -> "bucket-offset triangle (globalCumsums over the distinct-time frame)",
     "a32_mannwhitney" -> "bucket-offset triangle (globalCumsum over the distinct-value frame)",
-    "t28_bigram_lm" -> "1-row vocabulary size V (explicit broadcast)")
+    "t28_bigram_lm" -> "1-row vocabulary size V (explicit broadcast)",
+    "a33_auroc_delong" -> "bucket-offset triangle (globalCumsums) + 1-row (m, n) totals",
+    "a34_cohens_kappa" -> "1-row Σ marginal-product scalar (explicit broadcast)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -129,6 +129,66 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out === Map(("a", "b") -> 1L, ("w", "z") -> 2L))
   }
 
+  // ---- DeLong AUROC ----
+
+  test("aurocDeLong: AUC, placement-value SE and CI on a hand example") {
+    // pos {3, 5}, neg {1, 2, 5}: V10 = {4/6, 5/6}, V01 = {1, 1, 1/4}
+    // θ = 0.75, S10 = 1/72, S01 = 3/16, SE = sqrt(S10/2 + S01/3)
+    val df = Seq((3.0, 1), (5.0, 1), (1.0, 0), (2.0, 0), (5.0, 0))
+      .toDF("s", "y")
+    val r = MetricsOps.aurocDeLong(df, col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.75)
+    val se = math.sqrt(1.0 / 72 / 2 + 3.0 / 16 / 3)
+    assert(math.abs(r.getDouble(3) - se) < 1e-6)
+    assert(math.abs(r.getDouble(4) - (0.75 - 1.959964 * se)) < 1e-5)
+    assert(math.abs(r.getDouble(5) - (0.75 + 1.959964 * se)) < 1e-5)
+  }
+
+  test("aurocDeLong: perfect separation gives auc 1, se 0") {
+    val df = Seq((10.0, 1), (11.0, 1), (1.0, 0), (2.0, 0)).toDF("s", "y")
+    val r = MetricsOps.aurocDeLong(df, col("s"), col("y")).collect()(0)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  // ---- Cohen's kappa ----
+
+  test("cohensKappa: textbook 2x2 table gives kappa 0.4") {
+    // yes/yes 20, yes/no 5, no/yes 10, no/no 15 → po=0.7, pe=0.5, κ=0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = AssociationOps.cohensKappa(rows.toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(r.getLong(0) === 50L)
+    assert(r.getDouble(1) === 0.7)
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 0.4)
+  }
+
+  test("cohensKappa: both raters constant on one label → pe=1, kappa null") {
+    val df = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = AssociationOps.cohensKappa(df, col("a"), col("b")).collect()(0)
+    assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 1.0)
+    assert(r.isNullAt(3))
+  }
+
+  // ---- activity completeness ----
+
+  test("activityCompleteness: coverage ratio and max silence gap") {
+    val df = Seq(
+      (1, "1970-01-01"), (1, "1970-01-02"), (1, "1970-01-04"),
+      (1, "1970-01-02"), // duplicate activity on a day collapses
+      (2, "1970-03-01"))
+      .toDF("u", "d").withColumn("ts", to_timestamp(col("d")))
+    val out = TimeSeriesOps.activityCompleteness(df, "u", "ts")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(1) === ((3L, 4L, 0.75, 2L)))
+    assert(out(2) === ((1L, 1L, 1.0, 1L)))
+  }
+
   // ---- bigram LM ----
 
   test("bigramLogProb: add-1 smoothed transition scores, hand-checked") {
