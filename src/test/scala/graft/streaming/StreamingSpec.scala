@@ -288,4 +288,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming 24h conversion funnel equals the batch q06 converted-view set") {
+    import spark.implicits._
+    // the funnel is pointInIntervalStream with the roles flipped: the VIEW
+    // opens a [view, view+24h] interval, PURCHASES are the points; a view
+    // is converted iff at least one purchase point lands in its interval —
+    // dedup on the view id collapses multi-purchase matches, mirroring the
+    // batch query's "min purchase in frame is not null" predicate
+    val dir = Files.createTempDirectory("graft-funnel")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    def src() = EventStreams.withEventTime(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
+
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts")
+    val views = src().filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val joined = EventStreams.pointInIntervalStream(
+      purchases, views, "user_id", "ts", "view_ts",
+      expr("INTERVAL 24 HOURS"), horizon = "48 hours")
+    val q = joined.select("view_id").writeStream
+      .format("memory").queryName("funnel").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("funnel").as[Long].collect().toSet
+
+    // batch q06 predicate, kept at the per-view grain: min purchase µs in
+    // [view, view+24h] not null
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        24L * 3600 * 1000000)
+    val batch = ev
+      .withColumn("p",
+        min(when($"event_type" === "purchase", $"us")).over(w))
+      .filter($"event_type" === "view" && $"p".isNotNull)
+      .select("event_id").as[Long].collect().toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
