@@ -278,23 +278,26 @@ object RegressionOps {
     * dim pair.
     *
     * No self-join: each row expands to its own d·(d+1)/2 (i, j, xi, xj)
-    * quads with a nested `transform` + `flatten` expression tree, so the
-    * pair products are generated map-side and the only shuffle is the
-    * final hash aggregate on the (i, j) key — d²/2 groups, map-side
-    * combined. At d=64 that is 2 080 rows out regardless of input size;
-    * the n·d²/2 intermediate never materializes (it streams through the
-    * partial aggregate). Float lanes are cast to double at extraction;
-    * the closing (Σxy − ΣxΣy/n)/n assembly is mirrored by the oracle.
+    * quads with a nested `transform` + `flatten` expression tree — the
+    * inner transform runs over `slice(vec, i+1, d)`, so ONLY the upper
+    * triangle is ever generated (no produce-then-filter of the lower
+    * half) — and the pair products are formed map-side; the only shuffle
+    * is the final hash aggregate on the (i, j) key — d²/2 groups,
+    * map-side combined. At d=64 that is 2 080 rows out regardless of
+    * input size; the n·d²/2 intermediate never materializes (it streams
+    * through the partial aggregate). Float lanes are cast to double at
+    * extraction; the closing (Σxy − ΣxΣy/n)/n assembly is mirrored by
+    * the oracle.
     */
   def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
     val quads = flatten(transform(vec, (xi, i) =>
-      transform(vec, (xj, j) =>
-        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+      // slice is 1-based: element k of the slice is vec[i + k], i.e. j ≥ i
+      transform(slice(vec, i + 1, size(vec)), (xj, jj) =>
+        struct(i.cast("long").as("i"), (i + jj).cast("long").as("j"),
           xi.cast("double").as("a"), xj.cast("double").as("b")))))
     df.select(explode(quads).as("q"))
       .select(col("q.i").as("i"), col("q.j").as("j"),
         col("q.a").as("a"), col("q.b").as("b"))
-      .filter(col("i") <= col("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("a")).as("__sa"),
         sum(col("b")).as("__sb"), sum(col("a") * col("b")).as("__sab"))
