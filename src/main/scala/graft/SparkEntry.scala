@@ -1981,6 +1981,53 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // LSH banding quality audit: candidate pairs vs exact-Jaccard truth
+    // at the d03 dials — the recall/precision report that tunes
+    // (k, bands) before a full-corpus run
+    "d16_lsh_recall" -> ((s, d) =>
+      DedupOps.lshRecallEval(docs(s, d), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)),
+
+    // code-vs-prose gate: structural-symbol and digit densities per doc
+    // (the code-filtering signal of a corpus curator) — single codegen'd
+    // projection, no joins
+    "t29_code_detect" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[{}()\\[\\];=<>]", "")))
+          .cast("long").as("n_sym"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"))
+        .withColumn("sym_ratio",
+          round(col("n_sym").cast("double") / col("n_chars"), 6))
+        .withColumn("is_code", col("sym_ratio") > 0.02)
+        .drop("n_chars")),
+
+    // lexical diversity per doc: type-token ratio and its length-robust
+    // root form — the vocabulary-richness quality signal
+    "t30_lexical_diversity" -> ((s, d) =>
+      Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("__t"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("__t")).as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_types").cast("double") / sqrt(col("n_tokens")), 6)
+            .as("rttr"))),
+
+    // trailing-12-row correlation of each user's purchase values against
+    // the clock — the rolling trend detector; six frame sums, one sort
+    "w16_rolling_corr" -> ((s, d) =>
+      WindowOps.rollingCorr(
+        ev(s, d).filter(col("event_type") === "purchase")
+          .withColumn("__sec",
+            expr("unix_micros(ts) div 1000000") - 1704067200L),
+        Seq("user_id"), Seq("ts", "event_id"),
+        col("__sec"), col("value"), k = 12, "roll_corr")
+        .select(col("event_id"), col("roll_corr"))),
+
     // a15's AUROC with its DeLong standard error and 95% CI — integer
     // placement-value moments from ONE pinned cumsum over the
     // distinct-score frame
@@ -4952,6 +4999,110 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // reuses the d03 minhash/banding stack for candidates and the d05
+    // inverted index for truth — both sides share one shingle CTE
+    "d16_lsh_recall" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+                  WHERE a.band_key IS NOT NULL),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+                   FROM ex a JOIN ex b
+                     ON a.sg = b.sg AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         truth AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5),
+         agg AS (SELECT
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM truth JOIN cand USING (id_a, id_b)) AS n_hit)
+         SELECT n_truth, n_cand, n_hit,
+                ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+                ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision
+         FROM agg""",
+
+    "t29_code_detect" ->
+      """SELECT doc_id,
+                CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                  '[{}()\[\];=<>]', '', 'g')) AS BIGINT) AS n_sym,
+                CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                  '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                  '[{}()\[\];=<>]', '', 'g')) AS DOUBLE) / n_chars, 6)
+                  AS sym_ratio,
+                ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                  '[{}()\[\];=<>]', '', 'g')) AS DOUBLE) / n_chars, 6) > 0.02
+                  AS is_code
+         FROM documents""",
+
+    "t30_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id,
+                             UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS t
+                      FROM documents),
+         c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+               FROM tok GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types,
+                ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+                ROUND(CAST(n_types AS DOUBLE) / SQRT(n_tokens), 6) AS rttr
+         FROM c""",
+
+    // six frame sums in row order (both engines run ROWS frames
+    // sequentially), textbook assembly, null when a side is constant
+    "w16_rolling_corr" ->
+      """WITH p AS (SELECT event_id, user_id, ts, event_id AS tie,
+                           CAST(epoch_us(ts) // 1000000 - 1704067200 AS DOUBLE)
+                             AS x,
+                           value AS y
+                    FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT event_id,
+                      CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                      SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                      SUM(x * y) OVER w AS sxy,
+                      SUM(x * x) OVER w AS sxx,
+                      SUM(y * y) OVER w AS syy
+               FROM p
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, tie
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+         SELECT event_id,
+                CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                  ROUND((n * sxy - sx * sy)
+                        / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS roll_corr
+         FROM f""",
 
     // mirrors the engine op-for-op: integer placement moments over the
     // distinct-score frame, double-only closing SE/CI assembly

@@ -587,6 +587,35 @@ object DedupOps {
     * Determinism: the sort is total-ordered by (key, id); ranks, anchors
     * and edit distances are exact integers.
     */
+  /** Candidate-generation quality audit: LSH band-bucket candidate pairs
+    * measured against the exact-Jaccard ground truth at `threshold` —
+    * recall ("what fraction of true near-dup pairs did banding surface")
+    * and precision ("what fraction of surfaced candidates are true").
+    * THE dial-tuning report for (k, bands) at scale: run it on a sample
+    * tier, pick the cheapest banding whose recall clears the bar, then
+    * run the tuned config on the full corpus.
+    *
+    * One shingle frame feeds both sides (signatures AND the inverted
+    * index), the candidate/truth sets meet in a pair-key equi-join, and
+    * the output is one row of counts — nothing quadratic beyond what the
+    * two audited operators already do.
+    */
+  def lshRecallEval(docs: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = withShingles(docs, id, text, shingleN)
+    val truth = jaccardAllPairs(sh, id, threshold).select("id_a", "id_b")
+    val cand = lshCandidatePairs(
+      lshBandKeys(signaturesFromShingles(sh, id, k), id, bands, k / bands), id)
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(hit))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6).as("precision"))
+  }
+
   def sortedNeighborhood(docs: DataFrame, id: String, text: String,
       window: Int, maxDist: Int, keyLen: Int = 64): DataFrame = {
     val keyed = docs.select(col(id),

@@ -102,6 +102,30 @@ object WindowOps {
     df.withColumn(name, percentile(value, lit(0.5)).over(w))
   }
 
+  /** Trailing-k-row Pearson correlation between two series per entity —
+    * the rolling co-movement monitor (is this signal still tracking its
+    * driver? is a sensor drifting against the clock?). Six running sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) over ONE bounded ROWS frame on one sort
+    * exchange; the closing assembly is the textbook
+    * (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)), null when either
+    * side is constant in the window. Frame sums run in row order in
+    * every engine, so the double accumulation is order-identical and the
+    * 6-decimal round is cross-engine-stable.
+    */
+  def rollingCorr(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
+      x: Column, y: Column, k: Int, name: String): DataFrame = {
+    val w = spec(partKeys, orderCols).rowsBetween(-(k - 1), Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(x.cast("double")).over(w)
+    val sy = sum(y.cast("double")).over(w)
+    val sxy = sum(x.cast("double") * y.cast("double")).over(w)
+    val sxx = sum(x.cast("double") * x.cast("double")).over(w)
+    val syy = sum(y.cast("double") * y.cast("double")).over(w)
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    df.withColumn(name,
+      when(den > 0, round((n * sxy - sx * sy) / sqrt(den), 6)))
+  }
+
   def lagGap(df: DataFrame, partKeys: Seq[String], orderCols: Seq[String],
       value: Column, gap: (Column, Column) => Column, name: String): DataFrame = {
     val w = spec(partKeys, orderCols)

@@ -69,7 +69,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "a32_mannwhitney" -> "bucket-offset triangle (globalCumsum over the distinct-value frame)",
     "t28_bigram_lm" -> "1-row vocabulary size V (explicit broadcast)",
     "a33_auroc_delong" -> "bucket-offset triangle (globalCumsums) + 1-row (m, n) totals",
-    "a34_cohens_kappa" -> "1-row Σ marginal-product scalar (explicit broadcast)")
+    "a34_cohens_kappa" -> "1-row Σ marginal-product scalar (explicit broadcast)",
+    "d16_lsh_recall" -> "three 1-row count scalars (explicit broadcasts)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

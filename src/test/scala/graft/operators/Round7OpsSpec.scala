@@ -189,6 +189,47 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(2) === ((1L, 1L, 1.0, 1L)))
   }
 
+  // ---- rolling correlation ----
+
+  test("rollingCorr: perfect linear tracking gives ±1, constant side null") {
+    val df = Seq(
+      (1, 1, 1.0, 2.0), (1, 2, 2.0, 4.0), (1, 3, 3.0, 6.0), // y = 2x
+      (2, 1, 1.0, 9.0), (2, 2, 2.0, 7.0), (2, 3, 3.0, 5.0), // y = -2x + 11
+      (3, 1, 1.0, 5.0), (3, 2, 2.0, 5.0)) // constant y → null
+      .toDF("u", "t", "x", "y")
+    val out = WindowOps.rollingCorr(df, Seq("u"), Seq("t"),
+        col("x"), col("y"), k = 3, "c")
+      .filter(col("t") === lit(3) || (col("u") === 3 && col("t") === 2))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(out(1) === 1.0)
+    assert(out(2) === -1.0)
+    assert(out(3) === null)
+  }
+
+  test("rollingCorr: single-row window is degenerate → null") {
+    val df = Seq((1, 1, 1.0, 2.0)).toDF("u", "t", "x", "y")
+    val r = WindowOps.rollingCorr(df, Seq("u"), Seq("t"),
+      col("x"), col("y"), k = 3, "c").collect()(0)
+    assert(r.isNullAt(4))
+  }
+
+  // ---- LSH recall audit ----
+
+  test("lshRecallEval: identical docs are always recalled, counts coherent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "utterly different text with no shared shingles at all"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.lshRecallEval(df, "doc_id", "text",
+      shingleN = 2, k = 4, bands = 2, threshold = 0.5).collect()(0)
+    assert(r.getLong(0) === 1L) // truth: the identical pair
+    assert(r.getLong(2) === 1L) // hit
+    assert(r.getDouble(3) === 1.0) // recall
+    assert(r.getLong(1) >= 1L && r.getDouble(4) <= 1.0)
+  }
+
   // ---- bigram LM ----
 
   test("bigramLogProb: add-1 smoothed transition scores, hand-checked") {
