@@ -1981,6 +1981,48 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // the dataset card: corpus-level manifest (docs, tokens, language
+    // mix, exact-dup rate) as one stacked metric/value frame — the
+    // stats block every released training set ships with
+    "ml17_dataset_card" -> ((s, d) =>
+      docs(s, d).select(col("lang"), col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast("long").as("__tok"),
+          TextFns.fingerprint(col("text")).as("__fp"))
+        .agg(
+          count(lit(1)).as("__nd"),
+          sum(col("__tok")).as("__nt"),
+          sum(col("n_chars")).as("__nc"),
+          countDistinct(col("lang")).as("__nl"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__ne"),
+          countDistinct(col("__fp")).as("__nu"))
+        .select(expr(
+          "stack(7, " +
+            "'10_n_docs', cast(__nd as double), " +
+            "'20_n_tokens', cast(__nt as double), " +
+            "'30_n_chars', cast(__nc as double), " +
+            "'40_n_langs', cast(__nl as double), " +
+            "'50_pct_en', round(__ne / cast(__nd as double), 6), " +
+            "'60_dup_rate', round(1.0 - __nu / cast(__nd as double), 6), " +
+            "'70_mean_tokens', round(__nt / cast(__nd as double), 6)" +
+            ") as (metric, value)"))),
+
+    // McNemar's paired χ²: do the two cheap labelers DIFFER on the same
+    // orders (a35 is a34's hypothesis-test companion) — discordant
+    // counts + continuity-corrected statistic, one aggregate
+    "a35_mcnemar" -> ((s, d) =>
+      MetricsOps.mcnemar(ord(s, d),
+        col("o_orderstatus") === "F",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_totalprice") > 150000)),
+
+    // lag-1..3 autocorrelation of each user's value stream (integer
+    // cents ⇒ exact Pearson stats; stacked lags share one sorted window)
+    "ts11_autocorr" -> ((s, d) =>
+      TimeSeriesOps.autocorr(
+        ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("__cents")),
+        "user_id", "ts", "event_id", col("__cents"), maxLag = 3)),
+
     // LSH banding quality audit: candidate pairs vs exact-Jaccard truth
     // at the d03 dials — the recall/precision report that tunes
     // (k, bands) before a full-corpus run
@@ -4999,6 +5041,78 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    "ml17_dataset_card" ->
+      """WITH t AS (SELECT lang, n_chars,
+                           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))
+                             AS BIGINT) AS tok,
+                           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ',
+                             'g')) AS fp
+                    FROM documents),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                      CAST(SUM(tok) AS BIGINT) AS nt,
+                      CAST(SUM(n_chars) AS BIGINT) AS nc,
+                      CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ne,
+                      CAST(COUNT(DISTINCT fp) AS BIGINT) AS nu
+               FROM t)
+         SELECT m.metric, m.value FROM a, LATERAL (VALUES
+           ('10_n_docs', CAST(nd AS DOUBLE)),
+           ('20_n_tokens', CAST(nt AS DOUBLE)),
+           ('30_n_chars', CAST(nc AS DOUBLE)),
+           ('40_n_langs', CAST(nl AS DOUBLE)),
+           ('50_pct_en', ROUND(ne / CAST(nd AS DOUBLE), 6)),
+           ('60_dup_rate', ROUND(1.0 - nu / CAST(nd AS DOUBLE), 6)),
+           ('70_mean_tokens', ROUND(nt / CAST(nd AS DOUBLE), 6))
+         ) AS m(metric, value)""",
+
+    "a35_mcnemar" ->
+      """WITH r AS (SELECT (o_orderstatus = 'F') AS t,
+                           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS pa,
+                           (o_totalprice > 150000) AS pb
+                    FROM orders),
+         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN pa = t AND pb <> t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                      CAST(SUM(CASE WHEN pa <> t AND pb = t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+               FROM r)
+         SELECT n, b, c,
+                CASE WHEN b + c > 0 THEN
+                  ROUND(POWER(ABS(b - c) - 1, 2) / (b + c), 6)
+                END AS chi2
+         FROM c""",
+
+    "ts11_autocorr" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                    FROM events),
+         l AS (SELECT user_id, v,
+                      LAG(v, 1) OVER w AS l1,
+                      LAG(v, 2) OVER w AS l2,
+                      LAG(v, 3) OVER w AS l3
+               FROM b
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         st AS (SELECT user_id, 1 AS lag, v, l1 AS p FROM l WHERE l1 IS NOT NULL
+                UNION ALL
+                SELECT user_id, 2, v, l2 FROM l WHERE l2 IS NOT NULL
+                UNION ALL
+                SELECT user_id, 3, v, l3 FROM l WHERE l3 IS NOT NULL),
+         g AS (SELECT user_id, lag, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(v AS HUGEINT)) AS sx,
+                      SUM(CAST(p AS HUGEINT)) AS sy,
+                      SUM(CAST(v AS HUGEINT) * p) AS sxy,
+                      SUM(CAST(v AS HUGEINT) * v) AS sxx,
+                      SUM(CAST(p AS HUGEINT) * p) AS syy
+               FROM st GROUP BY 1, 2)
+         SELECT user_id, lag, n,
+                CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                END AS acf
+         FROM g""",
 
     // reuses the d03 minhash/banding stack for candidates and the d05
     // inverted index for truth — both sides share one shingle CTE

@@ -422,6 +422,27 @@ object MetricsOps {
           .as("chi2_part"))
   }
 
+  /** McNemar's paired test — "are these two classifiers DIFFERENT on the
+    * same examples", the companion question to a34's "do they agree":
+    * discordant counts b (only model A correct) and c (only model B
+    * correct), continuity-corrected χ² = (|b − c| − 1)²/(b + c). One
+    * aggregate pass over exact integer cells; χ² is a single rounded
+    * division (null when b + c = 0 — no discordant pairs, no evidence).
+    */
+  def mcnemar(df: DataFrame, truth: Column, predA: Column,
+      predB: Column): DataFrame = {
+    val aOk = predA === truth
+    val bOk = predB === truth
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          round(pow(abs(col("b") - col("c")) - lit(1), 2).cast("double") /
+            (col("b") + col("c")), 6)).as("chi2"))
+  }
+
   /** AUROC with the DeLong standard error and 95% CI — the version of a15
     * a model report actually ships (an AUC without an interval is a point
     * guess). DeLong's estimator from the placement values:

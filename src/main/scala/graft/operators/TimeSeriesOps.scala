@@ -312,6 +312,48 @@ object TimeSeriesOps {
         value.as("v"), round(col("__z"), 3).as("z"))
   }
 
+  /** Per-entity lag-k autocorrelation screen, lags 1..maxLag in ONE
+    * window pass — the seasonality/persistence detector that decides
+    * whether a series is worth a sequence model at all (ρ₁ ≈ 0 →
+    * white noise, don't bother).
+    *
+    * The values are quantized to integer `scale`-ths by the caller
+    * contract (`value` must already be integer-valued — e.g. cents), so
+    * every Pearson sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    * exact integer summed as DECIMAL(38,0): group-aggregate merge order
+    * cannot move the result (the `groupOls` argument — per-group hash
+    * aggregation has NO deterministic row order, so float sums there are
+    * not engine-stable the way window-frame sums are). Lag columns stack
+    * into (lag, prev) rows so all lags share the single sorted window.
+    */
+  def autocorr(df: DataFrame, key: String, ts: String, tie: String,
+      value: Column, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val base = df.select(col(key), col(ts), col(tie), value.as("__v"))
+    val lagged = (1 to maxLag).foldLeft(base)((acc, l) =>
+      acc.withColumn(s"__l$l", lag(col("__v"), l).over(w)))
+    val stacked = lagged.select(col(key), col("__v"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(l => s"$l, __l$l").mkString(", ") +
+        ") as (lag, __p)"))
+      .filter(col("__p").isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    stacked.groupBy(col(key), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__v"))).as("__sx"), sum(dec(col("__p"))).as("__sy"),
+        sum(dec(col("__v")) * col("__p")).as("__sxy"),
+        sum(dec(col("__v")) * col("__v")).as("__sxx"),
+        sum(dec(col("__p")) * col("__p")).as("__syy"))
+      .select(col(key), col("lag"), col("n"),
+        when((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+          (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
+          round((col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+              (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")),
+            6)).as("acf"))
+  }
+
   /** Per-entity calendar-coverage profile — the data-quality "is this
     * source still reporting" monitor: span (first→last active day), count
     * of ACTIVE days, completeness ratio, and the largest gap between

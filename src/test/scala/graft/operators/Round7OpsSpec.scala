@@ -230,6 +230,47 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) >= 1L && r.getDouble(4) <= 1.0)
   }
 
+  // ---- McNemar ----
+
+  test("mcnemar: discordant counts and continuity-corrected chi2") {
+    // 3 rows A-only correct, 1 B-only, 1 both, 1 neither
+    // → b=3, c=1, χ² = (|3−1|−1)²/4 = 0.25
+    val df = Seq(
+      (true, true, false), (true, true, false), (true, true, false),
+      (true, false, true), (true, true, true), (true, false, false))
+      .toDF("t", "a", "b")
+    val r = MetricsOps.mcnemar(df, col("t"), col("a"), col("b")).collect()(0)
+    assert(r.getLong(0) === 6L && r.getLong(1) === 3L && r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 0.25)
+  }
+
+  test("mcnemar: no discordant pairs → chi2 null") {
+    val df = Seq((true, true, true), (false, false, false)).toDF("t", "a", "b")
+    val r = MetricsOps.mcnemar(df, col("t"), col("a"), col("b")).collect()(0)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.isNullAt(3))
+  }
+
+  // ---- autocorrelation ----
+
+  test("autocorr: alternating series flips sign by lag parity") {
+    val df = Seq((1, 1, 1L), (1, 2, -1L), (1, 3, 1L), (1, 4, -1L), (1, 5, 1L))
+      .toDF("u", "t", "v").withColumn("tie", col("t"))
+    val out = TimeSeriesOps.autocorr(df, "u", "t", "tie", col("v"), 3)
+      .collect().map(r => r.getInt(1) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(1) === -1.0)
+    assert(out(2) === 1.0)
+    assert(out(3) === -1.0)
+  }
+
+  test("autocorr: constant series is degenerate → null acf") {
+    val df = Seq((1, 1, 5L), (1, 2, 5L), (1, 3, 5L)).toDF("u", "t", "v")
+      .withColumn("tie", col("t"))
+    val out = TimeSeriesOps.autocorr(df, "u", "t", "tie", col("v"), 1)
+      .collect()
+    assert(out.length === 1 && out(0).isNullAt(3))
+  }
+
   // ---- bigram LM ----
 
   test("bigramLogProb: add-1 smoothed transition scores, hand-checked") {
