@@ -1231,6 +1231,18 @@ object SparkEntry {
         .select("doc_id", "width", "height", "px_sum", "px_xor")
     }),
 
+    // perceptual difference-hash on the decoded raster — the image
+    // near-dup fingerprint; real encode→decode→hash, closed-form oracle
+    // over the source bytes (lossless gray round-trip)
+    "m05_phash" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (octet_length(col("text")) % 16 + 1).as("w"),
+        (col("doc_id") % 8 + 1).as("h"))
+      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
+      BinaryOps.phash63(s, png, "doc_id", "png").toDF()
+    }),
+
     // byte-sampling feature stand-in (the stub path kept for modalities
     // with no JVM codec — audio/video); same mapPartitions batch shape as
     // the real m02 decode
@@ -3733,6 +3745,31 @@ object SparkEntry {
                 HEX(SUBSTR(text, i * 64 + 1, 16)) AS frame_hex
          FROM n CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 500)) AS i)
          WHERE i <= maxf""",
+
+    // same px closed form as m02: bit i of the hash compares raster
+    // pixels (i mod wh) and ((i+1) mod wh); 63 bits keep the BIGINT
+    // non-negative
+    "m05_phash" ->
+      """WITH n AS (SELECT doc_id, text,
+                           OCTET_LENGTH(CAST(text AS BLOB)) AS len,
+                           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 16 + 1 AS INTEGER) AS w,
+                           CAST(doc_id % 8 + 1 AS INTEGER) AS h
+                    FROM documents),
+         px AS (SELECT doc_id, i, w * h AS wh,
+                       ASCII(SUBSTR(text, CAST(i % len AS INTEGER) + 1, 1)) AS v
+                FROM n CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 127)) AS i)
+                WHERE i < w * h),
+         g AS (SELECT DISTINCT doc_id, wh FROM px),
+         bits AS (SELECT g.doc_id, b.i
+                  FROM g CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 62)) AS i) b
+                  JOIN px pa ON pa.doc_id = g.doc_id AND pa.i = b.i % g.wh
+                  JOIN px pb ON pb.doc_id = g.doc_id AND pb.i = (b.i + 1) % g.wh
+                  WHERE pa.v > pb.v)
+         SELECT g.doc_id,
+                CAST(COALESCE(SUM(CAST(1 AS BIGINT) << bits.i), 0) AS BIGINT)
+                  AS phash
+         FROM g LEFT JOIN bits USING (doc_id)
+         GROUP BY 1""",
 
     // closed form of the PNG round-trip: pixel i of doc = byte (i mod len),
     // so the decoded raster checksums are computable straight off the text

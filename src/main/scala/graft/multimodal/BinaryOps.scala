@@ -133,6 +133,46 @@ object BinaryOps {
       }
   }
 
+  case class PngHash(doc_id: Long, phash: Long)
+
+  /** Perceptual difference-hash over the DECODED raster — the image
+    * near-dup fingerprint (the visual analogue of SimHash): bit i is set
+    * iff pixel (i mod n) > pixel ((i+1) mod n) in row-major raster order,
+    * i ∈ [0, 63) — 63 bits so the packed value stays non-negative and
+    * cross-engine comparable as a plain BIGINT. Downstream near-dup
+    * search reuses the SimHash machinery (bit-prefix banding + hamming
+    * verify); this op is the decode→fingerprint kernel, and because the
+    * PNG is lossless gray the hash has a closed form over the source
+    * payload bytes — the oracle re-derives it without any codec.
+    */
+  def phash63(spark: SparkSession, df: DataFrame, id: String,
+      png: String): Dataset[PngHash] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(png))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val n = w * h
+          val px = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            px(i) = raster.getSample(i % w, i / w, 0); i += 1
+          }
+          var hash = 0L
+          i = 0
+          while (i < 63) {
+            if (px(i % n) > px((i + 1) % n)) hash |= 1L << i
+            i += 1
+          }
+          PngHash(docId, hash)
+        }
+      }
+  }
+
   /** "Frame sampling" over a binary payload: cut the byte stream into
     * `frameLen`-sized frames and keep every `every`-th one, with its offset —
     * the video-keyframe plumbing shape (explode to one row per kept frame).

@@ -75,4 +75,29 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(BinaryOps.sampleFrames(withBin, "doc_id", "payload",
       frameLen = 3, every = 2).count() === 0L)
   }
+
+  test("phash63: bits follow raster-neighbor comparisons through the codec") {
+    // 3×2 raster of "cabbed": pixels c a b b e d; bit i set iff
+    // px[i mod 6] > px[(i+1) mod 6] → pattern (c>a, a>b, b>b, b>e, e>d,
+    // d>c) = (1,0,0,0,1,1) repeating with period 6 over i ∈ [0, 63)
+    val src = Seq((1L, "cabbed")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload",
+        "CAST(3 AS INT) AS w", "CAST(2 AS INT) AS h")
+    val png = BinaryOps.withPngPayload(spark, src, "doc_id", "payload", "w", "h")
+    val hash = BinaryOps.phash63(spark, png, "doc_id", "png")
+      .collect().head.phash
+    val base = Seq(true, false, false, false, true, true)
+    val expected = (0 until 63).foldLeft(0L)((h, i) =>
+      if (base(i % 6)) h | (1L << i) else h)
+    assert(hash === expected)
+  }
+
+  test("phash63: constant raster hashes to zero") {
+    val src = Seq((1L, "aaaa")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload",
+        "CAST(2 AS INT) AS w", "CAST(2 AS INT) AS h")
+    val png = BinaryOps.withPngPayload(spark, src, "doc_id", "payload", "w", "h")
+    assert(BinaryOps.phash63(spark, png, "doc_id", "png")
+      .collect().head.phash === 0L)
+  }
 }
