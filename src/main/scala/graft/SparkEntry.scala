@@ -1993,6 +1993,38 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // z-order clustering key over (user, day) — the multi-dim
+    // data-skipping layout; pure shift/mask arithmetic, engine-exact
+    "s14_zorder" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        graft.functions.ZOrder.zValue2(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+            .cast("long")).as("zval"))),
+
+    // daily-volume control chart: 3σ limits from exact integer sums —
+    // the row-count anomaly monitor every ingest pipeline runs first
+    "dq09_control_chart" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.agg(count(lit(1)).as("__k"),
+        sum(col("n")).as("__s"), sum(col("n") * col("n")).as("__ss"))
+      val mu = col("__s").cast("double") / col("__k")
+      val sd = sqrt((col("__k") * col("__ss") - col("__s") * col("__s"))
+        .cast("double") / (col("__k") * (col("__k") - 1)))
+      daily.crossJoin(broadcast(stats))
+        .select(col("day"), col("n"),
+          round(mu, 6).as("mu"), round(sd, 6).as("sigma"),
+          (abs(col("n") - mu) > lit(3.0) * sd).as("out_of_control"))
+    }),
+
+    // schema'd JSON ingestion (from_json, not regex): the typed parse of
+    // a semi-structured column — f15's regex sibling done properly
+    "f32_json_parse" -> ((s, d) =>
+      Tables.spread(ev(s, d).select("event_id", "props"), tinyBytes = 0L)
+        .select(col("event_id"),
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k_val"))),
+
     // the dataset card: corpus-level manifest (docs, tokens, language
     // mix, exact-dup rate) as one stacked metric/value frame — the
     // stats block every released training set ships with
@@ -5078,6 +5110,46 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // the same parallel-bit-spread chain, decimal mask constants
+    "s14_zorder" ->
+      """WITH b AS (SELECT event_id,
+                           CAST(user_id AS BIGINT) & 2147483647 AS x,
+                           CAST(date_diff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) AS BIGINT) & 2147483647 AS y
+                    FROM events),
+         s1 AS (SELECT event_id, (x | (x << 16)) & 281470681808895 AS x,
+                       (y | (y << 16)) & 281470681808895 AS y FROM b),
+         s2 AS (SELECT event_id, (x | (x << 8)) & 71777214294589695 AS x,
+                       (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+         s3 AS (SELECT event_id, (x | (x << 4)) & 1085102592571150095 AS x,
+                       (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+         s4 AS (SELECT event_id, (x | (x << 2)) & 3689348814741910323 AS x,
+                       (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+         s5 AS (SELECT event_id, (x | (x << 1)) & 6148914691236517205 AS x,
+                       (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+         SELECT event_id, CAST(x | (y << 1) AS BIGINT) AS zval FROM s5""",
+
+    "dq09_control_chart" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(n) AS BIGINT) AS s,
+                       CAST(SUM(n * n) AS BIGINT) AS ss
+                FROM daily)
+         SELECT day, n,
+                ROUND(CAST(s AS DOUBLE) / k, 6) AS mu,
+                ROUND(SQRT(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1))), 6)
+                  AS sigma,
+                ABS(n - CAST(s AS DOUBLE) / k) >
+                  3.0 * SQRT(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1)))
+                  AS out_of_control
+         FROM daily CROSS JOIN st""",
+
+    "f32_json_parse" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val
+         FROM events""",
 
     "ml17_dataset_card" ->
       """WITH t AS (SELECT lang, n_chars,
