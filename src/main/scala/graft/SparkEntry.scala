@@ -1993,6 +1993,40 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // first principal component: driver-side power iteration over the
+    // bounded covariance matrix, distributed projection — rows-only by
+    // design (no SQL eigensolve; the v03 precedent), deterministic via
+    // fixed start/iters/sign; v10b carries the hash oracle
+    "v10_pca_project" -> ((s, d) =>
+      RegressionOps.pcaProject(emb(s, d), "vec_id", col("embedding"))),
+
+    // the oracled sibling: projection onto a FIXED rational axis
+    // w_j = ((37j mod 19) − 9)/10 — same codegen'd fold, closed-form SQL
+    "v10b_project_fixed" -> ((s, d) => {
+      val axis = array((0 until 64).map(j =>
+        lit(((j * 37) % 19 - 9) / 10.0)): _*)
+      emb(s, d).select(col("vec_id"),
+        round(graft.functions.VectorFns.dot(
+          graft.functions.VectorFns.toDoubleArr(col("embedding")), axis), 6)
+          .as("proj"))
+    }),
+
+    // dedupe-merge across replica feeds: per content fingerprint keep the
+    // best replica by (en-language, length, id) priority — the cross-
+    // source canonicalization staple; partition-keyed window, no global
+    // sort
+    "u09_best_replica" -> ((s, d) => {
+      val w = Window.partitionBy(col("__fp")).orderBy(
+        when(col("lang") === "en", 0).otherwise(1).asc,
+        col("n_chars").desc, col("doc_id").asc)
+      docs(s, d)
+        .withColumn("__fp", TextFns.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__fp").as("fp"), col("doc_id"), col("lang"),
+          col("n_chars"))
+    }),
+
     // z-order clustering key over (user, day) — the multi-dim
     // data-skipping layout; pure shift/mask arithmetic, engine-exact
     "s14_zorder" -> ((s, d) =>
@@ -5110,6 +5144,26 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // same index-order fold as the engine's aggregate(zip_with(...))
+    "v10b_project_fixed" ->
+      """SELECT vec_id,
+                ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * ((((i - 1) * 37) % 19) - 9) / 10.0)), 6) AS proj
+         FROM embeddings""",
+
+    "u09_best_replica" ->
+      """WITH f AS (SELECT doc_id, lang, n_chars,
+                           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ',
+                             'g')) AS fp,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)),
+                               '\s+', ' ', 'g'))
+                             ORDER BY CASE WHEN lang = 'en' THEN 0 ELSE 1 END,
+                                      n_chars DESC, doc_id) AS rn
+                    FROM documents)
+         SELECT fp, doc_id, lang, n_chars FROM f WHERE rn = 1""",
 
     // the same parallel-bit-spread chain, decimal mask constants
     "s14_zorder" ->

@@ -290,19 +290,81 @@ object RegressionOps {
     * the oracle.
     */
   def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
-    val quads = flatten(transform(vec, (xi, i) =>
-      // slice is 1-based: element k of the slice is vec[i + k], i.e. j ≥ i
-      transform(slice(vec, i + 1, size(vec)), (xj, jj) =>
-        struct(i.cast("long").as("i"), (i + jj).cast("long").as("j"),
-          xi.cast("double").as("a"), xj.cast("double").as("b")))))
-    df.select(explode(quads).as("q"))
-      .select(col("q.i").as("i"), col("q.j").as("j"),
-        col("q.a").as("a"), col("q.b").as("b"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("a")).as("__sa"),
-        sum(col("b")).as("__sb"), sum(col("a") * col("b")).as("__sab"))
+    // upper-triangle products as a BARE double array (row-major pair
+    // enumeration: pos = i·d − i(i−1)/2 + (j − i)) — no per-pair struct
+    // allocation; the 2080-wide array flattens straight into posexplode
+    val prods = flatten(transform(vec, (xi, i) =>
+      transform(slice(vec, i + 1, size(vec)),
+        xj => xi.cast("double") * xj.cast("double"))))
+    val prodSums = df.select(posexplode(prods).as(Seq("pos", "__p")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum(col("__p")).as("__sp"))
+    // per-dim first moments: d rows — the Σxᵢ every pair's centering term
+    // derives from, so the big pass above carries ONLY products
+    val dims = df.select(posexplode(vec).as(Seq("i", "__x")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast("double")).as("__s"))
+    val dScalar = dims.agg(max(col("i")).as("__dm"))
+    // bounded pos ↔ (i, j) map: d²/2 rows built from the d-row dim frame
+    val posMap = dims.select(col("i")).alias("a")
+      .join(dims.select(col("i").as("j")).alias("b"), col("a.i") <= col("b.j"))
+      .crossJoin(broadcast(dScalar))
+      .select(col("a.i").as("i"), col("b.j").as("j"),
+        (col("a.i") * (col("__dm") + 1) - col("a.i") * (col("a.i") - 1) / 2 +
+          (col("b.j") - col("a.i"))).as("pos"))
+    posMap
+      .join(prodSums, Seq("pos"))
+      .join(dims.select(col("i"), col("n"), col("__s").as("__si")), Seq("i"))
+      .join(dims.select(col("i").as("j"), col("__s").as("__sj")), Seq("j"))
       .select(col("i"), col("j"), col("n"),
-        round((col("__sab") - col("__sa") * col("__sb") / col("n")) / col("n"), 6)
+        round((col("__sp") - col("__si") * col("__sj") / col("n")) / col("n"), 6)
           .as("cov"))
+  }
+
+  /** First principal component of the embedding corpus: deterministic
+    * power iteration on the DRIVER over the bounded d×d matrix from
+    * [[embeddingCovariance]] (d(d+1)/2 rounded scalars cross the driver —
+    * the `Knn.centroids` bounded-collect argument; never row data), then
+    * a fully distributed projection of every vector onto the axis.
+    *
+    * Determinism: the iteration starts from the fixed 1/√d vector, runs a
+    * fixed `iters` count of double matvecs in index order, and pins the
+    * sign convention (first non-negligible component positive), so the
+    * loading vector is a pure function of the rounded covariance matrix —
+    * identical on every run, AQE mode, and partition count. The
+    * projection is a codegen'd fold in index order. No closed-form SQL
+    * oracle exists for the eigensolve, so the query ships rows-only (the
+    * v03 Lloyd's-loop precedent); its deterministic sibling
+    * `v10b_project_fixed` projects onto a FIXED literal axis and carries
+    * the full hash oracle.
+    */
+  def pcaProject(df: DataFrame, id: String, vec: Column,
+      iters: Int = 30): DataFrame = {
+    val cov = embeddingCovariance(df, vec)
+      .select(col("i"), col("j"), col("cov")).collect()
+    val d = cov.iterator.map(_.getLong(1)).max.toInt + 1
+    val m = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val nw = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * w(j); j += 1 }
+        s
+      }
+      val n = math.sqrt(nw.map(x => x * x).sum)
+      w = if (n == 0.0) nw else nw.map(_ / n)
+      it += 1
+    }
+    val sign = w.find(math.abs(_) > 1e-12)
+      .map(x => if (x < 0) -1.0 else 1.0).getOrElse(1.0)
+    val axis = array(w.map(x => lit(x * sign)): _*)
+    df.select(col(id),
+      round(graft.functions.VectorFns.dot(
+        graft.functions.VectorFns.toDoubleArr(vec), axis), 6).as("pc1"))
   }
 }

@@ -189,6 +189,21 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(2) === ((1L, 1L, 1.0, 1L)))
   }
 
+  // ---- PCA projection ----
+
+  test("pcaProject: collinear cloud projects onto its axis at |v|") {
+    // points t·(1,2): dominant eigenvector (1,2)/√5 (sign-pinned
+    // positive) → pc1 = √5·t
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(2f, 4f)), (3L, Seq(3f, 6f)))
+      .toDF("vec_id", "e")
+    val out = RegressionOps.pcaProject(df, "vec_id", col("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r5 = math.sqrt(5.0)
+    assert(math.abs(out(1L) - r5) < 1e-5)
+    assert(math.abs(out(2L) - 2 * r5) < 1e-5)
+    assert(math.abs(out(3L) - 3 * r5) < 1e-5)
+  }
+
   // ---- rolling correlation ----
 
   test("rollingCorr: perfect linear tracking gives ±1, constant side null") {
