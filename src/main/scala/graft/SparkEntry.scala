@@ -1993,6 +1993,13 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // classical decomposition per reading: hour-of-week seasonal
+    // baseline + trailing-25-row exact-median trend + residual —
+    // broadcast profile probe + one keyed sort, nothing else
+    "ts12_decompose" -> ((s, d) =>
+      TimeSeriesOps.seasonalDecompose(ev(s, d), "event_type", "ts",
+        "event_id", col("value"), trendK = 25)),
+
     // first principal component: driver-side power iteration over the
     // bounded covariance matrix, distributed projection — rows-only by
     // design (no SQL eigensolve; the v03 precedent), deterministic via
@@ -5144,6 +5151,33 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // profile CTE mirrors ts08's exact-integer means; the trend is a
+    // windowed MEDIAN over identical deseasonalized doubles
+    "ts12_decompose" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(dayofweek(ts) AS INT) AS dow,
+                           CAST(hour(ts) AS INT) AS hod,
+                           CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfp
+                    FROM events WHERE value IS NOT NULL),
+         prof AS (SELECT event_type, dow, hod,
+                         ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) AS mean_v
+                  FROM e GROUP BY 1, 2, 3),
+         j AS (SELECT event_id, events.event_type, ts,
+                      mean_v, value - mean_v AS de
+               FROM events JOIN prof
+                 ON events.event_type = prof.event_type
+                AND CAST(dayofweek(ts) AS INT) = prof.dow
+                AND CAST(hour(ts) AS INT) = prof.hod
+               WHERE value IS NOT NULL),
+         t AS (SELECT event_id, event_type, mean_v, de,
+                      MEDIAN(de) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS tr
+               FROM j)
+         SELECT event_id, event_type, mean_v AS seasonal,
+                ROUND(tr, 7) AS trend, ROUND(de - tr, 7) AS residual
+         FROM t""",
 
     // same index-order fold as the engine's aggregate(zip_with(...))
     "v10b_project_fixed" ->

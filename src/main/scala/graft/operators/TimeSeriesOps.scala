@@ -312,6 +312,44 @@ object TimeSeriesOps {
         value.as("v"), round(col("__z"), 3).as("z"))
   }
 
+  /** Classical seasonal decomposition — value = seasonal + trend +
+    * residual per reading, the STL-shaped view every capacity/forecast
+    * pipeline starts from. Seasonal = the reading's hour-of-week baseline
+    * ([[seasonalProfile]]'s rounded exact-integer mean, so the component
+    * is engine-identical); trend = trailing-`trendK`-row EXACT median of
+    * the deseasonalized series (median, not mean — one outage spike must
+    * not bend the trend); residual = the rest.
+    *
+    * Scale: the profile is calendar-bounded (|keys|×168 → broadcast
+    * join), the trend is one partition-keyed sort window — the whole
+    * decomposition costs one broadcast probe plus one keyed sort,
+    * never a shuffle of the stream by anything but its own key.
+    */
+  def seasonalDecompose(df: DataFrame, key: String, ts: String, id: String,
+      value: Column, trendK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = seasonalProfile(df, key, ts, value)
+      .select(col(key), col("dow"), col("hod"), col("mean_v"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+      .rowsBetween(-(trendK - 1), Window.currentRow)
+    df.filter(value.isNotNull)
+      .withColumn("dow", dayofweek(col(ts)) - 1)
+      .withColumn("hod", hour(col(ts)))
+      .join(broadcast(prof), Seq(key, "dow", "hod"))
+      .withColumn("__de", value - col("mean_v"))
+      .withColumn("__tr", percentile(col("__de"), lit(0.5)).over(w))
+      // 7-decimal rounds: the deseasonalized series lives on a 1e-6 grid
+      // (value minus a 6dp mean), so even-count medians sit EXACTLY on
+      // 5e-7 — a 6dp round would put every such median on the rounding
+      // boundary, where the two engines' interpolation formulas
+      // ((a+b)/2 vs a+(b−a)/2, an ulp apart) flip the last digit. At 7dp
+      // the grid is 10× coarser than the boundary spacing — ulp-safe.
+      .select(col(id), col(key),
+        col("mean_v").as("seasonal"),
+        round(col("__tr"), 7).as("trend"),
+        round(col("__de") - col("__tr"), 7).as("residual"))
+  }
+
   /** Per-entity lag-k autocorrelation screen, lags 1..maxLag in ONE
     * window pass — the seasonality/persistence detector that decides
     * whether a series is worth a sequence model at all (ρ₁ ≈ 0 →

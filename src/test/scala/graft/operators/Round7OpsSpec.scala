@@ -189,6 +189,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(2) === ((1L, 1L, 1.0, 1L)))
   }
 
+  // ---- seasonal decomposition ----
+
+  test("seasonalDecompose: pure seasonal signal leaves zero trend and residual") {
+    // value depends only on the calendar cell → seasonal soaks everything
+    val rows = for (d <- 0 until 14; h <- Seq(3, 15)) yield
+      (d * 48L + h, "k",
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00"),
+        if (h == 3) 10.0 else 20.0)
+    val df = rows.toDF("event_id", "k", "ts", "value")
+    val out = TimeSeriesOps.seasonalDecompose(df, "k", "ts", "event_id",
+      col("value"), trendK = 5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) === 10.0 || r.getDouble(2) === 20.0) // seasonal
+      assert(r.getDouble(3) === 0.0) // trend
+      assert(r.getDouble(4) === 0.0) // residual
+    }
+  }
+
   // ---- PCA projection ----
 
   test("pcaProject: collinear cloud projects onto its axis at |v|") {
