@@ -49,7 +49,14 @@ object CorpusCurator {
       decontamShingleN: Int = 5,
       sampleSixteenths: Map[String, Int] = Map.empty,
       sampleDefault: Int = 16,
-      packCapacity: Int = 256)
+      packCapacity: Int = 256,
+      // advanced quality gates (all off by default): structural-symbol
+      // density cap (code-vs-prose), lexical-diversity floor (type-token
+      // ratio), and corpus-trained bigram-fluency floor — the t29/t30/t28
+      // signals as curator stages
+      maxSymRatio: Double = 1.0,
+      minTtr: Double = 0.0,
+      minBigramLogProb: Double = Double.NegativeInfinity)
 
   /** Stage 1 — quality gate (the `q01_funnel` predicate set). */
   def qualityFilter(docs: DataFrame, cfg: Config): DataFrame = {
@@ -60,6 +67,35 @@ object CorpusCurator {
       if (cfg.langAllow.isEmpty) lit(true) else col(cfg.langCol).isin(cfg.langAllow: _*)
     docs.filter(langOk && n.between(cfg.minTokens, cfg.maxTokens) &&
       stopR < cfg.maxStopRatio)
+  }
+
+  /** Stage 1.2 — advanced quality gates (each off at its default): code
+    * detection (structural-symbol density), lexical diversity (per-row
+    * type-token ratio — `array_distinct`, no aggregate), and
+    * corpus-trained bigram fluency. The first two are pure row
+    * predicates; the fluency gate trains the add-1 bigram model on the
+    * SURVIVING corpus (two hash aggregates) and semi-joins the scores
+    * back — docs with no bigrams (< 2 tokens) pass, the length gate owns
+    * that call.
+    */
+  def fluencyFilter(docs: DataFrame, cfg: Config): DataFrame = {
+    val toks = TextFns.tokens(col(cfg.textCol))
+    val symR = (length(col(cfg.textCol)) -
+      length(regexp_replace(col(cfg.textCol), "[{}()\\[\\];=<>]", "")))
+      .cast("double") / greatest(length(col(cfg.textCol)), lit(1))
+    val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+    val rowGated =
+      if (cfg.maxSymRatio >= 1.0 && cfg.minTtr <= 0.0) docs
+      else docs.filter(symR <= cfg.maxSymRatio && ttr >= cfg.minTtr)
+    if (cfg.minBigramLogProb == Double.NegativeInfinity) rowGated
+    else {
+      val ok = graft.operators.SummaryOps
+        .bigramLogProb(rowGated, cfg.idCol, cfg.textCol)
+        .filter(col("avg_logprob").isNull ||
+          col("avg_logprob") >= cfg.minBigramLogProb)
+        .select(cfg.idCol)
+      rowGated.join(ok, Seq(cfg.idCol), "left_semi")
+    }
   }
 
   /** Stage 1.5 — boilerplate scrub (off by default, `scrubSegmentW` > 0
@@ -125,7 +161,8 @@ object CorpusCurator {
   /** The full chain. */
   def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame =
     pack(sample(decontaminate(nearDedup(exactDedup(scrubBoilerplate(
-      qualityFilter(docs, cfg), cfg), cfg), cfg), benchmark, cfg), cfg), cfg)
+      fluencyFilter(qualityFilter(docs, cfg), cfg), cfg), cfg), cfg),
+      benchmark, cfg), cfg), cfg)
 
   /** The chain plus the per-stage survivor funnel (one count action per
     * stage — the curation report every corpus run ships with).
@@ -133,7 +170,8 @@ object CorpusCurator {
   def curateWithReport(docs: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
     val s1 = qualityFilter(docs, cfg)
-    val s15 = scrubBoilerplate(s1, cfg)
+    val s12 = fluencyFilter(s1, cfg)
+    val s15 = scrubBoilerplate(s12, cfg)
     val s2 = exactDedup(s15, cfg)
     val s3 = nearDedup(s2, cfg)
     val s4 = decontaminate(s3, benchmark, cfg)
@@ -141,6 +179,7 @@ object CorpusCurator {
     val out = pack(s5, cfg)
     val report = Seq(
       "00_input" -> docs.count(), "10_quality" -> s1.count(),
+      "12_fluency" -> s12.count(),
       "15_scrub" -> s15.count(), // rewrites only — equals 10_quality by contract
       "20_exact_dedup" -> s2.count(), "30_near_dedup" -> s3.count(),
       "40_decontaminated" -> s4.count(), "50_sampled" -> s5.count())

@@ -34,7 +34,8 @@ class CorpusCuratorSpec extends AnyFunSuite {
     // function of content, so these survive any cluster or partitioning
     assert(report === Seq(
       "00_input" -> 486L, "10_quality" -> 232L,
-      "15_scrub" -> 232L, // scrub rewrites, never drops — equals 10_quality
+      "12_fluency" -> 232L, // gates off at defaults — equals 10_quality
+      "15_scrub" -> 232L, // scrub rewrites, never drops — equals 12_fluency
       "20_exact_dedup" -> 232L,
       "30_near_dedup" -> 226L, "40_decontaminated" -> 225L,
       "50_sampled" -> 224L))
@@ -121,5 +122,33 @@ class CorpusCuratorSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(withScrub === Set(1L, 4L, 5L, 6L, 7L),
       "scrubbed texts collapse doc 2 into canonical doc 1")
+  }
+
+  test("fluency gates: code density, diversity floor, and bigram floor drop the right docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s"),
+      (2L, "if (x <= y) { return f(a[i]); } else { g(); } // code-like {};()", "en", "s"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en", "s"),
+      (4L, "colorless green ideas sleep furiously under a quiet winter moon", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // symbol cap drops doc 2; TTR floor drops doc 3 (12 tokens, 1 type)
+    val gated = CorpusCurator.fluencyFilter(docs,
+      CorpusCurator.Config(maxSymRatio = 0.02, minTtr = 0.5))
+    assert(gated.select("doc_id").as[Long].collect().toSet === Set(1L, 4L))
+
+    // bigram floor: model trained on survivors; the doc whose transitions
+    // never repeat scores below one whose bigrams appear twice
+    val rep = Seq(
+      (10L, "alpha beta gamma alpha beta gamma alpha beta gamma", "en", "s"),
+      (11L, "one two three four five six seven eight nine ten", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val scores = graft.operators.SummaryOps.bigramLogProb(rep, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) > scores(11L))
+    val kept = CorpusCurator.fluencyFilter(rep,
+      CorpusCurator.Config(minBigramLogProb = (scores(10L) + scores(11L)) / 2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L))
   }
 }
