@@ -67,7 +67,12 @@ class DeterminismSpec extends AnyFunSuite {
     "ml09_curriculum_phase", "f23_vocab_encode", "w11_cum_uniques",
     // globalCumsums / globalRowNumber consumers added r6 (fused
     // range-bucketed cumulative frames; double-rank interleave; deciles)
-    "a20_auprc", "dq05_ks", "ml11_interleave", "a22_gains_deciles")
+    "a20_auprc", "dq05_ks", "ml11_interleave", "a22_gains_deciles",
+    // r7 additions: the new range-bucketed consumers (Mann-Whitney and
+    // DeLong ride globalCumsum[s]) and the heaviest new queries per the
+    // refreshed BENCH_FULL.json
+    "a32_mannwhitney", "a33_auroc_delong", "v09_embed_cov",
+    "g04_adamic_adar", "d16_lsh_recall", "t28_bigram_lm", "ts12_decompose")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df
