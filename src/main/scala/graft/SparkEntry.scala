@@ -1993,6 +1993,35 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // multiset difference (EXCEPT ALL): per-key surplus copies survive —
+    // the bag semantics reconciliation ops need (u04's distinct EXCEPT
+    // loses multiplicities); one hash-agg-shaped anti count per engine
+    "u10_except_all" -> ((s, d) =>
+      li(s, d).select(col("l_suppkey"))
+        .exceptAll(li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_suppkey")))),
+
+    // keyset pagination: the at-depth page fetch that stays O(page) at
+    // any offset — tuple-cursor predicate + TakeOrderedAndProject (an
+    // OFFSET scan pays the whole prefix; the cursor predicate pushes
+    // down to the parquet scan)
+    "o06_keyset_page" -> ((s, d) =>
+      ord(s, d)
+        .filter(col("o_orderdate") > lit("1994-01-01").cast("date") ||
+          (col("o_orderdate") === lit("1994-01-01").cast("date") &&
+            col("o_orderkey") > 5000))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")),
+
+    // frequency-weighted exact median per group: Spark's percentile with
+    // an integral frequency column — no row expansion; the oracle
+    // expands copies and medians, proving the weighted form
+    "a36_weighted_median" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("l_extendedprice"), lit(0.5),
+          col("l_linenumber")), 6).as("w_median"))),
+
     // classical decomposition per reading: hour-of-week seasonal
     // baseline + trailing-25-row exact-median trend + residual —
     // broadcast profile probe + one keyed sort, nothing else
@@ -5151,6 +5180,28 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    "u10_except_all" ->
+      """SELECT l_suppkey FROM lineitem
+         EXCEPT ALL
+         SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'""",
+
+    "o06_keyset_page" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+         FROM orders
+         WHERE o_orderdate > DATE '1994-01-01'
+            OR (o_orderdate = DATE '1994-01-01' AND o_orderkey > 5000)
+         ORDER BY o_orderdate, o_orderkey
+         LIMIT 100""",
+
+    // the oracle expands each row into `l_linenumber` copies and takes
+    // the plain exact median — proving the no-expansion weighted form
+    "a36_weighted_median" ->
+      """WITH e AS (SELECT l_returnflag, l_extendedprice
+                    FROM lineitem
+                    CROSS JOIN UNNEST(GENERATE_SERIES(1, l_linenumber)) AS t(i))
+         SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 6) AS w_median
+         FROM e GROUP BY 1""",
 
     // profile CTE mirrors ts08's exact-integer means; the trend is a
     // windowed MEDIAN over identical deseasonalized doubles
