@@ -1993,6 +1993,35 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // paired before/after shift test: Wilcoxon signed-rank over the
+    // line-1 vs line-2 price difference within each order (cents-exact
+    // ranks, zero diffs dropped per convention)
+    "a37_wilcoxon" -> ((s, d) => {
+      val pairs = li(s, d).groupBy(col("l_orderkey")).agg(
+        max(when(col("l_linenumber") === 1,
+          round(col("l_extendedprice") * 100, 0).cast("long"))).as("__p1"),
+        max(when(col("l_linenumber") === 2,
+          round(col("l_extendedprice") * 100, 0).cast("long"))).as("__p2"))
+        .filter(col("__p1").isNotNull && col("__p2").isNotNull)
+      RegressionOps.wilcoxonSignedRank(pairs, col("__p1") - col("__p2"))
+    }),
+
+    // top order-3 event paths per user stream (the product-analytics
+    // "what do users do next" view): two leads off ONE keyed sort, a
+    // bounded path aggregate, deterministic top-20
+    "q07_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("__e2", lead(col("event_type"), 1).over(w))
+        .withColumn("__e3", lead(col("event_type"), 2).over(w))
+        .filter(col("__e3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("__e2"), col("__e3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    }),
+
     // multiset difference (EXCEPT ALL): per-key surplus copies survive —
     // the bag semantics reconciliation ops need (u04's distinct EXCEPT
     // loses multiplicities); one hash-agg-shaped anti count per engine
@@ -5180,6 +5209,51 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // same doubled-average-rank machinery as a28/a32 over |d|
+    "a37_wilcoxon" ->
+      """WITH p AS (SELECT l_orderkey,
+                           MAX(CASE WHEN l_linenumber = 1 THEN
+                             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                             END) AS p1,
+                           MAX(CASE WHEN l_linenumber = 2 THEN
+                             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                             END) AS p2
+                    FROM lineitem GROUP BY 1),
+         d AS (SELECT p1 - p2 AS d FROM p
+               WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND p1 <> p2),
+         c AS (SELECT ABS(d) AS a,
+                      CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS cp,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM d GROUP BY 1),
+         r AS (SELECT cp, cnt,
+                      CAST(SUM(cnt) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM c),
+         s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                      SUM(CAST(cp AS HUGEINT) * (2 * cum - (cnt - 1))) AS wp2,
+                      SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+               FROM r)
+         SELECT n, ROUND(CAST(wp2 AS DOUBLE) / 2, 6) AS w_plus,
+                ROUND((CAST(wp2 AS DOUBLE) / 2
+                       - CAST(n AS DOUBLE) * (n + 1) / 4)
+                      / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                             - CAST(ties AS DOUBLE) / 48), 6) AS z
+         FROM s""",
+
+    "q07_top_paths" ->
+      """WITH l AS (SELECT event_type AS e1,
+                           LEAD(event_type, 1) OVER w AS e2,
+                           LEAD(event_type, 2) OVER w AS e3
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM l WHERE e3 IS NOT NULL
+         GROUP BY 1
+         ORDER BY n DESC, path
+         LIMIT 20""",
 
     "u10_except_all" ->
       """SELECT l_suppkey FROM lineitem

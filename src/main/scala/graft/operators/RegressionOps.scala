@@ -272,6 +272,46 @@ object RegressionOps {
           6).as("z"))
   }
 
+  /** Exact tie-corrected Wilcoxon signed-rank test over PAIRED
+    * integer-quantized differences — [[mannWhitney]]'s sibling for
+    * before/after comparisons on the same subjects (did the metric move
+    * after the change, per entity). Zero differences drop (the standard
+    * convention); |d| ranks come from the same doubled-average-rank
+    * construction over the distinct-|d| frame via
+    * [[RankOps.globalCumsum]]; every sufficient statistic — 2·W⁺, the
+    * tie term Σ(t³−t), n — is an exact integer, and only the closing
+    *
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * assembly is floating point, mirrored op-for-op by the oracle.
+    * `diff` must be integer-valued (quantize first — e.g. cents).
+    */
+  def wilcoxonSignedRank(df: DataFrame, diff: Column): DataFrame = {
+    val rows = df.select(diff.as("__d")).filter(col("__d").isNotNull &&
+      col("__d") =!= 0)
+    val counts = rows.groupBy(abs(col("__d")).as("__a")).agg(
+      sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"),
+      count(lit(1)).as("__cnt"))
+    val ranked = RankOps.globalCumsum(counts, Seq(col("__a")), col("__cnt"), "__cum")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    ranked
+      .agg(
+        sum(col("__cnt")).as("n"),
+        sum(dec(col("__cp")) * (lit(2) * col("__cum") - (col("__cnt") - 1)))
+          .as("__2wp"),
+        sum(dec(col("__cnt")) * col("__cnt") * col("__cnt") - dec(col("__cnt")))
+          .as("__ties"))
+      .select(col("n"), (col("__2wp").cast("double") / 2).as("w_plus"),
+        col("__2wp"), col("__ties"))
+      .select(col("n"), round(col("w_plus"), 6).as("w_plus"),
+        round(
+          (col("w_plus") - col("n").cast("double") * (col("n") + 1) / 4) /
+            sqrt(col("n").cast("double") * (col("n") + 1) *
+              (lit(2) * col("n") + 1) / 24 -
+              col("__ties").cast("double") / 48),
+          6).as("z"))
+  }
+
   /** Exact population covariance matrix of a fixed-dimension embedding
     * column — the input to PCA-whitening / decorrelation stages of an
     * embedding-curation pipeline. Upper triangle only (i ≤ j), one row per

@@ -72,7 +72,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "a34_cohens_kappa" -> "1-row Σ marginal-product scalar (explicit broadcast)",
     "d16_lsh_recall" -> "three 1-row count scalars (explicit broadcasts)",
     "dq09_control_chart" -> "1-row (k, Σn, Σn²) daily-count stats (explicit broadcast)",
-    "v09_embed_cov" -> "d-row dim-frame triangle + 1-row d scalar — bounded by embedding dim")
+    "v09_embed_cov" -> "d-row dim-frame triangle + 1-row d scalar — bounded by embedding dim",
+    "a37_wilcoxon" -> "bucket-offset triangle (globalCumsum over the distinct-|d| frame)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -264,6 +264,27 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) >= 1L && r.getDouble(4) <= 1.0)
   }
 
+  // ---- Wilcoxon signed-rank ----
+
+  test("wilcoxonSignedRank: textbook W+ and z, zero diffs dropped") {
+    // diffs {1, -2, 3, 0}: zero drops; |d| ranks 1,2,3 → W+ = 1+3 = 4
+    val df = Seq(1L, -2L, 3L, 0L).toDF("d")
+    val r = RegressionOps.wilcoxonSignedRank(df, col("d")).collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 4.0)
+    // z = (4 − 3)/sqrt(3.5) = 0.534522
+    assert(r.getDouble(2) === 0.534522)
+  }
+
+  test("wilcoxonSignedRank: tie spanning signs gets the averaged rank") {
+    // diffs {1, -1, 2}: |d|=1 twice (avg rank 1.5), 2 once (rank 3)
+    // W+ = 1.5 + 3 = 4.5; ties = 6 → σ² = 3.375
+    val df = Seq(1L, -1L, 2L).toDF("d")
+    val r = RegressionOps.wilcoxonSignedRank(df, col("d")).collect()(0)
+    assert(r.getDouble(1) === 4.5)
+    assert(r.getDouble(2) === 0.816497)
+  }
+
   // ---- McNemar ----
 
   test("mcnemar: discordant counts and continuity-corrected chi2") {
