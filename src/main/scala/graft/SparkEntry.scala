@@ -1993,6 +1993,65 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // stratified k-fold: ONE exchange-parallel global row_number over
+    // (stratum, content-hash) — each stratum's ranks are contiguous, so
+    // rank mod k round-robins WITHIN every stratum (balanced ±1) without
+    // a per-stratum window (5 strata would mean 5 data-sized tasks)
+    "ml18_stratified_kfold" -> ((s, d) =>
+      RankOps.globalRowNumber(ord(s, d),
+          Seq(col("o_orderpriority").asc,
+            md5(col("o_orderkey").cast("string")).asc, col("o_orderkey").asc),
+          "__rn")
+        .withColumn("fold", (col("__rn") % 5).cast("int"))
+        .select("o_orderkey", "o_orderpriority", "fold")),
+
+    // running-peak drawdown per user purchase stream (worst dip from the
+    // high-water mark — the stability metric for any cumulative signal);
+    // integer cents, one keyed sort + one agg
+    "w17_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).filter(col("event_type") === "purchase")
+        .withColumn("__c", round(col("value") * 100, 0).cast("long"))
+        .withColumn("__peak", max(col("__c")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("__peak") - col("__c")).as("max_drawdown_cents"),
+          max(col("__c")).as("peak_cents"))
+    }),
+
+    // RFM segmentation: recency/frequency/monetary quintiles per user —
+    // the classic customer scoring. Quintiles come from three
+    // exchange-parallel global row_numbers (never an NTILE's
+    // single-partition window) with the closed-form bucket
+    // floor((rank−1)·5/n)+1, identical in both engines
+    "q08_rfm" -> ((s, d) => {
+      val base = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          datediff(lit("2024-02-01").cast("date"), max(to_date(col("ts"))))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * 100, 0).cast("long")).as("monetary_cents"))
+      val cnt = base.agg(count(lit(1)).as("__n"))
+      val ranked = RankOps.globalRowNumber(
+        RankOps.globalRowNumber(
+          RankOps.globalRowNumber(base,
+            Seq(col("recency_days").asc, col("user_id").asc), "__rr"),
+          Seq(col("frequency").desc, col("user_id").asc), "__rf"),
+        Seq(col("monetary_cents").desc, col("user_id").asc), "__rm")
+      ranked.crossJoin(broadcast(cnt))
+        .withColumn("r_score",
+          (expr("((__rr - 1) * 5) div __n") + 1).cast("int"))
+        .withColumn("f_score",
+          (expr("((__rf - 1) * 5) div __n") + 1).cast("int"))
+        .withColumn("m_score",
+          (expr("((__rm - 1) * 5) div __n") + 1).cast("int"))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .select("user_id", "recency_days", "frequency", "monetary_cents",
+          "r_score", "f_score", "m_score", "segment")
+    }),
+
     // paired before/after shift test: Wilcoxon signed-rank over the
     // line-1 vs line-2 price difference within each order (cents-exact
     // ranks, zero diffs dropped per convention)
@@ -5209,6 +5268,58 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    "ml18_stratified_kfold" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority,
+                           ROW_NUMBER() OVER (ORDER BY o_orderpriority,
+                             MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                             AS rn
+                    FROM orders)
+         SELECT o_orderkey, o_orderpriority,
+                CAST(rn % 5 AS INTEGER) AS fold
+         FROM r""",
+
+    "w17_drawdown" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                    FROM events WHERE event_type = 'purchase'),
+         k AS (SELECT user_id, c,
+                      MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS peak
+               FROM p)
+         SELECT user_id,
+                CAST(MAX(peak - c) AS BIGINT) AS max_drawdown_cents,
+                CAST(MAX(c) AS BIGINT) AS peak_cents
+         FROM k GROUP BY 1""",
+
+    // quintiles via the same closed-form floor((rank−1)·5/n)+1 over fully
+    // tie-broken ranks — no NTILE, identical cuts in both engines
+    "q08_rfm" ->
+      """WITH b AS (SELECT user_id,
+                           CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+                             DATE '2024-02-01') AS INTEGER) AS recency_days,
+                           CAST(COUNT(*) AS BIGINT) AS frequency,
+                           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                             AS BIGINT) AS monetary_cents
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         r AS (SELECT *,
+                      ROW_NUMBER() OVER (ORDER BY recency_days, user_id)
+                        AS rr,
+                      ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id)
+                        AS rf,
+                      ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, user_id)
+                        AS rm,
+                      COUNT(*) OVER () AS n
+               FROM b)
+         SELECT user_id, recency_days, frequency, monetary_cents,
+                CAST(((rr - 1) * 5) // n + 1 AS INTEGER) AS r_score,
+                CAST(((rf - 1) * 5) // n + 1 AS INTEGER) AS f_score,
+                CAST(((rm - 1) * 5) // n + 1 AS INTEGER) AS m_score,
+                CAST((((rr - 1) * 5) // n + 1) * 100
+                     + (((rf - 1) * 5) // n + 1) * 10
+                     + (((rm - 1) * 5) // n + 1) AS INTEGER) AS segment
+         FROM r""",
 
     // same doubled-average-rank machinery as a28/a32 over |d|
     "a37_wilcoxon" ->

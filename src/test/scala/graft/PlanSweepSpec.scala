@@ -73,7 +73,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "d16_lsh_recall" -> "three 1-row count scalars (explicit broadcasts)",
     "dq09_control_chart" -> "1-row (k, Σn, Σn²) daily-count stats (explicit broadcast)",
     "v09_embed_cov" -> "d-row dim-frame triangle + 1-row d scalar — bounded by embedding dim",
-    "a37_wilcoxon" -> "bucket-offset triangle (globalCumsum over the distinct-|d| frame)")
+    "a37_wilcoxon" -> "bucket-offset triangle (globalCumsum over the distinct-|d| frame)",
+    "ml18_stratified_kfold" -> "bucket-offset triangle (globalRowNumber)",
+    "q08_rfm" -> "bucket-offset triangles (three globalRowNumbers) + 1-row user count")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —
