@@ -1993,6 +1993,29 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // three-rater Fleiss kappa over the cheap order labelers (priority /
+    // price / status votes melted to the long frame) — a34's multi-rater
+    // generalization, exact integer algebra
+    "a38_fleiss_kappa" -> ((s, d) =>
+      AssociationOps.fleissKappa(
+        ord(s, d).select(col("o_orderkey"),
+          expr("stack(3, " +
+            "case when o_orderpriority in ('1-URGENT','2-HIGH') " +
+            "then 'high' else 'low' end, " +
+            "case when o_totalprice > 150000 then 'high' else 'low' end, " +
+            "case when o_orderstatus = 'F' then 'high' else 'low' end" +
+            ") as vote")),
+        col("o_orderkey"), col("vote"), raters = 3)),
+
+    // degree assortativity of the strong part co-occurrence graph — do
+    // hub parts co-purchase with hubs; exact integer Pearson over
+    // symmetrized endpoint degrees
+    "g05_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(
+        GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
+          .filter(col("cnt") >= 2),
+        "src", "dst")),
+
     // stratified k-fold: ONE exchange-parallel global row_number over
     // (stratum, content-hash) — each stratum's ranks are contiguous, so
     // rank mod k round-robins WITHIN every stratum (balanced ±1) without
@@ -5268,6 +5291,68 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // κ from exact integer moments: P̄ cleared to (Σn²−Nr)/(Nr(r−1)),
+    // P_e to Σn_j²/(Nr)²
+    "a38_fleiss_kappa" ->
+      """WITH v AS (SELECT o_orderkey AS i, vote AS c FROM orders,
+                    LATERAL (VALUES
+                      (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 'high' ELSE 'low' END),
+                      (CASE WHEN o_totalprice > 150000
+                         THEN 'high' ELSE 'low' END),
+                      (CASE WHEN o_orderstatus = 'F'
+                         THEN 'high' ELSE 'low' END)) AS t(vote)),
+         cells AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS nij
+                   FROM v GROUP BY 1, 2),
+         ag AS (SELECT SUM(CAST(nij AS HUGEINT) * nij) AS ss,
+                       CAST(COUNT(DISTINCT i) AS BIGINT) AS n
+                FROM cells),
+         mg AS (SELECT SUM(CAST(nj AS HUGEINT) * nj) AS sm
+                FROM (SELECT c, CAST(SUM(nij) AS BIGINT) AS nj
+                      FROM cells GROUP BY 1)),
+         f AS (SELECT n,
+                      CAST(ss - CAST(n AS HUGEINT) * 3 AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * 3 * 2 AS DOUBLE) AS pbar,
+                      CAST(sm AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * 3 * n * 3 AS DOUBLE)
+                        AS pexp,
+                      CAST(n AS HUGEINT) * 3 * n * 3 = sm AS degen
+               FROM ag CROSS JOIN mg)
+         SELECT n AS n_items, ROUND(pbar, 6) AS p_bar, ROUND(pexp, 6) AS p_exp,
+                CASE WHEN NOT degen THEN
+                  ROUND((pbar - pexp) / (1.0 - pexp), 6) END AS kappa
+         FROM f""",
+
+    // co-occurrence edges as in g04, both orientations, integer Pearson
+    "g05_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+         e AS (SELECT a.i AS u, b.i AS v
+               FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS z FROM e UNION ALL SELECT v FROM e),
+         deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+         ends AS (SELECT du.d AS x, dv.d AS y
+                  FROM (SELECT u, v FROM e
+                        UNION ALL SELECT v AS u, u AS v FROM e) be
+                  JOIN deg du ON du.z = be.u
+                  JOIN deg dv ON dv.z = be.v),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                      SUM(CAST(x AS HUGEINT)) AS sx,
+                      SUM(CAST(y AS HUGEINT)) AS sy,
+                      SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                      SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                      SUM(CAST(y AS HUGEINT) * y) AS syy
+               FROM ends)
+         SELECT m2,
+                CASE WHEN (m2 * sxx - sx * sx) * (m2 * syy - sy * sy) > 0 THEN
+                  ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE)
+                        / SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                               * CAST(m2 * syy - sy * sy AS DOUBLE)), 6)
+                END AS assortativity
+         FROM s""",
 
     "ml18_stratified_kfold" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority,

@@ -169,6 +169,43 @@ object GraphOps {
     * Input must be canonical undirected (`src < dst`); output pairs are
     * id-ordered with `common ≥ minCommon`.
     */
+  /** Degree assortativity — Pearson correlation of endpoint degrees over
+    * the undirected edge list ("do hubs link to hubs?"; positive = social
+    * network, negative = hub-and-spoke). Each undirected edge contributes
+    * BOTH orientations (the standard symmetrized form). Degrees are exact
+    * integers, so all six Pearson sufficient statistics sum exactly in
+    * DECIMAL(38,0) — the [[graft.operators.RegressionOps.groupOls]]
+    * argument; null when every degree is equal (zero variance).
+    *
+    * Scale: one degree aggregate, two equi-joins back to the edges, one
+    * scalar aggregate — all keyed on node ids.
+    */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+    val deg = e.select(col("__u").as("__n"))
+      .union(e.select(col("__v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    val both = e.union(e.select(col("__v").as("__u"), col("__u").as("__v")))
+      .join(deg.select(col("__n").as("__u"), col("__deg").as("__du")), Seq("__u"))
+      .join(deg.select(col("__n").as("__v"), col("__deg").as("__dv")), Seq("__v"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    both.agg(
+        count(lit(1)).as("m2"),
+        sum(dec(col("__du"))).as("__sx"),
+        sum(dec(col("__dv"))).as("__sy"),
+        sum(dec(col("__du")) * col("__dv")).as("__sxy"),
+        sum(dec(col("__du")) * col("__du")).as("__sxx"),
+        sum(dec(col("__dv")) * col("__dv")).as("__syy"))
+      .select(col("m2"),
+        when((col("m2") * col("__sxx") - col("__sx") * col("__sx")) *
+          (col("m2") * col("__syy") - col("__sy") * col("__sy")) > 0,
+          round(
+            (col("m2") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+              sqrt((col("m2") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+                (col("m2") * col("__syy") - col("__sy") * col("__sy")).cast("double")),
+            6)).as("assortativity"))
+  }
+
   def adamicAdar(edges: DataFrame, src: String, dst: String,
       maxDeg: Int = 1000, minCommon: Long = 2L): DataFrame = {
     val e = edges.select(col(src).as("__u"), col(dst).as("__v"))

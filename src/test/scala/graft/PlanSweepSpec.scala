@@ -75,7 +75,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "v09_embed_cov" -> "d-row dim-frame triangle + 1-row d scalar — bounded by embedding dim",
     "a37_wilcoxon" -> "bucket-offset triangle (globalCumsum over the distinct-|d| frame)",
     "ml18_stratified_kfold" -> "bucket-offset triangle (globalRowNumber)",
-    "q08_rfm" -> "bucket-offset triangles (three globalRowNumbers) + 1-row user count")
+    "q08_rfm" -> "bucket-offset triangles (three globalRowNumbers) + 1-row user count",
+    "a38_fleiss_kappa" -> "1-row Σ marginal-square scalar (explicit broadcast)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —
