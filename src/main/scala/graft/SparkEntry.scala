@@ -1993,6 +1993,54 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // as-of BACKWARD join via the union-LOCF trick: tag both streams,
+    // union, ONE per-user sort, last-reference-carried-forward — the
+    // trades×quotes as-of without any join node (j11 is the interval
+    // variant; this is the unbounded-lookback one, windowed exactly like
+    // ffill so the big side never shuffles twice)
+    "j21_asof_backward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("__side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val refs = ev(s, d).filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("__side"), col("ts").as("__ref_ts"))
+      val pts = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("__side"), lit(null).cast("timestamp").as("__ref_ts"))
+      refs.unionByName(pts)
+        .withColumn("asof_signup_ts",
+          last(col("__ref_ts"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)
+        .select(col("event_id"), col("asof_signup_ts"))
+    }),
+
+    // Cronbach's alpha over the three binary order labelers — internal-
+    // consistency reliability (the psychometrics face of the a34/a38
+    // family); item and total variances from exact integer sums
+    "a39_cronbach_alpha" -> ((s, d) => {
+      val items = ord(s, d).select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("__i1"),
+        when(col("o_totalprice") > 150000, 1L).otherwise(0L).as("__i2"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("__i3"))
+        .withColumn("__t", col("__i1") + col("__i2") + col("__i3"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val agg = items.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("__i1"))).as("__s1"), sum(dec(col("__i1")) * col("__i1")).as("__q1"),
+        sum(dec(col("__i2"))).as("__s2"), sum(dec(col("__i2")) * col("__i2")).as("__q2"),
+        sum(dec(col("__i3"))).as("__s3"), sum(dec(col("__i3")) * col("__i3")).as("__q3"),
+        sum(dec(col("__t"))).as("__st"), sum(dec(col("__t")) * col("__t")).as("__qt"))
+      def v(q: Column, sc: Column) =
+        (col("n") * q - sc * sc).cast("double")
+      agg.select(col("n"),
+        round(lit(1.5) * (lit(1.0) -
+          (v(col("__q1"), col("__s1")) + v(col("__q2"), col("__s2")) +
+            v(col("__q3"), col("__s3"))) / v(col("__qt"), col("__st"))), 6)
+          .as("alpha"))
+    }),
+
     // three-rater Fleiss kappa over the cheap order labelers (priority /
     // price / status votes melted to the long frame) — a34's multi-rater
     // generalization, exact integer algebra
@@ -5291,6 +5339,49 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // identical union-LOCF construction: tag sides, one sort, carry the
+    // last reference timestamp forward
+    "j21_asof_backward" ->
+      """WITH refs AS (SELECT user_id, ts, event_id, 0 AS side, ts AS ref_ts
+                       FROM events WHERE event_type = 'signup'),
+         pts AS (SELECT user_id, ts, event_id, 1 AS side,
+                        CAST(NULL AS TIMESTAMP) AS ref_ts
+                 FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM refs UNION ALL SELECT * FROM pts),
+         l AS (SELECT event_id, side,
+                      LAST_VALUE(ref_ts IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY ts, side, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS asof_signup_ts
+               FROM u)
+         SELECT event_id, asof_signup_ts FROM l WHERE side = 1""",
+
+    "a39_cronbach_alpha" ->
+      """WITH it AS (SELECT
+                       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END AS i1,
+                       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS i2,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS i3
+                     FROM orders),
+         w AS (SELECT i1, i2, i3, i1 + i2 + i3 AS t FROM it),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(i1 AS HUGEINT)) AS s1,
+                      SUM(CAST(i1 AS HUGEINT) * i1) AS q1,
+                      SUM(CAST(i2 AS HUGEINT)) AS s2,
+                      SUM(CAST(i2 AS HUGEINT) * i2) AS q2,
+                      SUM(CAST(i3 AS HUGEINT)) AS s3,
+                      SUM(CAST(i3 AS HUGEINT) * i3) AS q3,
+                      SUM(CAST(t AS HUGEINT)) AS st,
+                      SUM(CAST(t AS HUGEINT) * t) AS qt
+               FROM w)
+         SELECT n,
+                ROUND(1.5 * (1.0 -
+                  (CAST(n * q1 - s1 * s1 AS DOUBLE)
+                   + CAST(n * q2 - s2 * s2 AS DOUBLE)
+                   + CAST(n * q3 - s3 * s3 AS DOUBLE))
+                  / CAST(n * qt - st * st AS DOUBLE)), 6) AS alpha
+         FROM s""",
 
     // κ from exact integer moments: P̄ cleared to (Σn²−Nr)/(Nr(r−1)),
     // P_e to Σn_j²/(Nr)²
