@@ -72,7 +72,10 @@ class DeterminismSpec extends AnyFunSuite {
     // DeLong ride globalCumsum[s]) and the heaviest new queries per the
     // refreshed BENCH_FULL.json
     "a32_mannwhitney", "a33_auroc_delong", "v09_embed_cov",
-    "g04_adamic_adar", "d16_lsh_recall", "t28_bigram_lm", "ts12_decompose")
+    "g04_adamic_adar", "d16_lsh_recall", "t28_bigram_lm", "ts12_decompose",
+    // late-r7 rank consumers: Wilcoxon rides globalCumsum, the stratified
+    // fold and RFM quintiles ride globalRowNumber(s)
+    "a37_wilcoxon", "ml18_stratified_kfold", "q08_rfm")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df
