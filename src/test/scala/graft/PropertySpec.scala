@@ -352,4 +352,104 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("mannWhitney antisymmetry: swapping the groups negates z, mirrors U") {
+    val gen: Gen[List[(Double, String)]] = for {
+      na <- Gen.choose(3, 15); nb <- Gen.choose(3, 15)
+      a <- Gen.listOfN(na, Gen.choose(0, 20))
+      b <- Gen.listOfN(nb, Gen.choose(0, 20))
+    } yield a.map(v => (v.toDouble, "A")) ++ b.map(v => (v.toDouble, "B"))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.toDF("v", "g")
+      val f = RegressionOps.mannWhitney(df, col("v"), col("g"), "A", "B").collect()(0)
+      val r = RegressionOps.mannWhitney(df, col("v"), col("g"), "B", "A").collect()(0)
+      val (na, nb) = (f.getLong(0), f.getLong(1))
+      // U_A + U_B = nA·nB, and z flips sign exactly
+      assert(f.getDouble(2) + r.getDouble(2) === na.toDouble * nb,
+        s"U antisymmetry broke for $rows")
+      assert(math.abs(f.getDouble(3) + r.getDouble(3)) < 2e-6,
+        s"z antisymmetry broke for $rows")
+    }
+  }
+
+  test("wilcoxonSignedRank sign flip negates z, W+ + W- = n(n+1)/2") {
+    val gen: Gen[List[Long]] = for {
+      n <- Gen.choose(4, 20)
+      ds <- Gen.listOfN(n, Gen.choose(-9L, 9L))
+    } yield ds
+    samples(gen, 6).foreach { ds =>
+      val df = ds.toDF("d")
+      val f = RegressionOps.wilcoxonSignedRank(df, col("d")).collect()(0)
+      val r = RegressionOps.wilcoxonSignedRank(df, -col("d")).collect()(0)
+      val n = f.getLong(0)
+      assert(f.getDouble(1) + r.getDouble(1) === n.toDouble * (n + 1) / 2,
+        s"rank-sum partition broke for $ds")
+      if (!f.isNullAt(2) && !r.isNullAt(2))
+        assert(math.abs(f.getDouble(2) + r.getDouble(2)) < 2e-6,
+          s"z antisymmetry broke for $ds")
+    }
+  }
+
+  test("rollingMedian stays inside the trailing-window envelope") {
+    val gen: Gen[List[Double]] = for {
+      n <- Gen.choose(1, 25)
+      vs <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+    } yield vs
+    samples(gen, 6).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (1, i, v) }
+      val out = WindowOps.rollingMedian(rows.toDF("u", "t", "v"),
+          Seq("u"), Seq("t"), col("v"), k = 4, "m")
+        .orderBy("t").collect().map(_.getDouble(3))
+      out.zipWithIndex.foreach { case (m, i) =>
+        val win = vs.slice(math.max(0, i - 3), i + 1)
+        assert(m >= win.min - 1e-9 && m <= win.max + 1e-9,
+          s"median escaped its window at $i for $vs")
+      }
+    }
+  }
+
+  test("zValue2 round-trips: de-interleaving recovers both coordinates") {
+    val gen: Gen[(Long, Long)] = for {
+      x <- Gen.choose(0L, 2147483647L); y <- Gen.choose(0L, 2147483647L)
+    } yield (x, y)
+    val pts = samples(gen, 24)
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrder.zValue2(col("x"), col("y")).as("z"))
+      .collect()
+    zs.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (rx, ry) = (0L, 0L)
+      var i = 0
+      while (i < 31) {
+        rx |= ((z >> (2 * i)) & 1L) << i
+        ry |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      assert(rx === x && ry === y, s"z round-trip broke for ($x, $y)")
+    }
+  }
+
+  test("temporalSplit: train prefix is closed under time order, sizes add up") {
+    val gen: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 4); t <- Gen.choose(0, 1000)
+      } yield (u, t))
+    } yield rows.distinct
+    samples(gen, 6).foreach { rows =>
+      val out = FoldOps.temporalSplit(rows.toDF("u", "t"), Seq("u"),
+          Seq(col("t")), 0.25)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      out.groupBy(_._1).foreach { case (_, grp) =>
+        val sorted = grp.sortBy(_._2)
+        val nTrain = sorted.count(_._3 == "train")
+        assert(nTrain === math.ceil(sorted.length * 0.75).toLong,
+          s"split size broke for $rows")
+        // no test row may precede a train row
+        assert(sorted.map(_._3).dropWhile(_ == "train").forall(_ == "test"),
+          s"split order broke for $rows")
+      }
+    }
+  }
 }
