@@ -119,6 +119,25 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming twin of the `dq09_control_chart` monitor: daily tumbling
+    * volumes scored live against a STATIC batch-computed (μ, σ) baseline
+    * (re-planned per micro-batch, so a refreshed baseline table is picked
+    * up on the next trigger). The baseline is a 1-row frame joined on a
+    * constant key — a broadcast of two doubles; the window agg is the
+    * only state, bounded by the watermark.
+    */
+  def controlChartStream(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "48 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__k", lit(1))
+      .join(baseline.withColumn("__k", lit(1)), Seq("__k"))
+      .select(col("window.start").cast("date").as("day"), col("n"),
+        col("mu"), col("sigma"),
+        (abs(col("n") - col("mu")) > lit(3.0) * col("sigma"))
+          .as("out_of_control"))
+
   /** Stream-static semi join: filter a live event stream to a static
     * cohort/allow-list (the streaming face of `JoinOps.semiFilter`). The
     * static side is planned per micro-batch, so an updated cohort table is

@@ -289,6 +289,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming control chart equals the batch dq09 daily flags") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ctl")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+
+    // batch-computed baseline from exact integer sums (the dq09 algebra)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val daily = ev.groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+    val baseline = daily.agg(count(lit(1)).as("__k0"),
+        sum($"n").as("__s"), sum($"n" * $"n").as("__ss"))
+      .select(
+        ($"__s".cast("double") / $"__k0").as("mu"),
+        sqrt(($"__k0" * $"__ss" - $"__s" * $"__s").cast("double") /
+          ($"__k0" * ($"__k0" - 1))).as("sigma"))
+
+    val stream = EventStreams.controlChartStream(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)), baseline)
+    val q = stream.writeStream
+      .format("memory").queryName("ctl").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ctl")
+      .select($"day", $"n", $"out_of_control")
+      .collect().map(_.toSeq).toSet
+
+    val batch = daily.crossJoin(broadcast(baseline))
+      .select($"day", $"n",
+        (abs($"n" - $"mu") > lit(3.0) * $"sigma").as("out_of_control"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming 24h conversion funnel equals the batch q06 converted-view set") {
     import spark.implicits._
     // the funnel is pointInIntervalStream with the roles flipped: the VIEW
