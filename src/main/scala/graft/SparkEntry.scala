@@ -1993,6 +1993,26 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // incremental view maintenance: yesterday's per-key aggregate STATE
+    // merged with today's delta — two partial-aggregate frames unioned
+    // and re-summed, never a full-history recompute. The oracle computes
+    // the full aggregate directly, so the green row PROVES
+    // incremental ≡ full (sums/counts are decomposable; the mean is
+    // derived at read time, exactly like map-side partials)
+    "u11_incremental_agg" -> ((s, d) => {
+      val cut = lit("2024-01-15").cast("date")
+      def part(f: DataFrame) = f.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      val state = part(ev(s, d).filter(to_date(col("ts")) < cut))
+      val delta = part(ev(s, d).filter(to_date(col("ts")) >= cut))
+      state.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+        .withColumn("mean_value",
+          round(col("sum_cents").cast("double") / col("n") / 100.0, 6))
+    }),
+
     // as-of BACKWARD join via the union-LOCF trick: tag both streams,
     // union, ONE per-user sort, last-reference-carried-forward — the
     // trades×quotes as-of without any join node (j11 is the interval
@@ -5339,6 +5359,16 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // the ORACLE computes the full aggregate in one pass — hash equality
+    // against the engine's state+delta merge proves incremental ≡ full
+    "u11_incremental_agg" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_value
+         FROM events GROUP BY 1, 2""",
 
     // identical union-LOCF construction: tag sides, one sort, carry the
     // last reference timestamp forward
