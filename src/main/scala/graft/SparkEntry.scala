@@ -1993,6 +1993,38 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // Welch's unequal-variance t-test, purchase vs view values — the
+    // parametric companion of a32; every moment an exact integer-cent
+    // sum, the t/df assembly double-only and oracle-mirrored
+    "a40_welch_ttest" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val cents = round(col("value") * 100, 0).cast("long")
+      val agg = ev(s, d)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("purchase", "view"))
+        .withColumn("__a", when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .agg(
+          sum(col("__a")).as("n1"),
+          sum(lit(1L) - col("__a")).as("n2"),
+          sum(dec(cents) * col("__a")).as("__s1"),
+          sum(dec(cents) * cents * col("__a")).as("__q1"),
+          sum(dec(cents) * (lit(1L) - col("__a"))).as("__s2"),
+          sum(dec(cents) * cents * (lit(1L) - col("__a"))).as("__q2"))
+      val v1 = (col("n1") * col("__q1") - col("__s1") * col("__s1")).cast("double") /
+        (col("n1").cast("double") * col("n1") * (col("n1") - 1))
+      val v2 = (col("n2") * col("__q2") - col("__s2") * col("__s2")).cast("double") /
+        (col("n2").cast("double") * col("n2") * (col("n2") - 1))
+      val md = col("__s1").cast("double") / col("n1") -
+        col("__s2").cast("double") / col("n2")
+      val se2 = v1 + v2
+      agg.select(col("n1"), col("n2"),
+        round(col("__s1").cast("double") / col("n1") / 100.0, 6).as("mean1"),
+        round(col("__s2").cast("double") / col("n2") / 100.0, 6).as("mean2"),
+        round(md / sqrt(se2), 6).as("t"),
+        round(se2 * se2 / (v1 * v1 / (col("n1") - 1) + v2 * v2 / (col("n2") - 1)),
+          6).as("df"))
+    }),
+
     // incremental view maintenance: yesterday's per-key aggregate STATE
     // merged with today's delta — two partial-aggregate frames unioned
     // and re-summed, never a full-history recompute. The oracle computes
@@ -5359,6 +5391,35 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    "a40_welch_ttest" ->
+      """WITH r AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                             AS a
+                    FROM events
+                    WHERE value IS NOT NULL
+                      AND event_type IN ('purchase', 'view')),
+         s AS (SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                      CAST(SUM(1 - a) AS BIGINT) AS n2,
+                      SUM(CAST(c AS HUGEINT) * a) AS s1,
+                      SUM(CAST(c AS HUGEINT) * c * a) AS q1,
+                      SUM(CAST(c AS HUGEINT) * (1 - a)) AS s2,
+                      SUM(CAST(c AS HUGEINT) * c * (1 - a)) AS q2
+               FROM r),
+         f AS (SELECT n1, n2, s1, s2,
+                      CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS v1,
+                      CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                        / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS v2,
+                      CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+               FROM s)
+         SELECT n1, n2,
+                ROUND(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean1,
+                ROUND(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean2,
+                ROUND(md / SQRT(v1 + v2), 6) AS t,
+                ROUND((v1 + v2) * (v1 + v2)
+                      / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 6) AS df
+         FROM f""",
 
     // the ORACLE computes the full aggregate in one pass — hash equality
     // against the engine's state+delta merge proves incremental ≡ full
