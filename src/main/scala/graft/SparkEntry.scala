@@ -1993,6 +1993,36 @@ object SparkEntry {
     "t28_bigram_lm" -> ((s, d) =>
       SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
 
+    // dominant periodicity per user: the lag (1..3) with the highest
+    // autocorrelation, ties to the smaller lag — ts11 collapsed to the
+    // per-entity "does this series have a beat" verdict via max_by over
+    // the rounded engine-exact acf
+    "ts14_dominant_lag" -> ((s, d) =>
+      TimeSeriesOps.autocorr(
+          ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("__cents")),
+          "user_id", "ts", "event_id", col("__cents"), maxLag = 3)
+        .filter(col("acf").isNotNull)
+        .groupBy("user_id")
+        .agg(max_by(col("lag"), struct(col("acf"), -col("lag"))).as("best_lag"),
+          max(col("acf")).as("best_acf"))),
+
+    // primary-key violation audit: duplicate-key groups and surplus rows
+    // per declared key — the first DQ gate of any ingest contract; one
+    // hash aggregate per key
+    "dq10_pk_violations" -> ((s, d) => {
+      def audit(df: DataFrame, table: String, keys: Seq[String]) =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(lit(table).as("table_name"),
+            sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_keys"),
+            sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L))
+              .as("surplus_rows"))
+      audit(ev(s, d), "events", Seq("event_id"))
+        .unionByName(audit(ord(s, d), "orders", Seq("o_orderkey")))
+        .unionByName(audit(li(s, d), "lineitem",
+          Seq("l_orderkey", "l_linenumber")))
+    }),
+
     // Welch's unequal-variance t-test, purchase vs view values — the
     // parametric companion of a32; every moment an exact integer-cent
     // sum, the t/df assembly double-only and oracle-mirrored
@@ -5391,6 +5421,62 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
                 ROUND(sc.ll / sc.nb, 6) AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // ts11's stack, collapsed to the per-user argmax (acf desc, lag asc)
+    "ts14_dominant_lag" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                    FROM events),
+         l AS (SELECT user_id, v,
+                      LAG(v, 1) OVER w AS l1,
+                      LAG(v, 2) OVER w AS l2,
+                      LAG(v, 3) OVER w AS l3
+               FROM b
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         st AS (SELECT user_id, 1 AS lag, v, l1 AS p FROM l WHERE l1 IS NOT NULL
+                UNION ALL
+                SELECT user_id, 2, v, l2 FROM l WHERE l2 IS NOT NULL
+                UNION ALL
+                SELECT user_id, 3, v, l3 FROM l WHERE l3 IS NOT NULL),
+         g AS (SELECT user_id, lag, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(v AS HUGEINT)) AS sx,
+                      SUM(CAST(p AS HUGEINT)) AS sy,
+                      SUM(CAST(v AS HUGEINT) * p) AS sxy,
+                      SUM(CAST(v AS HUGEINT) * v) AS sxx,
+                      SUM(CAST(p AS HUGEINT) * p) AS syy
+               FROM st GROUP BY 1, 2),
+         acf AS (SELECT user_id, lag,
+                        CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                          THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                        END AS acf
+                 FROM g),
+         r AS (SELECT user_id, lag, acf,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY acf DESC, lag) AS rn
+               FROM acf WHERE acf IS NOT NULL)
+         SELECT user_id, CAST(lag AS INTEGER) AS best_lag, acf AS best_acf
+         FROM r WHERE rn = 1""",
+
+    "dq10_pk_violations" ->
+      """SELECT 'events' AS table_name,
+                CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dup_keys,
+                CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+                  AS surplus_rows
+         FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)
+         UNION ALL
+         SELECT 'orders',
+                CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+         FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+         UNION ALL
+         SELECT 'lineitem',
+                CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+         FROM (SELECT COUNT(*) AS c FROM lineitem
+               GROUP BY l_orderkey, l_linenumber)""",
 
     "a40_welch_ttest" ->
       """WITH r AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
