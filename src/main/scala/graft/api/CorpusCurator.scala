@@ -83,10 +83,18 @@ object CorpusCurator {
     val symR = (length(col(cfg.textCol)) -
       length(regexp_replace(col(cfg.textCol), "[{}()\\[\\];=<>]", "")))
       .cast("double") / greatest(length(col(cfg.textCol)), lit(1))
-    val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+    // zero-token docs pass the TTR gate (size=0 would divide to null and
+    // silently drop the row) — the length gate in qualityFilter owns the
+    // short-doc call, as documented above; each gate applies only when its
+    // threshold moved off the default, so enabling one never drags the
+    // other's predicate into the filter
+    val ttr = when(size(toks) === 0, lit(1.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+    val gates = Seq(
+      Option.when(cfg.maxSymRatio < 1.0)(symR <= cfg.maxSymRatio),
+      Option.when(cfg.minTtr > 0.0)(ttr >= cfg.minTtr)).flatten
     val rowGated =
-      if (cfg.maxSymRatio >= 1.0 && cfg.minTtr <= 0.0) docs
-      else docs.filter(symR <= cfg.maxSymRatio && ttr >= cfg.minTtr)
+      if (gates.isEmpty) docs else docs.filter(gates.reduce(_ && _))
     if (cfg.minBigramLogProb == Double.NegativeInfinity) rowGated
     else {
       val ok = graft.operators.SummaryOps

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *     (descending time groups over a Fenwick tree of local risk ranks —
   *     O(m log m), state bounded by the bucket, i.e. ~n/P rows);
   *   - cross-bucket concordant pairs: for an event in bucket b at time t,
-  *     every j in a lower bucket with `t_j > t` counts — evaluated from
-  *     per-bucket cumulative time counts (ONE multi-column
-  *     [[RankOps.globalCumsums]] pass over the distinct-time frame) and
-  *     the ≤P-row bucket totals (the only driver-side collect);
+  *     every j in a lower bucket with `t_j > t` counts — the 2-D dominance
+  *     count factors into two 1-D cumsums over a sparse tall cell frame
+  *     (a lex-order [[RankOps.globalCumsum]] + a per-bucket window), plus
+  *     the ≤P-row bucket totals (the only driver-side collect); plan
+  *     width stays constant however many shuffle partitions exist;
   *   - permissible and risk-tied pair totals are window/aggregate
   *     arithmetic over distinct-time and (risk, time) frames.
   * Every count is an exact integer; the final division is the only float.
@@ -83,16 +84,6 @@ object ConcordanceOps {
     }(org.apache.spark.sql.Encoders.scalaLong).toDF("__d")
       .agg(sum("__d").as("__dlocal"))
 
-    // ---- distinct-time frame with per-bucket cumulative (≤ t) counts ---
-    val bucketCols = (0 until nBuckets).map(a =>
-      sum(when(col("__pid") === a, 1L).otherwise(0L)).as(s"__c$a"))
-    val tcounts = ranged.groupBy(col("__t"))
-      .agg(count(lit(1)).as("__n"),
-        (sum(col("__e").cast("long")).as("__nev") +: bucketCols): _*)
-    val cums = RankOps.globalCumsums(tcounts, Seq(col("__t")),
-      (col("__n") -> "__cumN") +:
-        (0 until nBuckets).map(a => (col(s"__c$a"): Column) -> s"__F$a"))
-
     // ---- bucket totals (≤ P rows — the only driver-side collect) -------
     val totals = ranged.groupBy("__pid").agg(count(lit(1)).as("__bn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -100,19 +91,90 @@ object ConcordanceOps {
       acc + totals.getOrElse(a, 0L)).init // prefTot(b) = Σ_{a<b} n_a
     val n = (0 until nBuckets).map(a => totals.getOrElse(a, 0L)).sum
 
-    // ---- cross-bucket concordant + permissible from the cum frame ------
-    val fArr = array((0 until nBuckets).map(a => col(s"__F$a")): _*)
-    val prefArr = array(prefTot.map(lit(_)): _*)
-    val evTimes = ranged.filter(col("__e") === 1)
-      .groupBy(col("__t"), col("__pid")).agg(count(lit(1)).as("__ne"))
-      .join(cums.select((col("__t") +: col("__cumN") +:
-        (0 until nBuckets).map(a => col(s"__F$a"))): _*), Seq("__t"))
-    val crossAndPerm = evTimes.select(
-        (col("__ne") * (element_at(prefArr, col("__pid") + 1) -
-          aggregate(slice(fArr, lit(1), col("__pid")), lit(0L), _ + _)))
-          .as("__cross"),
-        (col("__ne") * (lit(n) - col("__cumN"))).as("__perm"))
-      .agg(sum("__cross").as("__dcross"), sum("__perm").as("__perm"))
+    // ---- cross-bucket concordant pairs: time-slice decomposition -------
+    // A cross-bucket pair (event i, partner j) has r_j < r_i ⟺
+    // pid_j < pid_i (strict risk order across buckets) and needs
+    // t_j > t_i. Range-partition the SAME rows by time (equal times
+    // co-located, so slice order implies strict time order):
+    //   (a) same time slice → in-memory descending-time sweep per slice
+    //       with a Fenwick over bucket ids (state ≤ slice rows + P);
+    //   (b) later time slice → t_j > t_i is automatic; pairs count from
+    //       the (time-slice × bucket) matrix — a P² cell frame BOUNDED BY
+    //       CONFIG, not data — via two cascaded keyed windows
+    //       (later-slices cumsum within bucket, then lower-bucket prefix
+    //       within slice).
+    // Plan width stays CONSTANT however many shuffle partitions exist
+    // (the r7 a31 caveat: the former formulation carried one aggregate
+    // column per partition and a P-wide array per distinct time).
+    val tRanged = ranged.repartitionByRange(p, col("__t"))
+      .withColumn("__tsid", spark_partition_id())
+      .localCheckpoint(false)
+
+    // (a) same-slice, lower-bucket: Fenwick over pid, descending t-groups
+    val sameSlice = tRanged.select("__t", "__e", "__pid")
+      .mapPartitions { it =>
+        val arr = it.toArray
+        if (arr.length < 2) Iterator.single(0L)
+        else {
+          val byT = arr.sortBy(r => r.getLong(0))
+          val maxPid = arr.iterator.map(_.getInt(2)).max
+          val bit = new Bit(maxPid + 1)
+          var d = 0L
+          var hi = byT.length - 1
+          while (hi >= 0) {
+            var lo = hi
+            while (lo > 0 && byT(lo - 1).getLong(0) == byT(hi).getLong(0)) lo -= 1
+            var k = lo
+            while (k <= hi) { // prefix of ranks ≤ pid = buckets < pid
+              if (byT(k).getInt(1) == 1) d += bit.query(byT(k).getInt(2))
+              k += 1
+            }
+            k = lo
+            while (k <= hi) { bit.add(byT(k).getInt(2) + 1); k += 1 }
+            hi = lo - 1
+          }
+          Iterator.single(d)
+        }
+      }(org.apache.spark.sql.Encoders.scalaLong).toDF("__d")
+      .agg(sum("__d").as("__dsame"))
+
+    // (b) later-slice, lower-bucket: dense P×P matrix (bounded-by-config
+    // cross of the ≤P distinct slice ids × ≤P distinct bucket ids — the
+    // BroadcastNestedLoopJoin is on provably bounded sides)
+    val mcells = tRanged.groupBy(col("__tsid"), col("__pid"))
+      .agg(count(lit(1)).as("__m"))
+    val grid = tRanged.select(col("__tsid")).distinct()
+      .crossJoin(broadcast(ranged.select(col("__pid")).distinct()))
+    val wLater = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__tsid"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wLowerB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tsid")).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val t2 = grid.join(mcells, Seq("__tsid", "__pid"), "left")
+      .withColumn("__m", coalesce(col("__m"), lit(0L)))
+      .withColumn("__later", coalesce(sum(col("__m")).over(wLater), lit(0L)))
+      .withColumn("__t2", coalesce(sum(col("__later")).over(wLowerB), lit(0L)))
+      .select(col("__tsid"), col("__pid"), col("__t2"))
+    val laterSlice = tRanged.filter(col("__e") === 1)
+      .groupBy(col("__tsid"), col("__pid")).agg(count(lit(1)).as("__ne"))
+      .join(t2, Seq("__tsid", "__pid"))
+      .select((col("__ne") * col("__t2")).as("__c"))
+      .agg(sum("__c").as("__dlater"))
+    val dcross = sameSlice.crossJoin(laterSlice)
+      .select((coalesce(col("__dsame"), lit(0L)) +
+        coalesce(col("__dlater"), lit(0L))).as("__dcross"))
+
+    // ---- permissible pairs: single-column global time cumsum -----------
+    val tcounts = ranged.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val cums = RankOps.globalCumsum(tcounts, Seq(col("__t")),
+      col("__n"), "__cumN")
+    val crossAndPerm = ranged.filter(col("__e") === 1)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__net"))
+      .join(cums.select("__t", "__cumN"), Seq("__t"))
+      .select((col("__net") * (lit(n) - col("__cumN"))).as("__perm"))
+      .agg(sum("__perm").as("__perm"))
+      .crossJoin(dcross)
 
     // ---- risk-tied permissible pairs: per-risk-group later-time counts -
     val rt = rows.groupBy(col("__r"), col("__t"))

@@ -325,25 +325,37 @@ object RegressionOps {
     * is the final hash aggregate on the (i, j) key — d²/2 groups,
     * map-side combined. At d=64 that is 2 080 rows out regardless of
     * input size; the n·d²/2 intermediate never materializes (it streams
-    * through the partial aggregate). Float lanes are cast to double at
-    * extraction; the closing (Σxy − ΣxΣy/n)/n assembly is mirrored by
-    * the oracle.
+    * through the partial aggregate).
+    *
+    * Determinism: each float lane is quantized onto the 10⁻⁶ grid
+    * (round(x·10⁶) as BIGINT — float→double widening is exact, so both
+    * engines quantize the same value), pair products are formed in exact
+    * 64-bit integers (|q| ≤ ~10⁶ ⇒ |q·q| ≤ ~10¹²) and summed as
+    * DECIMAL(38,0) — a merge-ORDER-FREE sufficient statistic, unlike a
+    * raw double hash-agg sum. The closing n·Σqᵢqⱼ − Σqᵢ·Σqⱼ numerator is
+    * one exact integer (≤ n²·10¹² — at n = 10¹² rows still < 10³⁸), and
+    * the single numer/(n²·10¹²) double division + 6-decimal round is
+    * correctly rounded identically on every engine, partitioning and AQE
+    * mode. Same fixed-point argument as [[groupOls]]/`a28`/`a33`.
     */
   def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
-    // upper-triangle products as a BARE double array (row-major pair
+    val q = transform(vec, x =>
+      round(x.cast("double") * lit(1e6), 0).cast("long"))
+    val qdf = df.select(q.as("__q"))
+    // upper-triangle products as a BARE long array (row-major pair
     // enumeration: pos = i·d − i(i−1)/2 + (j − i)) — no per-pair struct
     // allocation; the 2080-wide array flattens straight into posexplode
-    val prods = flatten(transform(vec, (xi, i) =>
-      transform(slice(vec, i + 1, size(vec)),
-        xj => xi.cast("double") * xj.cast("double"))))
-    val prodSums = df.select(posexplode(prods).as(Seq("pos", "__p")))
+    val prods = flatten(transform(col("__q"), (xi, i) =>
+      transform(slice(col("__q"), i + 1, size(col("__q"))), xj => xi * xj)))
+    val prodSums = qdf.select(posexplode(prods).as(Seq("pos", "__p")))
       .groupBy(col("pos").cast("long").as("pos"))
-      .agg(sum(col("__p")).as("__sp"))
-    // per-dim first moments: d rows — the Σxᵢ every pair's centering term
+      .agg(sum(col("__p").cast("decimal(38,0)")).as("__sp"))
+    // per-dim first moments: d rows — the Σqᵢ every pair's centering term
     // derives from, so the big pass above carries ONLY products
-    val dims = df.select(posexplode(vec).as(Seq("i", "__x")))
+    val dims = qdf.select(posexplode(col("__q")).as(Seq("i", "__x")))
       .groupBy(col("i").cast("long").as("i"))
-      .agg(count(lit(1)).as("n"), sum(col("__x").cast("double")).as("__s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"))
     val dScalar = dims.agg(max(col("i")).as("__dm"))
     // bounded pos ↔ (i, j) map: d²/2 rows built from the d-row dim frame
     val posMap = dims.select(col("i")).alias("a")
@@ -357,9 +369,19 @@ object RegressionOps {
       .join(dims.select(col("i"), col("n"), col("__s").as("__si")), Seq("i"))
       .join(dims.select(col("i").as("j"), col("__s").as("__sj")), Seq("j"))
       .select(col("i"), col("j"), col("n"),
-        round((col("__sp") - col("__si") * col("__sj") / col("n")) / col("n"), 6)
-          .as("cov"))
+        // (n·Σqq − Σq·Σq) is EXACT DECIMAL(38,0); one double division by
+        // n²·10¹² (the de-quantization), then the 6-decimal round
+        round((col("n").cast("decimal(38,0)") * col("__sp") -
+            col("__si") * col("__sj")).cast("double") /
+          (col("n").cast("double") * col("n") * lit(1e12)), 6).as("cov"))
   }
+
+  /** Round-half-away-from-zero to a Long — BigDecimal HALF_UP semantics
+    * (Math.round alone rounds half toward +∞, which disagrees with both
+    * Spark's `round` and DuckDB's `ROUND` on negative halves).
+    */
+  private def roundHalfAway(x: Double): Long =
+    if (x < 0) -Math.round(-x) else Math.round(x)
 
   /** First principal component of the embedding corpus: deterministic
     * power iteration on the DRIVER over the bounded d×d matrix from
@@ -367,44 +389,70 @@ object RegressionOps {
     * the `Knn.centroids` bounded-collect argument; never row data), then
     * a fully distributed projection of every vector onto the axis.
     *
-    * Determinism: the iteration starts from the fixed 1/√d vector, runs a
-    * fixed `iters` count of double matvecs in index order, and pins the
-    * sign convention (first non-negligible component positive), so the
-    * loading vector is a pure function of the rounded covariance matrix —
-    * identical on every run, AQE mode, and partition count. The
-    * projection is a codegen'd fold in index order. No closed-form SQL
-    * oracle exists for the eigensolve, so the query ships rows-only (the
-    * v03 Lloyd's-loop precedent); its deterministic sibling
-    * `v10b_project_fixed` projects onto a FIXED literal axis and carries
-    * the full hash oracle.
+    * Cross-engine-EXACT by construction — every step is either integer
+    * arithmetic or a single correctly-rounded double op on integer
+    * operands, so an unrolled SQL oracle reproduces the axis bit-for-bit:
+    *  - C = round(cov·10⁶): the rounded covariance back on its integer
+    *    grid (|C| small; exact).
+    *  - power iteration with L∞ normalization at scale 10⁸: W⁰ = 10⁸·1;
+    *    u = C·W is an exact integer matvec (|u| ≤ d·10⁶·10⁸ ≈ 6.4·10¹⁵ <
+    *    2⁵³, so Long→double conversion is EXACT); W' = round(u/max|u|·10⁸)
+    *    — one exact division of two exactly-converted doubles. L∞ (an
+    *    integer max) replaces the usual L2 step precisely so no
+    *    square-root enters the loop.
+    *  - sign pin: first nonzero component positive (integer test).
+    *  - one closing L2 step onto the 10⁻¹² grid: A = round(W·s/√(ΣW²)·10¹²)
+    *    with ΣW² ≤ d·10¹⁶ an exact Long.
+    *  - projection: Σ round(x·10⁶)·A summed as DECIMAL(38,0) (order-free),
+    *    de-quantized by one /10¹⁸ division, rounded to 6.
+    * The oracle (SparkEntry) unrolls the same `iters` matvecs as chained
+    * CTEs over the v09 covariance CTE — full hash-checked, no rows-only
+    * exemption.
     */
   def pcaProject(df: DataFrame, id: String, vec: Column,
       iters: Int = 30): DataFrame = {
     val cov = embeddingCovariance(df, vec)
       .select(col("i"), col("j"), col("cov")).collect()
+    if (cov.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .withColumn(id, lit(null).cast("long"))
+        .withColumn("pc1", lit(null).cast("double"))
+        .limit(0)
     val d = cov.iterator.map(_.getLong(1)).max.toInt + 1
-    val m = Array.ofDim[Double](d, d)
+    val m = Array.ofDim[Long](d, d)
     cov.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
-      m(i)(j) = c; m(j)(i) = c
+      val (i, j, c) =
+        (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      val ci = roundHalfAway(c * 1e6)
+      m(i)(j) = ci; m(j)(i) = ci
     }
-    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var w = Array.fill(d)(100000000L) // 10⁸ = L∞-normalized all-ones start
     var it = 0
     while (it < iters) {
-      val nw = Array.tabulate(d) { i =>
-        var s = 0.0; var j = 0
+      val u = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
         while (j < d) { s += m(i)(j) * w(j); j += 1 }
         s
       }
-      val n = math.sqrt(nw.map(x => x * x).sum)
-      w = if (n == 0.0) nw else nw.map(_ / n)
+      val maxu = u.iterator.map(math.abs).max
+      w =
+        if (maxu == 0L) u
+        else u.map(ui => roundHalfAway(ui.toDouble / maxu.toDouble * 1e8))
       it += 1
     }
-    val sign = w.find(math.abs(_) > 1e-12)
-      .map(x => if (x < 0) -1.0 else 1.0).getOrElse(1.0)
-    val axis = array(w.map(x => lit(x * sign)): _*)
+    val s = w.find(_ != 0L).map(x => if (x < 0L) -1L else 1L).getOrElse(1L)
+    val ss = w.iterator.map(x => x * x).sum // ≤ d·10¹⁶ — exact Long
+    val axis = Array.tabulate(d) { j =>
+      if (ss == 0L) 0L
+      else roundHalfAway(
+        (w(j) * s).toDouble / math.sqrt(ss.toDouble) * 1e12)
+    }
+    val qv = transform(vec, x =>
+      round(x.cast("double") * lit(1e6), 0).cast("long"))
+    val axisCol = array(axis.map(lit(_)): _*)
+    val num = aggregate(zip_with(qv, axisCol, (a, b) => a * b),
+      lit(0).cast("decimal(38,0)"), (acc, p) => acc + p)
     df.select(col(id),
-      round(graft.functions.VectorFns.dot(
-        graft.functions.VectorFns.toDoubleArr(vec), axis), 6).as("pc1"))
+      round(num.cast("double") / lit(1e18), 6).as("pc1"))
   }
 }

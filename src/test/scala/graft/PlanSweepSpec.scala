@@ -65,7 +65,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)",
     "a29_brier" -> "1-row (N, base-rate) totals (explicit broadcast)",
     "t27_jsd_sources" -> "1-row corpus token total (explicit broadcast)",
-    "a31_cindex" -> "bucket-offset triangle (globalCumsums over the distinct-time frame)",
+    "a31_cindex" -> ("bucket-offset triangle (globalCumsum over the " +
+      "distinct-time frame) + P-row slice-id × P-row bucket-id grid — both " +
+      "sides bounded by the shuffle-partition config, not data"),
     "a32_mannwhitney" -> "bucket-offset triangle (globalCumsum over the distinct-value frame)",
     "t28_bigram_lm" -> "1-row vocabulary size V (explicit broadcast)",
     "a33_auroc_delong" -> "bucket-offset triangle (globalCumsums) + 1-row (m, n) totals",

@@ -65,4 +65,23 @@ class ConcordanceOpsSpec extends AnyFunSuite {
       $"t", $"e", $"r").collect()(0)
     assert(r2.getLong(1) === 0L)
   }
+
+  test("plan width stays constant at 512 buckets (r7 verdict #5)") {
+    // the former formulation carried one aggregate column per shuffle
+    // partition; at parts=512 every physical node must stay narrow, and
+    // the counts must still equal the O(n²) reference
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextInt(30).toLong,
+      if (rnd.nextBoolean()) 1 else 0, rnd.nextInt(20).toDouble))
+    val df = ConcordanceOps.cIndex(rows.toDF("t", "e", "r"),
+      $"t", $"e", $"r", parts = 512)
+    val widths = df.queryExecution.executedPlan.collect {
+      case p => p.output.size
+    }
+    assert(widths.max < 64,
+      s"a plan node is ${widths.max} columns wide — width scales with parts")
+    val (perm, conc, tied) = brute(rows)
+    val r = df.collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === (perm, conc, tied))
+  }
 }
