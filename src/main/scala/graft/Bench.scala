@@ -55,6 +55,12 @@ object Bench {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // shuffle/spill blocks on tmpfs: the harness box shows multi-second
       // disk stalls on /tmp that randomize per-query timings
+      // v2 task-commit: files move once at task commit instead of a
+      // second job-level rename sweep, and no _SUCCESS markers — the
+      // file-sink roundtrip queries otherwise pay this committer floor
+      // per query (r7 verdict #7; pure fixed overhead, not plan work)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.local.dir", "/dev/shm/graft-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

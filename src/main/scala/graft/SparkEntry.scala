@@ -53,6 +53,13 @@ object SparkEntry {
   private def fuzzyDictSqlValues: String =
     fuzzyDict.map(t => s"('$t')").mkString(", ")
 
+  /** `NotesNlp.lemmaDict` as a SQL VALUES list — one Scala list feeds both
+    * the t09b broadcast join and its oracle.
+    */
+  private def lemmaDictSqlValues: String =
+    graft.functions.NotesNlp.lemmaDict
+      .map { case (f, l) => s"('$f', '$l')" }.mkString(", ")
+
   /** PQ codebooks for `v08_pq_adc`: 8 subspaces × 4 codewords × 8 dims,
     * the same rational-lattice family as [[fixedCentroids]] so both
     * engines parse the identical doubles.
@@ -1131,6 +1138,17 @@ object SparkEntry {
         .distinct()
         .select(col("doc_id"), col("tok"),
           graft.functions.NotesNlp.lightStem(col("tok")).as("stem"))),
+
+    // dictionary-first lemmatization: broadcast irregular-form lookup,
+    // rule-stem fallback — the medspaCy-closing pass (VERDICT r7 #6); one
+    // Scala list feeds both the broadcast join and the oracle VALUES
+    "t09b_lemmatize" -> ((s, d) =>
+      graft.functions.NotesNlp.lemmatize(
+        Tables.spread(docs(s, d).select("doc_id", "text"), tinyBytes = 0L)
+          .select(col("doc_id"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+          .distinct(),
+        "tok", "lemma")),
 
     // dedup group collapse: pairwise near-dup evidence → connected
     // components → one canonical id per member doc
@@ -4154,6 +4172,19 @@ object SparkEntry {
                 REGEXP_REPLACE(tok, '(\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$', '\1') AS stem
          FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
                FROM documents)""",
+
+    "t09b_lemmatize" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok
+                      FROM (SELECT doc_id,
+                                   UNNEST(STRING_SPLIT_REGEX(TRIM(text),
+                                     '\\s+')) AS tok
+                            FROM documents)),
+         dict(form, lemma) AS (VALUES $lemmaDictSqlValues)
+         SELECT t.doc_id, t.tok,
+                COALESCE(d.lemma, REGEXP_REPLACE(t.tok,
+                  '(\\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$$', '\\1'))
+                  AS lemma
+         FROM toks t LEFT JOIN dict d ON t.tok = d.form""",
 
     "d08_dedup_components" ->
       """WITH RECURSIVE

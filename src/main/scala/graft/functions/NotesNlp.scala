@@ -73,4 +73,87 @@ object NotesNlp {
     */
   def lightStem(token: Column): Column =
     regexp_replace(token, "(\\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$", "$1")
+
+  /** Irregular-form lemma dictionary: the standard public-domain list of
+    * English irregular verbs/nouns plus the Latin/Greek clinical plurals
+    * medspaCy's model lemmatizer resolves and suffix rules cannot
+    * (went→go, children→child, diagnoses→diagnosis). Lowercase forms;
+    * bounded by construction (a fixed linguistic list, not data).
+    */
+  val lemmaDict: Seq[(String, String)] = Seq(
+    // be / have / do / say and the high-frequency irregular verbs
+    "am" -> "be", "is" -> "be", "are" -> "be", "was" -> "be",
+    "were" -> "be", "been" -> "be", "being" -> "be",
+    "has" -> "have", "had" -> "have", "having" -> "have",
+    "does" -> "do", "did" -> "do", "done" -> "do",
+    "said" -> "say", "went" -> "go", "gone" -> "go",
+    "made" -> "make", "took" -> "take", "taken" -> "take",
+    "came" -> "come", "saw" -> "see", "seen" -> "see",
+    "knew" -> "know", "known" -> "know", "got" -> "get",
+    "gotten" -> "get", "gave" -> "give", "given" -> "give",
+    "found" -> "find", "felt" -> "feel", "left" -> "leave",
+    "kept" -> "keep", "brought" -> "bring", "thought" -> "think",
+    "bought" -> "buy", "caught" -> "catch", "taught" -> "teach",
+    "told" -> "tell", "became" -> "become", "began" -> "begin",
+    "begun" -> "begin", "broke" -> "break", "broken" -> "break",
+    "chose" -> "choose", "chosen" -> "choose", "drank" -> "drink",
+    "drunk" -> "drink", "drove" -> "drive", "driven" -> "drive",
+    "ate" -> "eat", "eaten" -> "eat", "fell" -> "fall",
+    "fallen" -> "fall", "flew" -> "fly", "flown" -> "fly",
+    "forgot" -> "forget", "forgotten" -> "forget", "grew" -> "grow",
+    "grown" -> "grow", "heard" -> "hear", "held" -> "hold",
+    "hid" -> "hide", "hidden" -> "hide", "lain" -> "lie",
+    "led" -> "lead", "lost" -> "lose", "meant" -> "mean",
+    "met" -> "meet", "paid" -> "pay", "ran" -> "run",
+    "rose" -> "rise", "risen" -> "rise", "sat" -> "sit",
+    "sent" -> "send", "slept" -> "sleep", "spoke" -> "speak",
+    "spoken" -> "speak", "spent" -> "spend", "stood" -> "stand",
+    "swam" -> "swim", "swum" -> "swim", "threw" -> "throw",
+    "thrown" -> "throw", "understood" -> "understand", "woke" -> "wake",
+    "woken" -> "wake", "wore" -> "wear", "worn" -> "wear",
+    "won" -> "win", "wrote" -> "write", "written" -> "write",
+    "built" -> "build", "sold" -> "sell", "sought" -> "seek",
+    "fought" -> "fight", "bound" -> "bind", "fed" -> "feed",
+    "bled" -> "bleed", "bred" -> "breed", "sworn" -> "swear",
+    "torn" -> "tear", "shook" -> "shake", "shaken" -> "shake",
+    "lying" -> "lie", "dying" -> "die", "tying" -> "tie",
+    // irregular plurals
+    "men" -> "man", "women" -> "woman", "children" -> "child",
+    "feet" -> "foot", "teeth" -> "tooth", "mice" -> "mouse",
+    "geese" -> "goose", "people" -> "person", "lives" -> "life",
+    "knives" -> "knife", "wives" -> "wife", "leaves" -> "leaf",
+    "halves" -> "half", "selves" -> "self", "shelves" -> "shelf",
+    "loaves" -> "loaf", "wolves" -> "wolf", "scarves" -> "scarf",
+    "calves" -> "calf", "thieves" -> "thief",
+    // Latin/Greek clinical plurals (the medspaCy-adjacent tail)
+    "bacteria" -> "bacterium", "criteria" -> "criterion",
+    "phenomena" -> "phenomenon", "diagnoses" -> "diagnosis",
+    "prognoses" -> "prognosis", "stenoses" -> "stenosis",
+    "thromboses" -> "thrombosis", "metastases" -> "metastasis",
+    "analyses" -> "analysis", "crises" -> "crisis",
+    "emboli" -> "embolus", "thrombi" -> "thrombus",
+    "bronchi" -> "bronchus", "alveoli" -> "alveolus",
+    "nuclei" -> "nucleus", "fungi" -> "fungus", "radii" -> "radius",
+    "vertebrae" -> "vertebra", "pleurae" -> "pleura",
+    "sequelae" -> "sequela", "foci" -> "focus", "ova" -> "ovum",
+    "petechiae" -> "petechia", "bullae" -> "bulla",
+    "maculae" -> "macula", "fistulae" -> "fistula",
+    "scapulae" -> "scapula")
+
+  /** Dictionary-first lemmatization (VERDICT r7 #6): broadcast the
+    * bounded irregular-form lookup, left-join on the token, fall back to
+    * [[lightStem]] for regular inflection — no UDF; the lookup rides a
+    * broadcast hash join and the fallback stays one codegen'd regex.
+    * Closes the gap to medspaCy's model lemmatizer
+    * (`notes_preproc.py:108-224`) on exactly the forms where suffix
+    * stripping is wrong, while staying a pure relational plan.
+    */
+  def lemmatize(df: DataFrame, tok: String, outName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = lemmaDict.toDF("__form", "__lemma")
+    df.join(broadcast(dict), col(tok) === col("__form"), "left")
+      .withColumn(outName, coalesce(col("__lemma"), lightStem(col(tok))))
+      .drop("__form", "__lemma")
+  }
 }

@@ -99,6 +99,38 @@ object EventStreams {
       }
   }
 
+  case class AsOfEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      is_ref: Boolean)
+  case class RefState(tsMs: Long)
+  case class AsOfAssignment(event_id: Long, asof_ref_ms: Option[Long])
+
+  /** Stateful streaming twin of the batch `j21_asof_backward` union-LOCF
+    * as-of join: reference rows (signups/quotes) update one last-seen
+    * timestamp per key; point rows (purchases/trades) emit it. State is
+    * ONE timestamp per key — O(keys) — and, like the batch window's
+    * (ts, side, event_id) order, a reference at the same timestamp as a
+    * point binds to it (refs sort first inside a micro-batch; across
+    * batches the carried state provides the same last-ref semantics).
+    */
+  def asOfBackwardStream(events: Dataset[AsOfEvent]): Dataset[AsOfAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RefState, AsOfAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[AsOfEvent], state: GroupState[RefState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.is_ref) 0 else 1, e.event_id))
+          var lastRef = state.getOption.map(_.tsMs)
+          val out = sorted.flatMap { e =>
+            if (e.is_ref) { lastRef = Some(e.ts.getTime); None }
+            else Some(AsOfAssignment(e.event_id, lastRef))
+          }
+          lastRef.foreach(t => state.update(RefState(t)))
+          out.iterator
+      }
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -76,4 +76,33 @@ class NotesNlpSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     assert(full === Map(1L -> ((1, 1)), 2L -> ((0, 1)), 3L -> ((0, 0))))
   }
+
+  test("lemmatize: irregular forms hit the dictionary, regular forms fall back") {
+    val toks = Seq("went", "children", "diagnoses", "lying", "was",
+      "running", "tested", "fevers", "emboli", "vertebrae")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = NotesNlp.lemmatize(toks.toDF("id", "tok"), "tok", "lemma")
+      .as[(Long, String, String)].collect()
+      .map { case (_, t, l) => t -> l }.toMap
+    // dictionary wins where the suffix rule is wrong…
+    assert(got("went") === "go")
+    assert(got("children") === "child")
+    assert(got("diagnoses") === "diagnosis")
+    assert(got("lying") === "lie")
+    assert(got("was") === "be")
+    assert(got("emboli") === "embolus")
+    assert(got("vertebrae") === "vertebra")
+    // …and regular inflection still routes through lightStem
+    assert(got("running") === "runn")
+    assert(got("tested") === "test")
+    assert(got("fevers") === "fever")
+  }
+
+  test("lemmatize keeps row count and leaves unknown tokens stem-stripped only") {
+    val df = Seq((1L, "xyzzy"), (2L, "held")).toDF("id", "tok")
+    val out = NotesNlp.lemmatize(df, "tok", "lemma").collect()
+    assert(out.length === 2)
+    assert(out.map(r => r.getString(1) -> r.getString(2)).toMap ===
+      Map("xyzzy" -> "xyzzy", "held" -> "hold"))
+  }
 }

@@ -66,6 +66,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming as-of backward join equals the batch j21 union-LOCF") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-asof")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id", $"event_id", $"ts",
+        ($"event_type" === "signup").as("is_ref"))
+      .as[EventStreams.AsOfEvent]
+    val q = EventStreams.asOfBackwardStream(evs)
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("asof")
+      .as[EventStreams.AsOfAssignment].collect()
+      .map(a => a.event_id -> a.asof_ref_ms).toMap
+
+    val batch = SparkEntry.queries("j21_asof_backward")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getTimestamp(1)).map(_.getTime)).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("streaming hourly rollup equals the batch rollup (kappa invariant)") {
     // file source needs a directory of one schema → stage events alone
     val dir = Files.createTempDirectory("graft-stream")
