@@ -2573,6 +2573,54 @@ object SparkEntry {
           nBuckets = 30)
         .select(col("hadm_id"), col("itemid"), col("bucket"),
           round(col("value_imputed") / 100.0, 4).as("val_imputed"))
+    }),
+
+    // deterministic Poisson-bootstrap 95% CI for the mean purchase value —
+    // error bars for corpus-scale metrics without rand(): LCG weights on
+    // (event_id, replica), exact integer replica sums, type-7 percentile
+    "a41_bootstrap_ci" -> ((s, d) =>
+      MetricsOps.bootstrapMeanCi(
+        ev(s, d).filter(col("event_type") === "purchase" &&
+          col("value").isNotNull),
+        col("event_id"), round(col("value") * 100, 0).cast("long"))),
+
+    // FK referential-integrity audit: orphan count + rate per declared
+    // relationship in ONE left-join pass each (no crossJoin of counts);
+    // the events→customer relation is genuinely violated in the harness
+    // data, so the op proves it reports non-zero rates
+    "dq11_referential_audit" -> ((s, d) => {
+      def audit(nm: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(key).as("__k"))
+          .join(parent.select(col(pkey).as("__k")).distinct()
+            .withColumn("__hit", lit(1)), Seq("__k"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(nm).as("relation"), col("n_rows"), col("n_orphans"),
+            round(col("n_orphans").cast("double") / col("n_rows"), 6)
+              .as("orphan_rate"))
+      audit("orders.custkey", ord(s, d), "o_custkey", cust(s, d), "c_custkey")
+        .unionByName(audit("lineitem.partkey", li(s, d), "l_partkey",
+          prt(s, d), "p_partkey"))
+        .unionByName(audit("events.user_id", ev(s, d), "user_id",
+          cust(s, d), "c_custkey"))
+    }),
+
+    // per-doc Unicode-class composition (letter/upper/digit/space/other
+    // ratios) — the script-detection gate of a corpus curator; char-class
+    // counts as length deltas of regexp strips, zero UDFs
+    "t31_script_ratios" -> ((s, d) => {
+      val t = col("text")
+      val n = length(t)
+      def cnt(cls: String) = n - length(regexp_replace(t, cls, ""))
+      docs(s, d).filter(t.isNotNull && n > 0)
+        .select(col("doc_id"),
+          round(cnt("[a-zA-Z]").cast("double") / n, 6).as("letter_ratio"),
+          round(cnt("[A-Z]").cast("double") / n, 6).as("upper_ratio"),
+          round(cnt("[0-9]").cast("double") / n, 6).as("digit_ratio"),
+          round(cnt("\\s").cast("double") / n, 6).as("space_ratio"),
+          round(cnt("[^a-zA-Z0-9\\s]").cast("double") / n, 6)
+            .as("other_ratio"))
     })
   )
 
@@ -2678,6 +2726,80 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    // same LCG / Poisson ladder / exact integer replica sums as
+    // bootstrapMeanCi — u can never equal a threshold (k/(2³¹−1) is never
+    // a terminating decimal), so the CASE ladder is engine-exact
+    "a41_bootstrap_ci" ->
+      """WITH r AS (SELECT event_id % 2147483647 AS idm,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                           t.range AS b
+                    FROM events CROSS JOIN range(1, 201) t
+                    WHERE event_type = 'purchase' AND value IS NOT NULL),
+         w AS (SELECT b, cents,
+                      CASE WHEN u < 0.367879441 THEN 0
+                           WHEN u < 0.735758882 THEN 1
+                           WHEN u < 0.919698603 THEN 2
+                           WHEN u < 0.981011843 THEN 3
+                           WHEN u < 0.996340153 THEN 4
+                           ELSE 5 END AS w
+               FROM (SELECT b, cents,
+                            ((((idm * 1103515245 + 12345) % 2147483647 + b)
+                              * 1103515245 + 12345)
+                             % 2147483647) / 2147483647.0 AS u
+                     FROM r)),
+         m AS (SELECT b, SUM(CAST(w * cents AS HUGEINT)) AS s,
+                      CAST(SUM(w) AS BIGINT) AS n
+               FROM w GROUP BY b),
+         mm AS (SELECT CAST(s AS DOUBLE) / n / 100.0 AS mean_b
+                FROM m WHERE n > 0)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+                ROUND(QUANTILE_CONT(mean_b, 0.025), 6) AS ci_lo,
+                ROUND(QUANTILE_CONT(mean_b, 0.975), 6) AS ci_hi
+         FROM mm""",
+
+    "dq11_referential_audit" ->
+      """WITH a AS (SELECT 'orders.custkey' AS relation,
+                           CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS n_orphans
+                    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey
+                                             FROM customer) c
+                      ON o.o_custkey = c.c_custkey),
+         b AS (SELECT 'lineitem.partkey' AS relation,
+                      CAST(COUNT(*) AS BIGINT) AS n_rows,
+                      CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_orphans
+               FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey
+                                          FROM part) p
+                 ON l.l_partkey = p.p_partkey),
+         c AS (SELECT 'events.user_id' AS relation,
+                      CAST(COUNT(*) AS BIGINT) AS n_rows,
+                      CAST(SUM(CASE WHEN cu.c_custkey IS NULL THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_orphans
+               FROM events e LEFT JOIN (SELECT DISTINCT c_custkey
+                                        FROM customer) cu
+                 ON e.user_id = cu.c_custkey),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+               UNION ALL SELECT * FROM c)
+         SELECT relation, n_rows, n_orphans,
+                ROUND(n_orphans * 1.0 / n_rows, 6) AS orphan_rate
+         FROM u""",
+
+    "t31_script_ratios" ->
+      """SELECT doc_id,
+                ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '[a-zA-Z]', '',
+                  'g'))) * 1.0 / LEN(text), 6) AS letter_ratio,
+                ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '[A-Z]', '',
+                  'g'))) * 1.0 / LEN(text), 6) AS upper_ratio,
+                ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '[0-9]', '',
+                  'g'))) * 1.0 / LEN(text), 6) AS digit_ratio,
+                ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '\s', '',
+                  'g'))) * 1.0 / LEN(text), 6) AS space_ratio,
+                ROUND((LEN(text) - LEN(REGEXP_REPLACE(text,
+                  '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0 / LEN(text), 6)
+                  AS other_ratio
+         FROM documents WHERE text IS NOT NULL AND LEN(text) > 0""",
 
     // dominance cleanup (a05 construction) + QUANTILE_CONT clamp (a06) on
     // the cohort-scoped events

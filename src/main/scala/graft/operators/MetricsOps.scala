@@ -494,4 +494,54 @@ object MetricsOps {
         round(theta - lit(1.959964) * se, 6).as("ci_lo"),
         round(theta + lit(1.959964) * se, 6).as("ci_hi"))
   }
+
+  /** Deterministic Poisson(1) bootstrap CI for a mean — the large-corpus
+    * eval primitive (metric error bars without a second pass over raw
+    * data, Efron's poisson-bootstrap form used when n is unknown to the
+    * mapper). Replica weights come from two CHAINED LCG steps on
+    * (id, replica) — the replica index passes through the multiplier, so
+    * consecutive replicas decorrelate (an additive-only b would shift u
+    * by ~b·10⁻⁵ and freeze the weights):
+    *   h₁ = (id mod M)·1103515245 + 12345 mod M
+    *   u  = ((h₁ + b)·1103515245 + 12345 mod M) / M,  M = 2³¹−1
+    * (operands ≤ 2.1·10⁹ · 1.1·10⁹ < 2⁶³ at ANY id — no overflow on
+    * either engine), mapped through the exact Poisson(1)
+    * inverse CDF ladder — so the B·n weight matrix is a pure function of
+    * the data, reproducible across engines, partitionings and runs (the
+    * repo-wide determinism contract; a `rand()` bootstrap would be none
+    * of that). One explode×B map-side pass → per-replica exact integer
+    * sums (DECIMAL(38,0) — order-free) → B-row replica frame → exact
+    * type-7 percentile aggregate. At 100 TB the ×B row expansion streams
+    * through the partial aggregate (B·P groups), never materializing.
+    *
+    * `valueCents` must be integer-valued (callers quantize — the suite's
+    * cents convention).
+    */
+  def bootstrapMeanCi(df: DataFrame, id: Column, valueCents: Column,
+      b: Int = 200, loQ: Double = 0.025, hiQ: Double = 0.975): DataFrame = {
+    val m = 2147483647L
+    val reps = df.select((id % m).as("__idm"),
+        valueCents.cast("long").as("__cents"))
+      .filter(col("__cents").isNotNull)
+      .select(col("__idm"), col("__cents"),
+        explode(sequence(lit(1), lit(b))).as("__b"))
+    val h1 = (col("__idm") * 1103515245L + 12345L) % m
+    val u = (((h1 + col("__b")) * 1103515245L + 12345L) % m)
+      .cast("double") / lit(m.toDouble)
+    // Poisson(1) inverse CDF: cumulative e⁻¹·Σ 1/k! — exact literals
+    val w = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+      .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
+      .when(u < 0.996340153, 4L).otherwise(5L)
+    val perReplica = reps.withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum((col("__w") * col("__cents")).cast("decimal(38,0)")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("__b"),
+        (col("__s").cast("double") / col("__n") / 100.0).as("__mean"))
+    perReplica.agg(
+      count(lit(1)).as("n_replicas"),
+      round(percentile(col("__mean"), lit(loQ)), 6).as("ci_lo"),
+      round(percentile(col("__mean"), lit(hiQ)), 6).as("ci_hi"))
+  }
 }

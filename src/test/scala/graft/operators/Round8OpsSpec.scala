@@ -56,6 +56,33 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("vec_id", "pc1"))
   }
 
+  test("bootstrapMeanCi: brackets the sample mean, bit-stable under partitioning") {
+    val rows = (1L to 500L).map(i => (i, (i % 97) * 100L)) // cents
+    val df = rows.toDF("id", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      MetricsOps.bootstrapMeanCi(d, col("id"), col("cents")).collect()(0)
+    val r = run(df)
+    assert(r.getLong(0) === 200L)
+    val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+    val mean = rows.map(_._2).sum.toDouble / rows.size / 100.0
+    assert(lo < mean && mean < hi, s"[$lo, $hi] should bracket $mean")
+    // CI of a mean over 500 draws from a bounded distribution is tight
+    assert(hi - lo < mean, "CI implausibly wide")
+    // deterministic: same bits regardless of partitioning / row order
+    val r2 = run(rows.reverse.toDF("id", "cents").repartition(13))
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+      java.lang.Double.doubleToLongBits(r2.getDouble(1)))
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+      java.lang.Double.doubleToLongBits(r2.getDouble(2)))
+  }
+
+  test("bootstrapMeanCi: constant column collapses the CI onto the constant") {
+    val df = (1L to 300L).map(i => (i, 700L)).toDF("id", "cents")
+    val r = MetricsOps.bootstrapMeanCi(df, col("id"), col("cents"))
+      .collect()(0)
+    assert(r.getDouble(1) === 7.0 && r.getDouble(2) === 7.0)
+  }
+
   test("pcaProject: dominant axis recovered (projection magnitudes)") {
     // points along (3,4)/5 with tiny off-axis noise: |pc1| ≈ |v| = 5·t
     val pts = (1 to 40).map { t =>
