@@ -2575,6 +2575,14 @@ object SparkEntry {
           round(col("value_imputed") / 100.0, 4).as("val_imputed"))
     }),
 
+    // Cochran-Armitage trend: does the F-status rate rise with the order
+    // priority level? Five row-level integer sums, one aggregate, no
+    // per-group frame — the order-aware sibling of the a27 chi-square
+    "a42_trend_test" -> ((s, d) =>
+      AssociationOps.cochranArmitage(ord(s, d),
+        substring(col("o_orderpriority"), 1, 1).cast("long") - 1,
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L))),
+
     // deterministic Poisson-bootstrap 95% CI for the mean purchase value —
     // error bars for corpus-scale metrics without rand(): LCG weights on
     // (event_id, replica), exact integer replica sums, type-7 percentile
@@ -2726,6 +2734,27 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    "a42_trend_test" ->
+      """WITH s AS (SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) - 1
+                      AS w,
+                           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                             AS y
+                    FROM orders),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS r,
+                      SUM(CAST(w * y AS HUGEINT)) AS a,
+                      SUM(CAST(w AS HUGEINT)) AS b,
+                      SUM(CAST(w * w AS HUGEINT)) AS c
+               FROM s)
+         SELECT n, r,
+                CASE WHEN r > 0 AND r < n AND n * c - b * b > 0 THEN
+                  ROUND(CAST(n * a - b * r AS DOUBLE)
+                        * SQRT(CAST(n AS DOUBLE))
+                        / SQRT(CAST(r * (n - r) * (n * c - b * b)
+                                 AS DOUBLE)), 6)
+                END AS z
+         FROM t""",
 
     // same LCG / Poisson ladder / exact integer replica sums as
     // bootstrapMeanCi — u can never equal a threshold (k/(2³¹−1) is never

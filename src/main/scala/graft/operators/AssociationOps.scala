@@ -210,4 +210,39 @@ object AssociationOps {
                 (dec(col("__N")) * r * col("__N") * r).cast("double")),
             6)).as("kappa"))
   }
+
+  /** Cochran-Armitage trend test — "does the positive rate rise with the
+    * ordered dose/exposure level?" (the epidemiology staple the reference's
+    * per-cohort χ² can't answer: χ² ignores group ORDER). With integer
+    * scores w and 0/1 outcome y the whole test is FIVE row-level integer
+    * sums in one map-side-combined aggregate — no per-group frame at all:
+    *   N, R = Σy, A = Σw·y, B = Σw, C = Σw²
+    *   z = (N·A − B·R)·√N / √(R·(N−R)·(N·C − B²))
+    * (the classic T = A − B·R/N and Var(T) = p(1−p)(C − B²/N) cleared of
+    * denominators). Sums ride DECIMAL(38,0) so they are exact and
+    * merge-order-free at any scale; the closing expression is three
+    * correctly-rounded double ops mirrored by the oracle. Degenerate
+    * inputs (R ∈ {0, N} or zero score variance) yield a null z.
+    */
+  def cochranArmitage(df: DataFrame, score: Column, outcome: Column): DataFrame = {
+    val w = score.cast("long")
+    val y = outcome.cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    df.select(w.as("__w"), y.as("__y"))
+      .filter(col("__w").isNotNull && col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("r"),
+        sum(d38(col("__w") * col("__y"))).as("__a"),
+        sum(d38(col("__w"))).as("__b"),
+        sum(d38(col("__w") * col("__w"))).as("__c"))
+      .select(col("n"), col("r"),
+        when(col("r") > 0 && col("r") < col("n") &&
+          d38(col("n")) * col("__c") - col("__b") * col("__b") > 0,
+          round(
+            (d38(col("n")) * col("__a") - col("__b") * col("r"))
+              .cast("double") * sqrt(col("n").cast("double")) /
+              sqrt((d38(col("r")) * (col("n") - col("r")) *
+                (d38(col("n")) * col("__c") - col("__b") * col("__b")))
+                .cast("double")),
+            6)).as("z"))
+  }
 }

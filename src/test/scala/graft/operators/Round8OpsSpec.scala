@@ -83,6 +83,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 7.0 && r.getDouble(2) === 7.0)
   }
 
+  test("cochranArmitage: hand-computed dose-response example") {
+    // groups w=0,1,2 with (n=10, pos=1), (10, 3), (10, 7):
+    // N=30, R=11, A=17, B=30, C=50 → N·A−B·R=180,
+    // denom = 11·19·(30·50−900) = 125400
+    val rows =
+      (Seq.fill(1)((0, 1)) ++ Seq.fill(9)((0, 0)) ++
+        Seq.fill(3)((1, 1)) ++ Seq.fill(7)((1, 0)) ++
+        Seq.fill(7)((2, 1)) ++ Seq.fill(3)((2, 0))).map { case (w, y) => (w, y) }
+    val r = AssociationOps.cochranArmitage(rows.toDF("w", "y"),
+      col("w"), col("y")).collect()(0)
+    assert(r.getLong(0) === 30L && r.getLong(1) === 11L)
+    val expected = BigDecimal(
+      180.0 * math.sqrt(30.0) / math.sqrt(125400.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === expected)
+  }
+
+  test("cochranArmitage: anti-trend flips the sign; degenerate inputs null") {
+    val anti =
+      (Seq.fill(7)((0, 1)) ++ Seq.fill(3)((0, 0)) ++
+        Seq.fill(1)((2, 1)) ++ Seq.fill(9)((2, 0)))
+    val r = AssociationOps.cochranArmitage(anti.toDF("w", "y"),
+      col("w"), col("y")).collect()(0)
+    assert(r.getDouble(2) < 0)
+    // all-positive outcome → R = N → null z
+    val degen = Seq((0, 1), (1, 1), (2, 1))
+    val rd = AssociationOps.cochranArmitage(degen.toDF("w", "y"),
+      col("w"), col("y")).collect()(0)
+    assert(rd.isNullAt(2))
+    // zero score variance → null z
+    val flat = Seq((1, 0), (1, 1), (1, 0))
+    val rf = AssociationOps.cochranArmitage(flat.toDF("w", "y"),
+      col("w"), col("y")).collect()(0)
+    assert(rf.isNullAt(2))
+  }
+
   test("pcaProject: dominant axis recovered (projection magnitudes)") {
     // points along (3,4)/5 with tiny off-axis noise: |pc1| ≈ |v| = 5·t
     val pts = (1 to 40).map { t =>
