@@ -2575,6 +2575,32 @@ object SparkEntry {
           round(col("value_imputed") / 100.0, 4).as("val_imputed"))
     }),
 
+    // best mean-shift changepoint per user over the daily event-count
+    // series — CUSUM (ts07) flags THAT a drift happened; this localizes
+    // WHERE: exact integer SSE-gain numerators, deterministic argmax
+    "ts15_changepoint" -> ((s, d) =>
+      TimeSeriesOps.bestChangepoint(
+        ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"))),
+
+    // per-source freshness lag: p50/p95 seconds behind the corpus
+    // high-water mark — the DQ monitor for a multi-feed ingest; exact
+    // type-7 quantiles via the sort-based groupQuantiles (no per-group
+    // value buffer), reference ts = max(ts) so the query is deterministic
+    "dq12_freshness_lag" -> ((s, d) => {
+      val ref = ev(s, d).agg(max(col("ts")).as("__ref"))
+      val lags = ev(s, d).crossJoin(broadcast(ref))
+        .select(col("event_type"),
+          (unix_micros(col("__ref")) - unix_micros(col("ts"))).as("__lag"))
+      val n = lags.groupBy("event_type").agg(count(lit(1)).as("n"))
+      CleaningOps.groupQuantiles(lags, "event_type", "__lag", 0.5, 0.95)
+        .join(n, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("q_lo") / 1e6, 6).as("lag_p50_s"),
+          round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
+    }),
+
     // Cochran-Armitage trend: does the F-status rate rise with the order
     // priority level? Five row-level integer sums, one aggregate, no
     // per-group frame — the order-aware sibling of the a27 chi-square
@@ -2734,6 +2760,41 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    "ts15_changepoint" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, day, v,
+                      COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS n1,
+                      SUM(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS s1,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n,
+                      SUM(v) OVER (PARTITION BY user_id) AS s
+               FROM daily
+               WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         g AS (SELECT user_id, day, CAST(n AS BIGINT) AS n,
+                      CAST(CAST(s1 * (n - n1) - (s - s1) * n1 AS HUGEINT)
+                           * (s1 * (n - n1) - (s - s1) * n1) AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * (n - n1) * n) AS gain
+               FROM b WHERE n1 < n),
+         r AS (SELECT user_id, day, n, gain,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY gain DESC, day ASC) AS rn
+               FROM g)
+         SELECT user_id, day AS cp_at, n AS n_points,
+                ROUND(gain, 6) AS gain
+         FROM r WHERE rn = 1""",
+
+    "dq12_freshness_lag" ->
+      """WITH ref AS (SELECT MAX(ts) AS r FROM events),
+         l AS (SELECT event_type, EPOCH_US(r) - EPOCH_US(ts) AS lag
+               FROM events, ref)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(QUANTILE_CONT(lag, 0.5) / 1e6, 6) AS lag_p50_s,
+                ROUND(QUANTILE_CONT(lag, 0.95) / 1e6, 6) AS lag_p95_s
+         FROM l GROUP BY 1""",
 
     "a42_trend_test" ->
       """WITH s AS (SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) - 1

@@ -80,6 +80,16 @@ object CleaningOps {
       .select(col(key), interp("_lo").as("__lo"), interp("_hi").as("__hi"))
   }
 
+  /** Public face of [[percentileBounds]]: exact type-7 per-group quantile
+    * PAIR — the scale-right form for per-group quantiles (one keyed
+    * shuffle, rank windows, an aggregate; no per-group value buffer like
+    * the `percentile` ObjectHashAggregate would hold).
+    */
+  def groupQuantiles(df: DataFrame, key: String, value: String,
+      lo: Double, hi: Double): DataFrame =
+    percentileBounds(df, key, value, lo, hi)
+      .select(col(key), col("__lo").as("q_lo"), col("__hi").as("q_hi"))
+
   /** A6 — per-group percentile clamp (reference outlier removal,
     * `outlier_removal.py:11-37`, impute branch): clamp `value` into
     * `[pct(lo), pct(hi)]` computed per `key` with exact type-7 linear

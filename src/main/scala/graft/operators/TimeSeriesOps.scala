@@ -421,4 +421,44 @@ object TimeSeriesOps {
           (max("__day") - min("__day") + 1), 6).as("completeness"),
         coalesce(max("__gap"), lit(1L)).as("max_gap"))
   }
+
+  /** Best single mean-shift changepoint per entity — the first split of
+    * binary segmentation (CUSUM's localization sibling; `ts07` flags THAT
+    * a drift happened, this answers WHERE). For every split k of the
+    * ordered series the between-segment SSE reduction is
+    *   gain_k = (S₁·n₂ − S₂·n₁)² / (n₁·n₂·n)
+    * — numerator an EXACT DECIMAL(38,0) integer from one prefix-sum
+    * window (value must be integer; callers quantize), denominator a
+    * double product of three exact counts, so every engine computes the
+    * identical gain doubles and the (gain DESC, order ASC) pick is
+    * deterministic. One shuffle on the entity key: two frames over the
+    * same window partition, a rank, a filter — per-entity state never
+    * leaves its partition.
+    */
+  def bestChangepoint(df: DataFrame, key: String, ord: Column,
+      value: Column): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(key), ord.as("__o"), value.cast("long").as("__v"))
+      .withColumn("__n1", count(lit(1)).over(wOrd))
+      .withColumn("__s1", sum(col("__v")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__v")).over(wAll))
+    val cand = base.filter(col("__n1") < col("__n"))
+      .withColumn("__num",
+        d38(col("__s1")) * (col("__n") - col("__n1")) -
+          d38(col("__s") - col("__s1")) * col("__n1"))
+      .withColumn("__gain",
+        (col("__num") * col("__num")).cast("double") /
+          (col("__n1").cast("double") * (col("__n") - col("__n1")) *
+            col("__n")))
+    val wBest = Window.partitionBy(key)
+      .orderBy(col("__gain").desc, col("__o").asc)
+    cand.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__o").as("cp_at"), col("__n").as("n_points"),
+        round(col("__gain"), 6).as("gain"))
+  }
 }

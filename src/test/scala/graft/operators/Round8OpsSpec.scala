@@ -119,6 +119,36 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(rf.isNullAt(2))
   }
 
+  test("bestChangepoint: level shift localized, gain hand-computed") {
+    // 1,1,1,9,9,9 → split after t=3: num = 3·3−27·3 = −72,
+    // gain = 72²/(3·3·6) = 96; k=2/k=4 give 48
+    val df = Seq((1, 1, 1L), (1, 2, 1L), (1, 3, 1L),
+      (1, 4, 9L), (1, 5, 9L), (1, 6, 9L)).toDF("u", "t", "v")
+    val r = TimeSeriesOps.bestChangepoint(df, "u", col("t"), col("v"))
+      .collect()(0)
+    assert(r.getInt(1) === 3)
+    assert(r.getLong(2) === 6L)
+    assert(r.getDouble(3) === 96.0)
+  }
+
+  test("bestChangepoint: constant series ties break to the earliest split") {
+    val df = (1 to 5).map(t => (1, t, 4L)).toDF("u", "t", "v")
+    val r = TimeSeriesOps.bestChangepoint(df, "u", col("t"), col("v"))
+      .collect()(0)
+    assert(r.getInt(1) === 1 && r.getDouble(3) === 0.0)
+  }
+
+  test("groupQuantiles: exact type-7 interpolation per group") {
+    // group a: 1..4 → q(0.5) = 2.5, q(0.75) = 3.25
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "v")
+    val q = CleaningOps.groupQuantiles(df, "g", "v", 0.5, 0.75)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(q("a") === ((2.5, 3.25)))
+    assert(q("b") === ((10.0, 10.0)))
+  }
+
   test("pcaProject: dominant axis recovered (projection magnitudes)") {
     // points along (3,4)/5 with tiny off-axis noise: |pc1| ≈ |v| = 5·t
     val pts = (1 to 40).map { t =>
