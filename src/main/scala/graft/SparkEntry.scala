@@ -848,6 +848,16 @@ object SparkEntry {
         "vec_id", "embedding", pqCodebooks, k = 3)
     }),
 
+    // IVF + PQ-ADC composed: coarse cells prune the corpus (cluster-equi
+    // hash join — never the flat all-pairs scan), ADC ranks only the
+    // probed candidates — the production ANN shape at corpus scale
+    "v11_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.ann.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", fixedCentroids, pqCodebooks,
+        nProbe = 2, k = 3)
+    }),
+
     "v02_ann_clustered" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3,
@@ -2760,6 +2770,66 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    // v03b assignment + v06b probe selection + v08 ADC, composed: the
+    // candidate set is (probe clusters ∋ neighbor's cell) — same rounded
+    // ranks and tie pins as the three building-block oracles
+    "v11_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id,
+                          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+          cent(cluster, cv) AS (VALUES $fixedCentroidsSqlValues),
+          cb(j, cc, cw) AS (VALUES $pqCodebookSqlValues),
+          cd AS (SELECT vec_id, cluster,
+                        LIST_SUM(LIST_TRANSFORM(range(1, 65), i ->
+                          (v[i] - CAST(cv[i] AS DOUBLE))
+                          * (v[i] - CAST(cv[i] AS DOUBLE)))) AS dist
+                 FROM e CROSS JOIN cent),
+          assign AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cluster ASC) AS rn
+                       FROM cd) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cluster ASC) AS rn
+                       FROM cd WHERE vec_id < 8) WHERE rn <= 2),
+          pqd AS (SELECT e.vec_id, cb.j, cb.cc,
+                         LIST_SUM(LIST_TRANSFORM(range(1, 9), t ->
+                           (v[cb.j*8 + t] - CAST(cw[t] AS DOUBLE))
+                           * (v[cb.j*8 + t] - CAST(cw[t] AS DOUBLE))))
+                           AS dd
+                  FROM e CROSS JOIN cb),
+          enc AS (SELECT vec_id, j, cc AS code FROM (
+                    SELECT vec_id, j, cc,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                             ORDER BY dd ASC, cc ASC) AS rn
+                    FROM pqd) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id < 8),
+          cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                   FROM probes p JOIN assign a ON a.cluster = p.cluster
+                   WHERE a.vec_id <> p.query_id),
+          term AS (SELECT q.query_id, cand.neighbor_id, en.j,
+                          LIST_SUM(LIST_TRANSFORM(range(1, 9), t ->
+                            (qv[en.j*8 + t] - CAST(cb.cw[t] AS DOUBLE))
+                            * (qv[en.j*8 + t] - CAST(cb.cw[t] AS DOUBLE))))
+                            AS dd
+                   FROM cand
+                   JOIN q ON q.query_id = cand.query_id
+                   JOIN enc en ON en.vec_id = cand.neighbor_id
+                   JOIN cb ON cb.j = en.j AND cb.cc = en.code),
+          adc AS (SELECT query_id, neighbor_id,
+                         ROUND(LIST_SUM(LIST(dd ORDER BY j)), 6) AS adc
+                  FROM term GROUP BY 1, 2)
+          SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
+          FROM (SELECT query_id, neighbor_id, adc,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc ASC, neighbor_id ASC) AS rn
+                FROM adc)
+          WHERE rn <= 3""",
 
     "ts15_changepoint" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,

@@ -91,4 +91,46 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
   }
+
+  /** IVF + PQ-ADC — the production ANN composition: the coarse quantizer
+    * prunes the corpus to each query's `nProbe` nearest cells, then the
+    * ADC table scan ranks ONLY those candidates. Unlike [[pqTopK]]'s flat
+    * scan (every query × every code), the probe join is CLUSTER-EQUI — a
+    * hash join on the cell id — so per query only ~nProbe/C of the corpus
+    * is touched and the corpus never shuffles (the query side, bounded by
+    * the caller's contract, broadcasts with its precomputed m×k tables).
+    * Both stages reuse the engine-portable argmin constructions the
+    * v03b/v06b oracles prove (fixed centroids, rounded-ADC rank, ties to
+    * the smaller id).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      emb: String, centroids: Seq[Seq[Double]], codebooks: Codebooks,
+      nProbe: Int, k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cbs = codebookLit(codebooks)
+    val enc = pqEncode(Knn.assignClusters(corpus, id, emb, centroids),
+        id, emb, codebooks)
+      .select(col(id).as("neighbor_id"), col("codes"), col("cluster"))
+    val qTab = queries.select(col(id).as("query_id"),
+        VectorFns.toDoubleArr(col(emb)).as("__qe"))
+      .withColumn("__tab", transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cbs, j + 1),
+          cw => subDist(col("__qe"), j * lit(sub) + lit(1), sub, cw))))
+      .drop("__qe")
+    val probes = Knn.probeSelection(queries, id, emb, centroids, nProbe)
+      .select(col(id).as("query_id"), col("cluster"))
+    val qSide = qTab.join(probes, Seq("query_id"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("__tab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.join(broadcast(qSide), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
 }

@@ -75,7 +75,14 @@ class DeterminismSpec extends AnyFunSuite {
     "g04_adamic_adar", "d16_lsh_recall", "t28_bigram_lm", "ts12_decompose",
     // late-r7 rank consumers: Wilcoxon rides globalCumsum, the stratified
     // fold and RFM quintiles ride globalRowNumber(s)
-    "a37_wilcoxon", "ml18_stratified_kfold", "q08_rfm")
+    "a37_wilcoxon", "ml18_stratified_kfold", "q08_rfm",
+    // r8 additions: the integer-exact covariance/PCA pair (now hash-gated
+    // with zero exemptions), the C-index time-slice decomposition (two
+    // repartitionByRange pinnings), the bootstrap's percentile over LCG
+    // replica frames, the changepoint double-gain argmax, and the
+    // composed e2e tensor chain
+    "v10_pca_project", "a31_cindex", "a41_bootstrap_ci",
+    "ts15_changepoint", "e2e_stay_tensors")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df

@@ -78,7 +78,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "a37_wilcoxon" -> "bucket-offset triangle (globalCumsum over the distinct-|d| frame)",
     "ml18_stratified_kfold" -> "bucket-offset triangle (globalRowNumber)",
     "q08_rfm" -> "bucket-offset triangles (three globalRowNumbers) + 1-row user count",
-    "a38_fleiss_kappa" -> "1-row Σ marginal-square scalar (explicit broadcast)")
+    "a38_fleiss_kappa" -> "1-row Σ marginal-square scalar (explicit broadcast)",
+    "dq12_freshness_lag" -> "1-row max-ts high-water mark (explicit broadcast)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -150,4 +150,32 @@ class KnnSpec extends AnyFunSuite {
     assert(got.forall { case (q, n, _) => q != n })
     assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(_._3).sorted.toSeq === Seq(1, 2) })
   }
+
+  test("ivfPqTopK with nProbe = C equals the flat ADC scan; nProbe=1 stays in-cell") {
+    val corpus = Seq(
+      (0L, Array(0f, 0f, 0f, 1f)), (1L, Array(1f, 1f, 1f, 0f)),
+      (2L, Array(0f, 1f, 1f, 0f)), (3L, Array(1f, 0f, 0f, 1f)),
+      (4L, Array(0.9f, 0.9f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+    val cents = Seq(Seq(0.0, 0.0, 0.0, 1.0), Seq(1.0, 1.0, 1.0, 0.0))
+    // all cells probed → candidate set = whole corpus → flat pqTopK
+    val full = Pq.ivfPqTopK(corpus, queries, "vec_id", "embedding", cents,
+        pqBooks, nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val flat = Pq.pqTopK(corpus, queries, "vec_id", "embedding", pqBooks,
+        k = 3)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === flat)
+    // one probe → neighbors never leave the query's own cell
+    val one = Pq.ivfPqTopK(corpus, queries, "vec_id", "embedding", cents,
+        pqBooks, nProbe = 1, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val cell = Knn.assignClusters(corpus, "vec_id", "embedding", cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(one.nonEmpty)
+    assert(one.forall { case (q, n) => cell(q) === cell(n) })
+  }
 }
