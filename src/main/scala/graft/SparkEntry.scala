@@ -2611,6 +2611,18 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // the LLM-side e2e sibling of e2e_stay_tensors: the FULL CorpusCurator
+    // chain (quality gate → exact dedup → MinHash-LSH near dedup →
+    // benchmark decontamination → pack) hash-checked as ONE query — wrong
+    // stage interactions fail the gate. Benchmark = the %37 slice (the d09
+    // convention); sample stage keeps 16/16 (no-op) by default config
+    "e2e_corpus_curate" -> ((s, d) => {
+      val bench = docs(s, d).filter(col("doc_id") % 37 === 0)
+      api.CorpusCurator.curate(
+          docs(s, d).filter(col("doc_id") % 37 =!= 0), bench)
+        .select("doc_id", "source", "n_tokens", "bin_id")
+    }),
+
     // Cochran-Armitage trend: does the F-status rate rise with the order
     // priority level? Five row-level integer sums, one aggregate, no
     // per-group frame — the order-aware sibling of the a27 chi-square
@@ -2770,6 +2782,103 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    // the q01 quality predicate + d01 fingerprint + d10 minhash/LSH/
+    // components + d09 decontam shingles + ml04 pack cumsum, composed
+    // over the SAME surviving set at each stage
+    "e2e_corpus_curate" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, source, lang, text,
+                         STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                  FROM documents WHERE doc_id % 37 <> 0),
+         qual AS (SELECT doc_id, source, text, toks FROM (
+                    SELECT *, LEN(toks) AS n,
+                           LEN(LIST_FILTER(toks,
+                             x -> x IN ('the','a','of','and','to')))
+                             AS nstop
+                    FROM base)
+                  WHERE lang = 'en' AND n BETWEEN 20 AND 500
+                    AND nstop * 1.0 / n < 0.4),
+         exk AS (SELECT MIN(doc_id) AS doc_id FROM qual
+                 GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ',
+                   'g'))),
+         exd AS (SELECT q.* FROM qual q JOIN exk USING (doc_id)),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM exd),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5),
+         und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+                  FROM reach GROUP BY a),
+         nd AS (SELECT e.* FROM exd e
+                WHERE e.doc_id NOT IN (SELECT doc_id FROM comp
+                                       WHERE doc_id <> canonical_id)),
+         s5 AS (SELECT doc_id, CASE WHEN LEN(toks) >= 5 THEN
+                  LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [] END AS sh
+                FROM nd),
+         bsh AS (SELECT DISTINCT UNNEST(CASE WHEN LEN(toks) >= 5 THEN
+                   LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                   ELSE [] END) AS sg
+                 FROM (SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                       FROM documents WHERE doc_id % 37 = 0)),
+         contaminated AS (SELECT DISTINCT s5.doc_id
+                          FROM (SELECT doc_id, UNNEST(sh) AS sg FROM s5) s5
+                          JOIN bsh ON bsh.sg = s5.sg),
+         clean AS (SELECT nd.* FROM nd
+                   WHERE nd.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         packed AS (SELECT doc_id, source, LEN(toks) AS n_tokens
+                    FROM clean)
+         SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+                CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 256.0) AS INTEGER) AS bin_id
+         FROM packed""",
 
     // v03b assignment + v06b probe selection + v08 ADC, composed: the
     // candidate set is (probe clusters ∋ neighbor's cell) — same rounded
