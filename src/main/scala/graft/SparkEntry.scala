@@ -2611,6 +2611,43 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // SCD type-2 build from the event changelog: collapse no-change rows,
+    // then [valid_from, valid_to) intervals via lead over the collapsed
+    // set — the warehouse-dimension sibling of u08's changelog replay
+    "u12_scd2_build" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"))
+        .withColumn("__prev", lag(col("state"), 1).over(w))
+        .filter(col("__prev").isNull || col("state") =!= col("__prev"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1).otherwise(0))
+        .select("user_id", "state", "valid_from", "valid_to", "is_current")
+    }),
+
+    // trailing-20 rolling z-score on integer cents: mean/variance from
+    // EXACT window sums (nΣx² − S² integers), one double division — the
+    // live anomaly score with no float-accumulation drift
+    "w19_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, 0)
+      val x = round(col("value") * 100, 0).cast("long")
+      val base = ev(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), x.as("__x"))
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__s", sum(col("__x")).over(w))
+        .withColumn("__ss", sum(col("__x") * col("__x")).over(w))
+      base.select(col("event_id"),
+        when(col("__n") >= 2 &&
+          col("__n") * col("__ss") - col("__s") * col("__s") > 0,
+          round((col("__n") * col("__x") - col("__s")).cast("double") /
+            sqrt((col("__n") * col("__ss") - col("__s") * col("__s"))
+              .cast("double") * col("__n") / (col("__n") - 1)), 6))
+          .as("z"))
+    }),
+
     // the LLM-side e2e sibling of e2e_stay_tensors: the FULL CorpusCurator
     // chain (quality gate → exact dedup → MinHash-LSH near dedup →
     // benchmark decontamination → pack) hash-checked as ONE query — wrong
@@ -2782,6 +2819,41 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    "u12_scd2_build" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type AS state,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                    FROM events),
+         f AS (SELECT user_id, ts, event_id, state FROM c
+               WHERE prev IS NULL OR state <> prev)
+         SELECT user_id, state, ts AS valid_from,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to,
+                CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_current
+         FROM f""",
+
+    "w19_rolling_zscore" ->
+      """WITH b AS (SELECT event_id,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+                           COUNT(*) OVER w AS n,
+                           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w
+                             AS s,
+                           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                               * CAST(ROUND(value * 100, 0) AS BIGINT))
+                             OVER w AS ss
+                    FROM events WHERE value IS NOT NULL
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT event_id,
+                CASE WHEN n >= 2 AND n * ss - s * s > 0 THEN
+                  ROUND(CAST(n * x - s AS DOUBLE)
+                        / SQRT(CAST(n * ss - s * s AS DOUBLE) * n / (n - 1)),
+                    6)
+                END AS z
+         FROM b""",
 
     // the q01 quality predicate + d01 fingerprint + d10 minhash/LSH/
     // components + d09 decontam shingles + ml04 pack cumsum, composed
