@@ -131,6 +131,45 @@ object EventStreams {
       }
   }
 
+  case class ZEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      cents: Long)
+  case class ZWindowState(window: List[Long])
+  case class ZScore(event_id: Long, z: Option[Double])
+
+  /** Stateful streaming twin of the batch `w19_rolling_zscore`: one ≤k-deep
+    * integer deque per key (bounded state — k longs, not the stream), the
+    * same exact integer sufficient statistics (n·x−S over n·Σx²−S²) and
+    * the same HALF_UP 6-decimal round, so batch backfill ≡ live scoring
+    * bit-for-bit.
+    */
+  def rollingZStream(events: Dataset[ZEvent], k: Int = 20): Dataset[ZScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZWindowState, ZScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[ZEvent], state: GroupState[ZWindowState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var win = state.getOption.map(_.window).getOrElse(Nil)
+          val out = sorted.map { e =>
+            win = (win :+ e.cents).takeRight(k)
+            val n = win.length.toLong
+            val s = win.sum
+            val ss = win.iterator.map(x => x * x).sum
+            val z =
+              if (n >= 2 && n * ss - s * s > 0)
+                Some(BigDecimal(
+                  (n * e.cents - s).toDouble /
+                    math.sqrt((n * ss - s * s).toDouble * n / (n - 1)))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None
+            ZScore(e.event_id, z)
+          }
+          state.update(ZWindowState(win))
+          out.iterator
+      }
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -452,4 +452,62 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bestChangepoint equals the brute-force argmax on random series") {
+    val gen: Gen[List[Long]] = for {
+      n <- Gen.choose(2, 15)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 9L))
+    } yield vs
+    samples(gen, 30).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, t) => (1, t + 1, v) }
+      val got = graft.operators.TimeSeriesOps
+        .bestChangepoint(rows.toDF("u", "t", "v"), "u", col("t"), col("v"))
+        .collect()(0)
+      // brute: for each k compute the exact rational gain, compare by
+      // cross-multiplication (no float), ties to the smaller k
+      val n = vs.length.toLong
+      val s = vs.sum
+      var bestK = -1; var bestNum = BigInt(-1); var bestDen = BigInt(1)
+      var s1 = 0L
+      for (k <- 1 until vs.length) {
+        s1 += vs(k - 1)
+        val num = BigInt(s1) * (n - k) - BigInt(s - s1) * k
+        val nn = num * num
+        val dd = BigInt(k) * (n - k) * n
+        if (bestK < 0 || nn * bestDen > bestNum * dd) {
+          bestK = k; bestNum = nn; bestDen = dd
+        }
+      }
+      assert(got.getInt(1) === bestK, s"series $vs")
+      assert(got.getLong(2) === n)
+    }
+  }
+
+  test("scd2 intervals: consecutive states differ and intervals chain per key") {
+    // mirror of the u12 construction on a tiny changelog
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "b"),
+      (1L, 5L, "a"), (2L, 1L, "x")).map { case (u, t, st) => (u, t, st) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("t"))
+    val out = rows.toDF("u", "t", "state")
+      .withColumn("__prev", lag(col("state"), 1).over(w))
+      .filter(col("__prev").isNull || col("state") =!= col("__prev"))
+      .withColumn("valid_from", col("t"))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+      .select("u", "state", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(r => (r._1, r._3))
+    assert(out.toSeq === Seq(
+      (1L, "a", 1L, Some(3L)), (1L, "b", 3L, Some(5L)),
+      (1L, "a", 5L, None), (2L, "x", 1L, None)))
+    // chaining: each interval's end equals the next interval's start
+    out.groupBy(_._1).foreach { case (_, ivs) =>
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
 }

@@ -98,6 +98,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming rolling z-score equals the batch w19 window form") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zroll")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .filter($"value".isNotNull)
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .as[EventStreams.ZEvent]
+    val q = EventStreams.rollingZStream(evs)
+      .writeStream.format("memory").queryName("zroll")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("zroll")
+      .as[EventStreams.ZScore].collect()
+      .map(a => a.event_id -> a.z).toMap
+
+    val batch = SparkEntry.queries("w19_rolling_zscore")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("streaming hourly rollup equals the batch rollup (kappa invariant)") {
     // file source needs a directory of one schema → stage events alone
     val dir = Files.createTempDirectory("graft-stream")
