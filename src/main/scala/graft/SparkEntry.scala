@@ -2553,6 +2553,42 @@ object SparkEntry {
     "e2e_cohort_mortality" -> ((s, d) =>
       e2eCohort(s, d).select("hadm_id", "subject_id", "label")),
 
+    // the OVERLAPPING-visits readmission route through the facade: the
+    // all-later-visits scan with the reference's admit_j > disch_i guard
+    // (day_intervals_cohort.py:158-161) — strictOverlap=true branch
+    "e2e_cohort_readmit30" -> ((s, d) =>
+      api.CohortExtractor.extract(visitsT(s, d), patientsT(s, d),
+          api.CohortConfig(task = api.Readmission(30, strictOverlap = true)))
+        .select("hadm_id", "subject_id", "label")),
+
+    // the length-of-stay label branch (day_intervals_cohort.py:114-133):
+    // 1 iff the visit lasts ≥ 7 days — interval-typed threshold compare
+    "e2e_cohort_los7" -> ((s, d) =>
+      api.CohortExtractor.extract(visitsT(s, d), patientsT(s, d),
+          api.CohortConfig(task = api.LengthOfStay(7)))
+        .select("hadm_id", "subject_id", "label")),
+
+    // FeatureExtractor.standardizeIcd through the facade: 3-char-root
+    // first-match map for version-9 codes, version-10 passthrough
+    // (hosp_preprocess_util.py:402-430) — fabricated codes/mapping from
+    // harness tables, pure integer/string arithmetic both sides
+    "e2e_icd_map" -> ((s, d) => {
+      val diag = ord(s, d).select(
+        col("o_orderkey").as("hadm_id"),
+        concat(lit("C"), lpad((col("o_orderkey") % 500).cast("string"), 3,
+          "0")).as("icd_code"),
+        (when(col("o_orderkey") % 2 === 0, 9).otherwise(10))
+          .as("icd_version"))
+      val mapping = nat(s, d).select(
+        concat(lit("C"), lpad(col("n_nationkey").cast("string"), 2, "0"),
+          lit("X")).as("diagnosis_code"),
+        concat(lit("M"), col("n_nationkey").cast("string")).as("icd10cm"),
+        col("n_nationkey").as("map_order"))
+      api.FeatureExtractor.standardizeIcd(diag, "icd_code", "icd_version",
+          mapping, "diagnosis_code", "icd10cm", "map_order")
+        .select("hadm_id", "icd_code", "icd_version", "root_icd10")
+    }),
+
     // stages 1+2: cohort semi-join + admit attach + floor-hour offsets +
     // pre-admit drop, then UOM dominance cleanup and per-code exact type-7
     // percentile clamp — the feature_icu cleaning chain end-to-end
@@ -2794,7 +2830,7 @@ object SparkEntry {
                            o_orderdate + INTERVAL (o_orderkey % 21 + 1) DAY
                              AS dischtime
                     FROM orders),
-         cohort AS (SELECT v.hadm_id, v.subject_id, v.admittime,
+         cohort AS (SELECT v.hadm_id, v.subject_id, v.admittime, v.dischtime,
                            CASE WHEN p.dod IS NOT NULL
                                      AND p.dod BETWEEN v.admittime
                                                    AND v.dischtime
@@ -2819,6 +2855,43 @@ object SparkEntry {
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes
          SELECT hadm_id, subject_id, label FROM cohort""",
+
+    // all-later-visits readmission with the admit_j > disch_i guard —
+    // mirrors nextWithinGapLabelRange's left join + max aggregation
+    "e2e_cohort_readmit30" ->
+      s"""WITH $e2eBaseCtes
+         SELECT c.hadm_id, c.subject_id,
+                MAX(CASE WHEN l.hadm_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS label
+         FROM cohort c LEFT JOIN cohort l
+           ON l.subject_id = c.subject_id AND l.hadm_id <> c.hadm_id
+          AND l.admittime > c.dischtime
+          AND l.admittime <= c.dischtime + INTERVAL 30 DAY
+         GROUP BY 1, 2""",
+
+    "e2e_cohort_los7" ->
+      s"""WITH $e2eBaseCtes
+         SELECT hadm_id, subject_id,
+                CASE WHEN dischtime - admittime >= INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END AS label
+         FROM cohort""",
+
+    "e2e_icd_map" ->
+      """WITH diag AS (SELECT o_orderkey AS hadm_id,
+                              'C' || LPAD(CAST(o_orderkey % 500 AS VARCHAR),
+                                3, '0') AS icd_code,
+                              CASE WHEN o_orderkey % 2 = 0 THEN 9 ELSE 10 END
+                                AS icd_version
+                       FROM orders),
+         m AS (SELECT SUBSTR('C' || LPAD(CAST(n_nationkey AS VARCHAR), 2,
+                        '0') || 'X', 1, 3) AS root,
+                      ARG_MIN('M' || CAST(n_nationkey AS VARCHAR),
+                        n_nationkey) AS mapped
+               FROM nation GROUP BY 1)
+         SELECT d.hadm_id, d.icd_code, d.icd_version,
+                CASE WHEN d.icd_version = 9 THEN m.mapped
+                     ELSE d.icd_code END AS root_icd10
+         FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
 
     "u12_scd2_build" ->
       """WITH c AS (SELECT user_id, ts, event_id, event_type AS state,
