@@ -339,31 +339,47 @@ object RegressionOps {
     * mode. Same fixed-point argument as [[groupOls]]/`a28`/`a33`.
     */
   def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val q = transform(vec, x =>
       round(x.cast("double") * lit(1e6), 0).cast("long"))
-    val qdf = df.select(q.as("__q"))
-    // upper-triangle products as a BARE long array (row-major pair
-    // enumeration: pos = i·d − i(i−1)/2 + (j − i)) — no per-pair struct
-    // allocation; the 2080-wide array flattens straight into posexplode
+    val qdf = df.select(q.as("__q")).filter(col("__q").isNotNull)
+    // the embedding dimension: one row off one partition (CollectLimit) —
+    // a bounded scalar, never row data; empty corpus short-circuits
+    val first = qdf.select(size(col("__q")).as("d")).limit(1).collect()
+    if (first.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("i", lit(null).cast("long"))
+        .withColumn("j", lit(null).cast("long"))
+        .withColumn("n", lit(null).cast("long"))
+        .withColumn("cov", lit(null).cast("double"))
+        .limit(0)
+    val d = first(0).getInt(0)
+    val p0 = d * (d + 1) / 2
+    // ONE corpus scan: upper-triangle products as a BARE long array
+    // (row-major pair enumeration: pos = i·d − i(i−1)/2 + (j − i); no
+    // per-pair struct allocation) with the raw lanes APPENDED at
+    // pos ∈ [p0, p0+d) — products and first moments come out of the same
+    // posexplode + hash aggregate, so the 100 TB corpus is read once,
+    // not twice. The d(d+3)/2-row result is checkpointed (bounded by the
+    // dimension, not data) so its three consumers don't re-run the scan.
     val prods = flatten(transform(col("__q"), (xi, i) =>
       transform(slice(col("__q"), i + 1, size(col("__q"))), xj => xi * xj)))
-    val prodSums = qdf.select(posexplode(prods).as(Seq("pos", "__p")))
+    val sums = qdf
+      .select(posexplode(concat(prods, col("__q"))).as(Seq("pos", "__p")))
       .groupBy(col("pos").cast("long").as("pos"))
-      .agg(sum(col("__p").cast("decimal(38,0)")).as("__sp"))
-    // per-dim first moments: d rows — the Σqᵢ every pair's centering term
-    // derives from, so the big pass above carries ONLY products
-    val dims = qdf.select(posexplode(col("__q")).as(Seq("i", "__x")))
-      .groupBy(col("i").cast("long").as("i"))
       .agg(count(lit(1)).as("n"),
-        sum(col("__x").cast("decimal(38,0)")).as("__s"))
-    val dScalar = dims.agg(max(col("i")).as("__dm"))
-    // bounded pos ↔ (i, j) map: d²/2 rows built from the d-row dim frame
-    val posMap = dims.select(col("i")).alias("a")
-      .join(dims.select(col("i").as("j")).alias("b"), col("a.i") <= col("b.j"))
-      .crossJoin(broadcast(dScalar))
-      .select(col("a.i").as("i"), col("b.j").as("j"),
-        (col("a.i") * (col("__dm") + 1) - col("a.i") * (col("a.i") - 1) / 2 +
-          (col("b.j") - col("a.i"))).as("pos"))
+        sum(col("__p").cast("decimal(38,0)")).as("__sp"))
+      .localCheckpoint(false)
+    val dims = sums.filter(col("pos") >= p0)
+      .select((col("pos") - p0).as("i"), col("n"), col("__sp").as("__s"))
+    val prodSums = sums.filter(col("pos") < p0)
+      .select(col("pos"), col("__sp"))
+    // bounded pos ↔ (i, j) map: d(d+1)/2 rows from the now-known d
+    val posMap = (for { i <- 0 until d; j <- i until d }
+      yield (i.toLong, j.toLong,
+        i.toLong * d - i.toLong * (i - 1) / 2 + (j - i)))
+      .toDF("i", "j", "pos")
     posMap
       .join(prodSums, Seq("pos"))
       .join(dims.select(col("i"), col("n"), col("__s").as("__si")), Seq("i"))
