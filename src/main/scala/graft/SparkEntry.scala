@@ -2647,6 +2647,20 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // GPT-2-style pre-tokenizer count: the contraction/letter-run/digit-run/
+    // punct-run alternation (leftmost-first in BOTH Java regex and RE2) —
+    // a far closer token-budget estimate than whitespace counting, still
+    // one codegen'd map-only pass; ws count alongside for the ratio
+    "t32_subword_count" -> ((s, d) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+" +
+        "| ?[^\\sa-zA-Z0-9]+|\\s+"
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("n_subtoks"),
+          size(TextFns.tokens(col("text"))).as("n_ws_toks"))
+    }),
+
     // SCD type-2 build from the event changelog: collapse no-change rows,
     // then [valid_from, valid_to) intervals via lead over the collapsed
     // set — the warehouse-dimension sibling of u08's changelog replay
@@ -2892,6 +2906,15 @@ object SparkEntry {
                 CASE WHEN d.icd_version = 9 THEN m.mapped
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
+
+    "t32_subword_count" ->
+      """SELECT doc_id,
+                CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+                  AS INTEGER) AS n_subtoks,
+                CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER)
+                  AS n_ws_toks
+         FROM documents WHERE text IS NOT NULL""",
 
     "u12_scd2_build" ->
       """WITH c AS (SELECT user_id, ts, event_id, event_type AS state,
