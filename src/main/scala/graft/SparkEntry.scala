@@ -2647,6 +2647,15 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // audio-shaped multimodal path: payload bytes as little-endian PCM16,
+    // 256-sample frames, per-frame RMS — exact integer Σs² per frame, one
+    // sqrt; map-only, no shuffle (the VAD/loudness front end)
+    "m06_pcm_energy" -> ((s, d) =>
+      BinaryOps.pcmFrameEnergy(s,
+        BinaryOps.withPayload(docs(s, d).filter(col("text").isNotNull),
+          "text", "payload"),
+        "doc_id", "payload", frameLen = 256).toDF()),
+
     // GPT-2-style pre-tokenizer count: the contraction/letter-run/digit-run/
     // punct-run alternation (leftmost-first in BOTH Java regex and RE2) —
     // a far closer token-budget estimate than whitespace counting, still
@@ -2669,7 +2678,9 @@ object SparkEntry {
       ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("state"))
         .withColumn("__prev", lag(col("state"), 1).over(w))
-        .filter(col("__prev").isNull || col("state") =!= col("__prev"))
+        // null-safe collapse: a null state still opens/closes intervals
+        // (<=> negation ≡ IS DISTINCT FROM, incl. the first row)
+        .filter(!(col("state") <=> col("__prev")))
         .withColumn("valid_from", col("ts"))
         .withColumn("valid_to", lead(col("ts"), 1).over(w))
         .withColumn("is_current",
@@ -2907,6 +2918,31 @@ object SparkEntry {
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
 
+    // byte-exact replay over the same UTF-8 source bytes (pure-ASCII
+    // corpus ⇒ UNICODE(SUBSTR) IS the byte; POWER products are exact
+    // integers in double, so LIST_SUM is order-free)
+    "m06_pcm_energy" ->
+      """WITH b AS (SELECT doc_id, text,
+                           CAST(LEN(text) // 2 AS INT) AS ns
+                    FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, text, ns,
+                      UNNEST(GENERATE_SERIES(0,
+                        CAST(CEIL(ns / 256.0) AS INT) - 1)) AS frame
+               FROM b WHERE ns >= 1)
+         SELECT doc_id, CAST(frame AS INT) AS frame,
+                CAST(LEAST(ns, (frame + 1) * 256) - frame * 256 AS INT)
+                  AS n_samples,
+                ROUND(SQRT(
+                  LIST_SUM(LIST_TRANSFORM(
+                    GENERATE_SERIES(frame * 256,
+                      LEAST(ns, (frame + 1) * 256) - 1),
+                    k -> POWER(UNICODE(SUBSTR(text, 2*k + 1, 1))
+                               + 256 * UNICODE(SUBSTR(text, 2*k + 2, 1)),
+                           2)))
+                  / (LEAST(ns, (frame + 1) * 256) - frame * 256)), 6)
+                  AS rms
+         FROM f""",
+
     "t32_subword_count" ->
       """SELECT doc_id,
                 CAST(LEN(REGEXP_EXTRACT_ALL(text,
@@ -2922,7 +2958,7 @@ object SparkEntry {
                              ORDER BY ts, event_id) AS prev
                     FROM events),
          f AS (SELECT user_id, ts, event_id, state FROM c
-               WHERE prev IS NULL OR state <> prev)
+               WHERE state IS DISTINCT FROM prev)
          SELECT user_id, state, ts AS valid_from,
                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   AS valid_to,

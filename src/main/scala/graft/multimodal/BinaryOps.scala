@@ -55,6 +55,50 @@ object BinaryOps {
       }
   }
 
+  /** Row shape for per-frame PCM energy. */
+  case class FrameEnergy(doc_id: Long, frame: Int, n_samples: Int,
+      rms: Double)
+
+  /** Audio-shaped feature extraction on the REAL byte path: interpret the
+    * payload as little-endian 16-bit PCM, window into `frameLen`-sample
+    * frames (ragged tail kept with its true sample count), emit per-frame
+    * RMS energy — the classic VAD/loudness front end. Σs² is an exact
+    * Long per frame (≤ frameLen·2³⁰), the RMS is one sqrt + HALF_UP
+    * 6-decimal round, so the result is bit-deterministic and
+    * SQL-oracle-able over the same source bytes. Same mapPartitions batch
+    * shape as the PNG decode path (a real audio codec would init per
+    * partition here); rows out ≈ bytes/2/frameLen per doc — linear,
+    * map-only, no shuffle.
+    */
+  def pcmFrameEnergy(spark: SparkSession, df: DataFrame, id: String,
+      payload: String, frameLen: Int): Dataset[FrameEnergy] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val nSamp = if (bytes == null) 0 else bytes.length / 2
+          val nFrames = (nSamp + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var k = f * frameLen
+            val end = math.min(nSamp, k + frameLen)
+            val n = end - k
+            var ss = 0L
+            while (k < end) {
+              val lo = bytes(2 * k) & 0xff
+              val hi = bytes(2 * k + 1).toInt // sign-extends: true int16
+              val s = (hi << 8) | lo
+              ss += s.toLong * s
+              k += 1
+            }
+            FrameEnergy(docId, f, n,
+              BigDecimal(math.sqrt(ss.toDouble / n))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+  }
+
   /** Row shape for decoded image metadata: dimensions plus two
     * order-insensitive pixel checksums (sum and xor of the 8-bit gray
     * samples) — the deterministic face of a lossy-looking pipeline stage.

@@ -100,4 +100,28 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(BinaryOps.phash63(spark, png, "doc_id", "png")
       .collect().head.phash === 0L)
   }
+
+  test("pcmFrameEnergy: signed int16 LE decode, framing, ragged tail") {
+    // bytes (00 01)(00 FF)(10 00) → samples 256, -256, 16
+    val src = Seq((7L, Array[Byte](0x00, 0x01, 0x00, 0xFF.toByte,
+      0x10, 0x00))).toDF("doc_id", "payload")
+    val out = BinaryOps.pcmFrameEnergy(spark, src, "doc_id", "payload",
+        frameLen = 2)
+      .collect().sortBy(_.frame)
+    assert(out.length === 2)
+    // frame 0: rms = sqrt((256² + 256²)/2) = 256 exactly
+    assert(out(0).n_samples === 2 && out(0).rms === 256.0)
+    // ragged tail frame: one sample of 16 → rms 16
+    assert(out(1).n_samples === 1 && out(1).rms === 16.0)
+  }
+
+  test("pcmFrameEnergy: odd trailing byte is dropped, empty payload → no rows") {
+    val src = Seq((1L, Array[Byte](0x03, 0x00, 0x7F)),
+      (2L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val out = BinaryOps.pcmFrameEnergy(spark, src, "doc_id", "payload", 256)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).doc_id === 1L && out(0).n_samples === 1 &&
+      out(0).rms === 3.0)
+  }
 }
