@@ -738,6 +738,26 @@ object SparkEntry {
     "t04_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))),
 
+    // declared-vs-detected language agreement matrix: the t03 heuristic
+    // cross-tabbed against the source's lang tag — the DQ check that
+    // catches mislabeled-language feeds before they poison a lang filter
+    "t33_langid_confusion" -> ((s, d) => {
+      val t = docs(s, d).withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("r_the",
+          TextFns.tokenCountIn(col("toks"), Seq("the")).cast("double") /
+            size(col("toks")))
+        .withColumn("pred_lang",
+          when(col("r_the") >= 0.05, "en_like")
+            .when(col("r_the") >= 0.025, "mixed")
+            .otherwise("other"))
+      t.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .join(t.groupBy(col("lang")).agg(count(lit(1)).as("__nl")),
+          Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / col("__nl"), 6).as("row_share"))
+    }),
+
     // ---------------- deduplication ----------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactGroups(docs(s, d), "doc_id", "text")),
@@ -4166,6 +4186,28 @@ object SparkEntry {
     "t04_fingerprint" ->
       """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
          FROM documents""",
+
+    "t33_langid_confusion" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT lang,
+                  CASE WHEN r >= 0.05 THEN 'en_like'
+                       WHEN r >= 0.025 THEN 'mixed'
+                       ELSE 'other' END AS pred_lang
+           FROM (SELECT lang,
+                        LEN(LIST_FILTER(toks, x -> x = 'the')) * 1.0
+                          / LEN(toks) AS r
+                 FROM t)),
+         c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM p GROUP BY 1, 2),
+         l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+               FROM p GROUP BY 1)
+         SELECT c.lang, c.pred_lang, c.n,
+                ROUND(c.n * 1.0 / l.nl, 6) AS row_share
+         FROM c JOIN l USING (lang)""",
 
     "d01_exact_dedup" ->
       """SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
