@@ -99,6 +99,42 @@ object EventStreams {
       }
   }
 
+  case class ScdEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      state: String)
+  case class ScdOpen(sinceMs: Long, state: String)
+  case class ScdInterval(user_id: Long, state: String, valid_from_ms: Long,
+      valid_to_ms: Long)
+
+  /** Stateful streaming twin of the batch `u12_scd2_build`: one open
+    * (state, since) pair per key; a state CHANGE closes the open interval
+    * (emitted) and opens the next. Append mode can only emit CLOSED
+    * intervals — the still-open row per key lives in the state store, so
+    * batch parity is asserted on the closed set (exactly the batch rows
+    * with a non-null valid_to). Null-safe state compare mirrors the
+    * batch IS DISTINCT FROM collapse.
+    */
+  def scd2Stream(events: Dataset[ScdEvent]): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdOpen, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[ScdEvent], state: GroupState[ScdOpen]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val out = scala.collection.mutable.ListBuffer[ScdInterval]()
+          sorted.foreach { e =>
+            if (!open.exists(o => o.state == e.state)) {
+              open.foreach(o =>
+                out += ScdInterval(user, o.state, o.sinceMs, e.ts.getTime))
+              open = Some(ScdOpen(e.ts.getTime, e.state))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class AsOfEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       is_ref: Boolean)
   case class RefState(tsMs: Long)

@@ -98,6 +98,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming SCD2 intervals equal the batch u12 closed set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-scd2")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .select($"user_id", $"event_id", $"ts", $"event_type".as("state"))
+      .as[EventStreams.ScdEvent]
+    val q = EventStreams.scd2Stream(evs)
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("scd2")
+      .as[EventStreams.ScdInterval].collect()
+      .map(i => (i.user_id, i.state, i.valid_from_ms, i.valid_to_ms)).toSet
+
+    // batch closed set: u12 rows whose valid_to is non-null
+    val batch = SparkEntry.queries("u12_scd2_build")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("valid_to").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful streaming rolling z-score equals the batch w19 window form") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zroll")
