@@ -2667,6 +2667,16 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // exact 7-day rolling active users WITHOUT a distinct-over-window:
+    // each user's activity days become merged [d, d+6] islands (gap>6
+    // starts a new one), islands explode to covered days, one count per
+    // day — the scalable exact form of sliding-window COUNT(DISTINCT)
+    "q09_wau" -> ((s, d) =>
+      TimeSeriesOps.slidingDistinctCount(ev(s, d), "user_id",
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+          window = 7)
+        .withColumnRenamed("n_active", "wau")),
+
     // audio-shaped multimodal path: payload bytes as little-endian PCM16,
     // 256-sample frames, per-frame RMS — exact integer Σs² per frame, one
     // sqrt; map-only, no shuffle (the VAD/loudness front end)
@@ -2937,6 +2947,27 @@ object SparkEntry {
                 CASE WHEN d.icd_version = 9 THEN m.mapped
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
+
+    "q09_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            DATEDIFF('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day
+                     FROM events),
+         g AS (SELECT user_id, day,
+                      CASE WHEN LAG(day) OVER w IS NULL
+                             OR day - LAG(day) OVER w > 6
+                           THEN 1 ELSE 0 END AS newi
+               FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         i AS (SELECT user_id, day,
+                      SUM(newi) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS isl
+               FROM g),
+         iv AS (SELECT user_id, isl, MIN(day) AS s, MAX(day) + 6 AS e
+                FROM i GROUP BY 1, 2),
+         days AS (SELECT UNNEST(GENERATE_SERIES(s, e)) AS day_num FROM iv)
+         SELECT day_num, CAST(COUNT(*) AS BIGINT) AS wau
+         FROM days GROUP BY 1""",
 
     // byte-exact replay over the same UTF-8 source bytes (pure-ASCII
     // corpus ⇒ UNICODE(SUBSTR) IS the byte; POWER products are exact

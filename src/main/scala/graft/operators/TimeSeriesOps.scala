@@ -422,6 +422,31 @@ object TimeSeriesOps {
         coalesce(max("__gap"), lit(1L)).as("max_gap"))
   }
 
+  /** Exact sliding-window distinct-entity count (rolling active users)
+    * WITHOUT a distinct-over-window: each entity's activity days merge
+    * into [d, d+w−1] islands (a gap > w−1 starts a new one), islands
+    * explode to the days they cover, one plain count per day. Work is
+    * O(activity × w) rows — linear, entity-partitioned, no sliding
+    * distinct state — where the naive form needs a per-day distinct over
+    * a w-day self-join. `dayCol` must be integer-valued days.
+    */
+  def slidingDistinctCount(df: DataFrame, entity: String, dayCol: Column,
+      window: Int): DataFrame = {
+    val ud = df.select(col(entity), dayCol.cast("long").as("__day")).distinct()
+    val w = Window.partitionBy(entity).orderBy(col("__day"))
+    ud.withColumn("__gap", col("__day") - lag(col("__day"), 1).over(w))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > window - 1, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(entity), col("__isl"))
+      .agg(min("__day").as("__s"),
+        (max(col("__day")) + (window - 1)).as("__e"))
+      .select(explode(sequence(col("__s"), col("__e"))).as("day_num"))
+      .groupBy("day_num").agg(count(lit(1)).as("n_active"))
+  }
+
   /** Best single mean-shift changepoint per entity — the first split of
     * binary segmentation (CUSUM's localization sibling; `ts07` flags THAT
     * a drift happened, this answers WHERE). For every split k of the

@@ -483,6 +483,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("slidingDistinctCount equals brute-force w-day distinct on random activity") {
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        d <- Gen.choose(0L, 30L)
+      } yield (u, d))
+    } yield rows
+    samples(gen, 25).foreach { rows =>
+      val got = graft.operators.TimeSeriesOps
+        .slidingDistinctCount(rows.toDF("u", "d"), "u", col("d"), window = 7)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val days = rows.map(_._2)
+      val brute = (days.min to days.max + 6).map { x =>
+        x -> rows.filter { case (_, d) => d <= x && d >= x - 6 }
+          .map(_._1).distinct.size.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got === brute, s"rows $rows")
+    }
+  }
+
   test("scd2 intervals: consecutive states differ and intervals chain per key") {
     // mirror of the u12 construction on a tiny changelog
     val rows = Seq(
