@@ -2667,6 +2667,24 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // weekly null-rate trend per feed with a week-over-week jump flag —
+    // the "did an upstream schema change silently null a column" monitor;
+    // one aggregate + one lag window over the tiny weekly frame
+    "dq13_null_trend" -> ((s, d) => {
+      val wk = date_trunc("week", col("ts"))
+      val base = ev(s, d).groupBy(col("event_type"), wk.as("week"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"))
+        .withColumn("null_rate",
+          round(col("n_null").cast("double") / col("n"), 6))
+      val w = Window.partitionBy("event_type").orderBy(col("week"))
+      base.withColumn("__prev", lag(col("null_rate"), 1).over(w))
+        .withColumn("jumped",
+          when(col("__prev").isNotNull && col("__prev") > 0 &&
+            col("null_rate") > col("__prev") * 2, 1).otherwise(0))
+        .select("event_type", "week", "n", "n_null", "null_rate", "jumped")
+    }),
+
     // exact 7-day rolling active users WITHOUT a distinct-over-window:
     // each user's activity days become merged [d, d+6] islands (gap>6
     // starts a new one), islands explode to covered days, one count per
@@ -2947,6 +2965,20 @@ object SparkEntry {
                 CASE WHEN d.icd_version = 9 THEN m.mapped
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
+
+    "dq13_null_trend" ->
+      """WITH b AS (SELECT event_type, DATE_TRUNC('week', ts) AS week,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0
+                             END) AS BIGINT) AS n_null
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT *, ROUND(n_null * 1.0 / n, 6) AS null_rate FROM b)
+         SELECT event_type, week, n, n_null, null_rate,
+                CASE WHEN LAG(null_rate) OVER w IS NOT NULL
+                          AND LAG(null_rate) OVER w > 0
+                          AND null_rate > LAG(null_rate) OVER w * 2
+                     THEN 1 ELSE 0 END AS jumped
+         FROM r WINDOW w AS (PARTITION BY event_type ORDER BY week)""",
 
     "q09_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
