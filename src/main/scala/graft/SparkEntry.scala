@@ -2667,6 +2667,66 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // as-of NEAREST (merge_asof direction='nearest'): union-LOCF gives the
+    // last ref at-or-before, reverse-NOCB the first ref after, pick the
+    // temporally closer (ties to the earlier) — still zero join nodes,
+    // one keyed sort serving both directions
+    "j22_asof_nearest" -> ((s, d) => {
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("__side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("__side"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val refs = ev(s, d).filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("__side"), col("ts").as("__ref_ts"))
+      val pts = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("__side"), lit(null).cast("timestamp").as("__ref_ts"))
+      refs.unionByName(pts)
+        .withColumn("__prev", last(col("__ref_ts"), ignoreNulls = true).over(wB))
+        .withColumn("__next", first(col("__ref_ts"), ignoreNulls = true).over(wF))
+        .filter(col("__side") === 1)
+        .withColumn("asof_signup_ts",
+          when(col("__next").isNull, col("__prev"))
+            .when(col("__prev").isNull, col("__next"))
+            .when(unix_micros(col("ts")) - unix_micros(col("__prev")) <=
+              unix_micros(col("__next")) - unix_micros(col("ts")),
+              col("__prev"))
+            .otherwise(col("__next")))
+        .select(col("event_id"), col("asof_signup_ts"))
+    }),
+
+    // cross-field invariant audit: the denormalized n_chars column vs the
+    // recomputed LEN(text) — per-source mismatch counts and worst drift
+    "dq14_field_consistency" -> ((s, d) =>
+      docs(s, d).filter(col("text").isNotNull)
+        .withColumn("__delta",
+          abs(col("n_chars") - length(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__delta") > 0, 1L).otherwise(0L)).as("n_mismatch"),
+          max(col("__delta")).as("max_delta"),
+          round(sum(when(col("__delta") > 0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("mismatch_rate"))),
+
+    // template detection: share of docs whose first-20-token prefix is
+    // shared with ≥1 other doc — boilerplate/template feeds jump out
+    "t35_prefix_dup_rate" -> ((s, d) => {
+      val pref = md5(array_join(slice(TextFns.tokens(col("text")), 1, 20),
+        " "))
+      val t = docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), pref.as("__p"))
+      val cnts = t.groupBy("__p").agg(count(lit(1)).as("__c"))
+      t.join(cnts, Seq("__p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_templated"),
+          round(sum(when(col("__c") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("templated_rate"))
+    }),
+
     // weekly null-rate trend per feed with a week-over-week jump flag —
     // the "did an upstream schema change silently null a column" monitor;
     // one aggregate + one lag window over the tiny weekly frame
@@ -2965,6 +3025,54 @@ object SparkEntry {
                 CASE WHEN d.icd_version = 9 THEN m.mapped
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
+
+    "j22_asof_nearest" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 0 AS side, ts AS ref_ts
+           FROM events WHERE event_type = 'signup'
+           UNION ALL
+           SELECT user_id, ts, event_id, 1 AS side, NULL AS ref_ts
+           FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT *,
+                      LAST_VALUE(ref_ts IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY ts, side, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS prev,
+                      FIRST_VALUE(ref_ts IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY ts, side, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS next
+               FROM u)
+         SELECT event_id,
+                CASE WHEN next IS NULL THEN prev
+                     WHEN prev IS NULL THEN next
+                     WHEN EPOCH_US(ts) - EPOCH_US(prev)
+                          <= EPOCH_US(next) - EPOCH_US(ts) THEN prev
+                     ELSE next END AS asof_signup_ts
+         FROM f WHERE side = 1""",
+
+    "dq14_field_consistency" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN ABS(n_chars - LEN(text)) > 0 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_mismatch,
+                CAST(MAX(ABS(n_chars - LEN(text))) AS BIGINT) AS max_delta,
+                ROUND(SUM(CASE WHEN ABS(n_chars - LEN(text)) > 0 THEN 1
+                          ELSE 0 END) * 1.0 / COUNT(*), 6) AS mismatch_rate
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+
+    "t35_prefix_dup_rate" ->
+      """WITH t AS (SELECT doc_id, source,
+                           MD5(ARRAY_TO_STRING(
+                             STRING_SPLIT_REGEX(TRIM(text), '\s+')[1:20],
+                             ' ')) AS p
+                    FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT p, COUNT(*) AS c FROM t GROUP BY 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_templated,
+                ROUND(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*), 6) AS templated_rate
+         FROM t JOIN c USING (p) GROUP BY 1""",
 
     "dq13_null_trend" ->
       """WITH b AS (SELECT event_type, DATE_TRUNC('week', ts) AS week,
