@@ -2667,6 +2667,44 @@ object SparkEntry {
           round(col("q_hi") / 1e6, 6).as("lag_p95_s"))
     }),
 
+    // length-bucketed batching: power-of-2 token buckets (CASE ladder —
+    // no float log2 at a boundary), then capacity packing PER (source,
+    // bucket) so batches hold similar-length sequences (padding-efficient
+    // training batches; the ml04 cumsum pack, bucket-scoped)
+    "ml19_length_buckets" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).as("n_tokens"))
+        .withColumn("len_bucket",
+          when(col("n_tokens") <= 16, 16).when(col("n_tokens") <= 32, 32)
+            .when(col("n_tokens") <= 64, 64)
+            .when(col("n_tokens") <= 128, 128)
+            .when(col("n_tokens") <= 256, 256).otherwise(512))
+      FoldOps.packByCumsum(t, Seq("source", "len_bucket"), Seq("doc_id"),
+          col("n_tokens"), capacity = 256)
+        .select("doc_id", "source", "len_bucket", "n_tokens", "bin_id")
+    }),
+
+    // concentration/Pareto report: exact global deciles of per-user spend
+    // (two-phase rank — no single-partition stage), per-decile share of
+    // total cents — "do 10% of users drive 60% of revenue"
+    "q10_pareto_share" -> ((s, d) => {
+      val base = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("__cents"))
+      val tot = base.agg(count(lit(1)).as("__n"),
+        sum(col("__cents")).as("__tot"))
+      RankOps.globalRowNumber(base,
+          Seq(col("__cents").desc, col("user_id").asc), "__r")
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", (expr("((__r - 1) * 10) div __n") + 1).cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("__cents")).as("cents"),
+          round(sum(col("__cents")).cast("double") / max(col("__tot")), 6)
+            .as("share"))
+    }),
+
     // as-of NEAREST (merge_asof direction='nearest'): union-LOCF gives the
     // last ref at-or-before, reverse-NOCB the first ref after, pick the
     // temporally closer (ties to the earlier) — still zero join nodes,
@@ -3025,6 +3063,46 @@ object SparkEntry {
                 CASE WHEN d.icd_version = 9 THEN m.mapped
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
+
+    "ml19_length_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT)
+                    AS n_tokens
+           FROM documents),
+         b AS (SELECT *,
+                      CASE WHEN n_tokens <= 16 THEN 16
+                           WHEN n_tokens <= 32 THEN 32
+                           WHEN n_tokens <= 64 THEN 64
+                           WHEN n_tokens <= 128 THEN 128
+                           WHEN n_tokens <= 256 THEN 256
+                           ELSE 512 END AS len_bucket
+               FROM t)
+         SELECT doc_id, source, len_bucket, n_tokens,
+                CAST(FLOOR((SUM(n_tokens) OVER (
+                       PARTITION BY source, len_bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 256.0) AS INTEGER) AS bin_id
+         FROM b""",
+
+    "q10_pareto_share" ->
+      """WITH base AS (SELECT user_id,
+                             SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                               AS cents
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(cents) AS tot FROM base),
+         r AS (SELECT user_id, cents,
+                      ROW_NUMBER() OVER (ORDER BY cents DESC, user_id ASC)
+                        AS rn
+               FROM base)
+         SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+                CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(SUM(cents) AS BIGINT) AS cents,
+                ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(tot), 6) AS share
+         FROM r, tot
+         GROUP BY 1""",
 
     "j22_asof_nearest" ->
       """WITH u AS (
