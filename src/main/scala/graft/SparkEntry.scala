@@ -1337,6 +1337,19 @@ object SparkEntry {
       BinaryOps.phash63(s, png, "doc_id", "png").toDF()
     }),
 
+    // REAL decode → nearest-neighbor 4×4 thumbnail: the resize stage of
+    // an image-preprocessing pipeline, one tall row per output pixel —
+    // integer index arithmetic keeps the closed-form source-byte oracle
+    "m07_resize" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (octet_length(col("text")) % 16 + 1).as("w"),
+        (col("doc_id") % 8 + 1).as("h"))
+      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
+      BinaryOps.resizeNearest(s, png, "doc_id", "png", outW = 4, outH = 4)
+        .toDF()
+    }),
+
     // byte-sampling feature stand-in (the stub path kept for modalities
     // with no JVM codec — audio/video); same mapPartitions batch shape as
     // the real m02 decode
@@ -5286,6 +5299,25 @@ object SparkEntry {
                   AS phash
          FROM g LEFT JOIN bits USING (doc_id)
          GROUP BY 1""",
+
+    // resize closed form: output (px, py) reads source raster index
+    // (py·h//4)·w + (px·w//4), which is byte (idx mod len) of the text
+    "m07_resize" ->
+      """WITH n AS (SELECT doc_id, text,
+                           OCTET_LENGTH(CAST(text AS BLOB)) AS len,
+                           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 16 + 1
+                             AS INTEGER) AS w,
+                           CAST(doc_id % 8 + 1 AS INTEGER) AS h
+                    FROM documents),
+         grid AS (SELECT doc_id, text, len, w, h, p.px, q.py
+                  FROM n
+                  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS px) p
+                  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS py) q)
+         SELECT doc_id, CAST(px AS INTEGER) AS px, CAST(py AS INTEGER) AS py,
+                CAST(ASCII(SUBSTR(text,
+                  CAST(((py * h // 4) * w + (px * w // 4)) % len
+                    AS INTEGER) + 1, 1)) AS INTEGER) AS gray
+         FROM grid""",
 
     // closed form of the PNG round-trip: pixel i of doc = byte (i mod len),
     // so the decoded raster checksums are computable straight off the text

@@ -177,6 +177,37 @@ object BinaryOps {
       }
   }
 
+  case class ResizedPixel(doc_id: Long, px: Int, py: Int, gray: Int)
+
+  /** REAL decode → nearest-neighbor resample to a fixed `outW`×`outH`
+    * thumbnail (the resize stage of an image-preprocessing pipeline):
+    * output pixel (px, py) reads source sample
+    * (⌊px·w/outW⌋, ⌊py·h/outH⌋) off the decoded raster — pure integer
+    * index arithmetic, so the lossless-gray PNG round-trip keeps a
+    * closed-form oracle over the source bytes. One tall row per output
+    * pixel; outW·outH rows per image regardless of source size —
+    * map-only, shuffle-free.
+    */
+  def resizeNearest(spark: SparkSession, df: DataFrame, id: String,
+      png: String, outW: Int, outH: Int): Dataset[ResizedPixel] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(png))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          for {
+            py <- (0 until outH).iterator
+            px <- 0 until outW
+          } yield ResizedPixel(docId, px, py,
+            raster.getSample(px * w / outW, py * h / outH, 0))
+        }
+      }
+  }
+
   case class PngHash(doc_id: Long, phash: Long)
 
   /** Perceptual difference-hash over the DECODED raster — the image

@@ -101,6 +101,22 @@ class BinaryOpsSpec extends AnyFunSuite {
       .collect().head.phash === 0L)
   }
 
+  test("resizeNearest: 2x1 source upsampled to 4x4 duplicates by halves") {
+    // payload "ab", w=2, h=1: source raster = [97, 98]; every output row
+    // samples sy=0 and sx = px*2/4 → a,a,b,b
+    val src = Seq((1L, "ab")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload",
+        "CAST(2 AS INT) AS w", "CAST(1 AS INT) AS h")
+    val png = BinaryOps.withPngPayload(spark, src, "doc_id", "payload", "w", "h")
+    val out = BinaryOps.resizeNearest(spark, png, "doc_id", "png", 4, 4)
+      .collect().map(p => (p.px, p.py) -> p.gray).toMap
+    assert(out.size === 16)
+    (0 until 4).foreach { py =>
+      assert(out((0, py)) === 97 && out((1, py)) === 97)
+      assert(out((2, py)) === 98 && out((3, py)) === 98)
+    }
+  }
+
   test("pcmFrameEnergy: signed int16 LE decode, framing, ragged tail") {
     // bytes (00 01)(00 FF)(10 00) → samples 256, -256, 16
     val src = Seq((7L, Array[Byte](0x00, 0x01, 0x00, 0xFF.toByte,
