@@ -2718,6 +2718,23 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // dedup report: near-dup cluster-size histogram (incl. the singleton
+    // bucket via anti-join) — the "how much of the corpus is duplicated,
+    // and in what clump sizes" summary every dedup run ships with
+    "d18_cluster_sizes" -> ((s, d) => {
+      val pairs = DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      val hist = comp.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val singles = docs(s, d)
+        .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(lit(1L).as("cluster_size"), count(lit(1)).as("n_clusters"))
+      hist.unionByName(singles)
+    }),
+
     // as-of NEAREST (merge_asof direction='nearest'): union-LOCF gives the
     // last ref at-or-before, reverse-NOCB the first ref after, pick the
     // temporally closer (ties to the earlier) — still zero join nodes,
@@ -3116,6 +3133,68 @@ object SparkEntry {
                 ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(tot), 6) AS share
          FROM r, tot
          GROUP BY 1""",
+
+    // the d10 minhash/LSH/verify/components construction + a size
+    // histogram and the singleton bucket
+    "d18_cluster_sizes" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5),
+         und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+                  FROM reach GROUP BY a),
+         h AS (SELECT s AS cluster_size,
+                      CAST(COUNT(*) AS BIGINT) AS n_clusters
+               FROM (SELECT canonical_id, COUNT(*) AS s FROM comp
+                     GROUP BY 1)
+               GROUP BY 1),
+         si AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+                       CAST(COUNT(*) AS BIGINT) AS n_clusters
+                FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+         SELECT * FROM h UNION ALL SELECT * FROM si""",
 
     "j22_asof_nearest" ->
       """WITH u AS (
