@@ -131,6 +131,37 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(out(1).n_samples === 1 && out(1).rms === 16.0)
   }
 
+  test("resizeNearest at the source size is the identity raster") {
+    val src = Seq((3L, "wxyz")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload",
+        "CAST(2 AS INT) AS w", "CAST(2 AS INT) AS h")
+    val png = BinaryOps.withPngPayload(spark, src, "doc_id", "payload", "w", "h")
+    val out = BinaryOps.resizeNearest(spark, png, "doc_id", "png", 2, 2)
+      .collect().map(p => (p.px, p.py) -> p.gray).toMap
+    // raster row-major = w,x,y,z
+    assert(out === Map((0, 0) -> 'w'.toInt, (1, 0) -> 'x'.toInt,
+      (0, 1) -> 'y'.toInt, (1, 1) -> 'z'.toInt))
+  }
+
+  test("pcmFrameEnergy matches a sequential reference on random bytes") {
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 8L).map(i =>
+      (i, Array.fill(rng.nextInt(40) + 2)(rng.nextInt(256).toByte)))
+    val got = BinaryOps.pcmFrameEnergy(spark,
+        rows.toDF("doc_id", "payload"), "doc_id", "payload", frameLen = 4)
+      .collect().map(f => (f.doc_id, f.frame) -> ((f.n_samples, f.rms))).toMap
+    rows.foreach { case (id, bytes) =>
+      val samples = bytes.grouped(2).filter(_.length == 2)
+        .map(p => ((p(1).toInt << 8) | (p(0) & 0xff))).toArray
+      samples.grouped(4).zipWithIndex.foreach { case (fr, fi) =>
+        val ss = fr.map(s => s.toLong * s).sum
+        val rms = BigDecimal(math.sqrt(ss.toDouble / fr.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((id, fi)) === ((fr.length, rms)), s"doc $id frame $fi")
+      }
+    }
+  }
+
   test("pcmFrameEnergy: odd trailing byte is dropped, empty payload → no rows") {
     val src = Seq((1L, Array[Byte](0x03, 0x00, 0x7F)),
       (2L, Array.empty[Byte])).toDF("doc_id", "payload")
