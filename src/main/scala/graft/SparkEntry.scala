@@ -3008,7 +3008,7 @@ object SparkEntry {
                 FROM w$iters, sg, nr)
        SELECT e.vec_id,
               ROUND(CAST(SUM(CAST(e.x * ax.a AS HUGEINT)) AS DOUBLE) / 1e18,
-                6) AS pc1
+                6) + 0.0 AS pc1
        FROM e JOIN ax ON e.i = ax.j
        GROUP BY 1"""
   }
@@ -3130,7 +3130,7 @@ object SparkEntry {
          SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
                 CAST(COUNT(*) AS BIGINT) AS n_users,
                 CAST(SUM(cents) AS BIGINT) AS cents,
-                ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(tot), 6) AS share
+                ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(tot), 6) + 0.0 AS share
          FROM r, tot
          GROUP BY 1""",
 
@@ -3227,7 +3227,7 @@ object SparkEntry {
                          ELSE 0 END) AS BIGINT) AS n_mismatch,
                 CAST(MAX(ABS(n_chars - LEN(text))) AS BIGINT) AS max_delta,
                 ROUND(SUM(CASE WHEN ABS(n_chars - LEN(text)) > 0 THEN 1
-                          ELSE 0 END) * 1.0 / COUNT(*), 6) AS mismatch_rate
+                          ELSE 0 END) * 1.0 / COUNT(*), 6) + 0.0 AS mismatch_rate
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
 
     "t35_prefix_dup_rate" ->
@@ -3241,7 +3241,7 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_templated,
                 ROUND(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) * 1.0
-                      / COUNT(*), 6) AS templated_rate
+                      / COUNT(*), 6) + 0.0 AS templated_rate
          FROM t JOIN c USING (p) GROUP BY 1""",
 
     "dq13_null_trend" ->
@@ -3250,7 +3250,7 @@ object SparkEntry {
                            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0
                              END) AS BIGINT) AS n_null
                     FROM events GROUP BY 1, 2),
-         r AS (SELECT *, ROUND(n_null * 1.0 / n, 6) AS null_rate FROM b)
+         r AS (SELECT *, ROUND(n_null * 1.0 / n, 6) + 0.0 AS null_rate FROM b)
          SELECT event_type, week, n, n_null, null_rate,
                 CASE WHEN LAG(null_rate) OVER w IS NOT NULL
                           AND LAG(null_rate) OVER w > 0
@@ -3300,7 +3300,7 @@ object SparkEntry {
                     k -> POWER(UNICODE(SUBSTR(text, 2*k + 1, 1))
                                + 256 * UNICODE(SUBSTR(text, 2*k + 2, 1)),
                            2)))
-                  / (LEAST(ns, (frame + 1) * 256) - frame * 256)), 6)
+                  / (LEAST(ns, (frame + 1) * 256) - frame * 256)), 6) + 0.0
                   AS rms
          FROM f""",
 
@@ -3345,7 +3345,7 @@ object SparkEntry {
                   ROUND(CAST(n * x - s AS DOUBLE)
                         / SQRT(CAST(n * ss - s * s AS DOUBLE) * n / (n - 1)),
                     6)
-                END AS z
+                END + 0.0 AS z
          FROM b""",
 
     // the q01 quality predicate + d01 fingerprint + d10 minhash/LSH/
@@ -3496,7 +3496,7 @@ object SparkEntry {
                    JOIN enc en ON en.vec_id = cand.neighbor_id
                    JOIN cb ON cb.j = en.j AND cb.cc = en.code),
           adc AS (SELECT query_id, neighbor_id,
-                         ROUND(LIST_SUM(LIST(dd ORDER BY j)), 6) AS adc
+                         ROUND(LIST_SUM(LIST(dd ORDER BY j)), 6) + 0.0 AS adc
                   FROM term GROUP BY 1, 2)
           SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
           FROM (SELECT query_id, neighbor_id, adc,
@@ -3528,7 +3528,7 @@ object SparkEntry {
                         ORDER BY gain DESC, day ASC) AS rn
                FROM g)
          SELECT user_id, day AS cp_at, n AS n_points,
-                ROUND(gain, 6) AS gain
+                ROUND(gain, 6) + 0.0 AS gain
          FROM r WHERE rn = 1""",
 
     "dq12_freshness_lag" ->
@@ -3536,8 +3536,8 @@ object SparkEntry {
          l AS (SELECT event_type, EPOCH_US(r) - EPOCH_US(ts) AS lag
                FROM events, ref)
          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                ROUND(QUANTILE_CONT(lag, 0.5) / 1e6, 6) AS lag_p50_s,
-                ROUND(QUANTILE_CONT(lag, 0.95) / 1e6, 6) AS lag_p95_s
+                ROUND(QUANTILE_CONT(lag, 0.5) / 1e6, 6) + 0.0 AS lag_p50_s,
+                ROUND(QUANTILE_CONT(lag, 0.95) / 1e6, 6) + 0.0 AS lag_p95_s
          FROM l GROUP BY 1""",
 
     "a42_trend_test" ->
@@ -3558,7 +3558,7 @@ object SparkEntry {
                         * SQRT(CAST(n AS DOUBLE))
                         / SQRT(CAST(r * (n - r) * (n * c - b * b)
                                  AS DOUBLE)), 6)
-                END AS z
+                END + 0.0 AS z
          FROM t""",
 
     // same LCG / Poisson ladder / exact integer replica sums as
@@ -3588,8 +3588,8 @@ object SparkEntry {
          mm AS (SELECT CAST(s AS DOUBLE) / n / 100.0 AS mean_b
                 FROM m WHERE n > 0)
          SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
-                ROUND(QUANTILE_CONT(mean_b, 0.025), 6) AS ci_lo,
-                ROUND(QUANTILE_CONT(mean_b, 0.975), 6) AS ci_hi
+                ROUND(QUANTILE_CONT(mean_b, 0.025), 6) + 0.0 AS ci_lo,
+                ROUND(QUANTILE_CONT(mean_b, 0.975), 6) + 0.0 AS ci_hi
          FROM mm""",
 
     "dq11_referential_audit" ->
@@ -3617,21 +3617,21 @@ object SparkEntry {
          u AS (SELECT * FROM a UNION ALL SELECT * FROM b
                UNION ALL SELECT * FROM c)
          SELECT relation, n_rows, n_orphans,
-                ROUND(n_orphans * 1.0 / n_rows, 6) AS orphan_rate
+                ROUND(n_orphans * 1.0 / n_rows, 6) + 0.0 AS orphan_rate
          FROM u""",
 
     "t31_script_ratios" ->
       """SELECT doc_id,
                 ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '[a-zA-Z]', '',
-                  'g'))) * 1.0 / LEN(text), 6) AS letter_ratio,
+                  'g'))) * 1.0 / LEN(text), 6) + 0.0 AS letter_ratio,
                 ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '[A-Z]', '',
-                  'g'))) * 1.0 / LEN(text), 6) AS upper_ratio,
+                  'g'))) * 1.0 / LEN(text), 6) + 0.0 AS upper_ratio,
                 ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '[0-9]', '',
-                  'g'))) * 1.0 / LEN(text), 6) AS digit_ratio,
+                  'g'))) * 1.0 / LEN(text), 6) + 0.0 AS digit_ratio,
                 ROUND((LEN(text) - LEN(REGEXP_REPLACE(text, '\s', '',
-                  'g'))) * 1.0 / LEN(text), 6) AS space_ratio,
+                  'g'))) * 1.0 / LEN(text), 6) + 0.0 AS space_ratio,
                 ROUND((LEN(text) - LEN(REGEXP_REPLACE(text,
-                  '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0 / LEN(text), 6)
+                  '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0 / LEN(text), 6) + 0.0
                   AS other_ratio
          FROM documents WHERE text IS NOT NULL AND LEN(text) > 0""",
 
@@ -3657,7 +3657,7 @@ object SparkEntry {
                            QUANTILE_CONT(val_cents, 0.98) AS hi
                     FROM uomclean GROUP BY 1)
          SELECT hadm_id, itemid, event_offset_h, uom,
-                ROUND(LEAST(GREATEST(val_cents, lo), hi), 4) AS val_clamped
+                ROUND(LEAST(GREATEST(val_cents, lo), hi), 4) + 0.0 AS val_clamped
          FROM uomclean JOIN bounds USING (itemid)""",
 
     // top-25 keep-list semi, 24h bucket means (integer cents — exact),
@@ -3691,7 +3691,7 @@ object SparkEntry {
                 FROM ff)
          SELECT hadm_id, itemid, bucket,
                 ROUND(COALESCE(fbv, AVG(value) OVER (
-                  PARTITION BY hadm_id, itemid)) / 100.0, 4) AS val_imputed
+                  PARTITION BY hadm_id, itemid)) / 100.0, 4) + 0.0 AS val_imputed
          FROM fb""",
 
     "s11_jsonl_roundtrip" ->
@@ -3715,7 +3715,7 @@ object SparkEntry {
          c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
                 CAST(COUNT(*) AS BIGINT) AS n_types,
-                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0 AS entropy
          FROM c GROUP BY source""",
 
     "t17_dup_ngrams" ->
@@ -3729,7 +3729,7 @@ object SparkEntry {
          nd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
          SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                 CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-                ROUND(AVG(CASE WHEN nd.nd >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_fraction
+                ROUND(AVG(CASE WHEN nd.nd >= 2 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS dup_fraction
          FROM g JOIN nd USING (g) GROUP BY g.doc_id""",
 
     "w12_ewma" ->
@@ -3749,7 +3749,7 @@ object SparkEntry {
                 + CASE WHEN LAG(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
                 + CASE WHEN LAG(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
                 + CASE WHEN LAG(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
-                + CASE WHEN LAG(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END), 6)
+                + CASE WHEN LAG(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END), 6) + 0.0
              AS ewma8
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -3771,7 +3771,7 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2)
          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
                 CAST(COUNT(*) AS BIGINT) AS n_types,
-                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0 AS entropy
          FROM c GROUP BY user_id""",
 
     "t18_unigram_logprob" ->
@@ -3782,7 +3782,7 @@ object SparkEntry {
          p AS (SELECT tok, (CAST(c AS DOUBLE) + 1.0) / (n + v) AS p
                FROM c CROSS JOIN st)
          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-                ROUND(AVG(-LN(p.p)), 6) AS avg_nll
+                ROUND(AVG(-LN(p.p)), 6) + 0.0 AS avg_nll
          FROM tok t JOIN p USING (tok) GROUP BY t.doc_id""",
 
     "o05_topk_per_group" ->
@@ -3799,8 +3799,8 @@ object SparkEntry {
               FROM documents GROUP BY 1),
          t AS (SELECT CAST(SUM(n_toks) AS DOUBLE) AS total,
                       CAST(COUNT(*) AS DOUBLE) AS k FROM s)
-         SELECT source, n_toks, ROUND(n_toks / total, 6) AS share,
-                ROUND(total / (k * n_toks), 6) AS weight
+         SELECT source, n_toks, ROUND(n_toks / total, 6) + 0.0 AS share,
+                ROUND(total / (k * n_toks), 6) + 0.0 AS weight
          FROM s CROSS JOIN t""",
 
     "ml11_interleave" ->
@@ -3841,7 +3841,7 @@ object SparkEntry {
       "SELECT o_orderkey, CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS label FROM orders",
 
     "j01_join_agg_revenue" ->
-      """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
                 CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -3891,7 +3891,7 @@ object SparkEntry {
       "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey",
 
     "a02_mean_frequency" ->
-      """SELECT l_partkey, ROUND(AVG(c), 6) AS mean_frequency FROM (
+      """SELECT l_partkey, ROUND(AVG(c), 6) + 0.0 AS mean_frequency FROM (
            SELECT l_orderkey, l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1, 2)
          GROUP BY l_partkey""",
 
@@ -3899,15 +3899,15 @@ object SparkEntry {
       """SELECT l_returnflag,
                 CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
                 CAST(COUNT(*) AS BIGINT) AS total_count,
-                ROUND(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                ROUND(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0.0
                   AS missing_rate
          FROM lineitem GROUP BY l_returnflag""",
 
     "a04_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                ROUND(SUM(l_quantity), 2) AS sum_qty,
-                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                ROUND(AVG(l_quantity), 6) AS avg_qty,
+                ROUND(SUM(l_quantity), 2) + 0.0 AS sum_qty,
+                ROUND(SUM(l_extendedprice), 2) + 0.0 AS sum_base_price,
+                ROUND(AVG(l_quantity), 6) + 0.0 AS avg_qty,
                 MAX(l_shipdate) AS max_ship,
                 CAST(COUNT(*) AS BIGINT) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -3931,7 +3931,7 @@ object SparkEntry {
                   QUANTILE_CONT(l_extendedprice, 0.98) AS hi
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_orderkey, l_linenumber,
-                ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 2) AS price_clamped
+                ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 2) + 0.0 AS price_clamped
          FROM lineitem JOIN bounds USING (l_returnflag)""",
 
     "a07_distinct_count" ->
@@ -3956,17 +3956,17 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
                 CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
                 CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-                ROUND((SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END)) * 1.0 / COUNT(*), 6) AS accuracy,
+                ROUND((SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END)) * 1.0 / COUNT(*), 6) + 0.0 AS accuracy,
                 ROUND(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) * 1.0
-                      / SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 6) AS precision_,
+                      / SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 6) + 0.0 AS precision_,
                 ROUND(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) * 1.0
-                      / SUM(CASE WHEN truth = 1 THEN 1 ELSE 0 END), 6) AS recall_
+                      / SUM(CASE WHEN truth = 1 THEN 1 ELSE 0 END), 6) + 0.0 AS recall_
          FROM scored""",
 
     "a14_calibration_bins" ->
       """SELECT CAST(LEAST(FLOOR(l_discount * 10.0 * 10), 9) AS BIGINT) AS bin,
-                ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) AS bin_accuracy,
-                ROUND(AVG(l_discount * 10.0), 6) AS bin_confidence,
+                ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS bin_accuracy,
+                ROUND(AVG(l_discount * 10.0), 6) + 0.0 AS bin_confidence,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1""",
 
@@ -3976,7 +3976,7 @@ object SparkEntry {
                   ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
            FROM orders)
          SELECT ROUND((SUM(CASE WHEN lab = 1 THEN rn ELSE 0 END) - SUM(lab) * (SUM(lab) + 1) / 2)
-                * 1.0 / (SUM(lab) * (COUNT(*) - SUM(lab))), 6) AS auc
+                * 1.0 / (SUM(lab) * (COUNT(*) - SUM(lab))), 6) + 0.0 AS auc
          FROM r""",
 
     // same fixed-point accumulation as the Spark side: each threshold term
@@ -3995,7 +3995,7 @@ object SparkEntry {
                   SUM(nt) OVER (ORDER BY s DESC) AS al
            FROM g)
          SELECT ROUND(SUM(CAST(ROUND(np * tp * 1.0 / al * 1e9, 0) AS BIGINT)) / 1e9
-                      / (SELECT SUM(np) FROM g), 6) AS auprc
+                      / (SELECT SUM(np) FROM g), 6) + 0.0 AS auprc
          FROM c""",
 
     "a22_gains_deciles" ->
@@ -4007,9 +4007,9 @@ object SparkEntry {
          d AS (SELECT CAST(((rn - 1) * 10) // n AS INTEGER) AS decile, y
                FROM r CROSS JOIN t)
          SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
-                ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS pos_rate,
+                ROUND(SUM(y) * 1.0 / COUNT(*), 6) + 0.0 AS pos_rate,
                 ROUND((SUM(y) * 1.0 / COUNT(*))
-                      / ((SELECT p FROM t) * 1.0 / (SELECT n FROM t)), 6) AS lift
+                      / ((SELECT p FROM t) * 1.0 / (SELECT n FROM t)), 6) + 0.0 AS lift
          FROM d GROUP BY 1""",
 
     "w02_group_max_year" ->
@@ -4021,9 +4021,9 @@ object SparkEntry {
     "w03_ffill_bfill" ->
       """SELECT event_id,
                 ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ffill_value,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0 AS ffill_value,
                 ROUND(FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS bfill_value
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) + 0.0 AS bfill_value
          FROM (SELECT event_id, user_id, ts,
                       CASE WHEN event_type = 'purchase' THEN value END AS v
                FROM events)""",
@@ -4125,7 +4125,7 @@ object SparkEntry {
 
     "w09_rolling_hour" ->
       """SELECT event_id, user_id,
-                ROUND(AVG(value) OVER w, 6) AS roll_avg,
+                ROUND(AVG(value) OVER w, 6) + 0.0 AS roll_avg,
                 CAST(COUNT(value) OVER w AS BIGINT) AS roll_n
          FROM events
          WINDOW w AS (PARTITION BY user_id
@@ -4139,7 +4139,7 @@ object SparkEntry {
                   UNNEST(GENERATE_SERIES(0, LEN(embedding) - 1)) AS pos
            FROM embeddings)
          SELECT label, CAST(pos AS INTEGER) AS pos,
-                ROUND(AVG(v), 6) AS mean_v
+                ROUND(AVG(v), 6) + 0.0 AS mean_v
          FROM e GROUP BY 1, 2""",
 
     "t13_chunk" ->
@@ -4180,13 +4180,13 @@ object SparkEntry {
       """WITH s AS (SELECT event_type, AVG(value) AS mu,
                            STDDEV_SAMP(value) AS sd
                     FROM events GROUP BY 1)
-         SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) AS z
+         SELECT event_id, e.event_type, ROUND((value - mu) / sd, 6) + 0.0 AS z
          FROM events e JOIN s USING (event_type)
          WHERE ABS((value - mu) / sd) > 2.5""",
 
     "a18_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
@@ -4229,16 +4229,16 @@ object SparkEntry {
                   FROM wts a JOIN wts b
                     ON a.term = b.term AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
-         SELECT id_a, id_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS sim
+         SELECT id_a, id_b, ROUND(dp / (na.nrm * nb.nrm), 6) + 0.0 AS sim
          FROM dots
          JOIN norms na ON na.doc_id = id_a
          JOIN norms nb ON nb.doc_id = id_b
          WHERE dp / (na.nrm * nb.nrm) >= 0.5""",
 
     "a17_corr_pairs" ->
-      """WITH c AS (SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS c_qp,
-                           ROUND(CORR(l_quantity, l_discount), 6) AS c_qd,
-                           ROUND(CORR(l_extendedprice, l_tax), 6) AS c_pt
+      """WITH c AS (SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS c_qp,
+                           ROUND(CORR(l_quantity, l_discount), 6) + 0.0 AS c_qd,
+                           ROUND(CORR(l_extendedprice, l_tax), 6) + 0.0 AS c_pt
                     FROM lineitem)
          SELECT 'quantity~extendedprice' AS pair, c_qp AS r FROM c
          UNION ALL SELECT 'quantity~discount', c_qd FROM c
@@ -4267,13 +4267,13 @@ object SparkEntry {
          SELECT TIMESTAMP '1970-01-01'
                   + ((slot - k) * 900) * INTERVAL 1 SECOND AS win_start,
                 event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                ROUND(SUM(value), 2) AS sum_value
+                ROUND(SUM(value), 2) + 0.0 AS sum_value
          FROM e CROSS JOIN g
          GROUP BY 1, 2""",
 
     "j16_snowflake_q5" ->
       """SELECT n_name,
-                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -4323,7 +4323,7 @@ object SparkEntry {
                      JOIN ex b ON b.doc_id = c.id_old AND b.sg = a.sg
                    GROUP BY 1, 2)
          SELECT id_new, id_old,
-                ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+                ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) + 0.0 AS jaccard
          FROM inter
          JOIN sizes sa ON sa.doc_id = id_new
          JOIN sizes sb ON sb.doc_id = id_old
@@ -4402,7 +4402,7 @@ object SparkEntry {
                   UNNEST(GENERATE_SERIES(0, LEN(v) - 1)) AS pos
            FROM m)
          SELECT vec_id, CAST(pos AS INTEGER) AS pos, CAST(qv AS INTEGER) AS qv,
-                ROUND(lo, 6) AS qmin, ROUND((hi - lo) / 255.0, 9) AS qscale
+                ROUND(lo, 6) + 0.0 AS qmin, ROUND((hi - lo) / 255.0, 9) + 0.0 AS qscale
          FROM q""",
 
     "t14_ngram_topk" ->
@@ -4475,19 +4475,19 @@ object SparkEntry {
       """WITH tall AS (
            SELECT user_id, event_type,
                   CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
-                  ROUND(SUM(value), 2) AS v
+                  ROUND(SUM(value), 2) + 0.0 AS v
            FROM events GROUP BY 1, 2, 3),
          r AS (SELECT user_id, event_type, v,
                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                         ORDER BY day) AS k
                FROM tall)
          SELECT user_id, event_type, CAST(COUNT(*) AS INTEGER) AS n_buckets,
-                ROUND(SUM(v), 2) AS series_sum, ROUND(SUM(v * k), 2) AS ord_sum
+                ROUND(SUM(v), 2) + 0.0 AS series_sum, ROUND(SUM(v * k), 2) + 0.0 AS ord_sum
          FROM r GROUP BY 1, 2""",
 
     "ts_tumbling_window" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
-                CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+                CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
          FROM events GROUP BY 1, 2""",
 
     "t01_token_stats" ->
@@ -4495,7 +4495,7 @@ object SparkEntry {
          SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
                 CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS n_uniq,
                 ROUND(LIST_SUM(LIST_TRANSFORM(toks, x -> CAST(LEN(x) AS DOUBLE)))
-                      / LEN(toks), 6) AS avg_tok_len
+                      / LEN(toks), 6) + 0.0 AS avg_tok_len
          FROM t""",
 
     "t02_quality_score" ->
@@ -4505,8 +4505,8 @@ object SparkEntry {
            SELECT doc_id, LEN(toks) AS n, LEN(LIST_DISTINCT(toks)) AS nu,
                   LEN(LIST_FILTER(toks, x -> x IN ('the','a','of','and','to'))) AS n_stop
            FROM t)
-         SELECT doc_id, ROUND(n_stop * 1.0 / n, 6) AS stopword_ratio,
-                ROUND(nu * 1.0 / n, 6) AS ttr,
+         SELECT doc_id, ROUND(n_stop * 1.0 / n, 6) + 0.0 AS stopword_ratio,
+                ROUND(nu * 1.0 / n, 6) + 0.0 AS ttr,
                 CASE WHEN n BETWEEN 20 AND 500 AND n_stop * 1.0 / n < 0.4
                      THEN 1 ELSE 0 END AS quality_ok
          FROM q""",
@@ -4518,7 +4518,7 @@ object SparkEntry {
            SELECT doc_id,
                   LEN(LIST_FILTER(toks, x -> x = 'the')) * 1.0 / LEN(toks) AS r_the
            FROM t)
-         SELECT doc_id, ROUND(r_the, 6) AS marker_score,
+         SELECT doc_id, ROUND(r_the, 6) + 0.0 AS marker_score,
                 CASE WHEN r_the >= 0.05 THEN 'en_like'
                      WHEN r_the >= 0.025 THEN 'mixed'
                      ELSE 'other' END AS pred_lang
@@ -4547,7 +4547,7 @@ object SparkEntry {
          l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
                FROM p GROUP BY 1)
          SELECT c.lang, c.pred_lang, c.n,
-                ROUND(c.n * 1.0 / l.nl, 6) AS row_share
+                ROUND(c.n * 1.0 / l.nl, 6) + 0.0 AS row_share
          FROM c JOIN l USING (lang)""",
 
     "d01_exact_dedup" ->
@@ -4607,7 +4607,7 @@ object SparkEntry {
                    FROM cand c JOIN ex a ON a.doc_id = c.id_a
                      JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
                    GROUP BY 1, 2)
-         SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+         SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) + 0.0 AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
 
@@ -4639,7 +4639,7 @@ object SparkEntry {
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
                    FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
-         SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) AS jaccard
+         SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) + 0.0 AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
 
@@ -4655,8 +4655,8 @@ object SparkEntry {
                    FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT id_a, id_b,
-                ROUND(cnt * 1.0 / sa.n, 6) AS containment_a,
-                ROUND(cnt * 1.0 / sb.n, 6) AS containment_b
+                ROUND(cnt * 1.0 / sa.n, 6) + 0.0 AS containment_a,
+                ROUND(cnt * 1.0 / sb.n, 6) + 0.0 AS containment_b
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / LEAST(sa.n, sb.n) >= 0.6""",
 
@@ -4692,13 +4692,13 @@ object SparkEntry {
     "a14b_ece_mce" ->
       """WITH bins AS (
            SELECT CAST(LEAST(FLOOR(l_discount * 10.0 * 10), 9) AS BIGINT) AS bin,
-                  ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+                  ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) + 0.0
                     AS bin_accuracy,
-                  ROUND(AVG(l_discount * 10.0), 6) AS bin_confidence,
+                  ROUND(AVG(l_discount * 10.0), 6) + 0.0 AS bin_confidence,
                   CAST(COUNT(*) AS BIGINT) AS n
            FROM lineitem GROUP BY 1)
-         SELECT ROUND(SUM(n * ABS(bin_accuracy - bin_confidence)) / SUM(n), 6) AS ece,
-                ROUND(MAX(ABS(bin_accuracy - bin_confidence)), 6) AS mce
+         SELECT ROUND(SUM(n * ABS(bin_accuracy - bin_confidence)) / SUM(n), 6) + 0.0 AS ece,
+                ROUND(MAX(ABS(bin_accuracy - bin_confidence)), 6) + 0.0 AS mce
          FROM bins""",
 
     "a14c_temp_scaling" ->
@@ -4711,7 +4711,7 @@ object SparkEntry {
                                2.0, 2.25, 2.5, 2.75, 3.0]) AS DOUBLE) AS t),
          losses AS (
            SELECT t,
-                  ROUND(AVG(GREATEST(z / t, 0) - (z / t) * y + LN(1 + EXP(-ABS(z / t)))), 6) AS bce
+                  ROUND(AVG(GREATEST(z / t, 0) - (z / t) * y + LN(1 + EXP(-ABS(z / t)))), 6) + 0.0 AS bce
            FROM pts CROSS JOIN grid GROUP BY t)
          SELECT t AS best_t, bce
          FROM losses ORDER BY bce, t LIMIT 1""",
@@ -4721,7 +4721,7 @@ object SparkEntry {
                     FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 ROUND(LIST_DOT_PRODUCT(a.v, b.v)
-                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6)
+                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) + 0.0
                   AS sim
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE LIST_DOT_PRODUCT(a.v, b.v)
@@ -4748,7 +4748,7 @@ object SparkEntry {
                            c.cluster ASC) AS rn
                   FROM e CROSS JOIN c0 c) WHERE rn = 1),
          m1 AS (SELECT cluster, LIST(m ORDER BY i) AS mv FROM (
-                  SELECT cluster, i, ROUND(AVG(v[i]), 6) AS m
+                  SELECT cluster, i, ROUND(AVG(v[i]), 6) + 0.0 AS m
                   FROM a1 CROSS JOIN dims GROUP BY cluster, i) GROUP BY cluster),
          c1 AS (SELECT c0.cluster, COALESCE(m1.mv, c0.cv) AS cv
                 FROM c0 LEFT JOIN m1 USING (cluster)),
@@ -4760,7 +4760,7 @@ object SparkEntry {
                            c.cluster ASC) AS rn
                   FROM e CROSS JOIN c1 c) WHERE rn = 1),
          m2 AS (SELECT cluster, LIST(m ORDER BY i) AS mv FROM (
-                  SELECT cluster, i, ROUND(AVG(v[i]), 6) AS m
+                  SELECT cluster, i, ROUND(AVG(v[i]), 6) + 0.0 AS m
                   FROM a2 CROSS JOIN dims GROUP BY cluster, i) GROUP BY cluster),
          c2 AS (SELECT c1.cluster, COALESCE(m2.mv, c1.cv) AS cv
                 FROM c1 LEFT JOIN m2 USING (cluster)),
@@ -4774,7 +4774,7 @@ object SparkEntry {
          sims AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                          ROUND(LIST_DOT_PRODUCT(q.v, n.v)
                            / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
-                              * SQRT(LIST_DOT_PRODUCT(n.v, n.v))), 6) AS sim
+                              * SQRT(LIST_DOT_PRODUCT(n.v, n.v))), 6) + 0.0 AS sim
                   FROM af q JOIN af n
                     ON q.cluster = n.cluster AND n.vec_id <> q.vec_id)
          SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
@@ -4844,7 +4844,7 @@ object SparkEntry {
             JOIN cb ON cb.j = en.j AND cb.c = en.code),
           adc AS (
             SELECT query_id, neighbor_id,
-                   ROUND(LIST_SUM(LIST(dd ORDER BY j)), 6) AS adc
+                   ROUND(LIST_SUM(LIST(dd ORDER BY j)), 6) + 0.0 AS adc
             FROM term GROUP BY 1, 2)
           SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
           FROM (SELECT query_id, neighbor_id, adc,
@@ -4862,7 +4862,7 @@ object SparkEntry {
     "v06_ann_multiprobe" ->
       """WITH e AS (SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
-         cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
+         cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) + 0.0 AS m
                 FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
                 GROUP BY label, i),
          cl AS (SELECT label, LIST(m ORDER BY i) AS cv FROM cm GROUP BY label),
@@ -4884,7 +4884,7 @@ object SparkEntry {
          sims AS (SELECT c.query_id, c.neighbor_id,
                          ROUND(LIST_DOT_PRODUCT(q.v, n.v)
                            / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
-                              * SQRT(LIST_DOT_PRODUCT(n.v, n.v))), 6) AS sim
+                              * SQRT(LIST_DOT_PRODUCT(n.v, n.v))), 6) + 0.0 AS sim
                   FROM cand c
                   JOIN e q ON q.vec_id = c.query_id
                   JOIN e n ON n.vec_id = c.neighbor_id)
@@ -4899,7 +4899,7 @@ object SparkEntry {
          sims AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   ROUND(LIST_DOT_PRODUCT(q.v, c.v)
-                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) + 0.0
                     AS sim
            FROM (SELECT * FROM e WHERE vec_id < 8) q
            CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
@@ -4914,7 +4914,7 @@ object SparkEntry {
          sims AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   ROUND(LIST_DOT_PRODUCT(q.v, c.v)
-                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) + 0.0
                     AS sim
            FROM e q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id)
          SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
@@ -4947,15 +4947,15 @@ object SparkEntry {
          RIGHT JOIN part p ON c.l_partkey = p.p_partkey""",
 
     "a10_impute_stats" ->
-      """SELECT l_returnflag, ROUND(AVG(l_quantity), 6) AS mean_qty,
-                ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty
+      """SELECT l_returnflag, ROUND(AVG(l_quantity), 6) + 0.0 AS mean_qty,
+                ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) + 0.0 AS median_qty
          FROM lineitem GROUP BY l_returnflag""",
 
     "a11_modality_collapse" ->
       """SELECT l_suppkey,
-                ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS avg_a,
-                ROUND(AVG(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS avg_n,
-                ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS avg_r
+                ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) + 0.0 AS avg_a,
+                ROUND(AVG(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) + 0.0 AS avg_n,
+                ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) + 0.0 AS avg_r
          FROM lineitem GROUP BY l_suppkey""",
 
     "a13_grouped_confusion" ->
@@ -4974,13 +4974,13 @@ object SparkEntry {
                   CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
            FROM scored GROUP BY o_orderpriority)
          SELECT o_orderpriority, tp, fp, tn, fn,
-                ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS tpr,
-                ROUND(CAST(tn AS DOUBLE) / NULLIF(tn + fp, 0), 6) AS tnr,
-                ROUND(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) AS fpr,
-                ROUND(CAST(fn AS DOUBLE) / NULLIF(fn + tp, 0), 6) AS fnr,
-                ROUND(CAST(tp + fp AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS pr,
-                ROUND(CAST(tn + fn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS nr,
-                ROUND(CAST(tp + tn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS accuracy
+                ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) + 0.0 AS tpr,
+                ROUND(CAST(tn AS DOUBLE) / NULLIF(tn + fp, 0), 6) + 0.0 AS tnr,
+                ROUND(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) + 0.0 AS fpr,
+                ROUND(CAST(fn AS DOUBLE) / NULLIF(fn + tp, 0), 6) + 0.0 AS fnr,
+                ROUND(CAST(tp + fp AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) + 0.0 AS pr,
+                ROUND(CAST(tn + fn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) + 0.0 AS nr,
+                ROUND(CAST(tp + tn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) + 0.0 AS accuracy
          FROM cells""",
 
     "w05_active_signal" ->
@@ -5022,7 +5022,7 @@ object SparkEntry {
     "f21_logit" ->
       """SELECT l_orderkey, l_linenumber,
                 ROUND(LOG2(LEAST(GREATEST(l_discount * 10.0, 0.05), 0.95)
-                  / (1.0 - LEAST(GREATEST(l_discount * 10.0, 0.05), 0.95))), 6) AS logit
+                  / (1.0 - LEAST(GREATEST(l_discount * 10.0, 0.05), 0.95))), 6) + 0.0 AS logit
          FROM lineitem""",
 
     "f22_onehot" ->
@@ -5049,11 +5049,11 @@ object SparkEntry {
 
     "pv01_pivot_matrix" ->
       """SELECT user_id, CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
-                ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS v_click,
-                ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS v_error,
-                ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS v_purchase,
-                ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS v_signup,
-                ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS v_view
+                ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) + 0.0 AS v_click,
+                ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) + 0.0 AS v_error,
+                ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) + 0.0 AS v_purchase,
+                ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) + 0.0 AS v_signup,
+                ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) + 0.0 AS v_view
          FROM events GROUP BY 1, 2""",
 
     "f01_date_kitchen" ->
@@ -5091,7 +5091,7 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n FROM documents),
          scored AS (
            SELECT doc_id, term,
-                  ROUND(tf * (LN((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+                  ROUND(tf * (LN((n + 1.0) / (df + 1.0)) + 1.0), 6) + 0.0 AS score
            FROM tf JOIN df USING (term) CROSS JOIN n)
          SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -5102,8 +5102,8 @@ object SparkEntry {
       """SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                 CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
-                ROUND(MIN(l_quantity), 6) AS min_v, ROUND(MAX(l_quantity), 6) AS max_v,
-                ROUND(ROUND(SUM(l_quantity), 3) / COUNT(*), 6) AS avg_v
+                ROUND(MIN(l_quantity), 6) + 0.0 AS min_v, ROUND(MAX(l_quantity), 6) + 0.0 AS max_v,
+                ROUND(ROUND(SUM(l_quantity), 3) / COUNT(*), 6) + 0.0 AS avg_v
          FROM lineitem
          UNION ALL
          SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
@@ -5135,7 +5135,7 @@ object SparkEntry {
                  FROM t WHERE LEN(toks) >= 3),
          c AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2)
          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri, CAST(MAX(c) AS BIGINT) AS max_tri,
-                ROUND(MAX(c) * 1.0 / SUM(c), 6) AS rep_ratio
+                ROUND(MAX(c) * 1.0 / SUM(c), 6) + 0.0 AS rep_ratio
          FROM c GROUP BY doc_id""",
 
     "t11_redact" ->
@@ -5274,13 +5274,13 @@ object SparkEntry {
                   CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
            FROM melted GROUP BY attribute, grp)
          SELECT attribute, grp, tp, fp, tn, fn,
-                ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS tpr,
-                ROUND(CAST(tn AS DOUBLE) / NULLIF(tn + fp, 0), 6) AS tnr,
-                ROUND(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) AS fpr,
-                ROUND(CAST(fn AS DOUBLE) / NULLIF(fn + tp, 0), 6) AS fnr,
-                ROUND(CAST(tp + fp AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS pr,
-                ROUND(CAST(tn + fn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS nr,
-                ROUND(CAST(tp + tn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) AS accuracy
+                ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) + 0.0 AS tpr,
+                ROUND(CAST(tn AS DOUBLE) / NULLIF(tn + fp, 0), 6) + 0.0 AS tnr,
+                ROUND(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) + 0.0 AS fpr,
+                ROUND(CAST(fn AS DOUBLE) / NULLIF(fn + tp, 0), 6) + 0.0 AS fnr,
+                ROUND(CAST(tp + fp AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) + 0.0 AS pr,
+                ROUND(CAST(tn + fn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) + 0.0 AS nr,
+                ROUND(CAST(tp + tn AS DOUBLE) / NULLIF(tp + fp + tn + fn, 0), 6) + 0.0 AS accuracy
          FROM cells""",
 
     "j12b_next_within_gap_range" ->
@@ -5333,7 +5333,7 @@ object SparkEntry {
          FROM orders GROUP BY o_orderstatus""",
 
     "s06_partitioned_roundtrip" ->
-      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) + 0.0 AS sum_qty,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""",
 
@@ -5417,10 +5417,10 @@ object SparkEntry {
 
     "m04_byte_features" ->
       """SELECT doc_id,
-                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 1 THEN ASCII(SUBSTR(text, 1, 1)) / 255.0 ELSE 0.0 END, 6) AS f0,
-                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 8 THEN ASCII(SUBSTR(text, 8, 1)) / 255.0 ELSE 0.0 END, 6) AS f1,
-                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 15 THEN ASCII(SUBSTR(text, 15, 1)) / 255.0 ELSE 0.0 END, 6) AS f2,
-                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 22 THEN ASCII(SUBSTR(text, 22, 1)) / 255.0 ELSE 0.0 END, 6) AS f3
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 1 THEN ASCII(SUBSTR(text, 1, 1)) / 255.0 ELSE 0.0 END, 6) + 0.0 AS f0,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 8 THEN ASCII(SUBSTR(text, 8, 1)) / 255.0 ELSE 0.0 END, 6) + 0.0 AS f1,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 15 THEN ASCII(SUBSTR(text, 15, 1)) / 255.0 ELSE 0.0 END, 6) + 0.0 AS f2,
+                ROUND(CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) >= 22 THEN ASCII(SUBSTR(text, 22, 1)) / 255.0 ELSE 0.0 END, 6) + 0.0 AS f3
          FROM documents""",
 
     "d13_segment_dedup" ->
@@ -5448,7 +5448,7 @@ object SparkEntry {
          dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
          SELECT tf.doc_id,
                 ROUND(SUM(LN((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-                  * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+                  * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) + 0.0
                   AS score
          FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
          GROUP BY tf.doc_id
@@ -5476,8 +5476,8 @@ object SparkEntry {
                       (COALESCE(nb, 0) + 1.0) / (tb + 10.0) AS p,
                       (COALESCE(nc, 0) + 1.0) / (tc + 10.0) AS q
                FROM dense LEFT JOIN counted USING (bin) CROSS JOIN tot)
-         SELECT CAST(bin AS INTEGER) AS bin, ROUND(p, 6) AS p_base,
-                ROUND(q, 6) AS p_curr, ROUND((p - q) * LN(p / q), 6) AS psi_contrib
+         SELECT CAST(bin AS INTEGER) AS bin, ROUND(p, 6) + 0.0 AS p_base,
+                ROUND(q, 6) + 0.0 AS p_curr, ROUND((p - q) * LN(p / q), 6) + 0.0 AS psi_contrib
          FROM f""",
 
     "dq04_mad_outliers" ->
@@ -5490,7 +5490,7 @@ object SparkEntry {
          mad AS (SELECT event_type, QUANTILE_CONT(absdev, 0.5) AS mad
                  FROM dev GROUP BY 1)
          SELECT d.event_id, d.event_type, d.value,
-                ROUND(d.absdev / (1.4826 * m.mad), 6) AS robust_z
+                ROUND(d.absdev / (1.4826 * m.mad), 6) + 0.0 AS robust_z
          FROM dev d JOIN mad m USING (event_type)
          WHERE m.mad > 0 AND d.absdev / (1.4826 * m.mad) > 3.5""",
 
@@ -5505,7 +5505,7 @@ object SparkEntry {
                   SUM(b) OVER (ORDER BY v) AS cb
            FROM g)
          SELECT ROUND(MAX(ABS(ca * 1.0 / (SELECT SUM(a) FROM g)
-                            - cb * 1.0 / (SELECT SUM(b) FROM g))), 6) AS ks
+                            - cb * 1.0 / (SELECT SUM(b) FROM g))), 6) + 0.0 AS ks
          FROM c""",
 
     "ml08_weighted_sample" ->
@@ -5544,14 +5544,14 @@ object SparkEntry {
                   GROUP BY 1)
          SELECT x.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                 CAST(COUNT(*) AS BIGINT) AS k,
-                ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) AS recall
+                ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) + 0.0 AS recall
          FROM exact x LEFT JOIN hits h USING (query_id)
          GROUP BY x.query_id, h.n_hits""",
 
     "s13_bucketed_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, qty
          FROM orders JOIN (
-           SELECT l_orderkey AS o_orderkey, ROUND(SUM(l_quantity), 6) AS qty
+           SELECT l_orderkey AS o_orderkey, ROUND(SUM(l_quantity), 6) + 0.0 AS qty
            FROM lineitem GROUP BY 1)
          USING (o_orderkey)""",
 
@@ -5564,7 +5564,7 @@ object SparkEntry {
 
     "f24_percent_rank" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
-                ROUND(PERCENT_RANK() OVER (ORDER BY l_extendedprice), 6) AS pr
+                ROUND(PERCENT_RANK() OVER (ORDER BY l_extendedprice), 6) + 0.0 AS pr
          FROM lineitem""",
 
     "t20_pmi_bigrams" ->
@@ -5581,7 +5581,7 @@ object SparkEntry {
          SELECT STRING_SPLIT(gram, ' ')[1] AS tok_a,
                 STRING_SPLIT(gram, ' ')[2] AS tok_b,
                 CAST(n_pairs AS BIGINT) AS n_pairs,
-                ROUND(LN((n_pairs / tb.tb) / ((a.c / tu.tu) * (b.c / tu.tu))), 6) AS pmi
+                ROUND(LN((n_pairs / tb.tb) / ((a.c / tu.tu) * (b.c / tu.tu))), 6) + 0.0 AS pmi
          FROM bc CROSS JOIN tb CROSS JOIN tu
          JOIN uc a ON a.tok = STRING_SPLIT(gram, ' ')[1]
          JOIN uc b ON b.tok = STRING_SPLIT(gram, ' ')[2]
@@ -5617,7 +5617,7 @@ object SparkEntry {
          SELECT source, CAST(ns AS BIGINT) AS n_tokens, CAST(vs AS BIGINT) AS n_types,
                 ROUND((a - b * LN(ns + v) - d) / (ns + v)
                       + (1.0 / (ns + v)) * LN(1.0 / (ns + v)) * (v - vs)
-                      - (1.0 / (ns + v)) * (lall.lall - lseen), 6) AS kl
+                      - (1.0 / (ns + v)) * (lall.lall - lseen), 6) + 0.0 AS kl
          FROM g CROSS JOIN lall""",
 
     "j18_interval_overlap" ->
@@ -5642,7 +5642,7 @@ object SparkEntry {
 
     "j17_salted_join" ->
       """SELECT o_orderstatus,
-                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue,
                 CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
@@ -5723,9 +5723,9 @@ object SparkEntry {
                   CAST(n AS DOUBLE) * syy - sy * sy AS deny
            FROM g)
          SELECT o_custkey, CAST(n AS BIGINT) AS n,
-                ROUND(num / den, 6) AS slope,
-                ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
-                ROUND(CASE WHEN deny <> 0 THEN num * num / (den * deny) END, 6) AS r2
+                ROUND(num / den, 6) + 0.0 AS slope,
+                ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+                ROUND(CASE WHEN deny <> 0 THEN num * num / (den * deny) END, 6) + 0.0 AS r2
          FROM g2 WHERE n >= 2 AND den <> 0""",
 
     "ts05_transitions" ->
@@ -5749,7 +5749,7 @@ object SparkEntry {
            FROM events WHERE value IS NOT NULL)
          SELECT user_id, CAST(SUM(dt_s) AS BIGINT) AS held_s,
                 ROUND(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT) * dt_s) / 1e6
-                      / SUM(dt_s), 6) AS twa
+                      / SUM(dt_s), 6) + 0.0 AS twa
          FROM p WHERE dt_s IS NOT NULL
          GROUP BY 1 HAVING SUM(dt_s) > 0""",
 
@@ -5783,7 +5783,7 @@ object SparkEntry {
                       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS ref
                FROM b GROUP BY 1)
          SELECT b.source, b.doc_id, b.n_chars AS orig, b.bucket,
-                ROUND(p.ref, 6) AS normalized
+                ROUND(p.ref, 6) + 0.0 AS normalized
          FROM b JOIN p USING (bucket)""",
 
     // 3 unrolled PageRank iterations replaying the exact Spark arithmetic:
@@ -5801,7 +5801,7 @@ object SparkEntry {
          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
          ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
-         r0 AS (SELECT node, ROUND(1.0 / n, 9) AS rank
+         r0 AS (SELECT node, ROUND(1.0 / n, 9) + 0.0 AS rank
                 FROM nodes CROSS JOIN nn),
          c1 AS (SELECT e.dst AS node,
                        SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
@@ -5811,7 +5811,7 @@ object SparkEntry {
                 FROM r0 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
          r1 AS (SELECT r.node,
                        ROUND((1.0 - 0.85) / n + 0.85 *
-                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) AS rank
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) + 0.0 AS rank
                 FROM r0 r LEFT JOIN c1 c ON r.node = c.node
                 CROSS JOIN d1 d CROSS JOIN nn),
          c2 AS (SELECT e.dst AS node,
@@ -5822,7 +5822,7 @@ object SparkEntry {
                 FROM r1 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
          r2 AS (SELECT r.node,
                        ROUND((1.0 - 0.85) / n + 0.85 *
-                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) AS rank
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) + 0.0 AS rank
                 FROM r1 r LEFT JOIN c2 c ON r.node = c.node
                 CROSS JOIN d2 d CROSS JOIN nn),
          c3 AS (SELECT e.dst AS node,
@@ -5833,10 +5833,10 @@ object SparkEntry {
                 FROM r2 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
          r3 AS (SELECT r.node,
                        ROUND((1.0 - 0.85) / n + 0.85 *
-                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) AS rank
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) + 0.0 AS rank
                 FROM r2 r LEFT JOIN c3 c ON r.node = c.node
                 CROSS JOIN d3 d CROSS JOIN nn)
-         SELECT node, ROUND(rank, 6) AS rank FROM r3""",
+         SELECT node, ROUND(rank, 6) + 0.0 AS rank FROM r3""",
 
     // leading digit via the value's shortest decimal representation — a
     // pure function of the double's bits, identical across engines
@@ -5851,11 +5851,11 @@ object SparkEntry {
            GROUP BY 1),
          t AS (SELECT SUM(n) AS tot FROM c)
          SELECT digit, CAST(n AS BIGINT) AS n,
-                ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_share,
-                ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS exp_share,
+                ROUND(CAST(n AS DOUBLE) / tot, 6) + 0.0 AS obs_share,
+                ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) + 0.0 AS exp_share,
                 ROUND(tot * (CAST(n AS DOUBLE) / tot - LN(1.0 + 1.0 / digit) / LN(10.0))
                           * (CAST(n AS DOUBLE) / tot - LN(1.0 + 1.0 / digit) / LN(10.0))
-                      / (LN(1.0 + 1.0 / digit) / LN(10.0)), 6) AS chi2_part
+                      / (LN(1.0 + 1.0 / digit) / LN(10.0)), 6) + 0.0 AS chi2_part
          FROM c CROSS JOIN t""",
 
     // exact rank-formula Gini over integer cents: both Σx and Σ r·x are
@@ -5870,7 +5870,7 @@ object SparkEntry {
          g AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(rn * x) AS si FROM r)
          SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
                 ROUND(2.0 * si / (CAST(n AS DOUBLE) * s)
-                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) + 0.0 AS gini
          FROM g""",
 
     // same quantized-log OLS as RegressionOps.zipfFit: rank by (count
@@ -5895,9 +5895,9 @@ object SparkEntry {
                        CAST(n AS DOUBLE) * syy - sy * sy AS deny
                 FROM g)
          SELECT CAST(n AS BIGINT) AS n,
-                ROUND(num / den, 6) AS slope,
-                ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
-                ROUND(CASE WHEN deny <> 0 THEN num * num / (den * deny) END, 6) AS r2
+                ROUND(num / den, 6) + 0.0 AS slope,
+                ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+                ROUND(CASE WHEN deny <> 0 THEN num * num / (den * deny) END, 6) + 0.0 AS r2
          FROM g2 WHERE n >= 2 AND den <> 0""",
 
     "ml10_class_weights" ->
@@ -5905,7 +5905,7 @@ object SparkEntry {
          t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
                       CAST(COUNT(*) AS BIGINT) AS k FROM c)
          SELECT lang, CAST(n AS BIGINT) AS n,
-                ROUND(CAST(tot AS DOUBLE) / (k * n), 6) AS weight
+                ROUND(CAST(tot AS DOUBLE) / (k * n), 6) + 0.0 AS weight
          FROM c CROSS JOIN t""",
 
     // cumulative TP / totals over distinct thresholds descending (no ties
@@ -5924,8 +5924,8 @@ object SparkEntry {
          t AS (SELECT CAST(SUM(np) AS BIGINT) AS p,
                       CAST(SUM(nt) AS BIGINT) AS n FROM g)
          SELECT threshold,
-                ROUND(CAST(tp AS DOUBLE) / p, 6) AS tpr,
-                ROUND(CAST(al - tp AS DOUBLE) / (n - p), 6) AS fpr
+                ROUND(CAST(tp AS DOUBLE) / p, 6) + 0.0 AS tpr,
+                ROUND(CAST(al - tp AS DOUBLE) / (n - p), 6) + 0.0 AS fpr
          FROM c CROSS JOIN t""",
 
     // same integer-deviation CUSUM as TimeSeriesOps.cusumPeaks: dᵢ =
@@ -5950,7 +5950,7 @@ object SparkEntry {
                         ORDER BY ABS(cusum) DESC, ts, event_id) AS pr
                FROM c)
          SELECT user_id, CAST(n AS BIGINT) AS n, ts AS peak_ts,
-                ROUND(ABS(cusum) / 1e6 / n / n, 6) AS cusum_score
+                ROUND(ABS(cusum) / 1e6 / n / n, 6) + 0.0 AS cusum_score
          FROM r WHERE pr = 1""",
 
     // same fixed-point log-space KM product: exact integer at-risk
@@ -6026,9 +6026,9 @@ object SparkEntry {
                         AS BIGINT) AS vfp
                FROM r WHERE d > 0 AND n > 1)
          SELECT CAST(SUM(d1) AS BIGINT) AS o1,
-                ROUND(SUM(e1fp) / 1e12, 6) AS e1,
+                ROUND(SUM(e1fp) / 1e12, 6) + 0.0 AS e1,
                 ROUND(POWER(SUM(d1 * 1000000000000 - e1fp) / 1e12, 2)
-                      / (SUM(vfp) / 1e12), 6) AS chi2
+                      / (SUM(vfp) / 1e12), 6) + 0.0 AS chi2
          FROM f""",
 
     // same per-cell fixed-point χ²/MI terms over the DENSIFIED r×c grid
@@ -6057,11 +6057,11 @@ object SparkEntry {
                              * 1e12, 0) AS BIGINT) END AS mifp
                FROM f)
          SELECT N AS n, r, c,
-                ROUND(SUM(chifp) / 1e9, 6) AS chi2,
+                ROUND(SUM(chifp) / 1e9, 6) + 0.0 AS chi2,
                 ROUND(CASE WHEN LEAST(r, c) > 1
                            THEN SQRT(SUM(chifp) / 1e9 / (N * (LEAST(r, c) - 1)))
-                           ELSE 0.0 END, 6) AS cramers_v,
-                ROUND(SUM(mifp) / 1e12, 6) AS mutual_info
+                           ELSE 0.0 END, 6) + 0.0 AS cramers_v,
+                ROUND(SUM(mifp) / 1e12, 6) + 0.0 AS mutual_info
          FROM t GROUP BY 1, 2, 3""",
 
     // canonical a<b pair counts; the top-100 boundary is a total order
@@ -6110,11 +6110,11 @@ object SparkEntry {
                     FROM events WHERE value IS NOT NULL)
          SELECT event_type, dow, hod,
                 CAST(COUNT(*) AS BIGINT) AS n,
-                ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) AS mean_v,
+                ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) + 0.0 AS mean_v,
                 ROUND(SQRT((CAST(SUM(CAST(vfp AS HUGEINT) * vfp) AS DOUBLE)
                               * COUNT(*)
                             - CAST(SUM(vfp) AS DOUBLE) * SUM(vfp))
-                           / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) / 1e12), 6)
+                           / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) / 1e12), 6) + 0.0
                   AS std_v
          FROM e GROUP BY 1, 2, 3""",
 
@@ -6128,16 +6128,16 @@ object SparkEntry {
                     FROM events WHERE value IS NOT NULL),
          prof AS (SELECT event_type, dow, hod,
                          CAST(COUNT(*) AS BIGINT) AS n,
-                         ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) AS mean_v,
+                         ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) + 0.0 AS mean_v,
                          ROUND(SQRT((CAST(SUM(CAST(vfp AS HUGEINT) * vfp)
                                        AS DOUBLE) * COUNT(*)
                                      - CAST(SUM(vfp) AS DOUBLE) * SUM(vfp))
                                     / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))
-                                    / 1e12), 6) AS std_v
+                                    / 1e12), 6) + 0.0 AS std_v
                   FROM e GROUP BY 1, 2, 3)
          SELECT event_id, events.event_type, CAST(dayofweek(ts) AS INT) AS dow,
                 CAST(hour(ts) AS INT) AS hod, value AS v,
-                ROUND((value - mean_v) / std_v, 3) AS z
+                ROUND((value - mean_v) / std_v, 3) + 0.0 AS z
          FROM events JOIN prof
            ON events.event_type = prof.event_type
           AND CAST(dayofweek(ts) AS INT) = prof.dow
@@ -6174,7 +6174,7 @@ object SparkEntry {
          SELECT n,
                 ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+                             * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS rho
          FROM s""",
 
     "q04_cohort_matrix" ->
@@ -6230,14 +6230,14 @@ object SparkEntry {
                FROM q)
          SELECT n,
                 ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
-                      / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS slope,
                 ROUND((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
                         / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
-                      / CAST(n AS DOUBLE), 6) AS intercept,
+                      / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
                 ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
                       / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS r2
          FROM s""",
 
     // same (key, id)-total-ordered neighborhood: ROW_NUMBER stands in for
@@ -6262,7 +6262,7 @@ object SparkEntry {
     "j20_bloom_prefilter" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
                 ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-                      / 100.0, 2) AS revenue
+                      / 100.0, 2) + 0.0 AS revenue
          FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_acctbal > 9000)
@@ -6296,14 +6296,14 @@ object SparkEntry {
                FROM t GROUP BY 1),
          tot AS (SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM g)
          SELECT o_orderpriority, pos, neg,
-                ROUND(LN(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6) AS woe
+                ROUND(LN(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6) + 0.0 AS woe
          FROM g CROSS JOIN tot""",
 
     "f30_jw_pairs" ->
       """WITH v AS (SELECT DISTINCT p_name AS name FROM part
                     WHERE p_name IS NOT NULL)
          SELECT a.name AS name_a, b.name AS name_b,
-                ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+                ROUND(jaro_winkler_similarity(a.name, b.name), 6) + 0.0 AS jw
          FROM v a JOIN v b
            ON SUBSTR(a.name, 1, 1) = SUBSTR(b.name, 1, 1) AND a.name < b.name
          WHERE jaro_winkler_similarity(a.name, b.name) >= 0.8""",
@@ -6318,7 +6318,7 @@ object SparkEntry {
          dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
          lex AS (SELECT tf.doc_id,
                         ROUND(SUM(LN((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-                          * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+                          * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) + 0.0
                           AS score
                  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
                  GROUP BY tf.doc_id
@@ -6334,7 +6334,7 @@ object SparkEntry {
          u AS (SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rl
                UNION ALL
                SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rp)
-         SELECT doc_id, ROUND(SUM(rr), 6) AS rrf
+         SELECT doc_id, ROUND(SUM(rr), 6) + 0.0 AS rrf
          FROM u GROUP BY 1
          ORDER BY rrf DESC, doc_id ASC LIMIT 20""",
 
@@ -6360,7 +6360,7 @@ object SparkEntry {
                              CASE WHEN nt = pt THEN (pv + nv) / 2.0
                                   ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
                                        / CAST(nt - pt AS DOUBLE)) END
-                           END, 6) AS interp
+                           END, 6) + 0.0 AS interp
          FROM n""",
 
     "ml14_info_gain" ->
@@ -6390,8 +6390,8 @@ object SparkEntry {
                        SUM(CAST(ROUND(-(nf / nn) * LN(nf / nn) * 1e12, 0) AS BIGINT))
                        / 1e12 AS hf
                 FROM fv CROSS JOIN n GROUP BY 1)
-         SELECT feature, ROUND(hy, 6) AS h_target, ROUND(hcond, 6) AS h_cond,
-                ROUND(hy - hcond, 6) AS info_gain,
+         SELECT feature, ROUND(hy, 6) + 0.0 AS h_target, ROUND(hcond, 6) + 0.0 AS h_cond,
+                ROUND(hy - hcond, 6) + 0.0 AS info_gain,
                 CASE WHEN hf > 0 THEN ROUND((hy - hcond) / hf, 6) END AS gain_ratio
          FROM cond JOIN si USING (feature) CROSS JOIN hy""",
 
@@ -6408,7 +6408,7 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS tied_risk,
                 ROUND((SUM(CASE WHEN ra > rb THEN 1 ELSE 0 END) +
                        0.5 * SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END))
-                      / COUNT(*), 6) AS c_index
+                      / COUNT(*), 6) + 0.0 AS c_index
          FROM p""",
 
     "t27_jsd_sources" ->
@@ -6431,7 +6431,7 @@ object SparkEntry {
                         SUM(rc) / CAST(MIN(N - Ns) AS DOUBLE) AS qcov
                  FROM terms GROUP BY 1)
          SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-                ROUND(seenpart + 0.5 * LN(2) * (1 - qcov), 6) AS jsd
+                ROUND(seenpart + 0.5 * LN(2) * (1 - qcov), 6) + 0.0 AS jsd
          FROM agg""",
 
     "t26_rake_keywords" ->
@@ -6457,7 +6457,7 @@ object SparkEntry {
                 FROM members GROUP BY 1)
          SELECT phrase,
                 CAST(COUNT(DISTINCT (m.doc_id, m.pid)) AS BIGINT) AS n_occurrences,
-                ROUND(SUM(wsfp) / COUNT(DISTINCT (m.doc_id, m.pid)) / 1e12, 6) AS score
+                ROUND(SUM(wsfp) / COUNT(DISTINCT (m.doc_id, m.pid)) / 1e12, 6) + 0.0 AS score
          FROM members m JOIN ws USING (w)
          GROUP BY 1 ORDER BY score DESC, phrase ASC LIMIT 25""",
 
@@ -6529,7 +6529,7 @@ object SparkEntry {
                  FROM runs)
          SELECT MIN(s) AS score_lo, MAX(s) AS score_hi,
                 CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS sy,
-                ROUND(CAST(SUM(sy) AS DOUBLE) / SUM(n), 6) AS fitted
+                ROUND(CAST(SUM(sy) AS DOUBLE) / SUM(n), 6) + 0.0 AS fitted
          FROM grp GROUP BY g""",
 
     "a29_brier" ->
@@ -6543,14 +6543,14 @@ object SparkEntry {
          tot AS (SELECT SUM(nk) AS N, SUM(sy) / CAST(SUM(nk) AS DOUBLE) AS pbar
                  FROM cells)
          SELECT CAST(MIN(t.N) AS BIGINT) AS n,
-                ROUND(SUM(c.sb) / 1e12 / MIN(t.N), 6) AS brier,
+                ROUND(SUM(c.sb) / 1e12 / MIN(t.N), 6) + 0.0 AS brier,
                 ROUND(SUM(CAST(ROUND((c.nk / t.N) *
                   POW(c.sp / 1e6 / c.nk - c.sy / CAST(c.nk AS DOUBLE), 2) * 1e12, 0)
-                  AS BIGINT)) / 1e12, 6) AS reliability,
+                  AS BIGINT)) / 1e12, 6) + 0.0 AS reliability,
                 ROUND(SUM(CAST(ROUND((c.nk / t.N) *
                   POW(c.sy / CAST(c.nk AS DOUBLE) - t.pbar, 2) * 1e12, 0)
-                  AS BIGINT)) / 1e12, 6) AS resolution,
-                ROUND(MIN(t.pbar) * (1 - MIN(t.pbar)), 6) AS uncertainty
+                  AS BIGINT)) / 1e12, 6) + 0.0 AS resolution,
+                ROUND(MIN(t.pbar) * (1 - MIN(t.pbar)), 6) + 0.0 AS uncertainty
          FROM cells c CROSS JOIN tot t""",
 
     "ts10_resample_interp" ->
@@ -6580,20 +6580,20 @@ object SparkEntry {
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       w_next AS (PARTITION BY user_id ORDER BY bucket
                                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
-         SELECT user_id, bucket, ROUND(v, 6) AS value_mean,
+         SELECT user_id, bucket, ROUND(v, 6) + 0.0 AS value_mean,
                 ROUND(CASE WHEN v IS NOT NULL THEN v
                            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                              CASE WHEN nt = pt THEN (pv + nv) / 2.0
                                   ELSE pv + (nv - pv) * (CAST(bucket - pt AS DOUBLE)
                                        / CAST(nt - pt AS DOUBLE)) END
-                           END, 6) AS value_interp
+                           END, 6) + 0.0 AS value_interp
          FROM n""",
 
     "w15_rolling_median" ->
       """SELECT event_id,
                 ROUND(MEDIAN(value) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id
-                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_med
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) + 0.0 AS roll_med
          FROM events""",
 
     // same doubled-average-rank construction as a28: per distinct value,
@@ -6622,13 +6622,13 @@ object SparkEntry {
                         AS ua,
                       ties
                FROM s)
-         SELECT na AS n_a, nb AS n_b, ROUND(ua, 6) AS u_a,
+         SELECT na AS n_a, nb AS n_b, ROUND(ua, 6) + 0.0 AS u_a,
                 ROUND((ua - CAST(na AS DOUBLE) * nb / 2)
                       / SQRT(CAST(na AS DOUBLE) * nb / 12
                              * (CAST(na + nb + 1 AS DOUBLE)
                                 - CAST(ties AS DOUBLE)
                                   / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))),
-                  6) AS z
+                  6) + 0.0 AS z
          FROM u""",
 
     // pair products via the row-local unnest (generate_subscripts is
@@ -6650,7 +6650,7 @@ object SparkEntry {
                 ROUND(CAST(COUNT(*) * SUM(CAST(xa AS HUGEINT) * xb)
                            - SUM(CAST(xa AS HUGEINT)) * SUM(CAST(xb AS HUGEINT))
                         AS DOUBLE)
-                      / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * 1e12), 6)
+                      / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * 1e12), 6) + 0.0
                   AS cov
          FROM p GROUP BY 1, 2""",
 
@@ -6682,7 +6682,7 @@ object SparkEntry {
                    FROM adj JOIN deg USING (z) WHERE deg.d <= 50)
          SELECT a.n AS node_a, b.n AS node_b,
                 CAST(COUNT(*) AS BIGINT) AS common,
-                ROUND(SUM(1.0 / LN(a.d)), 6) AS adamic_adar
+                ROUND(SUM(1.0 / LN(a.d)), 6) + 0.0 AS adamic_adar
          FROM small a JOIN small b ON a.z = b.z AND a.n < b.n
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
@@ -6711,7 +6711,7 @@ object SparkEntry {
                 CROSS JOIN v
                 GROUP BY 1)
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
-                ROUND(sc.ll / sc.nb, 6) AS avg_logprob
+                ROUND(sc.ll / sc.nb, 6) + 0.0 AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // ts11's stack, collapsed to the per-user argmax (acf desc, lag asc)
@@ -6742,7 +6742,7 @@ object SparkEntry {
                           THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
                                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-                        END AS acf
+                        END + 0.0 AS acf
                  FROM g),
          r AS (SELECT user_id, lag, acf,
                       ROW_NUMBER() OVER (PARTITION BY user_id
@@ -6792,11 +6792,11 @@ object SparkEntry {
                       CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
                FROM s)
          SELECT n1, n2,
-                ROUND(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean1,
-                ROUND(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean2,
-                ROUND(md / SQRT(v1 + v2), 6) AS t,
+                ROUND(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) + 0.0 AS mean1,
+                ROUND(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) + 0.0 AS mean2,
+                ROUND(md / SQRT(v1 + v2), 6) + 0.0 AS t,
                 ROUND((v1 + v2) * (v1 + v2)
-                      / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 6) AS df
+                      / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 6) + 0.0 AS df
          FROM f""",
 
     // the ORACLE computes the full aggregate in one pass — hash equality
@@ -6806,7 +6806,7 @@ object SparkEntry {
                 CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                   AS sum_cents,
                 ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
-                  AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_value
+                  AS DOUBLE) / COUNT(*) / 100.0, 6) + 0.0 AS mean_value
          FROM events GROUP BY 1, 2""",
 
     // identical union-LOCF construction: tag sides, one sort, carry the
@@ -6849,7 +6849,7 @@ object SparkEntry {
                   (CAST(n * q1 - s1 * s1 AS DOUBLE)
                    + CAST(n * q2 - s2 * s2 AS DOUBLE)
                    + CAST(n * q3 - s3 * s3 AS DOUBLE))
-                  / CAST(n * qt - st * st AS DOUBLE)), 6) AS alpha
+                  / CAST(n * qt - st * st AS DOUBLE)), 6) + 0.0 AS alpha
          FROM s""",
 
     // κ from exact integer moments: P̄ cleared to (Σn²−Nr)/(Nr(r−1)),
@@ -6879,9 +6879,9 @@ object SparkEntry {
                         AS pexp,
                       CAST(n AS HUGEINT) * 3 * n * 3 = sm AS degen
                FROM ag CROSS JOIN mg)
-         SELECT n AS n_items, ROUND(pbar, 6) AS p_bar, ROUND(pexp, 6) AS p_exp,
+         SELECT n AS n_items, ROUND(pbar, 6) + 0.0 AS p_bar, ROUND(pexp, 6) + 0.0 AS p_exp,
                 CASE WHEN NOT degen THEN
-                  ROUND((pbar - pexp) / (1.0 - pexp), 6) END AS kappa
+                  ROUND((pbar - pexp) / (1.0 - pexp), 6) END + 0.0 AS kappa
          FROM f""",
 
     // co-occurrence edges as in g04, both orientations, integer Pearson
@@ -6911,7 +6911,7 @@ object SparkEntry {
                   ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE)
                         / SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE)
                                * CAST(m2 * syy - sy * sy AS DOUBLE)), 6)
-                END AS assortativity
+                END + 0.0 AS assortativity
          FROM s""",
 
     "ml18_stratified_kfold" ->
@@ -6991,11 +6991,11 @@ object SparkEntry {
                       SUM(CAST(cp AS HUGEINT) * (2 * cum - (cnt - 1))) AS wp2,
                       SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
                FROM r)
-         SELECT n, ROUND(CAST(wp2 AS DOUBLE) / 2, 6) AS w_plus,
+         SELECT n, ROUND(CAST(wp2 AS DOUBLE) / 2, 6) + 0.0 AS w_plus,
                 ROUND((CAST(wp2 AS DOUBLE) / 2
                        - CAST(n AS DOUBLE) * (n + 1) / 4)
                       / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
-                             - CAST(ties AS DOUBLE) / 48), 6) AS z
+                             - CAST(ties AS DOUBLE) / 48), 6) + 0.0 AS z
          FROM s""",
 
     "q07_top_paths" ->
@@ -7030,7 +7030,7 @@ object SparkEntry {
       """WITH e AS (SELECT l_returnflag, l_extendedprice
                     FROM lineitem
                     CROSS JOIN UNNEST(GENERATE_SERIES(1, l_linenumber)) AS t(i))
-         SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 6) AS w_median
+         SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 6) + 0.0 AS w_median
          FROM e GROUP BY 1""",
 
     // profile CTE mirrors ts08's exact-integer means; the trend is a
@@ -7042,7 +7042,7 @@ object SparkEntry {
                            CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfp
                     FROM events WHERE value IS NOT NULL),
          prof AS (SELECT event_type, dow, hod,
-                         ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) AS mean_v
+                         ROUND(SUM(vfp) / COUNT(*) / 1e6, 6) + 0.0 AS mean_v
                   FROM e GROUP BY 1, 2, 3),
          j AS (SELECT event_id, events.event_type, ts,
                       mean_v, value - mean_v AS de
@@ -7057,7 +7057,7 @@ object SparkEntry {
                         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS tr
                FROM j)
          SELECT event_id, event_type, mean_v AS seasonal,
-                ROUND(tr, 7) AS trend, ROUND(de - tr, 7) AS residual
+                ROUND(tr, 7) + 0.0 AS trend, ROUND(de - tr, 7) + 0.0 AS residual
          FROM t""",
 
     // same index-order fold as the engine's aggregate(zip_with(...))
@@ -7065,7 +7065,7 @@ object SparkEntry {
       """SELECT vec_id,
                 ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65),
                   i -> CAST(embedding[i] AS DOUBLE)
-                       * ((((i - 1) * 37) % 19) - 9) / 10.0)), 6) AS proj
+                       * ((((i - 1) * 37) % 19) - 9) / 10.0)), 6) + 0.0 AS proj
          FROM embeddings""",
 
     "u09_best_replica" ->
@@ -7108,8 +7108,8 @@ object SparkEntry {
                        CAST(SUM(n * n) AS BIGINT) AS ss
                 FROM daily)
          SELECT day, n,
-                ROUND(CAST(s AS DOUBLE) / k, 6) AS mu,
-                ROUND(SQRT(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1))), 6)
+                ROUND(CAST(s AS DOUBLE) / k, 6) + 0.0 AS mu,
+                ROUND(SQRT(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1))), 6) + 0.0
                   AS sigma,
                 ABS(n - CAST(s AS DOUBLE) / k) >
                   3.0 * SQRT(CAST(k * ss - s * s AS DOUBLE) / (k * (k - 1)))
@@ -7189,7 +7189,7 @@ object SparkEntry {
                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-                END AS acf
+                END + 0.0 AS acf
          FROM g""",
 
     // reuses the d03 minhash/banding stack for candidates and the d05
@@ -7242,8 +7242,8 @@ object SparkEntry {
                    (SELECT CAST(COUNT(*) AS BIGINT)
                     FROM truth JOIN cand USING (id_a, id_b)) AS n_hit)
          SELECT n_truth, n_cand, n_hit,
-                ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
-                ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision
+                ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) + 0.0 AS recall,
+                ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) + 0.0 AS precision
          FROM agg""",
 
     "t29_code_detect" ->
@@ -7253,7 +7253,7 @@ object SparkEntry {
                 CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
                   '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
                 ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
-                  '[{}()\[\];=<>]', '', 'g')) AS DOUBLE) / n_chars, 6)
+                  '[{}()\[\];=<>]', '', 'g')) AS DOUBLE) / n_chars, 6) + 0.0
                   AS sym_ratio,
                 ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
                   '[{}()\[\];=<>]', '', 'g')) AS DOUBLE) / n_chars, 6) > 0.02
@@ -7268,8 +7268,8 @@ object SparkEntry {
                       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
                FROM tok GROUP BY 1)
          SELECT doc_id, n_tokens, n_types,
-                ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
-                ROUND(CAST(n_types AS DOUBLE) / SQRT(n_tokens), 6) AS rttr
+                ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) + 0.0 AS ttr,
+                ROUND(CAST(n_types AS DOUBLE) / SQRT(n_tokens), 6) + 0.0 AS rttr
          FROM c""",
 
     // six frame sums in row order (both engines run ROWS frames
@@ -7293,7 +7293,7 @@ object SparkEntry {
                 CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
                   ROUND((n * sxy - sx * sy)
                         / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-                END AS roll_corr
+                END + 0.0 AS roll_corr
          FROM f""",
 
     // mirrors the engine op-for-op: integer placement moments over the
@@ -7339,13 +7339,13 @@ object SparkEntry {
                              / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))))
                           / (CAST(n AS DOUBLE) - 1.0) AS s01
                  FROM st)
-         SELECT m AS n_pos, n AS n_neg, ROUND(th, 6) AS auc,
+         SELECT m AS n_pos, n AS n_neg, ROUND(th, 6) + 0.0 AS auc,
                 ROUND(SQRT(s10 / CAST(m AS DOUBLE) + s01 / CAST(n AS DOUBLE)),
-                  6) AS se,
+                  6) + 0.0 AS se,
                 ROUND(th - 1.959964 * SQRT(s10 / CAST(m AS DOUBLE)
-                  + s01 / CAST(n AS DOUBLE)), 6) AS ci_lo,
+                  + s01 / CAST(n AS DOUBLE)), 6) + 0.0 AS ci_lo,
                 ROUND(th + 1.959964 * SQRT(s10 / CAST(m AS DOUBLE)
-                  + s01 / CAST(n AS DOUBLE)), 6) AS ci_hi
+                  + s01 / CAST(n AS DOUBLE)), 6) + 0.0 AS ci_hi
          FROM fin""",
 
     // κ cleared of denominators: (N·Σ n_kk − Σ n_a·n_b)/(N² − Σ n_a·n_b),
@@ -7368,13 +7368,13 @@ object SparkEntry {
                 FROM cells GROUP BY 1),
          pe AS (SELECT SUM(CAST(na AS HUGEINT) * nb) AS sab
                 FROM ma JOIN mb USING (k))
-         SELECT n, ROUND(CAST(diag AS DOUBLE) / n, 6) AS p_obs,
+         SELECT n, ROUND(CAST(diag AS DOUBLE) / n, 6) + 0.0 AS p_obs,
                 ROUND(CAST(sab AS DOUBLE)
-                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS p_exp,
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) + 0.0 AS p_exp,
                 CASE WHEN CAST(n AS HUGEINT) * n <> sab THEN
                   ROUND(CAST(CAST(n AS HUGEINT) * diag - sab AS DOUBLE)
                         / CAST(CAST(n AS HUGEINT) * n - sab AS DOUBLE), 6)
-                END AS kappa
+                END + 0.0 AS kappa
          FROM ag CROSS JOIN pe""",
 
     "dq08_completeness" ->
@@ -7388,7 +7388,7 @@ object SparkEntry {
                FROM d)
          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days,
                 CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
-                ROUND(CAST(COUNT(*) AS DOUBLE) / (MAX(day) - MIN(day) + 1), 6)
+                ROUND(CAST(COUNT(*) AS DOUBLE) / (MAX(day) - MIN(day) + 1), 6) + 0.0
                   AS completeness,
                 CAST(COALESCE(MAX(gap), 1) AS BIGINT) AS max_gap
          FROM g GROUP BY 1""",
