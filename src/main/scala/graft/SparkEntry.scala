@@ -3519,8 +3519,8 @@ object SparkEntry {
                FROM daily
                WINDOW w AS (PARTITION BY user_id ORDER BY day)),
          g AS (SELECT user_id, day, CAST(n AS BIGINT) AS n,
-                      CAST(CAST(s1 * (n - n1) - (s - s1) * n1 AS HUGEINT)
-                           * (s1 * (n - n1) - (s - s1) * n1) AS DOUBLE)
+                      CAST(s1 * (n - n1) - (s - s1) * n1 AS DOUBLE)
+                        * CAST(s1 * (n - n1) - (s - s1) * n1 AS DOUBLE)
                         / (CAST(n1 AS DOUBLE) * (n - n1) * n) AS gain
                FROM b WHERE n1 < n),
          r AS (SELECT user_id, day, n, gain,
@@ -3565,7 +3565,8 @@ object SparkEntry {
     // bootstrapMeanCi — u can never equal a threshold (k/(2³¹−1) is never
     // a terminating decimal), so the CASE ladder is engine-exact
     "a41_bootstrap_ci" ->
-      """WITH r AS (SELECT event_id % 2147483647 AS idm,
+      """WITH r AS (SELECT ((event_id % 2147483647) + 2147483647)
+                             % 2147483647 AS idm,
                            CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
                            t.range AS b
                     FROM events CROSS JOIN range(1, 201) t

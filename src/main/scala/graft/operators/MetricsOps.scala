@@ -520,7 +520,10 @@ object MetricsOps {
   def bootstrapMeanCi(df: DataFrame, id: Column, valueCents: Column,
       b: Int = 200, loQ: Double = 0.025, hiQ: Double = 0.975): DataFrame = {
     val m = 2147483647L
-    val reps = df.select((id % m).as("__idm"),
+    // pmod, not %: a NEGATIVE id under C-style % yields a negative __idm,
+    // negative h1, u < 0 — every Poisson threshold test fails and the row
+    // silently gets weight 0 in ALL replicas (a biased CI with no error)
+    val reps = df.select(pmod(id, lit(m)).as("__idm"),
         valueCents.cast("long").as("__cents"))
       .filter(col("__cents").isNotNull)
       .select(col("__idm"), col("__cents"),

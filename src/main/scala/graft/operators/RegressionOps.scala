@@ -341,8 +341,7 @@ object RegressionOps {
   def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val q = transform(vec, x =>
-      round(x.cast("double") * lit(1e6), 0).cast("long"))
+    val q = transform(vec, x => quantLaneChecked(x))
     val qdf = df.select(q.as("__q")).filter(col("__q").isNotNull)
     // the embedding dimension: one row off one partition (CollectLimit) —
     // a bounded scalar, never row data; empty corpus short-circuits
@@ -390,6 +389,24 @@ object RegressionOps {
         round((col("n").cast("decimal(38,0)") * col("__sp") -
             col("__si") * col("__sj")).cast("double") /
           (col("n").cast("double") * col("n") * lit(1e12)), 6).as("cov"))
+  }
+
+  /** Quantize one embedding lane onto the 10⁻⁶ grid, FAILING LOUDLY when
+    * the quantized magnitude could overflow the 64-bit pair product
+    * downstream (|q·q| < 2⁶³ requires |q| ≤ ⌊√(2⁶³−1)⌋ = 3 037 000 499,
+    * i.e. |x| ≲ 3037). Out-of-range lanes previously wrapped silently and
+    * corrupted every covariance cell they touched; an embedding that
+    * violates the documented magnitude contract now raises instead. One
+    * branch per lane, codegen'd — free next to the round.
+    */
+  private val MaxLaneQ = 3037000499L
+  private def quantLaneChecked(x: Column): Column = {
+    val q = round(x.cast("double") * lit(1e6), 0).cast("long")
+    when(abs(q) <= lit(MaxLaneQ), q)
+      .otherwise(raise_error(concat(
+        lit("graft.embeddingCovariance: |lane| exceeds the ±3037.000499 " +
+          "quantization contract (would overflow the exact 64-bit pair " +
+          "product): "), x.cast("string"))).cast("long"))
   }
 
   /** Round-half-away-from-zero to a Long — BigDecimal HALF_UP semantics
@@ -463,11 +480,15 @@ object RegressionOps {
       else roundHalfAway(
         (w(j) * s).toDouble / math.sqrt(ss.toDouble) * 1e12)
     }
-    val qv = transform(vec, x =>
-      round(x.cast("double") * lit(1e6), 0).cast("long"))
+    // same guarded quantizer as the covariance pass; the lane×axis product
+    // is formed in DECIMAL(38,0) (|q|·10¹² can exceed 2⁶³ long before the
+    // covariance bound does — q ≤ 3.04·10⁹ times the 10¹²-scaled axis is
+    // ~3·10²¹, exact in decimal, silent wraparound in long)
+    val qv = transform(vec, x => quantLaneChecked(x))
     val axisCol = array(axis.map(lit(_)): _*)
-    val num = aggregate(zip_with(qv, axisCol, (a, b) => a * b),
-      lit(0).cast("decimal(38,0)"), (acc, p) => acc + p)
+    val num = aggregate(
+      zip_with(qv, axisCol, (a, b) => a.cast("decimal(38,0)") * b),
+      lit(0).cast("decimal(38,0)"), (acc, p) => acc + p.cast("decimal(38,0)"))
     df.select(col(id),
       round(num.cast("double") / lit(1e18), 6).as("pc1"))
   }

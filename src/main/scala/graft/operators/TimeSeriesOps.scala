@@ -475,8 +475,14 @@ object TimeSeriesOps {
       .withColumn("__num",
         d38(col("__s1")) * (col("__n") - col("__n1")) -
           d38(col("__s") - col("__s1")) * col("__n1"))
+      // num² is formed as a DOUBLE product of two exact conversions, NOT
+      // an exact decimal square: decimal(38,0)² has no precision to shed,
+      // so |num| ≥ ~10¹⁹ (reachable at the 100 TB design point, num ~ S·n)
+      // would overflow to null and silently drop the candidate — while
+      // the gain is consumed as a double anyway, and double(num)·double(num)
+      // is identically rounded on every engine
       .withColumn("__gain",
-        (col("__num") * col("__num")).cast("double") /
+        (col("__num").cast("double") * col("__num").cast("double")) /
           (col("__n1").cast("double") * (col("__n") - col("__n1")) *
             col("__n")))
     val wBest = Window.partitionBy(key)
