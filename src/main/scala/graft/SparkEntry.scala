@@ -2622,6 +2622,42 @@ object SparkEntry {
         .select("hadm_id", "icd_code", "icd_version", "root_icd10")
     }),
 
+    // DrugMapper through the facade END-TO-END — the last lifecycle branch
+    // (hosp_preprocess_util.py:195-273): name normalize → prescription NDC
+    // 11-digit pad + 9-digit section keep → mapping-table 5-4 reformat →
+    // keep-first dedup → inner brand→generic join (broadcast: the NDC
+    // directory is a bounded dimension) → EPC class arrays. Fabricated
+    // prescriptions carry nulls (dropped by the join, as the reference's
+    // nan rows are) and the mapping carries REAL (new_ndc, name) dup rows
+    // so the keep-first dedup is load-bearing, not decorative.
+    "e2e_drug_map" -> ((s, d) => {
+      val meds = ord(s, d).select(
+        col("o_orderkey").as("hadm_id"),
+        concat(lit("  "), col("o_orderpriority"), lit(" TAB ")).as("drug"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise((col("o_orderkey") % 999) * 1000000L +
+            ((col("o_orderkey") * 7) % 9999) * 100L + col("o_orderkey") % 100)
+          .as("ndc"))
+      val map0 = prt(s, d).select(
+        concat((col("p_partkey") % 999).cast("string"), lit("-"),
+          ((col("p_partkey") * 7) % 9999).cast("string")).as("productndc"),
+        when(col("p_partkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("p_name")).as("nonproprietaryname"),
+        concat(col("p_type"), lit(" [EPC],"), col("p_size").cast("string"),
+          lit(" [PE],"), col("p_brand"), lit(" [EPC]")).as("pharm_classes"),
+        col("p_partkey").as("map_order"))
+      // duplicate every mapping row with a later order and a decoy class:
+      // a correct keep-first dedup must pick the original
+      val mapping = map0.unionAll(map0
+        .withColumn("map_order", col("map_order") + 10000L)
+        .withColumn("pharm_classes", lit("DECOY [EPC]")))
+      api.DrugMapper.mapMeds(meds, "drug", "ndc", mapping, "productndc",
+          "nonproprietaryname", "pharm_classes", "map_order")
+        .select(col("hadm_id"), col("drug"), col("new_ndc"),
+          col("nonproprietaryname"),
+          array_join(col("epc"), "|").as("epc_list"))
+    }),
+
     // stages 1+2: cohort semi-join + admit attach + floor-hour offsets +
     // pre-admit drop, then UOM dominance cleanup and per-code exact type-7
     // percentile clamp — the feature_icu cleaning chain end-to-end
@@ -3093,6 +3129,51 @@ object SparkEntry {
                 CASE WHEN d.icd_version = 9 THEN m.mapped
                      ELSE d.icd_code END AS root_icd10
          FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root""",
+
+    // the composed meds chain: pad/section on the prescription side,
+    // 5-4 reformat + keep-first (ARG_MIN by order) on the mapping side,
+    // inner join, EPC filter; ARRAY_TO_STRING(NULL-prone) coalesced
+    "e2e_drug_map" ->
+      """WITH meds AS (
+           SELECT o_orderkey AS hadm_id,
+                  REPLACE(LOWER(TRIM('  ' || o_orderpriority || ' TAB ')),
+                    ' ', '_') AS drug,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                       ELSE (o_orderkey % 999) * 1000000
+                            + ((o_orderkey * 7) % 9999) * 100
+                            + o_orderkey % 100 END AS ndc
+           FROM orders),
+         m0 AS (
+           SELECT LPAD(CAST(p_partkey % 999 AS VARCHAR), 5, '0')
+                    || LPAD(CAST((p_partkey * 7) % 9999 AS VARCHAR), 4, '0')
+                    AS new_ndc,
+                  LOWER(COALESCE(CASE WHEN p_partkey % 11 = 0 THEN NULL
+                                      ELSE p_name END, ''))
+                    AS nonproprietaryname,
+                  p_type || ' [EPC],' || CAST(p_size AS VARCHAR) || ' [PE],'
+                    || p_brand || ' [EPC]' AS pharm_classes,
+                  CAST(p_partkey AS BIGINT) AS map_order
+           FROM part
+           UNION ALL
+           SELECT LPAD(CAST(p_partkey % 999 AS VARCHAR), 5, '0')
+                    || LPAD(CAST((p_partkey * 7) % 9999 AS VARCHAR), 4, '0'),
+                  LOWER(COALESCE(CASE WHEN p_partkey % 11 = 0 THEN NULL
+                                      ELSE p_name END, '')),
+                  'DECOY [EPC]',
+                  CAST(p_partkey AS BIGINT) + 10000
+           FROM part),
+         m AS (SELECT new_ndc, nonproprietaryname,
+                      ARG_MIN(pharm_classes, map_order) AS pharm_classes
+               FROM m0 GROUP BY 1, 2),
+         w AS (SELECT hadm_id, drug,
+                      SUBSTRING(LPAD(CAST(ndc AS VARCHAR), 11, '0'), 1, 9)
+                        AS new_ndc
+               FROM meds WHERE ndc IS NOT NULL)
+         SELECT w.hadm_id, w.drug, w.new_ndc, m.nonproprietaryname,
+                COALESCE(ARRAY_TO_STRING(LIST_FILTER(
+                  STRING_SPLIT(m.pharm_classes, ','),
+                  x -> CONTAINS(x, '[EPC]')), '|'), '') AS epc_list
+         FROM w JOIN m USING (new_ndc)""",
 
     "ml19_length_buckets" ->
       """WITH t AS (

@@ -207,6 +207,62 @@ object DrugMapper {
     */
   def epcClasses(pharmClasses: Column): Column =
     filter(split(pharmClasses, ","), x => x.contains("[EPC]"))
+
+  /** Prescription-side 9-digit product NDC (reference `ndc_meds.to_str`,
+    * `hosp_preprocess_util.py:228-240`): the numeric code lost its leading
+    * zeros to a float→int round trip, so restore to 11 digits and keep the
+    * manufacturer+product sections (drop the 2-digit dosage). Null and the
+    * reference's negative fill-value both map to null (dropped by the
+    * inner brand→generic join, exactly as the reference's nan rows are).
+    */
+  def newNdc(ndc: Column): Column =
+    when(ndc.isNull || ndc < 0, lit(null).cast("string"))
+      .otherwise(substring(lpad(ndc.cast("long").cast("string"), 11, "0"), 1, 9))
+
+  /** Mapping-side product NDC normalization (reference `format_ndc_table`,
+    * `:241-247`): the table writes `mfr-prod[-dose]` with UNPADDED
+    * sections; left-pad to the 5-4 layout and drop any dosage section.
+    */
+  def formatNdcTable(productNdc: Column): Column = {
+    val parts = split(productNdc, "-")
+    concat(lpad(element_at(parts, 1), 5, "0"),
+      lpad(element_at(parts, 2), 4, "0"))
+  }
+
+  /** The COMPOSED non-ICU meds-normalization chain (reference
+    * `preproc_meds`/`ndc_meds`, `hosp_preprocess_util.py:195-273`), the
+    * whole lifecycle branch in one call: name normalize → prescription
+    * NDC 11-digit pad + section keep → mapping-table NDC 5-4 reformat →
+    * first-match dedup of the brand→generic table → inner join → EPC
+    * class extraction. The mapping table is a bounded dimension (FDA NDC
+    * directory: ~10⁵ rows against a 100 TB prescription fact) — dedup'd
+    * with one small shuffle, then BROADCAST into the join so the fact
+    * table never moves.
+    *
+    * Dedup mirrors the reference's `drop_duplicates(['new_ndc',
+    * 'nonproprietaryname'])` keep-first: first = minimal `orderCol`
+    * (file order in the reference; any stable priority here), picked via
+    * an order-free min(struct) aggregate, not a window.
+    */
+  def mapMeds(meds: DataFrame, drugCol: String, ndcCol: String,
+      mapping: DataFrame, productCol: String, nameCol: String,
+      classCol: String, orderCol: String): DataFrame = {
+    val medsNorm = meds
+      .withColumn(drugCol, normalizeName(col(drugCol)))
+      .withColumn("new_ndc", newNdc(col(ndcCol)))
+    val mapNorm = mapping.select(
+      formatNdcTable(col(productCol)).as("new_ndc"),
+      lower(coalesce(col(nameCol), lit(""))).as("nonproprietaryname"),
+      col(classCol).cast("string").as("__cls"),
+      col(orderCol).cast("long").as("__ord"))
+    val mapDedup = mapNorm
+      .groupBy(col("new_ndc"), col("nonproprietaryname"))
+      .agg(min(struct(col("__ord"), col("__cls"))).getField("__cls")
+        .as(classCol))
+    medsNorm
+      .join(broadcast(mapDedup), Seq("new_ndc"))
+      .withColumn("epc", epcClasses(col(classCol)))
+  }
 }
 
 /** The reference's final artifact: a nested per-stay dictionary

@@ -155,6 +155,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1)._3 === Seq("Anticoagulant [EPC]", "Vitamin K Antagonist [EPC]"))
   }
 
+  test("composed drug mapping: normalize → NDC sections → keep-first join → EPC") {
+    // prescriptions: one joinable 11-digit code (leading zeros lost), one
+    // null NDC (reference nan → dropped by the inner join), one code with
+    // no mapping row
+    val meds = Seq(
+      (101L, "  Aspirin EC ", Some(6822070L)), // → sections 00006-8220
+      (102L, "warfarin", None),
+      (103L, "ghost drug", Some(99999999999L))
+    ).toDF("hadm_id", "drug", "ndc")
+    // mapping: unpadded 5-4 sections; a (new_ndc, name) DUP row with a
+    // decoy class that keep-first must NOT pick; a second name for the
+    // same product code (legitimate fan-out, kept)
+    val mapping = Seq(
+      ("6-8220", "ASPIRIN", "Analgesic [EPC],Salicylate [Chem]", 1L),
+      ("6-8220", "ASPIRIN", "Decoy [EPC]", 2L),
+      ("6-8220", "aspirin ec", "NSAID [EPC]", 3L)
+    ).toDF("productndc", "nonproprietaryname", "pharm_classes", "map_order")
+    val got = DrugMapper.mapMeds(meds, "drug", "ndc", mapping,
+        "productndc", "nonproprietaryname", "pharm_classes", "map_order")
+      .select($"hadm_id", $"drug", $"new_ndc", $"nonproprietaryname",
+        array_join($"epc", "|").as("epc"))
+      .as[(Long, String, String, String, String)].collect().sorted
+    assert(got.length === 2) // null + unmapped NDCs dropped, 101 fans to 2
+    assert(got(0) === ((101L, "aspirin_ec", "000068220", "aspirin",
+      "Analgesic [EPC]")))
+    assert(got(1) === ((101L, "aspirin_ec", "000068220", "aspirin ec",
+      "NSAID [EPC]")))
+  }
+
   test("golden end-to-end: cohort → events → tall time-series matrix, counts and content pinned") {
     // the reference's printed-count ritual (day_intervals_cohort.py:355-365)
     // as assertions: every stage's cardinality plus the full content of the
