@@ -2868,6 +2868,16 @@ object SparkEntry {
           "text", "payload"),
         "doc_id", "payload", frameLen = 256).toDF()),
 
+    // sample-rate conversion on the same real PCM path: linear resample
+    // to 2/3 of the source rate (exact integer interpolation numerators),
+    // then the m06 frame-RMS front end over the RESAMPLED stream — one
+    // map-only pass, closed-form oracle over the source bytes
+    "m08_resample_pcm" -> ((s, d) =>
+      BinaryOps.pcmResampleEnergy(s,
+        BinaryOps.withPayload(docs(s, d).filter(col("text").isNotNull),
+          "text", "payload"),
+        "doc_id", "payload", upP = 2, downQ = 3, frameLen = 256).toDF()),
+
     // GPT-2-style pre-tokenizer count: the contraction/letter-run/digit-run/
     // punct-run alternation (leftmost-first in BOTH Java regex and RE2) —
     // a far closer token-budget estimate than whitespace counting, still
@@ -3383,6 +3393,41 @@ object SparkEntry {
                            2)))
                   / (LEAST(ns, (frame + 1) * 256) - frame * 256)), 6) + 0.0
                   AS rms
+         FROM f""",
+
+    // m06's byte-level sample reconstruction + the linear-resample index
+    // algebra: output k reads i = 3k//2, r = 3k mod 2; the exact integer
+    // numerator s(i)·(2−r) + s(min(i+1, ns−1))·r de-normalizes by upP=2,
+    // so the frame RMS divides by n·4; outN = (ns−1)·2//3 + 1
+    "m08_resample_pcm" ->
+      """WITH b AS (SELECT doc_id, text,
+                           CAST(LEN(text) // 2 AS INT) AS ns
+                    FROM documents WHERE text IS NOT NULL),
+         o AS (SELECT doc_id, text, ns,
+                      CAST((ns - 1) * 2 // 3 + 1 AS BIGINT) AS outn
+               FROM b WHERE ns >= 1),
+         f AS (SELECT doc_id, text, ns, outn,
+                      UNNEST(GENERATE_SERIES(0,
+                        CAST(CEIL(outn / 256.0) AS INT) - 1)) AS frame
+               FROM o)
+         SELECT doc_id, CAST(frame AS INT) AS frame,
+                CAST(LEAST(outn, (frame + 1) * 256) - frame * 256 AS INT)
+                  AS n_samples,
+                ROUND(SQRT(
+                  LIST_SUM(LIST_TRANSFORM(
+                    GENERATE_SERIES(frame * 256,
+                      LEAST(outn, (frame + 1) * 256) - 1),
+                    k -> POWER(
+                      (UNICODE(SUBSTR(text, 2 * (3 * k // 2) + 1, 1))
+                       + 256 * UNICODE(SUBSTR(text, 2 * (3 * k // 2) + 2, 1)))
+                        * (2 - (3 * k) % 2)
+                      + (UNICODE(SUBSTR(text,
+                           2 * LEAST(3 * k // 2 + 1, ns - 1) + 1, 1))
+                         + 256 * UNICODE(SUBSTR(text,
+                             2 * LEAST(3 * k // 2 + 1, ns - 1) + 2, 1)))
+                        * ((3 * k) % 2), 2)))
+                  / ((LEAST(outn, (frame + 1) * 256) - frame * 256) * 4.0)),
+                  6) + 0.0 AS rms
          FROM f""",
 
     "t32_subword_count" ->

@@ -99,6 +99,71 @@ object BinaryOps {
       }
   }
 
+  /** Row shape for per-frame energy of a RESAMPLED PCM stream. */
+  case class ResampledFrame(doc_id: Long, frame: Int, n_samples: Int,
+      rms: Double)
+
+  /** Linear sample-rate conversion on the REAL PCM byte path (the audio
+    * sibling of [[resizeNearest]]): interpret the payload as little-endian
+    * int16 PCM, resample to `upP/downQ` of the source rate by linear
+    * interpolation, then window the resampled stream into `frameLen`
+    * frames and emit per-frame RMS — resample + the m06 energy front end
+    * in one pass.
+    *
+    * Exactness: output sample k sits at source position t = k·downQ/upP;
+    * with i = ⌊t⌋ and remainder r = (k·downQ) mod upP, the UN-normalized
+    * value num = s[i]·(upP−r) + s[i+1]·r is an exact integer (the true
+    * sample is num/upP), so Σnum² per frame is an exact Long and the
+    * closing sqrt(Σnum²/(n·upP²)) + HALF_UP round is bit-deterministic —
+    * the same closed-form-over-source-bytes oracle contract as m06/m07.
+    * The last output lands exactly on the last input (outN = ⌊(ns−1)·
+    * upP/downQ⌋ + 1), so i+1 is only read when it exists; the clamp is
+    * belt-and-braces. Map-only, no shuffle; rows out ≈ outN/frameLen per
+    * doc.
+    */
+  def pcmResampleEnergy(spark: SparkSession, df: DataFrame, id: String,
+      payload: String, upP: Int, downQ: Int,
+      frameLen: Int): Dataset[ResampledFrame] = {
+    import spark.implicits._
+    require(upP > 0 && downQ > 0 && frameLen > 0)
+    df.select(col(id).cast("long"), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val ns = if (bytes == null) 0 else bytes.length / 2
+          if (ns == 0) Iterator.empty
+          else {
+            def s(i: Int): Long = {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt // sign-extends: true int16
+              ((hi << 8) | lo).toLong
+            }
+            val outN = ((ns - 1).toLong * upP / downQ + 1).toInt
+            val nFrames = (outN + frameLen - 1) / frameLen
+            (0 until nFrames).iterator.map { f =>
+              val start = f * frameLen
+              val end = math.min(outN, start + frameLen)
+              val n = end - start
+              var ss = 0L
+              var k = start
+              while (k < end) {
+                val pos = k.toLong * downQ
+                val i = (pos / upP).toInt
+                val r = (pos % upP).toInt
+                val num = s(i) * (upP - r) + s(math.min(i + 1, ns - 1)) * r
+                ss += num * num
+                k += 1
+              }
+              ResampledFrame(docId, f, n,
+                BigDecimal(math.sqrt(
+                  ss.toDouble / (n.toDouble * upP * upP)))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+        }
+      }
+  }
+
   /** Row shape for decoded image metadata: dimensions plus two
     * order-insensitive pixel checksums (sum and xor of the 8-bit gray
     * samples) — the deterministic face of a lossy-looking pipeline stage.

@@ -171,4 +171,67 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(out(0).doc_id === 1L && out(0).n_samples === 1 &&
       out(0).rms === 3.0)
   }
+
+  test("pcmResampleEnergy at 1/1 is pcmFrameEnergy (identity resample)") {
+    val rng = new scala.util.Random(11)
+    val src = (1L to 6L).map(i =>
+        (i, Array.fill(rng.nextInt(60) + 2)(rng.nextInt(256).toByte)))
+      .toDF("doc_id", "payload")
+    val base = BinaryOps.pcmFrameEnergy(spark, src, "doc_id", "payload", 5)
+      .collect().map(f => (f.doc_id, f.frame) -> ((f.n_samples, f.rms)))
+      .toMap
+    val same = BinaryOps.pcmResampleEnergy(spark, src, "doc_id", "payload",
+        upP = 1, downQ = 1, frameLen = 5)
+      .collect().map(f => (f.doc_id, f.frame) -> ((f.n_samples, f.rms)))
+      .toMap
+    assert(same === base)
+  }
+
+  test("pcmResampleEnergy: 2x upsample interpolates exact midpoints") {
+    // samples 100, 200 → out positions 0, 0.5, 1 → 100, 150, 200
+    // (numerators 200, 300, 400 over upP=2)
+    val src = Seq((1L, Array[Byte](100, 0x00, 200.toByte, 0x00)))
+      .toDF("doc_id", "payload")
+    val out = BinaryOps.pcmResampleEnergy(spark, src, "doc_id", "payload",
+        upP = 2, downQ = 1, frameLen = 10).collect()
+    assert(out.length === 1 && out(0).n_samples === 3)
+    val want = BigDecimal(math.sqrt(
+        (200L * 200 + 300L * 300 + 400L * 400).toDouble / (3.0 * 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).rms === want)
+  }
+
+  test("pcmResampleEnergy matches a sequential reference at 2/3 rate") {
+    val rng = new scala.util.Random(17)
+    val rows = (1L to 8L).map(i =>
+      (i, Array.fill(rng.nextInt(80) + 2)(rng.nextInt(256).toByte)))
+    val (p, q) = (2, 3)
+    val got = BinaryOps.pcmResampleEnergy(spark,
+        rows.toDF("doc_id", "payload"), "doc_id", "payload", p, q,
+        frameLen = 4)
+      .collect().map(f => (f.doc_id, f.frame) -> ((f.n_samples, f.rms)))
+      .toMap
+    var expected = 0
+    rows.foreach { case (id, bytes) =>
+      val s = bytes.grouped(2).filter(_.length == 2)
+        .map(x => ((x(1).toInt << 8) | (x(0) & 0xff)).toLong).toArray
+      val ns = s.length
+      val outN = ((ns - 1).toLong * p / q + 1).toInt
+      val nums = (0 until outN).map { k =>
+        val pos = k.toLong * q
+        val i = (pos / p).toInt
+        val r = (pos % p).toInt
+        s(i) * (p - r) + s(math.min(i + 1, ns - 1)) * r
+      }
+      nums.grouped(4).zipWithIndex.foreach { case (fr, fi) =>
+        val ss = fr.map(n => n * n).sum
+        val rms = BigDecimal(
+            math.sqrt(ss.toDouble / (fr.length.toDouble * p * p)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((id, fi)) === ((fr.length, rms)), s"doc $id frame $fi")
+        expected += 1
+      }
+    }
+    assert(got.size === expected)
+  }
 }
