@@ -2892,6 +2892,26 @@ object SparkEntry {
           size(TextFns.tokens(col("text"))).as("n_ws_toks"))
     }),
 
+    // REAL BPE subword counts: 10 greedy merges trained on the corpus
+    // vocabulary (pair-count aggregate + 1-row top collect per round —
+    // the GraphOps fixed-point pattern), then a broadcast-vocab second
+    // pass; t32 stops at the pre-tokenizer, this applies the merges
+    "t34_bpe_count" -> ((s, d) =>
+      BpeOps.bpeTokenCounts(docs(s, d), "doc_id", "text", k = 10)),
+
+    // the token-budget gate fed by REAL subword counts instead of
+    // whitespace counts (ml06's 1.3-2× budget misestimate fixed): same
+    // two-phase exact cumsum, cut at 12k BPE tokens
+    "ml06b_bpe_budget" -> ((s, d) => {
+      val t = BpeOps.bpeTokenCounts(docs(s, d), "doc_id", "text", k = 10)
+        .join(docs(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+      FoldOps.takeByBudget(t,
+          Seq(col("n_chars").desc, col("doc_id").asc), col("n_bpe"),
+          budget = 12000L, cumName = "cum_bpe")
+        .select(col("doc_id"), col("n_bpe"),
+          col("cum_bpe").cast("long").as("cum_bpe"))
+    }),
+
     // SCD type-2 build from the event changelog: collapse no-change rows,
     // then [valid_from, valid_to) intervals via lead over the collapsed
     // set — the warehouse-dimension sibling of u08's changelog replay
@@ -3010,6 +3030,69 @@ object SparkEntry {
     * de-quantization) — so the projection hashes bit-identically and the
     * eigensolve needs no rows-only exemption.
     */
+  /** The t34/ml06b oracle's shared CTE tower: k UNROLLED BPE merge rounds
+    * (the v10 pattern — the oracle re-derives each round's top pair
+    * itself). Symbols ride sentinel-wrapped (CHR(1) sym CHR(2), mirroring
+    * BpeOps.S1/S2); each round = adjacent-pair counts off the split
+    * symbol list → (count DESC, a, b) top-1 → one left-to-right
+    * non-overlapping REPLACE. COALESCE guards an (impossible here)
+    * pair-free corpus: CHR(3) never occurs, so the REPLACE is a no-op.
+    * Ends with `bpec(word, n_sym)` — per-word REAL subword counts.
+    */
+  private def bpeVocabCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (SELECT l[i] AS a, l[i + 1] AS b, cnt
+               FROM (SELECT STRING_SPLIT(TRIM(ws, CHR(1) || CHR(2)),
+                              CHR(2) || CHR(1)) AS l, cnt FROM $prev),
+                    UNNEST(GENERATE_SERIES(1, LEN(l) - 1)) AS s$r(i)),
+         t$r AS MATERIALIZED (SELECT a, b
+               FROM (SELECT a, b, SUM(cnt) AS c FROM p$r GROUP BY 1, 2)
+               ORDER BY c DESC, a, b LIMIT 1),
+         v$r AS MATERIALIZED (SELECT word, cnt,
+                 REPLACE(ws,
+                   COALESCE((SELECT CHR(1) || a || CHR(2) || CHR(1) || b
+                               || CHR(2) FROM t$r), CHR(3)),
+                   COALESCE((SELECT CHR(1) || a || b || CHR(2) FROM t$r),
+                     '')) AS ws
+               FROM $prev)"""
+    }.mkString(",\n         ")
+    s"""pt AS MATERIALIZED (SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(text,
+                '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'))
+                AS word
+              FROM documents WHERE text IS NOT NULL),
+         vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM pt GROUP BY 1),
+         v0 AS MATERIALIZED (SELECT word, cnt,
+                 REGEXP_REPLACE(word, '(.)', CHR(1) || '\\1' || CHR(2), 'g')
+                   AS ws
+               FROM vocab),
+         $rounds,
+         bpec AS MATERIALIZED (SELECT word,
+                 CAST(LEN(ws) - LEN(REPLACE(ws, CHR(2), '')) AS BIGINT)
+                   AS n_sym
+               FROM v$k)"""
+  }
+
+  private def t34OracleSql: String =
+    s"""WITH ${bpeVocabCtes(10)}
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretoks,
+                CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+         FROM pt JOIN bpec USING (word) GROUP BY 1"""
+
+  private def ml06bOracleSql: String =
+    s"""WITH ${bpeVocabCtes(10)},
+         t AS (SELECT p.doc_id, MAX(d.n_chars) AS n_chars,
+                      CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+               FROM pt p JOIN bpec USING (word)
+                    JOIN documents d ON p.doc_id = d.doc_id
+               GROUP BY 1),
+         c AS (SELECT doc_id, n_bpe,
+                      CAST(SUM(n_bpe) OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS cum_bpe
+               FROM t)
+         SELECT doc_id, n_bpe, cum_bpe FROM c WHERE cum_bpe <= 12000"""
+
   private def v10OracleSql: String = {
     val iters = 30
     val steps = (1 to iters).map { k =>
@@ -3098,6 +3181,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "v10_pca_project" -> v10OracleSql,
+    "t34_bpe_count" -> t34OracleSql,
+    "ml06b_bpe_budget" -> ml06bOracleSql,
 
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al. 2016, the
+  * public BPE algorithm behind the GPT-2/RoBERTa tokenizers): train `k`
+  * greedy merges on the corpus, then count REAL subword tokens per
+  * document — the budget/packing primitives misestimate by 1.3-2× when
+  * fed whitespace counts (the reference's own budget is tokenizer-based,
+  * `model/tokenization.py:46-47`; `t32` only counts PRE-tokens).
+  *
+  * Scale shape: the corpus is scanned ONCE into a (pre-token, count)
+  * vocabulary — bounded by Heaps' law, ~10⁵-10⁶ rows at 100 TB, NOT
+  * corpus-sized — and the k training rounds iterate on that compact
+  * frame alone (one pair-count aggregate + one 1-row collect each,
+  * `localCheckpoint` per round to keep lineage flat, the GraphOps
+  * fixed-point pattern). Scoring is a second single corpus pass joined
+  * against the BROADCAST vocabulary. No UDFs anywhere: the symbol
+  * sequence of a word lives as a SENTINEL-WRAPPED STRING —
+  * "S1 l S2 S1 o S2 …" with S1=U+0001, S2=U+0002 — so one merge round is
+  * one codegen'd `replace` of "S1 a S2 S1 b S2" with "S1 ab S2"
+  * (left-to-right non-overlapping, and because every symbol carries its
+  * own closing+opening sentinels, adjacent matches share no characters —
+  * exactly BPE's greedy scan), and the per-word token count is
+  * `length(ws) − length(replace(ws, S2, ""))`.
+  *
+  * Determinism: pair ranking uses exact integer counts with a total
+  * (count DESC, left ASC, right ASC) tie-break, so the merge table — and
+  * therefore every count — is identical across engines, partitionings
+  * and AQE modes; the oracle unrolls the same k rounds as chained CTEs
+  * (the v10 pattern).
+  */
+object BpeOps {
+
+  /** Symbol sentinels: each symbol rides as S1+sym+S2. Control chars 1/2
+    * never occur in text columns (and CHR(1)/CHR(2) mirror them in SQL).
+    */
+  val S1 = "\u0001"
+  val S2 = "\u0002"
+
+  /** GPT-2-style pre-tokenizer alternation (contractions, letter runs,
+    * digit runs, punctuation runs, whitespace) — leftmost-first in both
+    * Java regex and RE2, shared with `t32_subword_count`.
+    */
+  val Gpt2Pretokenizer: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** One row per pre-token occurrence: (id cols…, word). */
+  def preTokens(docs: DataFrame, textCol: String, keep: Column*): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(keep :+ explode(regexp_extract_all(col(textCol),
+        lit(Gpt2Pretokenizer), lit(0))).as("word"): _*)
+
+  /** Train `k` greedy merges; returns the vocabulary frame
+    * (word, cnt, ws) after all merges plus the merge table itself.
+    * The only driver-side data are k single-row top-pair collects.
+    */
+  def trainBpe(docs: DataFrame, textCol: String,
+      k: Int): (DataFrame, Seq[(String, String)]) = {
+    var vocab = preTokens(docs, textCol)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("ws", regexp_replace(col("word"), "(.)", S1 + "$1" + S2))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var r = 0
+    var dry = false
+    while (r < k && !dry) {
+      val syms = split(trim(col("ws"), S1 + S2), S2 + S1)
+      val top = vocab
+        .select(col("cnt"), syms.as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // bounded: exactly one row crosses the driver
+      if (top.isEmpty) dry = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((a, b))
+        vocab = vocab.withColumn("ws",
+          replace(col("ws"), lit(S1 + a + S2 + S1 + b + S2),
+            lit(S1 + a + b + S2)))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    (vocab, merges.toList)
+  }
+
+  /** Per-document REAL subword counts after `k` trained merges:
+    * (idCol, n_pretoks, n_bpe). Second corpus pass, vocabulary broadcast.
+    */
+  def bpeTokenCounts(docs: DataFrame, id: String, textCol: String,
+      k: Int): DataFrame = {
+    val (vocab, _) = trainBpe(docs, textCol, k)
+    val counts = vocab.select(col("word"),
+      (length(col("ws")) - length(replace(col("ws"), lit(S2), lit(""))))
+        .cast("long").as("n_sym"))
+    preTokens(docs, textCol, col(id))
+      .join(broadcast(counts), Seq("word"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_pretoks"), sum(col("n_sym")).as("n_bpe"))
+  }
+}
