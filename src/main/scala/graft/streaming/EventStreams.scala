@@ -135,6 +135,52 @@ object EventStreams {
       }
   }
 
+  case class DayEvent(user_id: Long, day_num: Long)
+  case class WauState(lastDay: Long)
+  case class CoverDay(user_id: Long, day_num: Long)
+
+  /** Stateful streaming twin of the batch `q09_wau` exact sliding-window
+    * distinct (TimeSeriesOps.slidingDistinctCount): per user, activity
+    * days form presence ISLANDS [d, d+w−1] (the gaps-and-islands
+    * construction), and the state is ONE open island per user — just its
+    * last activity day. A new distinct day d emits exactly the days it
+    * NEWLY covers, [max(d, lastDay + w), d + w − 1]: an in-window day
+    * extends the island by the uncovered suffix, a gap > w−1 starts a
+    * fresh island (the max picks d itself, and the ranges never overlap
+    * because then d > lastDay + w − 1). Downstream WAU is a plain
+    * per-day count of the emitted cover rows in update mode —
+    * Σ cover(day) ≡ batch n_active for every day, asserted in
+    * StreamingSpec. State O(users); duplicate/older days are no-ops, so
+    * re-delivery within the ordered-source contract is idempotent.
+    */
+  def slidingDistinctStream(events: Dataset[DayEvent],
+      window: Int): Dataset[CoverDay] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WauState, CoverDay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[DayEvent], state: GroupState[WauState]) =>
+          val days = it.map(_.day_num).toSeq.distinct.sorted
+          var last = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[CoverDay]()
+          days.foreach { d =>
+            if (d > last) {
+              val start =
+                if (last == Long.MinValue) d else math.max(d, last + window)
+              var k = start
+              while (k <= d + window - 1) {
+                out += CoverDay(user, k)
+                k += 1
+              }
+              last = d
+            }
+          }
+          if (last != Long.MinValue) state.update(WauState(last))
+          out.iterator
+      }
+  }
+
   case class AsOfEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       is_ref: Boolean)
   case class RefState(tsMs: Long)

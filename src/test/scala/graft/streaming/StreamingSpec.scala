@@ -217,6 +217,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming sliding distinct (WAU) equals the batch islands form") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wau")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // infer the stream schema from the batch footer of the same file: the
+    // harness has shipped ts as both TIMESTAMP_NS and TIMESTAMP(µs), and a
+    // hardcoded type would silently misread the other format
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .as[EventStreams.DayEvent]
+    val q = EventStreams.slidingDistinctStream(evs, window = 7)
+      .writeStream.format("memory").queryName("wau_cover")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // per-user cover rows must be unique (islands never overlap), and the
+    // per-day count is exactly the batch WAU
+    val cover = spark.table("wau_cover")
+    assert(cover.count() === cover.distinct().count())
+    val streamed = cover.groupBy("day_num").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = SparkEntry.queries("q09_wau")(spark, "/root/testdata/sf0.001")
+      .select("day_num", "wau").as[(Long, Long)].collect().toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stream-static cohort semi-join equals the batch semi filter") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-semi")
