@@ -1077,6 +1077,10 @@ object SparkEntry {
     // Column profiling (data-quality scan): ONE aggregate pass computes all
     // stats for all profiled columns (3 scans → 1), then a stack() unpivot
     // emits the tall one-row-per-column layout
+    // exact-vs-approx switch: this is the ORACLE-GATED exact profile; the
+    // 100 TB daily-monitor path is SummaryOps.approxProfile (same stacked
+    // shape, HLL distinct + sketch p50, one bounded-state aggregate),
+    // spec-gated by error envelopes in ApproxSpec
     "dq01_profile" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       def stats(c: String) = Seq(
@@ -2702,7 +2706,10 @@ object SparkEntry {
     // per-source freshness lag: p50/p95 seconds behind the corpus
     // high-water mark — the DQ monitor for a multi-feed ingest; exact
     // type-7 quantiles via the sort-based groupQuantiles (no per-group
-    // value buffer), reference ts = max(ts) so the query is deterministic
+    // value buffer), reference ts = max(ts) so the query is deterministic.
+    // Exact-vs-approx switch: swap groupQuantiles for the drop-in
+    // groupQuantilesApprox (same schema, sketch partials, no per-group
+    // sort) when this monitors 100 TB daily — ApproxSpec gates its bound
     "dq12_freshness_lag" -> ((s, d) => {
       val ref = ev(s, d).agg(max(col("ts")).as("__ref"))
       val lags = ev(s, d).crossJoin(broadcast(ref))

@@ -84,11 +84,33 @@ object CleaningOps {
     * PAIR — the scale-right form for per-group quantiles (one keyed
     * shuffle, rank windows, an aggregate; no per-group value buffer like
     * the `percentile` ObjectHashAggregate would hold).
+    *
+    * Exact-vs-approx switch: this form still pays a full per-group SORT
+    * per monitored column; where a monitor runs over 100 TB daily and a
+    * bounded rank error is acceptable, swap in the schema-compatible
+    * [[groupQuantilesApprox]] (dq12's documented scale path). The exact
+    * form remains the oracle-gate implementation.
     */
   def groupQuantiles(df: DataFrame, key: String, value: String,
       lo: Double, hi: Double): DataFrame =
     percentileBounds(df, key, value, lo, hi)
       .select(col(key), col("__lo").as("q_lo"), col("__hi").as("q_hi"))
+
+  /** Sketch-based drop-in for [[groupQuantiles]] — same (key, q_lo, q_hi)
+    * schema, KLL/GK-style `percentile_approx` underneath: one hash
+    * aggregate with a BOUNDED sketch partial per group instead of a full
+    * per-group sort, rank error ≤ n/accuracy. Two documented divergences
+    * from the exact form (why it's spec-gated by an error-bound property
+    * in ApproxSpec rather than a DuckDB hash oracle): the result is an
+    * actual data point (no type-7 interpolation), and sketch merges are
+    * not bit-deterministic across partitionings.
+    */
+  def groupQuantilesApprox(df: DataFrame, key: String, value: String,
+      lo: Double, hi: Double, accuracy: Int = 10000): DataFrame =
+    df.filter(col(value).isNotNull)
+      .groupBy(key).agg(
+        percentile_approx(col(value), lit(lo), lit(accuracy)).as("q_lo"),
+        percentile_approx(col(value), lit(hi), lit(accuracy)).as("q_hi"))
 
   /** A6 — per-group percentile clamp (reference outlier removal,
     * `outlier_removal.py:11-37`, impute branch): clamp `value` into

@@ -268,4 +268,33 @@ object SummaryOps {
     */
   def approxHeavyHitters(df: DataFrame, c: String, support: Double): DataFrame =
     df.stat.freqItems(Seq(c), support)
+
+  /** Sketch-based column profile — the 100 TB monitor path next to the
+    * exact `dq01_profile` query (same stacked one-row-per-column shape):
+    * count/null/min/max stay exact single-pass aggregates, but distinct
+    * goes through HyperLogLog++ (`approx_count_distinct`, ±rsd) and the
+    * median through `percentile_approx` (rank error ≤ n/accuracy) — so
+    * the whole profile is ONE bounded-state hash aggregate, where the
+    * exact profile's countDistinct trio expands every row per column and
+    * shuffles the expansion. Spec-gated by error bounds (ApproxSpec), not
+    * a hash oracle: sketch merge order is not bit-deterministic.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+      accuracy: Int = 10000): DataFrame = {
+    def stats(c: String) = Seq(
+      count(lit(1)).as(s"n_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      approx_count_distinct(col(c), rsd).as(s"dist_$c"),
+      round(min(col(c)), 6).as(s"min_$c"),
+      round(max(col(c)), 6).as(s"max_$c"),
+      percentile_approx(col(c), lit(0.5), lit(accuracy)).cast("double")
+        .as(s"p50_$c"))
+    val aggs = cols.flatMap(stats)
+    val wide = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', n_$c, null_$c, dist_$c, min_$c, max_$c, p50_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stacked) as " +
+        "(col_name, n, n_null, approx_distinct, min_v, max_v, approx_p50)"))
+  }
 }

@@ -63,4 +63,52 @@ class ApproxSpec extends AnyFunSuite {
       .groupBy("tok").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact("hot") === 400L && exact("warm") === 200L)
   }
+
+  test("groupQuantilesApprox lands within rank error of the exact type-7 pair") {
+    // drop-in schema: (key, q_lo, q_hi) both forms
+    val exact = CleaningOps.groupQuantiles(df, "g", "v", 0.05, 0.95)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val approx = CleaningOps.groupQuantilesApprox(df, "g", "v", 0.05, 0.95,
+        accuracy = 10000)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(approx.keySet === exact.keySet)
+    // values are 0..996; rank error n/accuracy = 0.5 ranks at n = 5000 →
+    // the sketch returns a data point within a whisker of the exact
+    // interpolated bound (data-point vs interpolation gap ≤ 1 value step)
+    approx.foreach { case (g, (alo, ahi)) =>
+      val (elo, ehi) = exact(g)
+      assert(math.abs(alo - elo) <= 5.0, s"$g q_lo: $alo vs $elo")
+      assert(math.abs(ahi - ehi) <= 5.0, s"$g q_hi: $alo vs $ehi")
+    }
+  }
+
+  test("approxProfile: exact fields match dq01's aggregates, sketch fields in envelope") {
+    val lin = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val prof = SummaryOps.approxProfile(lin, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet === cols.toSet)
+    cols.foreach { c =>
+      val exact = lin.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("nn"),
+        countDistinct(col(c)).as("d"),
+        round(min(col(c)), 6).as("mn"),
+        round(max(col(c)), 6).as("mx"),
+        expr(s"percentile($c, 0.5)").as("p50")).head()
+      val r = prof(c)
+      assert(r.getLong(1) === exact.getLong(0)) // n exact
+      assert(r.getLong(2) === exact.getLong(1)) // nulls exact
+      val (ad, ed) = (r.getLong(3), exact.getLong(2))
+      assert(math.abs(ad - ed) <= 3 * 0.05 * ed + 1, s"$c distinct: $ad vs $ed")
+      assert(r.getDouble(4) === exact.getDouble(3)) // min exact
+      assert(r.getDouble(5) === exact.getDouble(4)) // max exact
+      val (ap, ep) = (r.getDouble(6), exact.getDouble(5))
+      // p50 within a generous data whisker (sketch returns a data point)
+      assert(math.abs(ap - ep) <= 0.05 * math.max(1.0, math.abs(ep)) +
+        (if (c == "l_discount") 0.01 else 1.0), s"$c p50: $ap vs $ep")
+    }
+  }
 }
