@@ -2075,6 +2075,13 @@ object SparkEntry {
       RegressionOps.mannWhitney(ev(s, d), col("value"), col("event_type"),
         groupA = "purchase", groupB = "view")),
 
+    // k-group rank test over ALL segments (a32's generalization): exact
+    // integer rank sums + tie term, bounded per-group array folded in
+    // sorted order for a partitioning-independent double sum
+    "a43_kruskal" -> ((s, d) =>
+      RegressionOps.kruskalWallis(ev(s, d), col("value"),
+        col("event_type"))),
+
     // exact population covariance of the 64-dim embedding corpus (upper
     // triangle) — the PCA/whitening input; pair products generated
     // map-side by a nested transform, never a self-join
@@ -6849,6 +6856,43 @@ object SparkEntry {
                                   / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))),
                   6) + 0.0 AS z
          FROM u""",
+
+    // a32's k-group sibling: same doubled-average-rank prefix machinery;
+    // the per-group R²/n terms are doubles, so they're summed by a
+    // LIST_SORT + LIST_REDUCE fold in group order — mirroring the
+    // engine's sorted-array aggregate — to keep the last ulp independent
+    // of aggregation merge order on BOTH engines
+    "a43_kruskal" ->
+      """WITH r0 AS (SELECT value AS v, event_type AS g FROM events
+                     WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cgv
+                FROM r0 GROUP BY 1, 2),
+         c AS (SELECT v, CAST(SUM(cgv) AS BIGINT) AS cnt FROM gv GROUP BY 1),
+         r AS (SELECT v, cnt,
+                      CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM c),
+         pg AS (SELECT g, CAST(SUM(cgv) AS BIGINT) AS ng,
+                       SUM(CAST(cgv AS HUGEINT) * (2 * cum - (cnt - 1)))
+                         AS r2g
+                FROM gv JOIN r USING (v) GROUP BY 1),
+         tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                       SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+                FROM r),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                      LIST_REDUCE(LIST_TRANSFORM(LIST_SORT(
+                        LIST({'g': g,
+                              't': CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                                     / (4.0 * ng)})),
+                        x -> x.t), (a, b) -> a + b) AS s4
+               FROM pg)
+         SELECT k_groups, n,
+                ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s4
+                       - 3 * (n + 1))
+                      / (1 - CAST(ties AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0
+                  AS h
+         FROM s, tt""",
 
     // pair products via the row-local unnest (generate_subscripts is
     // 1-based — shifted to the engine's 0-based lambda index); lanes

@@ -272,6 +272,57 @@ object RegressionOps {
           6).as("z"))
   }
 
+  /** Exact tie-corrected Kruskal-Wallis H — [[mannWhitney]]'s k-group
+    * generalization ("did ANY segment's distribution shift"), the same
+    * doubled-average-rank machinery: per (group, value) counts, global
+    * rank prefix via [[RankOps.globalCumsum]] (never a single-partition
+    * window), exact integer rank sums 2·R_g and tie term Σ(t³−t), then
+    *
+    *   H = (12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)) / (1 − Σ(t³−t)/(n³−n))
+    *
+    * Cross-engine determinism detail: Σ_g R_g²/n_g sums DOUBLES (R_g² can
+    * exceed 2⁵³), and a hash-aggregate's merge order would make the last
+    * ulp partitioning-dependent — so the per-group terms are collected
+    * into a bounded array (one row per group — the segment cardinality,
+    * not data), sorted by group, and folded LEFT-TO-RIGHT with a
+    * higher-order `aggregate`; the oracle mirrors with
+    * LIST_SORT + LIST_REDUCE. Every other statistic is an exact integer.
+    */
+  def kruskalWallis(df: DataFrame, value: Column, group: Column): DataFrame = {
+    val rows = df.select(value.as("__v"), group.as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+    val gv = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cgv"))
+    val counts = gv.groupBy(col("__v")).agg(sum(col("__cgv")).as("__cnt"))
+    val ranked =
+      RankOps.globalCumsum(counts, Seq(col("__v")), col("__cnt"), "__cum")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perGroup = gv.join(ranked, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cgv")).as("__ng"),
+        sum(dec(col("__cgv")) * (lit(2) * col("__cum") - (col("__cnt") - 1)))
+          .as("__2rg"))
+    val tot = ranked.agg(sum(col("__cnt")).as("__n"),
+      sum(dec(col("__cnt")) * col("__cnt") * col("__cnt") - dec(col("__cnt")))
+        .as("__ties"))
+    perGroup
+      .agg(count(lit(1)).as("k_groups"),
+        aggregate(
+          array_sort(collect_list(struct(col("__g").as("g"),
+            (col("__2rg").cast("double") * col("__2rg").cast("double") /
+              (lit(4.0) * col("__ng"))).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__s4"))
+      .crossJoin(broadcast(tot)) // 1-row × 1-row stats frames
+      .select(col("k_groups"), col("__n").as("n"),
+        round(
+          (lit(12.0) / (col("__n").cast("double") * (col("__n") + 1)) *
+            col("__s4") - lit(3) * (col("__n") + 1)) /
+            (lit(1) - col("__ties").cast("double") /
+              (col("__n").cast("double") * col("__n") * col("__n") -
+                col("__n"))),
+          6).as("h"))
+  }
+
   /** Exact tie-corrected Wilcoxon signed-rank test over PAIRED
     * integer-quantized differences — [[mannWhitney]]'s sibling for
     * before/after comparisons on the same subjects (did the metric move

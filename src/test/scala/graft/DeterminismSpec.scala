@@ -82,7 +82,11 @@ class DeterminismSpec extends AnyFunSuite {
     // replica frames, the changepoint double-gain argmax, and the
     // composed e2e tensor chain
     "v10_pca_project", "a31_cindex", "a41_bootstrap_ci",
-    "ts15_changepoint", "e2e_stay_tensors")
+    "ts15_changepoint", "e2e_stay_tensors",
+    // r9 additions: the BPE budget rides globalCumsum (range-bucketed),
+    // and t34's training loop must produce the same merge table under
+    // every mode (the memo keys on mode precisely so this retrains)
+    "t34_bpe_count", "ml06b_bpe_budget", "e2e_drug_map")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df

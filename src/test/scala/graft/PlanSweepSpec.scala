@@ -80,7 +80,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q08_rfm" -> "bucket-offset triangles (three globalRowNumbers) + 1-row user count",
     "a38_fleiss_kappa" -> "1-row Σ marginal-square scalar (explicit broadcast)",
     "dq12_freshness_lag" -> "1-row max-ts high-water mark (explicit broadcast)",
-    "q10_pareto_share" -> "bucket-offset triangle (globalRowNumber) + 1-row (n, total) scalars (explicit broadcast)")
+    "q10_pareto_share" -> "bucket-offset triangle (globalRowNumber) + 1-row (n, total) scalars (explicit broadcast)",
+    "a43_kruskal" -> ("bucket-offset triangle (globalCumsum over the " +
+      "distinct-value frame) + 1-row (n, ties) totals (explicit broadcast)"),
+    "ml06b_bpe_budget" -> "bucket-offset triangle (globalCumsum)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —
