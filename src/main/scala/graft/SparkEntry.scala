@@ -1857,6 +1857,47 @@ object SparkEntry {
         GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"),
         "src", "dst")),
 
+    // 3-core of the same graph: 12 monotone peel rounds (fixed count —
+    // deterministic AND unrollable as oracle CTEs; no-ops once converged),
+    // survivors with their in-core degree
+    "g06_kcore" -> ((s, d) =>
+      GraphOps.kCore(
+        GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"),
+        "src", "dst", k = 3, rounds = 12)),
+
+    // snapshot-drift monitor: split the feed at the midpoint of its time
+    // extent (1-row broadcast bound), profile each half per column in ONE
+    // pass (conditional aggregates), report per-column count/null/distinct
+    // drift — the "did the pipeline change under me" check dq01 can't
+    // answer because it profiles a single snapshot
+    "dq15_schema_drift" -> ((s, d) => {
+      val e = ev(s, d)
+      val mid = e.agg(((unix_micros(min(col("ts"))) +
+        unix_micros(max(col("ts")))) / 2).as("__mid"))
+      val tagged = e.crossJoin(broadcast(mid))
+        .withColumn("__ha", unix_micros(col("ts")) < col("__mid"))
+      val cols = Seq("value", "event_type", "user_id")
+      def stats(c: String) = Seq(
+        sum(when(col("__ha"), 1L).otherwise(0L)).as(s"na_$c"),
+        sum(when(col("__ha") && col(c).isNull, 1L).otherwise(0L))
+          .as(s"nulla_$c"),
+        countDistinct(when(col("__ha"), col(c))).as(s"dista_$c"),
+        sum(when(!col("__ha"), 1L).otherwise(0L)).as(s"nb_$c"),
+        sum(when(!col("__ha") && col(c).isNull, 1L).otherwise(0L))
+          .as(s"nullb_$c"),
+        countDistinct(when(!col("__ha"), col(c))).as(s"distb_$c"))
+      val aggs = cols.flatMap(stats)
+      val wide = tagged.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', na_$c, nulla_$c, dista_$c, nb_$c, nullb_$c, distb_$c")
+        .mkString(", ")
+      wide.select(expr(s"stack(${cols.size}, $stacked) as " +
+          "(col_name, n_a, null_a, dist_a, n_b, null_b, dist_b)"))
+        .withColumn("null_rate_delta",
+          round(col("null_b").cast("double") / col("n_b") -
+            col("null_a").cast("double") / col("n_a"), 6))
+    }),
+
     // hour-of-week seasonal baseline per event type: n / mean / std per
     // calendar cell from exact integer sums (squares in DECIMAL(38,0))
     "ts08_seasonal_profile" -> ((s, d) =>
@@ -3107,6 +3148,35 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, n_bpe, cum_bpe FROM c WHERE cum_bpe <= 12000"""
 
+  /** g06's oracle: the 3-core peel unrolled (same fixed 12 rounds as the
+    * engine — monotone, so converged rounds are no-ops on both sides).
+    */
+  private def g06OracleSql: String = {
+    val (k, rounds) = (3, 12)
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM adj
+               WHERE z IN (SELECT z FROM a${r - 1})
+                 AND n IN (SELECT z FROM a${r - 1})
+               GROUP BY 1),
+         a$r AS MATERIALIZED (SELECT z FROM d$r WHERE deg >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                    FROM lineitem),
+         e AS (SELECT a.i AS s, b.i AS t
+               FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2),
+         adj AS MATERIALIZED (SELECT s AS z, t AS n FROM e
+               UNION ALL SELECT t AS z, s AS n FROM e),
+         a0 AS MATERIALIZED (SELECT DISTINCT z FROM adj),
+         $steps
+         SELECT z AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         FROM adj
+         WHERE z IN (SELECT z FROM a$rounds)
+           AND n IN (SELECT z FROM a$rounds)
+         GROUP BY 1"""
+  }
+
   private def v10OracleSql: String = {
     val iters = 30
     val steps = (1 to iters).map { k =>
@@ -3197,6 +3267,65 @@ object SparkEntry {
     "v10_pca_project" -> v10OracleSql,
     "t34_bpe_count" -> t34OracleSql,
     "ml06b_bpe_budget" -> ml06bOracleSql,
+    "g06_kcore" -> g06OracleSql,
+
+    // one conditional-aggregate pass per half; midpoint sum ~3.4e15 µs is
+    // exact in double, /2 exact, so the split lands identically
+    "dq15_schema_drift" ->
+      """WITH m AS (SELECT (EPOCH_US(MIN(ts)) + EPOCH_US(MAX(ts))) / 2
+                      AS mid
+                    FROM events),
+         t AS (SELECT e.*, EPOCH_US(ts) < m.mid AS ha FROM events e, m),
+         w AS (SELECT
+                 SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS na_value,
+                 SUM(CASE WHEN ha AND value IS NULL THEN 1 ELSE 0 END)
+                   AS nulla_value,
+                 COUNT(DISTINCT CASE WHEN ha THEN value END) AS dista_value,
+                 SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS nb_value,
+                 SUM(CASE WHEN NOT ha AND value IS NULL THEN 1 ELSE 0 END)
+                   AS nullb_value,
+                 COUNT(DISTINCT CASE WHEN NOT ha THEN value END)
+                   AS distb_value,
+                 SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS na_et,
+                 SUM(CASE WHEN ha AND event_type IS NULL THEN 1 ELSE 0 END)
+                   AS nulla_et,
+                 COUNT(DISTINCT CASE WHEN ha THEN event_type END) AS dista_et,
+                 SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS nb_et,
+                 SUM(CASE WHEN NOT ha AND event_type IS NULL THEN 1
+                     ELSE 0 END) AS nullb_et,
+                 COUNT(DISTINCT CASE WHEN NOT ha THEN event_type END)
+                   AS distb_et,
+                 SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS na_uid,
+                 SUM(CASE WHEN ha AND user_id IS NULL THEN 1 ELSE 0 END)
+                   AS nulla_uid,
+                 COUNT(DISTINCT CASE WHEN ha THEN user_id END) AS dista_uid,
+                 SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS nb_uid,
+                 SUM(CASE WHEN NOT ha AND user_id IS NULL THEN 1
+                     ELSE 0 END) AS nullb_uid,
+                 COUNT(DISTINCT CASE WHEN NOT ha THEN user_id END)
+                   AS distb_uid
+               FROM t),
+         s AS (SELECT 'value' AS col_name, na_value AS n_a,
+                      nulla_value AS null_a, dista_value AS dist_a,
+                      nb_value AS n_b, nullb_value AS null_b,
+                      distb_value AS dist_b
+               FROM w
+               UNION ALL
+               SELECT 'event_type', na_et, nulla_et, dista_et, nb_et,
+                      nullb_et, distb_et FROM w
+               UNION ALL
+               SELECT 'user_id', na_uid, nulla_uid, dista_uid, nb_uid,
+                      nullb_uid, distb_uid FROM w)
+         SELECT col_name, CAST(n_a AS BIGINT) AS n_a,
+                CAST(null_a AS BIGINT) AS null_a,
+                CAST(dist_a AS BIGINT) AS dist_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(null_b AS BIGINT) AS null_b,
+                CAST(dist_b AS BIGINT) AS dist_b,
+                ROUND(CAST(null_b AS DOUBLE) / n_b
+                      - CAST(null_a AS DOUBLE) / n_a, 6) + 0.0
+                  AS null_rate_delta
+         FROM s""",
 
     "e2e_cohort_mortality" ->
       s"""WITH $e2eBaseCtes

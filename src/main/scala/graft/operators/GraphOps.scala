@@ -101,6 +101,40 @@ object GraphOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** k-core peel (the classic densest-region decomposition): run `rounds`
+    * iterations of "drop every node whose degree among SURVIVORS is < k"
+    * and return the survivors with their in-core degree. Peeling is
+    * MONOTONE — once the core stabilizes, further rounds are no-ops — so
+    * a fixed round count is simultaneously deterministic, convergent for
+    * any graph whose peel depth is ≤ `rounds`, and exactly mirrorable by
+    * an unrolled-CTE oracle (the v10/BPE pattern; and if a pathological
+    * graph needed more rounds, engine and oracle still agree — both stop
+    * at the same round). Each round: two semi-joins of the symmetric
+    * adjacency against the shrinking survivor frame + one hash agg,
+    * survivor frame checkpointed per round (the pageRank lineage
+    * argument). No driver-side data ever.
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      rounds: Int): DataFrame = {
+    val e0 = edges.select(col(src).as("__u"), col(dst).as("__v"))
+      .localCheckpoint()
+    val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
+      .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
+      .localCheckpoint()
+    var alive = adj.select(col("__z")).distinct().localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val deg = adj
+        .join(alive, Seq("__z"), "left_semi")
+        .join(alive.withColumnRenamed("__z", "__n"), Seq("__n"), "left_semi")
+        .groupBy("__z").agg(count(lit(1)).as("__deg"))
+      alive = deg.filter(col("__deg") >= k).select("__z").localCheckpoint()
+    }
+    adj.join(alive, Seq("__z"), "left_semi")
+      .join(alive.withColumnRenamed("__z", "__n"), Seq("__n"), "left_semi")
+      .groupBy(col("__z")).agg(count(lit(1)).as("core_deg"))
+      .select(col("__z").as("node"), col("core_deg"))
+  }
+
   /** Exact triangle count of an undirected graph, degree-ordered.
     *
     * The naive wedge join enumerates Σ deg(v)² wedges — a single hub node

@@ -83,7 +83,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q10_pareto_share" -> "bucket-offset triangle (globalRowNumber) + 1-row (n, total) scalars (explicit broadcast)",
     "a43_kruskal" -> ("bucket-offset triangle (globalCumsum over the " +
       "distinct-value frame) + 1-row (n, ties) totals (explicit broadcast)"),
-    "ml06b_bpe_budget" -> "bucket-offset triangle (globalCumsum)")
+    "ml06b_bpe_budget" -> "bucket-offset triangle (globalCumsum)",
+    "dq15_schema_drift" -> "1-row time-extent midpoint (explicit broadcast)")
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

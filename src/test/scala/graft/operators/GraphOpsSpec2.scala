@@ -61,4 +61,20 @@ class GraphOpsSpec2 extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h === Map(3L -> 4L))
   }
+
+  test("kCore: cascading peel strips the tail, keeps the triangle") {
+    // triangle {1,2,3} + path 3-4-5: peeling at k=2 drops 5 (deg 1),
+    // which EXPOSES 4 (deg drops 2 → 1) — the second round matters
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(e, "src", "dst", k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the graph's max core empties it") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphOps.kCore(e, "src", "dst", k = 3, rounds = 3)
+      .collect().isEmpty)
+  }
 }
