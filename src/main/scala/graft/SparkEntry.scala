@@ -878,6 +878,31 @@ object SparkEntry {
         nProbe = 2, k = 3)
     }),
 
+    // MMR diversity rerank over a bounded top-20 candidate list (the RAG
+    // retrieve→rerank pass): 5 unrolled greedy steps, each an anti-join +
+    // bounded max-sim aggregate + TakeOrderedAndProject argmax; (1−λ) is
+    // computed, not a literal, so both engines hold the same double
+    "v12_mmr_rerank" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val cands = Knn.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20,
+          simFn = (a, b) => call_function("cosine_sim", a, b))
+        .select(col("neighbor_id").as("id"), col("sim").as("rel"))
+      val cv = e
+        .join(cands.select(col("id").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"),
+          graft.functions.VectorFns.toDoubleArr(col("embedding")).as("__v"))
+      val ps = cv.alias("x").join(broadcast(cv.alias("y")),
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(call_function("cosine_sim", col("x.__v"), col("y.__v")), 6)
+            .as("sim"))
+      Knn.mmrRerank(cands, "id", "rel", ps, "a", "b", "sim",
+          k = 5, lam = 0.7)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     "v02_ann_clustered" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       Knn.clusteredTopK(emb(s, d), "vec_id", "embedding", "label", k = 3,
@@ -3177,6 +3202,54 @@ object SparkEntry {
          GROUP BY 1"""
   }
 
+  /** v12's oracle: the 5 greedy MMR steps unrolled; (1 − 0.7) stays an
+    * EXPRESSION so DuckDB computes the identical binary64 the engine's
+    * `lit(1.0) - lit(lam)` holds (a 0.3 literal would be a different
+    * double).
+    */
+  private def v12OracleSql: String = {
+    val (n, k, lam) = (20, 5, "0.7")
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT id, rel, $t AS rank, score FROM (
+               SELECT c.id, c.rel,
+                      $lam * c.rel - (1 - $lam) * MAX(p.sim) AS score
+               FROM cand c
+               JOIN ps p ON p.a = c.id
+               JOIN sel${t - 1} s ON p.b = s.id
+               WHERE c.id NOT IN (SELECT id FROM sel${t - 1})
+               GROUP BY c.id, c.rel)
+             ORDER BY score DESC, id ASC LIMIT 1),
+         sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+               UNION ALL SELECT * FROM s$t)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id,
+                          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+         q AS (SELECT v FROM e WHERE vec_id = 0),
+         cand AS MATERIALIZED (
+           SELECT c.vec_id AS id,
+                  ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
+                       * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) + 0.0 AS rel
+           FROM e c, q WHERE c.vec_id <> 0
+           ORDER BY rel DESC, id ASC LIMIT $n),
+         cv AS MATERIALIZED (SELECT e.vec_id AS id, e.v
+               FROM e JOIN cand ON e.vec_id = cand.id),
+         ps AS MATERIALIZED (
+           SELECT x.id AS a, y.id AS b,
+                  ROUND(LIST_DOT_PRODUCT(x.v, y.v)
+                    / (SQRT(LIST_DOT_PRODUCT(x.v, x.v))
+                       * SQRT(LIST_DOT_PRODUCT(y.v, y.v))), 6) + 0.0 AS sim
+           FROM cv x JOIN cv y ON x.id <> y.id),
+         sel1 AS MATERIALIZED (SELECT id, rel, 1 AS rank, $lam * rel AS score
+               FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+         $steps
+         SELECT id AS vec_id, CAST(rank AS INTEGER) AS rank,
+                ROUND(score, 6) + 0.0 AS mmr_score
+         FROM sel$k"""
+  }
+
   private def v10OracleSql: String = {
     val iters = 30
     val steps = (1 to iters).map { k =>
@@ -3268,6 +3341,7 @@ object SparkEntry {
     "t34_bpe_count" -> t34OracleSql,
     "ml06b_bpe_budget" -> ml06bOracleSql,
     "g06_kcore" -> g06OracleSql,
+    "v12_mmr_rerank" -> v12OracleSql,
 
     // one conditional-aggregate pass per half; midpoint sum ~3.4e15 µs is
     // exact in double, /2 exact, so the split lands identically

@@ -54,6 +54,47 @@ object Knn {
     simRank(joined, k, simFn)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998 — the
+    * standard RAG diversity pass): greedily pick `k` of the candidate set,
+    * each step maximizing λ·rel − (1−λ)·max_sim-to-already-selected.
+    * Inputs are BOUNDED BY CONSTRUCTION (a rerank consumes a top-N list,
+    * N ≈ 20-100), so the k unrolled steps — an anti-join, a max-sim
+    * aggregate over |selected|·N pair rows, and a TakeOrderedAndProject
+    * argmax — never touch data-sized frames and need no checkpointing.
+    *
+    * Determinism: `rel` and `sim` arrive 6dp-rounded (the v01 contract),
+    * the score is two IEEE ops on identical doubles — note (1−λ) is
+    * COMPUTED as `1 - λ` on both engines, never written as a literal
+    * (1 − 0.7 ≠ 0.3 in binary64, and the oracle must hold the same
+    * double) — and every argmax tie-breaks (score DESC, id ASC). The
+    * first pick's diversity term is zero (empty selected set), so its
+    * score is λ·rel.
+    */
+  def mmrRerank(cands: DataFrame, id: String, rel: String,
+      pairSims: DataFrame, a: String, b: String, sim: String,
+      k: Int, lam: Double): DataFrame = {
+    val c = cands.select(col(id).as("__id"), col(rel).as("__rel"))
+    val ps = pairSims.select(col(a).as("__a"), col(b).as("__b"),
+      col(sim).as("__s"))
+    var sel = c
+      .orderBy(col("__rel").desc, col("__id").asc).limit(1)
+      .select(col("__id"), col("__rel"), lit(1).as("rank"),
+        (lit(lam) * col("__rel")).as("__score"))
+    for (t <- 2 to k) {
+      val rem = c.join(sel.select("__id"), Seq("__id"), "left_anti")
+      val mx = ps.join(sel.select(col("__id").as("__b")), Seq("__b"))
+        .groupBy(col("__a").as("__id")).agg(max(col("__s")).as("__mx"))
+      val pick = rem.join(mx, Seq("__id"))
+        .withColumn("__score",
+          lit(lam) * col("__rel") - (lit(1.0) - lit(lam)) * col("__mx"))
+        .orderBy(col("__score").desc, col("__id").asc).limit(1)
+        .select(col("__id"), col("__rel"), lit(t).as("rank"), col("__score"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("__id").as(id), col("rank"),
+      round(col("__score"), 6).as("mmr_score"))
+  }
+
   /** IVF-style top-k: every vector probes only its own `bucket` cluster.
     * One equi-join on the bucket id — block-local similarity, cluster-key
     * shuffle, AQE-skew-safe.

@@ -84,7 +84,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "a43_kruskal" -> ("bucket-offset triangle (globalCumsum over the " +
       "distinct-value frame) + 1-row (n, ties) totals (explicit broadcast)"),
     "ml06b_bpe_budget" -> "bucket-offset triangle (globalCumsum)",
-    "dq15_schema_drift" -> "1-row time-extent midpoint (explicit broadcast)")
+    "dq15_schema_drift" -> "1-row time-extent midpoint (explicit broadcast)",
+    "v12_mmr_rerank" -> ("top-20 candidate frame throughout (rerank " +
+      "contract: inputs bounded by construction) — pair self-join and " +
+      "greedy argmax steps all <= 20-row sides"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

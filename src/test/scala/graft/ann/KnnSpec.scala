@@ -178,4 +178,24 @@ class KnnSpec extends AnyFunSuite {
     assert(one.nonEmpty)
     assert(one.forall { case (q, n) => cell(q) === cell(n) })
   }
+
+  test("mmrRerank trades relevance for diversity and tie-breaks by id") {
+    import org.apache.spark.sql.functions._
+    // a is best; b is nearly a duplicate of a (sim .95); c is distinct.
+    // With lambda = 0.7: step 2 scores b at .7*.85-.3*.95 = .31 and c at
+    // .7*.80-.3*.10 = .53 -> c outranks the higher-relevance b
+    val cands = Seq(("a", 0.9), ("b", 0.85), ("c", 0.8)).toDF("id", "rel")
+    val sims = Seq(
+      ("a", "b", 0.95), ("b", "a", 0.95),
+      ("a", "c", 0.10), ("c", "a", 0.10),
+      ("b", "c", 0.10), ("c", "b", 0.10)).toDF("a", "b", "sim")
+    val got = Knn.mmrRerank(cands, "id", "rel", sims, "a", "b", "sim",
+        k = 3, lam = 0.7)
+      .orderBy("rank").as[(String, Int, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq("a", "c", "b"))
+    assert(got(0)._3 === 0.63) // lambda * rel, empty diversity term
+    assert(got(1)._3 === 0.53)
+    // b's final score: .7*.85 - .3*max(.95, .10)
+    assert(math.abs(got(2)._3 - 0.31) < 1e-9)
+  }
 }
