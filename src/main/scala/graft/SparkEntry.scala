@@ -2767,6 +2767,45 @@ object SparkEntry {
           round(col("value_imputed") / 100.0, 4).as("val_imputed"))
     }),
 
+    // SAX discretization (Lin/Keogh symbolic aggregate approximation):
+    // per-user daily-count series → 8 PAA segments (idx·8 div n keeps
+    // ragged lengths exact) → z-normalized segment means from exact
+    // integer (n, Σx, Σx²) → 4-letter Gaussian-breakpoint alphabet.
+    // Every float is derived from exact integers by mirrored IEEE ops, so
+    // the symbols are bit-portable; a constant series z-scores to NaN,
+    // which CASEs to 'd' identically on both engines
+    "ts16_sax" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      val idx = daily.withColumn("__i", row_number().over(w).cast("long") - 1)
+      val stats = daily.groupBy("user_id").agg(
+        count(lit(1)).as("__n"), sum(col("cnt")).as("__sx"),
+        sum(col("cnt") * col("cnt")).as("__sxx"))
+      val segs = idx.join(stats, Seq("user_id"))
+        .withColumn("seg_no", expr("__i * 8 div __n").cast("int"))
+        .groupBy(col("user_id"), col("seg_no"), col("__n"), col("__sx"),
+          col("__sxx"))
+        .agg(sum(col("cnt")).as("__ss"), count(lit(1)).as("__sn"))
+      val mu = col("__sx").cast("double") / col("__n")
+      val sigma = sqrt((col("__n") * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double")) / col("__n")
+      val z = (col("__ss").cast("double") / col("__sn") - mu) / sigma
+      // σ = 0 (constant series) would z-score to NaN/±Inf whose bit
+      // payloads aren't a cross-engine contract — NULL instead, guarded
+      // on the exact integer variance numerator
+      val degenerate = (col("__n") * col("__sxx") -
+        col("__sx") * col("__sx")) === 0
+      segs.select(col("user_id"), col("seg_no"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(z, 6)).as("z_paa"),
+        when(degenerate, lit(null).cast("string"))
+          .when(z < -0.6745, "a").when(z < 0.0, "b").when(z < 0.6745, "c")
+          .otherwise("d").as("symbol"))
+    }),
+
     // best mean-shift changepoint per user over the daily event-count
     // series — CUSUM (ts07) flags THAT a drift happened; this localizes
     // WHERE: exact integer SSE-gain numerators, deterministic argmax
@@ -2978,6 +3017,31 @@ object SparkEntry {
     // pass; t32 stops at the pre-tokenizer, this applies the merges
     "t34_bpe_count" -> ((s, d) =>
       BpeOps.bpeTokenCounts(docs(s, d), "doc_id", "text", k = 10)),
+
+    // DPO-style preference-pair construction: per prompt group (source),
+    // pair the best- and worst-scoring documents (integer lexical-
+    // diversity score — exact, so the argmax/argmin need no float
+    // tie-break) as (chosen, rejected); singleton groups drop out
+    "ml20_preference_pairs" -> ((s, d) => {
+      val t = docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(TextFns.tokens(col("text")))).cast("long")
+            .as("score"))
+      val wb = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").desc)
+      val ww = Window.partitionBy("source")
+        .orderBy(col("score").asc, col("doc_id").asc)
+      val r = t.withColumn("__rb", row_number().over(wb))
+        .withColumn("__rw", row_number().over(ww))
+      r.filter(col("__rb") === 1)
+        .select(col("source"), col("doc_id").as("chosen_doc"),
+          col("score").as("chosen_score"))
+        .join(r.filter(col("__rw") === 1)
+          .select(col("source"), col("doc_id").as("rejected_doc"),
+            col("score").as("rejected_score")), Seq("source"))
+        .filter(col("chosen_doc") =!= col("rejected_doc"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+    }),
 
     // the token-budget gate fed by REAL subword counts instead of
     // whitespace counts (ml06's 1.3-2× budget misestimate fixed): same
@@ -3342,6 +3406,24 @@ object SparkEntry {
     "ml06b_bpe_budget" -> ml06bOracleSql,
     "g06_kcore" -> g06OracleSql,
     "v12_mmr_rerank" -> v12OracleSql,
+
+    "ml20_preference_pairs" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(
+                             TRIM(text), '\s+'))) AS BIGINT) AS score
+                    FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id DESC) AS rb,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY score ASC, doc_id ASC) AS rw
+               FROM t)
+         SELECT b.source, b.doc_id AS chosen_doc, b.score AS chosen_score,
+                w.doc_id AS rejected_doc, w.score AS rejected_score,
+                b.score - w.score AS margin
+         FROM (SELECT * FROM r WHERE rb = 1) b
+         JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
+         WHERE b.doc_id <> w.doc_id""",
 
     // one conditional-aggregate pass per half; midpoint sum ~3.4e15 µs is
     // exact in double, /2 exact, so the split lands identically
@@ -3958,6 +4040,44 @@ object SparkEntry {
          SELECT user_id, day AS cp_at, n AS n_points,
                 ROUND(gain, 6) + 0.0 AS gain
          FROM r WHERE rn = 1""",
+
+    // same exact-integer (n, Σx, Σx²) z assembly; NaN from a constant
+    // series compares false against every breakpoint → 'd' on both
+    // engines; seg = idx·8 // n mirrors the engine's div
+    "ts16_sax" ->
+      """WITH daily AS (SELECT user_id,
+                               DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+         i AS (SELECT user_id, day, cnt,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY day) - 1 AS ix
+               FROM daily),
+         st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(cnt) AS BIGINT) AS sx,
+                       CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+                FROM daily GROUP BY 1),
+         sg AS (SELECT user_id, CAST(ix * 8 // n AS INTEGER) AS seg_no,
+                       n, sx, sxx,
+                       CAST(SUM(cnt) AS BIGINT) AS ss,
+                       CAST(COUNT(*) AS BIGINT) AS sn
+                FROM i JOIN st USING (user_id)
+                GROUP BY 1, 2, 3, 4, 5),
+         zz AS (SELECT user_id, seg_no,
+                       n * sxx - sx * sx = 0 AS deg,
+                       (CAST(ss AS DOUBLE) / sn - CAST(sx AS DOUBLE) / n)
+                         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                         AS z
+                FROM sg)
+         SELECT user_id, seg_no,
+                CASE WHEN deg THEN NULL ELSE ROUND(z, 6) + 0.0 END AS z_paa,
+                CASE WHEN deg THEN NULL
+                     WHEN z < -0.6745 THEN 'a'
+                     WHEN z < 0.0 THEN 'b'
+                     WHEN z < 0.6745 THEN 'c'
+                     ELSE 'd' END AS symbol
+         FROM zz""",
 
     "dq12_freshness_lag" ->
       """WITH ref AS (SELECT MAX(ts) AS r FROM events),
