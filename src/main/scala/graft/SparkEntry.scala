@@ -2148,6 +2148,15 @@ object SparkEntry {
       RegressionOps.kruskalWallis(ev(s, d), col("value"),
         col("event_type"))),
 
+    // per-user monotone-trend test over the daily count series: exact
+    // integer S/n/tie-term, within-entity self-join bounded by the
+    // calendar span (never the corpus), continuity-corrected z
+    "a44_mann_kendall" -> ((s, d) =>
+      TimeSeriesOps.mannKendallTrend(
+        ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"))),
+
     // exact population covariance of the 64-dim embedding corpus (upper
     // triangle) — the PCA/whitening input; pair products generated
     // map-side by a nested transform, never a self-join
@@ -7216,6 +7225,29 @@ object SparkEntry {
                              / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0
                   AS h
          FROM s, tt""",
+
+    "a44_mann_kendall" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+         p AS (SELECT a.user_id, SIGN(b.cnt - a.cnt) AS sg
+               FROM daily a JOIN daily b
+                 ON a.user_id = b.user_id AND a.day < b.day),
+         sgg AS (SELECT user_id, CAST(SUM(sg) AS BIGINT) AS s
+                 FROM p GROUP BY 1),
+         t AS (SELECT user_id, cnt, CAST(COUNT(*) AS BIGINT) AS t
+               FROM daily GROUP BY 1, 2),
+         tt AS (SELECT user_id, CAST(SUM(t) AS BIGINT) AS n,
+                       CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                         AS tiet
+                FROM t GROUP BY 1)
+         SELECT sgg.user_id, n, s,
+                CASE WHEN CAST(n * (n - 1) * (2 * n + 5) - tiet
+                            AS DOUBLE) / 18 = 0 THEN NULL
+                     ELSE ROUND((s - SIGN(s))
+                            / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tiet
+                                     AS DOUBLE) / 18), 6) + 0.0 END AS z
+         FROM sgg JOIN tt USING (user_id)""",
 
     // pair products via the row-local unnest (generate_subscripts is
     // 1-based — shifted to the engine's 0-based lambda index); lanes

@@ -492,4 +492,49 @@ object TimeSeriesOps {
       .select(col(key), col("__o").as("cp_at"), col("__n").as("n_points"),
         round(col("__gain"), 6).as("gain"))
   }
+
+  /** Mann-Kendall trend test per entity (the monitor's "is this metric
+    * drifting monotonically" sibling of [[bestChangepoint]]'s "where did
+    * it jump"): S = Σ_{i<j} sign(x_j − x_i) over the time-ordered series,
+    * tie-corrected variance, continuity-corrected z.
+    *
+    * The pair enumeration is a WITHIN-ENTITY self-join on the entity key —
+    * quadratic in the SERIES length, not the data: a daily series is
+    * bounded by the calendar span (≤ ~10³ points for years of data), so
+    * pairs per entity stay ≤ ~10⁶ no matter how many rows the corpus has,
+    * and the join is hash-partitioned by entity (the `coOccurrenceEdges`
+    * bounded-quadratic argument). Entities longer than `maxSeries` are
+    * dropped up front — loudly bounding the worst case, as the LSH bucket
+    * caps do.
+    *
+    * Exactness: S, n, and the tie term Σt(t−1)(2t+5) are exact integers;
+    * Var(S) = (n(n−1)(2n+5) − tieterm)/18, z = (S − sign S)/√Var — three
+    * mirrored IEEE ops. Var = 0 (all tied / n < 2) guards to null.
+    */
+  def mannKendallTrend(df: DataFrame, key: String, ord: Column,
+      value: Column, maxSeries: Int = 5000): DataFrame = {
+    val base = df.select(col(key), ord.as("__o"),
+        value.cast("long").as("__v"))
+      .withColumn("__len", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__len") <= maxSeries).drop("__len")
+    val s = base.alias("a").join(base.alias("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.__o") < col("b.__o"))
+      .groupBy(col(s"a.$key").as(key))
+      .agg(sum(signum(col("b.__v") - col("a.__v")).cast("long")).as("s"))
+    val ties = base.groupBy(col(key), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+          .as("__tt"),
+        sum(col("__t")).as("n"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+      col("__tt")).cast("double") / 18
+    s.join(ties, Seq(key))
+      .select(col(key), col("n"), col("s"),
+        when(varS === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("s") - signum(col("s"))).cast("double") / sqrt(varS), 6))
+          .as("z"))
+  }
 }
