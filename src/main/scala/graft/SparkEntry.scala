@@ -2157,6 +2157,17 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt")),
         "user_id", col("day"), col("cnt"))),
 
+    // a44's "how fast" companion: per-user Theil-Sen robust slope —
+    // median of pairwise Δcnt/Δday off the same bounded pair join,
+    // exact type-7 median (no per-group buffer)
+    "ts17_theil_sen" -> ((s, d) =>
+      TimeSeriesOps.theilSenSlope(
+        ev(s, d).groupBy(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"))),
+
     // exact population covariance of the 64-dim embedding corpus (upper
     // triangle) — the PCA/whitening input; pair products generated
     // map-side by a nested transform, never a self-join
@@ -7248,6 +7259,19 @@ object SparkEntry {
                             / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tiet
                                      AS DOUBLE) / 18), 6) + 0.0 END AS z
          FROM sgg JOIN tt USING (user_id)""",
+
+    "ts17_theil_sen" ->
+      """WITH daily AS (SELECT user_id,
+                               DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+         p AS (SELECT a.user_id,
+                      CAST(b.cnt - a.cnt AS DOUBLE) / (b.day - a.day) AS sl
+               FROM daily a JOIN daily b
+                 ON a.user_id = b.user_id AND a.day < b.day)
+         SELECT user_id, ROUND(QUANTILE_CONT(sl, 0.5), 6) + 0.0 AS slope
+         FROM p GROUP BY 1""",
 
     // pair products via the row-local unnest (generate_subscripts is
     // 1-based — shifted to the engine's 0-based lambda index); lanes

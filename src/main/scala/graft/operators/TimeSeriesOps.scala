@@ -537,4 +537,31 @@ object TimeSeriesOps {
             (col("s") - signum(col("s"))).cast("double") / sqrt(varS), 6))
           .as("z"))
   }
+
+  /** Theil-Sen robust slope per entity — [[mannKendallTrend]]'s "how fast
+    * is it drifting" companion: the median of all pairwise slopes
+    * (Δvalue/Δorder). Same bounded within-entity pair join (series length
+    * is calendar-bounded, `maxSeries` caps pathological entities); each
+    * slope is one IEEE division of two exact integers, and the median is
+    * the exact type-7 pair machinery ([[CleaningOps.groupQuantiles]] at
+    * 0.5/0.5) — no per-group value buffer, mirrored by QUANTILE_CONT.
+    */
+  def theilSenSlope(df: DataFrame, key: String, ord: Column, value: Column,
+      maxSeries: Int = 5000): DataFrame = {
+    val base = df.select(col(key), ord.as("__o"),
+        value.cast("long").as("__v"))
+      .withColumn("__len", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__len") <= maxSeries).drop("__len")
+    // try_divide, not /: codegen evaluates this projection inside the
+    // join's consume path, where equal-__o pairs exist BEFORE the strict
+    // `<` condition prunes them — ANSI `/` throws on those phantom rows.
+    // Surviving rows always have Δo ≥ 1, so the value is identical.
+    val slopes = base.alias("a").join(base.alias("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.__o") < col("b.__o"))
+      .select(col(s"a.$key").as(key),
+        try_divide((col("b.__v") - col("a.__v")).cast("double"),
+          (col("b.__o") - col("a.__o")).cast("double")).as("__slope"))
+    CleaningOps.groupQuantiles(slopes, key, "__slope", 0.5, 0.5)
+      .select(col(key), round(col("q_lo"), 6).as("slope"))
+  }
 }

@@ -46,6 +46,22 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r.getLong(2) === 0L && r.isNullAt(3))
   }
 
+  test("theilSenSlope: median pairwise slope, robust to one outlier") {
+    // series (1,10) (2,20) (3,30) (4,1000): slopes 10, 10, 10 and
+    // 990/3=330, 980/2=490, 970/1 — sorted [10,10,10,330,490,970],
+    // type-7 median interpolates h=2.5: 10 + 0.5·(330−10) = 170 —
+    // while the CLEAN 3-point series is exactly 10
+    val clean = Seq(("u", 1L, 10L), ("u", 2L, 20L), ("u", 3L, 30L))
+      .toDF("k", "o", "v")
+    val r0 = TimeSeriesOps.theilSenSlope(clean, "k", col("o"), col("v"))
+      .head()
+    assert(r0.getDouble(1) === 10.0)
+    val dirty = clean.union(Seq(("u", 4L, 1000L)).toDF("k", "o", "v"))
+    val r1 = TimeSeriesOps.theilSenSlope(dirty, "k", col("o"), col("v"))
+      .head()
+    assert(r1.getDouble(1) === 170.0)
+  }
+
   test("mannKendallTrend: maxSeries cap drops oversized entities loudly") {
     val big = (1L to 30L).map(d => ("big", d, d))
     val small = (1L to 5L).map(d => ("small", d, d))
