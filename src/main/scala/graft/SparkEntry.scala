@@ -1209,6 +1209,39 @@ object SparkEntry {
           .distinct(),
         "tok", "lemma")),
 
+    // the notes-NLP chain END-TO-END (t05 sections → t10 scoped ConText
+    // flag → t08 severity → t09b dictionary-first lemma types), per-doc
+    // summary — stage INTERACTIONS hash-gated the way the cohort/ICD/drug
+    // chains are, not just the stages
+    "e2e_notes_nlp" -> ((s, d) => {
+      val cues = Seq("slow", "small")
+      val targets = Seq("scan", "query")
+      val secs = graft.functions.NotesNlp.splitSections(docs(s, d),
+        "doc_id", "text", " data ")
+      val perSec = secs.select(col("doc_id"),
+        graft.functions.NotesNlp.scopedFlag(col("section"), cues, targets, 2)
+          .as("__flag"),
+        graft.functions.NotesNlp.severityScore(
+          graft.functions.NotesNlp.nearestCue(col("section"), cues, targets,
+            2),
+          Seq("slow" -> 2, "small" -> 1)).as("__sev"))
+      val a1 = perSec.groupBy("doc_id").agg(
+        count(lit(1)).as("n_sections"),
+        sum(col("__flag").cast("long")).as("n_flagged"),
+        max(col("__sev")).cast("int").as("max_severity"))
+      val lem = graft.functions.NotesNlp.lemmatize(
+        docs(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text")))
+            .as("tok")).distinct(),
+        "tok", "lemma")
+      val a2 = lem.groupBy("doc_id")
+        .agg(countDistinct(col("lemma")).as("n_lemma_types"))
+      a1.join(a2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sections"), col("n_flagged"),
+          col("max_severity"),
+          coalesce(col("n_lemma_types"), lit(0L)).as("n_lemma_types"))
+    }),
+
     // dedup group collapse: pairwise near-dup evidence → connected
     // components → one canonical id per member doc
     "d08_dedup_components" -> ((s, d) => {
@@ -5732,6 +5765,50 @@ object SparkEntry {
                   '(\\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$$', '\\1'))
                   AS lemma
          FROM toks t LEFT JOIN dict d ON t.tok = d.form""",
+
+    // t05 + t10 + t08 + t09b composed: section explode, scoped ConText
+    // regexes, pre-cue severity extract, dictionary-first lemma types —
+    // one per-doc summary row
+    "e2e_notes_nlp" ->
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts
+                     FROM documents),
+         s AS (SELECT doc_id, parts[i] AS section
+               FROM t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 500))
+                                  AS i)
+               WHERE i <= LEN(parts)),
+         f AS (SELECT doc_id,
+                      CASE WHEN REGEXP_MATCHES(section,
+                             '(^|\\s)(slow|small)(\\s+\\w+){0,2}\\s+(scan|query)(\\s|$$)')
+                             OR REGEXP_MATCHES(section,
+                             '(^|\\s)(scan|query)(\\s+\\w+){0,2}\\s+(slow|small)(\\s|$$)')
+                           THEN 1 ELSE 0 END AS flag,
+                      CASE REGEXP_EXTRACT(section,
+                             '(^|\\s)(slow|small)(\\s+\\w+){0,2}\\s+(scan|query)(\\s|$$)',
+                             2)
+                           WHEN 'slow' THEN 2 WHEN 'small' THEN 1
+                           ELSE 0 END AS sev
+               FROM s),
+         a1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sections,
+                       CAST(SUM(flag) AS BIGINT) AS n_flagged,
+                       CAST(MAX(sev) AS INTEGER) AS max_severity
+                FROM f GROUP BY 1),
+         toks AS (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id,
+                               UNNEST(STRING_SPLIT_REGEX(TRIM(text),
+                                 '\\s+')) AS tok
+                        FROM documents)),
+         dict(form, lemma) AS (VALUES $lemmaDictSqlValues),
+         lem AS (SELECT t.doc_id,
+                        COALESCE(d.lemma, REGEXP_REPLACE(t.tok,
+                          '(\\w{3,}?)(ing|edly|ied|ies|ier|ed|er|es|s)$$',
+                          '\\1')) AS lemma
+                 FROM toks t LEFT JOIN dict d ON t.tok = d.form),
+         a2 AS (SELECT doc_id, CAST(COUNT(DISTINCT lemma) AS BIGINT)
+                         AS n_lemma_types
+                FROM lem GROUP BY 1)
+         SELECT a1.doc_id, n_sections, n_flagged, max_severity,
+                COALESCE(n_lemma_types, 0) AS n_lemma_types
+         FROM a1 LEFT JOIN a2 ON a1.doc_id = a2.doc_id""",
 
     "d08_dedup_components" ->
       """WITH RECURSIVE
