@@ -635,4 +635,97 @@ object DedupOps {
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
         levenshtein(col("a.__key"), col("b.__key")).as("dist"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): hash every token k-gram,
+    * slide a w-wide window over the hash sequence, keep each full
+    * window's minimum. The guarantee: any shared token run of length
+    * ≥ k+w−1 contributes at least one shared fingerprint, while the
+    * selected set is ~2/(w+1) of the k-grams — position-robust partial
+    * overlap detection at a fraction of the posting volume.
+    *
+    * Returns the distinct (id, fp) fingerprint set. Hashes are MD5 hex
+    * (engine-portable, lexicographic min) like the d-family MinHash.
+    */
+  def winnowedFingerprints(docs: DataFrame, id: String, text: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = split(regexp_replace(trim(col(text)), "\\s+", " "), " ")
+    val grams = docs
+      .select(col(id), toks.as("__t"))
+      .filter(size(col("__t")) >= k + w - 1)
+      .select(col(id), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - k),
+        i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__h")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("__ng", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))))
+      .withColumn("__wm", min(col("__h")).over(win))
+      .filter(col("__pos") <= col("__ng") - w)
+      .select(col(id), col("__wm").as("fp"))
+      .distinct()
+  }
+
+  /** Shared-fingerprint pair report over [[winnowedFingerprints]] — the
+    * MOSS "documents with overlapping passages" join. The fingerprint
+    * equi-join is an inverted index; `maxDf` drops stop-fingerprints
+    * (shared boilerplate) to cap the quadratic posting tail exactly like
+    * the Jaccard index's `capPostings`.
+    */
+  def winnowSharedPairs(docs: DataFrame, id: String, text: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2,
+      maxDf: Long = 50): DataFrame = {
+    val fp = winnowedFingerprints(docs, id, text, k, w)
+      .localCheckpoint(false)
+    val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val capped = fp.join(keep, Seq("fp"))
+    capped.select(col("fp"), col(id).as("id_a"))
+      .join(capped.select(col("fp"), col(id).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse clustering bounds the pairwise cosine
+    * search to WITHIN-cluster pairs — N²/C work instead of N², which is
+    * the whole reason cluster-then-compare scales where brute pairwise
+    * can't. A doc is dropped iff some lower-id doc in its cluster sits at
+    * cosine ≥ `threshold`; the surviving lowest id is the cluster-local
+    * canonical copy (deterministic, order-free).
+    *
+    * Scale shape: the only join is the cluster equi-join (hash-partitioned
+    * on a C-valued key); centroid assignment is one broadcast-literal
+    * codegen'd argmin per row ([[graft.ann.Knn.assignClusters]]). At 100 TB
+    * the per-cluster pair space is governed by C — size C so N/C rows fit a
+    * task (SemDeDup's own regime is C≈100k on billions of docs); the
+    * centroid literal stays k·dim doubles, never data-sized.
+    */
+  def semanticDedup(corpus: DataFrame, id: String, emb: String,
+      centroids: Seq[Seq[Double]], threshold: Double,
+      simFn: (Column, Column) => Column = graft.functions.VectorFns.cosine)
+      : DataFrame = {
+    val toD = graft.functions.VectorFns.toDoubleArr _
+    val assigned = graft.ann.Knn.assignClusters(corpus, id, emb, centroids)
+      .select(col(id), col("cluster"), toD(col(emb)).as("__e"))
+      .localCheckpoint(false)
+    val lo = assigned.select(col("cluster"), col(id).as("__lo"),
+      col("__e").as("__ea"))
+    val hi = assigned.select(col("cluster"), col(id).as("__hi"),
+      col("__e").as("__eb"))
+    val dups = lo.join(hi, Seq("cluster"))
+      .filter(col("__lo") < col("__hi"))
+      .filter(simFn(col("__ea"), col("__eb")) >= threshold)
+      .select(col("__hi").as(id)).distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(1)), Seq(id), "left")
+      .select(col(id), col("cluster"),
+        when(col("__dup").isNotNull, 0).otherwise(1).cast("int").as("kept"))
+  }
 }

@@ -245,4 +245,90 @@ object AssociationOps {
                 .cast("double")),
             6)).as("z"))
   }
+
+  /** Per-entity exact sign test with Benjamini–Hochberg FDR control
+    * across the entity family — the multiple-testing correction a monitor
+    * fleet needs when it runs one trend test per tracked series and
+    * "0.05 × 10 000 series" would drown it in false alarms.
+    *
+    * Per entity: order by `ord`, count strictly positive (`pos`) and
+    * negative (`neg`) successive deltas (zeros dropped, the classic sign
+    * test), m = pos+neg, and the two-sided p-value is the EXACT dyadic
+    * rational min(1, 2·Σ_{k≤min(pos,neg)} C(m,k) / 2^m). The binomial
+    * tail is summed from a driver-built Pascal triangle of DECIMAL(38,0)
+    * (≤ (maxM+1)(maxM+2)/2 rows — bounded by CONFIG, not data, and
+    * broadcast), so p is bit-portable: both engines convert the same
+    * exact integers with one correctly-rounded cast each and perform one
+    * IEEE division. No erf, no libm, no cross-engine transcendentals.
+    *
+    * BH step-up across the family: rank p ascending (two-phase
+    * distributed rank — no single-partition window), find the largest
+    * rank r with p_(r) ≤ r·q/M, flag ranks ≤ r. The only global
+    * aggregates are the 1-row family size and the 1-row r — the bounded
+    * broadcast pattern. Entities with m > `maxM` are dropped up front
+    * (the `mannKendallTrend` maxSeries discipline); m = 0 (constant or
+    * single-point series) yields p = 1 exactly via the C(0,0) row.
+    */
+  def signTestBH(df: DataFrame, key: String, ord: Column, value: Column,
+      q: Double = 0.05, maxM: Int = 120): DataFrame = {
+    require(maxM <= 120,
+      s"signTestBH: maxM=$maxM > 120 would overflow DECIMAL(38,0) binomials")
+    val spark = df.sparkSession
+    val binomRows = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var row = Vector(BigInt(1))
+      for (m <- 0 to maxM) {
+        for (k <- 0 to m)
+          buf += org.apache.spark.sql.Row(m.toLong, k.toLong,
+            new java.math.BigDecimal(row(k).bigInteger))
+        row = (BigInt(0) +: row).zip(row :+ BigInt(0))
+          .map { case (x, y) => x + y }
+      }
+      buf.toSeq
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val binom = spark.createDataFrame(binomRows.asJava,
+      StructType(Seq(StructField("__m", LongType),
+        StructField("__k", LongType), StructField("__c", DecimalType(38, 0)))))
+    val pow2 = spark.createDataFrame(
+      (0 to maxM).map(m => org.apache.spark.sql.Row(m.toLong,
+        new java.math.BigDecimal(BigInt(2).pow(m).bigInteger))).asJava,
+      StructType(Seq(StructField("__m2", LongType),
+        StructField("__p2", DecimalType(38, 0)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("__o"))
+    val deltas = df.select(col(key), ord.as("__o"),
+        value.cast("long").as("__v"))
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+    val counts = deltas.groupBy(col(key))
+      .agg(sum(when(col("__d") > 0, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("__d") < 0, 1L).otherwise(0L)).as("neg"))
+      .withColumn("m", col("pos") + col("neg"))
+      .filter(col("m") <= maxM)
+      .withColumn("__kmin", least(col("pos"), col("neg")))
+    val tail = counts.join(broadcast(binom),
+        col("m") === col("__m") && col("__k") <= col("__kmin"))
+      .groupBy(col(key), col("m"), col("pos"), col("neg"))
+      .agg(sum(col("__c")).as("__a"))
+    val withP = tail.join(broadcast(pow2), col("m") === col("__m2"))
+      .withColumn("__num", least(col("__a") * 2, col("__p2")))
+      .withColumn("__pd",
+        col("__num").cast("double") / col("__p2").cast("double"))
+      .select(col(key), col("m"), col("pos"), col("neg"), col("__pd"))
+    val ranked = RankOps.globalRowNumber(withP,
+      Seq(col("__pd").asc, col(key).asc), "rank")
+    val withM = ranked.crossJoin(
+      broadcast(ranked.agg(count(lit(1)).as("__M"))))
+    val rmax = withM.agg(max(when(
+        col("__pd") <= (col("rank").cast("double") * lit(q)) /
+          col("__M").cast("double"),
+        col("rank")).otherwise(0L)).as("__rmax"))
+    withM.crossJoin(broadcast(rmax))
+      .select(col(key), col("m"), col("pos"), col("neg"),
+        round(col("__pd"), 6).as("p"), col("rank"),
+        when(col("rank") <= col("__rmax"), 1).otherwise(0).cast("int")
+          .as("flagged"))
+  }
 }

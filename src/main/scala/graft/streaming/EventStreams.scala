@@ -213,6 +213,55 @@ object EventStreams {
       }
   }
 
+  case class EwmaEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Option[Double])
+  case class EwmaState(window: List[Option[Double]])
+  case class EwmaOut(event_id: Long, ewma8: Double)
+
+  /** Stateful streaming twin of the batch `w12_ewma` 8-tap window form:
+    * one ≤7-deep per-key deque of the previous values (bounded state —
+    * seven optional doubles, not the stream). Parity is bit-for-bit
+    * because the tap sum replays the batch expression's exact IEEE
+    * sequence — weights are exact powers of two, missing taps contribute
+    * the same `+ 0.0` the batch COALESCE does, accumulation runs j=0..7
+    * left-to-right like the batch `reduce(_ + _)`, and the close is the
+    * same HALF_UP 6-decimal round (NaN — the all-taps-null 0/0 — passes
+    * through unrounded exactly as the batch round does).
+    */
+  def ewmaStream(events: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prevs = state.getOption.map(_.window).getOrElse(Nil)
+          val out = sorted.map { e =>
+            val taps: Seq[Option[Double]] =
+              (e.value :: prevs).padTo(8, None).take(8)
+            var num = 0.0
+            var den = 0.0
+            var w = 1.0
+            taps.foreach { v =>
+              num += v.map(_ * w).getOrElse(0.0)
+              den += (if (v.isDefined) w else 0.0)
+              w *= 0.5
+            }
+            val raw = num / den
+            val r =
+              if (java.lang.Double.isFinite(raw))
+                BigDecimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              else raw
+            prevs = (e.value :: prevs).take(7)
+            EwmaOut(e.event_id, r)
+          }
+          state.update(EwmaState(prevs))
+          out.iterator
+      }
+  }
+
   case class ZEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       cents: Long)
   case class ZWindowState(window: List[Long])

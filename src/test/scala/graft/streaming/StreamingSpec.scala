@@ -127,6 +127,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming EWMA equals the batch w12 8-tap window form") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ewma")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[EventStreams.EwmaEvent]
+    val q = EventStreams.ewmaStream(evs)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // compare raw bits so a NaN (all-taps-null 0/0) matches itself
+    val streamed = spark.table("ewma")
+      .as[EventStreams.EwmaOut].collect()
+      .map(a => a.event_id ->
+        java.lang.Double.doubleToLongBits(a.ewma8)).toMap
+
+    val batch = SparkEntry.queries("w12_ewma")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("stateful streaming rolling z-score equals the batch w19 window form") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zroll")
