@@ -242,6 +242,46 @@ object BinaryOps {
       }
   }
 
+  case class LumaBin(doc_id: Long, bin: Int, cnt: Long)
+
+  /** REAL decode → per-image luminance histogram (the exposure/contrast
+    * profile an image-curation pipeline filters on): decoded gray samples
+    * bucket into `bins` equal-width cells (8-bit range, bucket =
+    * v·bins/256 by integer division). Each image folds to ≤`bins` rows
+    * INSIDE the decode task (a bounded local array — never a per-pixel
+    * shuffle row), so the operator is map-only and the output is
+    * |images|·bins rows max. Lossless-gray PNG round-trip keeps the
+    * closed-form source-byte oracle.
+    */
+  def lumaHistogram(spark: SparkSession, df: DataFrame, id: String,
+      png: String, bins: Int = 16): Dataset[LumaBin] = {
+    import spark.implicits._
+    require(256 % bins == 0, s"lumaHistogram: bins=$bins must divide 256")
+    df.select(col(id).cast("long"), col(png))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val counts = new Array[Long](bins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              counts(raster.getSample(x, y, 0) * bins / 256) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          (0 until bins).iterator
+            .filter(counts(_) > 0L)
+            .map(b => LumaBin(docId, b, counts(b)))
+        }
+      }
+  }
+
   case class ResizedPixel(doc_id: Long, px: Int, py: Int, gray: Int)
 
   /** REAL decode → nearest-neighbor resample to a fixed `outW`×`outH`

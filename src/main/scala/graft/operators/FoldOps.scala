@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** ML-prep relational operators (reference stage 5: k-fold carving and
   * class oversampling, `ml_models.py:66-76`, `dl_train.py:117-127`).
@@ -323,5 +324,46 @@ object FoldOps {
         when(col("__rn") <= ceil(col("__n") * (1.0 - testFrac)), "train")
           .otherwise("test"))
       .drop("__rn", "__n")
+  }
+
+  /** GRPO-style group-relative advantages (Shao et al. 2024,
+    * arXiv:2402.03300 §4.1): for each sample in a prompt group, the
+    * advantage is its reward minus the group mean, and the normalized
+    * advantage divides by the group's population std — the per-prompt
+    * baseline that replaces a learned critic in group-relative RLHF.
+    *
+    * Exact-arithmetic discipline (the Welch/Kruskal pattern): rewards are
+    * integers, so with n, S = Σr, Q = Σr² as DECIMAL(38,0) group sums,
+    *   advantage = (n·r − S) / n            and
+    *   z = (n·r − S) / √(n·Q − S²)
+    * have EXACT integer numerators/radicands — each engine performs one
+    * correctly-rounded cast, one √, one division, so results are
+    * bit-portable. A zero-variance group (n·Q = S²) yields null z; a
+    * singleton group yields advantage 0 and null z. DECIMAL(38,0)
+    * headroom holds whenever n·Q < 10³⁸ — GRPO groups are a bounded
+    * rollout batch (G ≈ 64) by construction, so this is a config bound,
+    * not a data bound.
+    *
+    * Scale shape: one hash aggregate to |groups| rows, re-attached with a
+    * hash equi-join on the group key — the frame never sorts and no
+    * window runs; group count is data-sized but each group's stats are
+    * three decimals.
+    */
+  def groupAdvantage(df: DataFrame, group: String, id: String,
+      reward: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(col(group), col(id),
+      reward.cast("long").as("reward"))
+    val stats = base.groupBy(col(group)).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("reward").cast(dec)).as("__s"),
+      sum((col("reward").cast(dec) * col("reward")).cast(dec)).as("__q"))
+    val num = (col("__n") * col("reward") - col("__s")).cast("double")
+    val rad = (col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double")
+    base.join(stats, Seq(group))
+      .select(col(group), col(id), col("reward"),
+        round(num / col("__n").cast("double"), 6).as("advantage"),
+        when(rad > 0.0, round(num / sqrt(rad), 6)).as("z"))
   }
 }

@@ -240,6 +240,48 @@ object GraphOps {
             6)).as("assortativity"))
   }
 
+  /** Synchronous label propagation communities (Raghavan et al. 2007),
+    * made fully deterministic: every node starts labeled with its own id;
+    * each round, every node adopts the label most frequent among its
+    * NEIGHBORS, ties broken by the smallest label (no randomized visit
+    * order — the classic async LPA is run-dependent, this one is a pure
+    * function of the graph). A fixed `rounds` count keeps it both
+    * deterministic and mirrorable as unrolled oracle CTEs (the
+    * kCore/pageRank argument; extra rounds past convergence oscillate or
+    * no-op identically in both engines).
+    *
+    * Scale shape per round: one hash equi-join (symmetric adjacency ×
+    * current labels, partitioned on the node key), one (node, label)
+    * count aggregate, one argmax-by-struct-min aggregate — no windows, no
+    * broadcasts of data-sized frames; the label frame is checkpointed per
+    * round to keep lineage flat. Isolated nodes never appear in the
+    * adjacency and keep their own label by construction of the final
+    * union.
+    */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    val e0 = edges.select(col(src).as("__u"), col(dst).as("__v"))
+      .localCheckpoint()
+    val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
+      .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
+      .localCheckpoint()
+    var labels = adj.select(col("__z")).distinct()
+      .select(col("__z"), col("__z").as("__lbl")).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val neigh = adj
+        .join(labels.withColumnRenamed("__z", "__n"), Seq("__n"))
+        .groupBy(col("__z"), col("__lbl"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax count, ties to the smallest label: lexicographic struct
+      // min over (−count, label) — one hash aggregate, no window
+      labels = neigh.groupBy(col("__z"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__lbl").as("l")))
+          .getField("l").as("__lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("__z").as("node"), col("__lbl").as("label"))
+  }
+
   def adamicAdar(edges: DataFrame, src: String, dst: String,
       maxDeg: Int = 1000, minCommon: Long = 2L): DataFrame = {
     val e = edges.select(col(src).as("__u"), col(dst).as("__v"))

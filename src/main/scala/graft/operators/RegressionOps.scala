@@ -323,6 +323,73 @@ object RegressionOps {
           6).as("h"))
   }
 
+  /** Exact tie-corrected Friedman test — the repeated-measures sibling of
+    * [[kruskalWallis]]: each block (subject) ranks the SAME k treatments,
+    * so between-block variation cancels and only the within-block
+    * ordering is tested ("does treatment rank consistently differ").
+    * Input must carry ONE value per (block, treatment) — aggregate first;
+    * blocks missing any treatment are dropped (the complete-block
+    * contract of the classic test).
+    *
+    * Exact integer form via doubled within-block mean ranks
+    * 2r = 2·#less + #eq + 1 (ties = mean ranks): with T_j = Σ_blocks 2r,
+    * A = Σ (2r)², b complete blocks,
+    *
+    *   χ²_F = (k−1) · Σ_j (T_j − b(k+1))² / (A − b·k·(k+1)²)
+    *
+    * — the tie-corrected statistic (reduces to the textbook
+    * 12/(bk(k+1))·ΣR² − 3b(k+1) when tie-free), with integer numerator
+    * and denominator in DECIMAL(38,0), one closing cast+division per
+    * engine. All-tied blocks throughout (denominator 0) yield null.
+    *
+    * Scale shape: the within-block rank is a window over ≤k rows per
+    * block (k is the bounded treatment cardinality); T_j/A are one hash
+    * aggregate each (k rows, 1 row); completeness is a semi-join against
+    * the b-row complete-block frame. No global sort anywhere.
+    */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(block.as("__b"), treatment.as("__t"),
+        value.as("__v"))
+      .filter(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__v").isNotNull)
+    val kRow = rows.agg(countDistinct(col("__t")).as("__k"))
+    val complete = rows.groupBy(col("__b"))
+      .agg(countDistinct(col("__t")).as("__nb"))
+      .crossJoin(broadcast(kRow)) // 1-row treatment cardinality
+      .filter(col("__nb") === col("__k"))
+      .select(col("__b"))
+    val kept = rows.join(complete, Seq("__b"), "left_semi")
+    val wLess = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wEq = Window.partitionBy(col("__b"), col("__v"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // rank() = #less + 1, so 2r = 2·#less + #eq + 1 = 2·rank() + #eq − 1
+    val r2 = kept
+      .withColumn("__rk", rank().over(wLess))
+      .withColumn("__ceq", count(lit(1)).over(wEq))
+      .select(col("__b"), col("__t"),
+        (lit(2) * col("__rk") + col("__ceq") - 1).as("__2r"))
+    val tj = r2.groupBy(col("__t"))
+      .agg(sum(dec(col("__2r"))).as("__tj"), count(lit(1)).as("__bj"))
+    val tot = r2.agg(sum(dec(col("__2r")) * col("__2r")).as("__a"),
+      countDistinct(col("__b")).as("b_blocks"),
+      countDistinct(col("__t")).as("k_treat"))
+    val dev = tj.crossJoin(broadcast(tot)) // k-row × 1-row stats
+      .select(((col("__tj") - dec(col("b_blocks")) * (col("k_treat") + 1)) *
+        (col("__tj") - dec(col("b_blocks")) * (col("k_treat") + 1)))
+        .as("__d2"))
+      .agg(sum(col("__d2")).as("__sd2"))
+    tot.crossJoin(broadcast(dev)) // 1-row × 1-row
+      .select(col("b_blocks"), col("k_treat"),
+        when(col("__a") =!= dec(col("b_blocks")) * col("k_treat") *
+            (col("k_treat") + 1) * (col("k_treat") + 1),
+          round(((col("k_treat") - 1) * col("__sd2")).cast("double") /
+            (col("__a") - dec(col("b_blocks")) * col("k_treat") *
+              (col("k_treat") + 1) * (col("k_treat") + 1)).cast("double"),
+            6)).as("chi2"))
+  }
+
   /** Exact tie-corrected Wilcoxon signed-rank test over PAIRED
     * integer-quantized differences — [[mannWhitney]]'s sibling for
     * before/after comparisons on the same subjects (did the metric move

@@ -126,4 +126,58 @@ object RetrievalOps {
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(k)
   }
+
+  /** Query-likelihood language-model retrieval with Dirichlet smoothing
+    * (Zhai & Lafferty 2001/2004 — the standard LM alternative to BM25):
+    *
+    * score(d) = Σ_{t∈q} ln( (tf(t,d) + µ·cf(t)/|C|) / (|d| + µ) )
+    *
+    * where cf(t) is t's corpus frequency and |C| the corpus token total.
+    * Unlike BM25 the sum runs over ALL query terms — absent terms
+    * contribute the smoothed background mass, not zero — so every doc
+    * scores (and long docs aren't spuriously favored). Top-`k` by score,
+    * ties on ascending id.
+    *
+    * Scale shape: the dense doc×term frame comes from exploding the
+    * LITERAL term array over the per-doc length frame (a generator, not a
+    * join — |terms| is a bounded constant); tf attaches with one hash
+    * left-join on (id, term); cf is a |terms|-row aggregate and the
+    * corpus total a 1-row broadcast (the t19 stats pattern). Terms absent
+    * from the corpus entirely (cf = 0, smoothed mass 0, ln undefined) are
+    * excluded by the inner cf join — the standard OOV convention.
+    * Determinism:
+    * each term's log-contribution is correctly rounded to integer picos
+    * before the per-doc sum, so the float total is summation-order-
+    * independent (the rakeTopK argument).
+    */
+  def queryLikelihoodTopK(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int, mu: Double = 200.0): DataFrame = {
+    val toks = docs
+      .select(col(id), TextFns.tokens(col(text)).as("__toks"))
+      .select(col(id), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__tok"))
+    val lens = toks.groupBy(col(id)).agg(first(col("__dl")).as("__dl"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__c"))
+    val cf = toks.filter(col("__tok").isin(terms: _*))
+      .groupBy(col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__cf"))
+    val dense = lens
+      .select(col(id), col("__dl"),
+        explode(typedLit(terms)).as("__tok"))
+    val tf = toks.filter(col("__tok").isin(terms: _*))
+      .groupBy(col(id), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val contrib = log(
+      (coalesce(col("__tf"), lit(0.0)) + lit(mu) * (col("__cf") / col("__c"))) /
+        (col("__dl") + lit(mu)))
+    dense
+      .join(tf, Seq(id, "__tok"), "left")
+      .join(cf, Seq("__tok"))
+      .crossJoin(total)
+      .select(col(id), round(contrib * 1e12, 0).cast("long").as("__cfp"))
+      .groupBy(col(id))
+      .agg(round(sum(col("__cfp")) / 1e12, 6).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+  }
 }

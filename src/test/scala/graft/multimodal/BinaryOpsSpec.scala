@@ -69,6 +69,18 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(metas(2L).px_xor === bytes2.map(_.toLong).reduce(_ ^ _))
   }
 
+  test("lumaHistogram: 16-bin bucketing through the codec, empty bins absent") {
+    import spark.implicits._
+    // payload bytes 0,15,16,255 in a 2x2 image: bin 0 → {0,15} (2),
+    // bin 1 → {16} (1), bin 15 → {255} (1); bins 2-14 must be ABSENT
+    val src = Seq((7L, Array[Byte](0, 15, 16, -1), 2, 2))
+      .toDF("doc_id", "payload", "w", "h")
+    val png = BinaryOps.withPngPayload(spark, src, "doc_id", "payload", "w", "h")
+    val got = BinaryOps.lumaHistogram(spark, png, "doc_id", "png", bins = 16)
+      .collect().map(b => b.bin -> b.cnt).toMap
+    assert(got === Map(0 -> 2L, 1 -> 1L, 15 -> 1L))
+  }
+
   test("sampleFrames: empty payload yields zero frames, not a backwards sequence") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     val withBin = BinaryOps.withPayload(empty, "text", "payload")
