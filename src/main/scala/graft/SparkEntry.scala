@@ -42,6 +42,19 @@ object SparkEntry {
       .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
       .mkString(", ")
 
+  /** 16 patterned 64-dim centroids for `d19_semdedup` — same
+    * rational-lattice family as [[fixedCentroids]] but mod 17 so all 16
+    * row patterns are distinct (mod 11 would repeat after 11). One closed
+    * form feeds BOTH the Spark literal and the oracle SQL.
+    */
+  private val semCentroids: Seq[Seq[Double]] =
+    (0 until 16).map(j => (0 until 64).map(i => ((i * (j + 3)) % 17) / 17.0 - 0.5).toSeq)
+
+  private def semCentroidsSqlValues: String =
+    semCentroids.zipWithIndex
+      .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
+      .mkString(", ")
+
   /** Canonical product-noun dictionary for `f26_fuzzy_normalize` — one list
     * feeds both the Spark literal and the oracle's VALUES, deliberately
     * holding exact forms, off-by-one plurals, and terms nothing matches.
@@ -909,6 +922,40 @@ object SparkEntry {
         simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
 
+    // the RAG hybrid-retrieval chain END-TO-END: corpus = the embedded
+    // subset of documents; lexical BM25 top-50 + vector cosine top-50 for
+    // the vec_id=0 query → reciprocal-rank fusion top-20 → MMR diversity
+    // rerank top-5. Every stage is the already-oracled t19/v01/t24/v12
+    // construction — this row gates their INTERACTIONS (id-space handoff,
+    // rounded-score handoffs, fused-rank ties) the way e2e_corpus_curate
+    // gates the curation chain
+    "e2e_rag_retrieve" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val corpus = docs(s, d)
+        .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      val lex = RetrievalOps.bm25TopK(corpus, "doc_id", "text",
+        terms = Seq("spark", "window", "join"), k = 50)
+      val vec = Knn.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50,
+          simFn = (a, b) => call_function("cosine_sim", a, b))
+        .select(col("neighbor_id").as("doc_id"), col("sim").as("score"))
+      val fused = RetrievalOps.rrfFuse(Seq(lex, vec), "doc_id", k = 20)
+      val cands = fused.select(col("doc_id").as("id"), col("rrf").as("rel"))
+      val cv = e
+        .join(cands.select(col("id").as("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"),
+          graft.functions.VectorFns.toDoubleArr(col("embedding")).as("__v"))
+      val ps = cv.alias("x").join(broadcast(cv.alias("y")),
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(call_function("cosine_sim", col("x.__v"), col("y.__v")), 6)
+            .as("sim"))
+      Knn.mmrRerank(cands, "id", "rel", ps, "a", "b", "sim",
+          k = 5, lam = 0.7)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---------------- multimodal plumbing ----------------
     "m01_binary_meta" -> ((s, d) =>
       BinaryOps.withPayload(docs(s, d), "text", "payload")
@@ -1410,6 +1457,18 @@ object SparkEntry {
       val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
       BinaryOps.resizeNearest(s, png, "doc_id", "png", outW = 4, outH = 4)
         .toDF()
+    }),
+
+    // per-image 16-bin luminance histogram on the REAL decode path — the
+    // exposure/contrast profile an image-curation filter reads; each
+    // image folds to ≤16 rows inside the decode task (map-only)
+    "m09_luma_hist" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (octet_length(col("text")) % 16 + 1).as("w"),
+        (col("doc_id") % 8 + 1).as("h"))
+      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
+      BinaryOps.lumaHistogram(s, png, "doc_id", "png", bins = 16).toDF()
     }),
 
     // byte-sampling feature stand-in (the stub path kept for modalities
@@ -1923,6 +1982,15 @@ object SparkEntry {
         GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"),
         "src", "dst", k = 3, rounds = 12)),
 
+    // deterministic synchronous label propagation over the same graph:
+    // 4 rounds of most-frequent-neighbor-label (ties to smallest), every
+    // round one adjacency×labels equi-join + two hash aggregates —
+    // unrollable as oracle CTEs like the kCore peel
+    "g07_label_prop" -> ((s, d) =>
+      GraphOps.labelPropagation(
+        GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"),
+        "src", "dst", rounds = 4)),
+
     // snapshot-drift monitor: split the feed at the midpoint of its time
     // extent (1-row broadcast bound), profile each half per column in ONE
     // pass (conditional aggregates), report per-column count/null/distinct
@@ -2189,6 +2257,28 @@ object SparkEntry {
         ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("cnt")),
         "user_id", col("day"), col("cnt"))),
+
+    // per-entity exact sign test + Benjamini–Hochberg step-up across the
+    // family — the multiple-testing correction for a fleet of per-series
+    // monitors. p-values are exact dyadic rationals (Pascal-triangle
+    // binomial tails in DECIMAL(38,0), one IEEE division) — bit-portable
+    // with no cross-engine transcendentals
+    "a45_sign_bh" -> ((s, d) =>
+      AssociationOps.signTestBH(
+        ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"), q = 0.05)),
+
+    // exact tie-corrected Friedman: blocks = users, treatments = the 7
+    // weekdays, value = activity count — "does weekday rank consistently
+    // differ per user". Complete blocks only; doubled within-block mean
+    // ranks keep every sufficient statistic an exact integer
+    "a46_friedman" -> ((s, d) =>
+      RegressionOps.friedman(
+        ev(s, d).groupBy(col("user_id"),
+            dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("cnt")),
+        col("user_id"), col("dow"), col("cnt"))),
 
     // a44's "how fast" companion: per-user Theil-Sen robust slope —
     // median of pairwise Δcnt/Δday off the same bounded pair join,
@@ -2943,6 +3033,18 @@ object SparkEntry {
       hist.unionByName(singles)
     }),
 
+    // SemDeDup (Abbas et al. 2023): fixed-centroid coarse clustering
+    // bounds the pairwise cosine search to within-cluster pairs; drop
+    // every vector with a lower-id cluster-mate at sim ≥ 0.4. Assignment
+    // reuses the v03b portable argmin; the threshold compare rides the
+    // same raw-double cosine d06 proved engine-portable
+    "d19_semdedup" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      DedupOps.semanticDedup(emb(s, d), "vec_id", "embedding",
+        semCentroids, 0.4,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
+
     // as-of NEAREST (merge_asof direction='nearest'): union-LOCF gives the
     // last ref at-or-before, reverse-NOCB the first ref after, pick the
     // temporally closer (ties to the earlier) — still zero join nodes,
@@ -3003,6 +3105,23 @@ object SparkEntry {
             count(lit(1)), 6).as("templated_rate"))
     }),
 
+    // winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
+    // algorithm): 3-gram MD5s, 4-wide window minima, then the shared-
+    // fingerprint pair report over the inverted index with the stop-
+    // fingerprint df cap — position-robust partial-overlap detection at
+    // ~2/(w+1) of the k-gram posting volume
+    "t36_winnow_pairs" -> ((s, d) =>
+      DedupOps.winnowSharedPairs(docs(s, d), "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDf = 50)),
+
+    // Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty) —
+    // the LM counterpart of t19's BM25; absent terms contribute the
+    // smoothed background mass, per-term log contributions pinned to
+    // integer picos before the per-doc sum (order-independent)
+    "t37_qlm_topk" -> ((s, d) =>
+      RetrievalOps.queryLikelihoodTopK(docs(s, d), "doc_id", "text",
+        terms = Seq("spark", "window", "join"), k = 20, mu = 200.0)),
+
     // weekly null-rate trend per feed with a week-over-week jump flag —
     // the "did an upstream schema change silently null a column" monitor;
     // one aggregate + one lag window over the tiny weekly frame
@@ -3030,6 +3149,26 @@ object SparkEntry {
           datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
           window = 7)
         .withColumnRenamed("n_active", "wau")),
+
+    // DAU/MAU stickiness per day — the canonical engagement ratio; MAU
+    // rides the same exact gaps-and-islands sliding distinct as q09
+    // (window 30), DAU is one distinct+count, ratio one division over
+    // exact integers
+    "q11_stickiness" -> ((s, d) => {
+      val dayNum =
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val dau = ev(s, d)
+        .select(col("user_id"), dayNum.cast("long").as("day_num"))
+        .distinct()
+        .groupBy("day_num").agg(count(lit(1)).as("dau"))
+      val mau = TimeSeriesOps.slidingDistinctCount(ev(s, d), "user_id",
+          dayNum, window = 30)
+        .withColumnRenamed("n_active", "mau")
+      dau.join(mau, Seq("day_num"))
+        .select(col("day_num"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
+    }),
 
     // audio-shaped multimodal path: payload bytes as little-endian PCM16,
     // 256-sample frames, per-frame RMS — exact integer Σs² per frame, one
@@ -3095,6 +3234,16 @@ object SparkEntry {
         .filter(col("chosen_doc") =!= col("rejected_doc"))
         .withColumn("margin", col("chosen_score") - col("rejected_score"))
     }),
+
+    // GRPO group-relative advantages: per-source groups, reward = token
+    // count, advantage = reward − group mean, z = advantage/σ — exact
+    // integer numerators/radicands in DECIMAL(38,0), one cast + √ +
+    // division per engine (the Welch discipline)
+    "ml21_group_advantage" -> ((s, d) =>
+      FoldOps.groupAdvantage(
+        docs(s, d).filter(col("text").isNotNull),
+        "source", "doc_id",
+        size(TextFns.tokens(col("text"))).cast("long"))),
 
     // the token-budget gate fed by REAL subword counts instead of
     // whitespace counts (ml06's 1.3-2× budget misestimate fixed): same
@@ -3319,6 +3468,33 @@ object SparkEntry {
          GROUP BY 1"""
   }
 
+  /** g07's oracle: the 4 synchronous label-propagation rounds unrolled
+    * (the g06 peel pattern); per-round argmax-with-min-label-tiebreak is
+    * a ROW_NUMBER over (count DESC, label ASC) — same total order the
+    * engine's struct-min encodes.
+    */
+  private def g07OracleSql: String = {
+    val rounds = 4
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT z, lbl FROM (
+               SELECT a.z, l.lbl,
+                      ROW_NUMBER() OVER (PARTITION BY a.z
+                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+               FROM adj a JOIN l${r - 1} l ON a.n = l.z
+               GROUP BY a.z, l.lbl) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                    FROM lineitem),
+         e AS (SELECT a.i AS s, b.i AS t
+               FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2),
+         adj AS MATERIALIZED (SELECT s AS z, t AS n FROM e
+               UNION ALL SELECT t AS z, s AS n FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT z, z AS lbl FROM adj),
+         $steps
+         SELECT z AS node, lbl AS label FROM l$rounds"""
+  }
+
   /** v12's oracle: the 5 greedy MMR steps unrolled; (1 − 0.7) stays an
     * EXPRESSION so DuckDB computes the identical binary64 the engine's
     * `lit(1.0) - lit(lam)` holds (a 0.3 literal would be a different
@@ -3363,6 +3539,93 @@ object SparkEntry {
                FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
          $steps
          SELECT id AS vec_id, CAST(rank AS INTEGER) AS rank,
+                ROUND(score, 6) + 0.0 AS mmr_score
+         FROM sel$k"""
+  }
+
+  /** e2e_rag_retrieve's oracle: t24's BM25+RRF CTEs over the embedded
+    * subset of documents, the v01 cosine list as the second ranked list,
+    * then v12's 5 unrolled greedy MMR steps over the fused top-20 with
+    * the fused rrf as relevance. Same (1−λ)-as-expression discipline.
+    */
+  private def e2eRagOracleSql: String = {
+    val (n, k, lam) = (20, 5, "0.7")
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT id, rel, $t AS rank, score FROM (
+               SELECT c.id, c.rel,
+                      $lam * c.rel - (1 - $lam) * MAX(p.sim) AS score
+               FROM cand c
+               JOIN ps p ON p.a = c.id
+               JOIN sel${t - 1} s ON p.b = s.id
+               WHERE c.id NOT IN (SELECT id FROM sel${t - 1})
+               GROUP BY c.id, c.rel)
+             ORDER BY score DESC, id ASC LIMIT 1),
+         sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+               UNION ALL SELECT * FROM s$t)"""
+    }.mkString(",\n         ")
+    s"""WITH em AS (SELECT vec_id,
+                           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))
+                             AS v
+                    FROM embeddings),
+         corpus AS (SELECT d.doc_id, d.text
+                    FROM documents d JOIN em ON d.doc_id = em.vec_id),
+         tok AS (SELECT doc_id,
+                        UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+                 FROM corpus),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                FROM tok GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+                FROM dl),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM tok WHERE tok IN ('spark', 'window', 'join')
+                GROUP BY 1, 2),
+         dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY 1),
+         lex AS (SELECT tf.doc_id,
+                        ROUND(SUM(LN((st.n - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+                          6) + 0.0 AS score
+                 FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+                 CROSS JOIN st
+                 GROUP BY tf.doc_id
+                 ORDER BY score DESC, tf.doc_id ASC LIMIT 50),
+         q AS (SELECT v FROM em WHERE vec_id = 0),
+         vecl AS (SELECT c.vec_id AS doc_id,
+                         ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                           / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
+                              * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) + 0.0
+                           AS score
+                  FROM em c, q WHERE c.vec_id <> 0
+                  ORDER BY score DESC, doc_id ASC LIMIT 50),
+         rl AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                         AS rnk
+                FROM lex),
+         rv AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                         AS rnk
+                FROM vecl),
+         u AS (SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rl
+               UNION ALL
+               SELECT doc_id, 1.0 / (60 + rnk) AS rr FROM rv),
+         cand AS MATERIALIZED (
+           SELECT doc_id AS id, ROUND(SUM(rr), 6) + 0.0 AS rel
+           FROM u GROUP BY 1
+           ORDER BY rel DESC, id ASC LIMIT $n),
+         cv AS MATERIALIZED (SELECT em.vec_id AS id, em.v
+               FROM em JOIN cand ON em.vec_id = cand.id),
+         ps AS MATERIALIZED (
+           SELECT x.id AS a, y.id AS b,
+                  ROUND(LIST_DOT_PRODUCT(x.v, y.v)
+                    / (SQRT(LIST_DOT_PRODUCT(x.v, x.v))
+                       * SQRT(LIST_DOT_PRODUCT(y.v, y.v))), 6) + 0.0 AS sim
+           FROM cv x JOIN cv y ON x.id <> y.id),
+         sel1 AS MATERIALIZED (SELECT id, rel, 1 AS rank, $lam * rel AS score
+               FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+         $steps
+         SELECT id AS doc_id, CAST(rank AS INTEGER) AS rank,
                 ROUND(score, 6) + 0.0 AS mmr_score
          FROM sel$k"""
   }
@@ -3458,7 +3721,9 @@ object SparkEntry {
     "t34_bpe_count" -> t34OracleSql,
     "ml06b_bpe_budget" -> ml06bOracleSql,
     "g06_kcore" -> g06OracleSql,
+    "g07_label_prop" -> g07OracleSql,
     "v12_mmr_rerank" -> v12OracleSql,
+    "e2e_rag_retrieve" -> e2eRagOracleSql,
 
     "ml20_preference_pairs" ->
       """WITH t AS (SELECT doc_id, source,
@@ -3477,6 +3742,27 @@ object SparkEntry {
          FROM (SELECT * FROM r WHERE rb = 1) b
          JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
          WHERE b.doc_id <> w.doc_id""",
+
+    // GRPO group advantages: HUGEINT group sums mirror the engine's
+    // DECIMAL(38,0); advantage and z are one cast + division (+ √) over
+    // exact integer numerators/radicands
+    "ml21_group_advantage" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))
+                             AS BIGINT) AS reward
+                    FROM documents WHERE text IS NOT NULL),
+         st AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(reward) AS HUGEINT) AS s,
+                       SUM(CAST(reward AS HUGEINT) * reward) AS q
+                FROM t GROUP BY 1)
+         SELECT t.source, t.doc_id, t.reward,
+                ROUND(CAST(n * reward - s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  + 0.0 AS advantage,
+                CASE WHEN n * q - s * s > 0 THEN
+                  ROUND(CAST(n * reward - s AS DOUBLE)
+                    / SQRT(CAST(n * q - s * s AS DOUBLE)), 6) + 0.0
+                END AS z
+         FROM t JOIN st USING (source)""",
 
     // one conditional-aggregate pass per half; midpoint sum ~3.4e15 µs is
     // exact in double, /2 exact, so the split lands identically
@@ -3724,6 +4010,30 @@ object SparkEntry {
                 WHERE doc_id NOT IN (SELECT doc_id FROM comp))
          SELECT * FROM h UNION ALL SELECT * FROM si""",
 
+    // v03b's portable argmin assignment against the 16 patterned
+    // centroids, then within-cluster pairwise cosine at the raw-double
+    // threshold d06 proved engine-portable
+    "d19_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          c(cluster, cv) AS (VALUES $semCentroidsSqlValues),
+          dd AS (SELECT vec_id, v, cluster,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                          LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                            i -> (v[i] - CAST(cv[i] AS DOUBLE)) * (v[i] - CAST(cv[i] AS DOUBLE)))) ASC,
+                          cluster ASC) AS rn
+                 FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, v, cluster FROM dd WHERE rn = 1),
+          dup AS (SELECT DISTINCT b.vec_id
+                  FROM asg a JOIN asg b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                  WHERE LIST_DOT_PRODUCT(a.v, b.v)
+                        / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                           * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.4)
+          SELECT asg.vec_id, CAST(asg.cluster AS INTEGER) AS cluster,
+                 CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+          FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""",
+
     "j22_asof_nearest" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 0 AS side, ts AS ref_ts
@@ -3772,6 +4082,35 @@ object SparkEntry {
                       / COUNT(*), 6) + 0.0 AS templated_rate
          FROM t JOIN c USING (p) GROUP BY 1""",
 
+    // 3-gram MD5s with ordinal positions, 4-wide window minima over full
+    // windows only, distinct per-doc fingerprint set, df-capped
+    // inverted-index pair join — mirrors DedupOps.winnowSharedPairs
+    "t36_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i,
+                      toks
+               FROM t WHERE LEN(toks) >= 6),
+         gh AS (SELECT doc_id, i - 1 AS pos,
+                       MD5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         AS h
+                FROM g),
+         n AS (SELECT doc_id, COUNT(*) AS ng FROM gh GROUP BY 1),
+         wm AS (SELECT doc_id, pos,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmv
+                FROM gh),
+         fp AS (SELECT DISTINCT wm.doc_id, wmv AS fp
+                FROM wm JOIN n USING (doc_id) WHERE pos <= ng - 4),
+         df AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS n_shared
+               FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               JOIN df ON df.fp = a.fp AND df.df <= 50
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared FROM p
+         WHERE n_shared >= 2""",
+
     "dq13_null_trend" ->
       """WITH b AS (SELECT event_type, DATE_TRUNC('week', ts) AS week,
                            CAST(COUNT(*) AS BIGINT) AS n,
@@ -3806,6 +4145,35 @@ object SparkEntry {
          days AS (SELECT UNNEST(GENERATE_SERIES(s, e)) AS day_num FROM iv)
          SELECT day_num, CAST(COUNT(*) AS BIGINT) AS wau
          FROM days GROUP BY 1""",
+
+    // q09's islands at window 30 for MAU, one distinct+count for DAU,
+    // a single exact-integer division for the ratio
+    "q11_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            DATEDIFF('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day
+                     FROM events),
+         dau AS (SELECT day AS day_num, CAST(COUNT(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         g AS (SELECT user_id, day,
+                      CASE WHEN LAG(day) OVER w IS NULL
+                             OR day - LAG(day) OVER w > 29
+                           THEN 1 ELSE 0 END AS newi
+               FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         i AS (SELECT user_id, day,
+                      SUM(newi) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS isl
+               FROM g),
+         iv AS (SELECT user_id, isl, MIN(day) AS s, MAX(day) + 29 AS e
+                FROM i GROUP BY 1, 2),
+         days AS (SELECT UNNEST(GENERATE_SERIES(s, e)) AS day_num FROM iv),
+         mau AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS mau
+                 FROM days GROUP BY 1)
+         SELECT day_num, dau, mau,
+                ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) + 0.0
+                  AS stickiness
+         FROM dau JOIN mau USING (day_num)""",
 
     // byte-exact replay over the same UTF-8 source bytes (pure-ASCII
     // corpus ⇒ UNICODE(SUBSTR) IS the byte; POWER products are exact
@@ -6044,6 +6412,22 @@ object SparkEntry {
                     AS INTEGER) + 1, 1)) AS INTEGER) AS gray
          FROM grid""",
 
+    // same px closed form as m02; bin = v // 16 (8-bit range, 16 equal
+    // cells), empty bins absent on both sides
+    "m09_luma_hist" ->
+      """WITH n AS (SELECT doc_id, text,
+                           OCTET_LENGTH(CAST(text AS BLOB)) AS len,
+                           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 16 + 1 AS INTEGER) AS w,
+                           CAST(doc_id % 8 + 1 AS INTEGER) AS h
+                    FROM documents),
+         px AS (SELECT doc_id,
+                       ASCII(SUBSTR(text, CAST(i % len AS INTEGER) + 1, 1)) AS v
+                FROM n CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 127)) AS i)
+                WHERE i < w * h)
+         SELECT doc_id, CAST(v // 16 AS INTEGER) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM px GROUP BY 1, 2""",
+
     // closed form of the PNG round-trip: pixel i of doc = byte (i mod len),
     // so the decoded raster checksums are computable straight off the text
     "m02_decode_png" ->
@@ -6099,6 +6483,32 @@ object SparkEntry {
          FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
          GROUP BY tf.doc_id
          ORDER BY score DESC, tf.doc_id ASC LIMIT 10""",
+
+    // Dirichlet QLM: dense doc×term frame (absent terms score the
+    // smoothed background), per-term LN contribution pinned to integer
+    // picos before the per-doc sum — mirrors queryLikelihoodTopK
+    // expression-for-expression (µ·(cf/C) grouping included)
+    "t37_qlm_topk" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM tok),
+         cf AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cf
+                FROM tok WHERE tok IN ('spark', 'window', 'join') GROUP BY 1),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM tok WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2),
+         dense AS (SELECT dl.doc_id, dl.dl, t.tok
+                   FROM dl CROSS JOIN (SELECT UNNEST(['spark', 'window', 'join']) AS tok) t),
+         contrib AS (SELECT d.doc_id,
+                            CAST(ROUND(LN((COALESCE(tf.tf, 0.0) + 200.0 * (cf.cf / tot.c))
+                              / (d.dl + 200.0)) * 1e12, 0) AS BIGINT) AS cfp
+                     FROM dense d
+                     JOIN cf ON cf.tok = d.tok
+                     LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = d.tok
+                     CROSS JOIN tot)
+         SELECT doc_id, ROUND(SUM(cfp) / 1e12, 6) + 0.0 AS score
+         FROM contrib GROUP BY 1
+         ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     "q03_domain_quantile_gate" ->
       """WITH b AS (SELECT source, QUANTILE_CONT(n_chars, 0.5) AS thr
@@ -7336,6 +7746,89 @@ object SparkEntry {
                             / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tiet
                                      AS DOUBLE) / 18), 6) + 0.0 END AS z
          FROM sgg JOIN tt USING (user_id)""",
+
+    // exact dyadic sign-test p (LIST_REDUCE binomial products in HUGEINT
+    // mirror the engine's Pascal DECIMAL(38,0) rows), then the BH step-up:
+    // rank ascending, largest rank with p ≤ rank·q/M, flag below it
+    "a45_sign_bh" ->
+      """WITH base AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+         d AS (SELECT user_id,
+                      cnt - LAG(cnt) OVER (PARTITION BY user_id
+                        ORDER BY day) AS dd
+               FROM base),
+         c AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos,
+                      CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS neg
+               FROM d GROUP BY 1),
+         c2 AS (SELECT *, pos + neg AS m, LEAST(pos, neg) AS kmin FROM c
+                WHERE pos + neg <= 120),
+         t AS (SELECT user_id, m, pos, neg,
+                      LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, kmin),
+                        k -> CASE WHEN k = 0 THEN CAST(1 AS HUGEINT)
+                             ELSE LIST_REDUCE(
+                               LIST_PREPEND(CAST(1 AS HUGEINT),
+                                 LIST_TRANSFORM(GENERATE_SERIES(1, k),
+                                   i -> CAST(i AS HUGEINT))),
+                               (acc, i) -> acc * (m - i + 1) // i) END))
+                        AS a,
+                      LIST_REDUCE(LIST_PREPEND(CAST(1 AS HUGEINT),
+                        LIST_TRANSFORM(GENERATE_SERIES(1, m),
+                          x -> CAST(2 AS HUGEINT))), (x, y) -> x * y) AS p2
+               FROM c2),
+         p AS (SELECT user_id, m, pos, neg,
+                      CAST(LEAST(2 * a, p2) AS DOUBLE)
+                        / CAST(p2 AS DOUBLE) AS pd
+               FROM t),
+         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pd, user_id) AS rnk,
+                      COUNT(*) OVER () AS mm
+               FROM p),
+         x AS (SELECT *, MAX(CASE WHEN pd <= (rnk * 0.05) / mm
+                                  THEN rnk ELSE 0 END) OVER () AS rmax
+               FROM r)
+         SELECT user_id, m, pos, neg, ROUND(pd, 6) + 0.0 AS p,
+                CAST(rnk AS BIGINT) AS rank,
+                CAST(CASE WHEN rnk <= rmax THEN 1 ELSE 0 END AS INTEGER)
+                  AS flagged
+         FROM x""",
+
+    // tie-corrected Friedman over complete user×weekday blocks: doubled
+    // within-block mean ranks (2r = 2·rank + #eq − 1), HUGEINT sufficient
+    // statistics mirroring the engine's DECIMAL(38,0), one closing
+    // cast+division. DAYOFWEEK is 0-based in DuckDB → +1 aligns with
+    // Spark's 1-based dayofweek
+    "a46_friedman" ->
+      """WITH base AS (SELECT user_id, DAYOFWEEK(ts) + 1 AS dow,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+         kk AS (SELECT COUNT(DISTINCT dow) AS k FROM base),
+         comp AS (SELECT user_id FROM base GROUP BY 1
+                  HAVING COUNT(DISTINCT dow) = (SELECT k FROM kk)),
+         kept AS (SELECT b.* FROM base b JOIN comp USING (user_id)),
+         r AS (SELECT user_id, dow,
+                      2 * RANK() OVER (PARTITION BY user_id ORDER BY cnt)
+                        + COUNT(*) OVER (PARTITION BY user_id, cnt) - 1
+                        AS r2
+               FROM kept),
+         tj AS (SELECT dow, CAST(SUM(r2) AS HUGEINT) AS tj
+                FROM r GROUP BY 1),
+         tot AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a,
+                        CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS b,
+                        CAST(COUNT(DISTINCT dow) AS HUGEINT) AS k
+                 FROM r),
+         dev AS (SELECT SUM((tj - b * (k + 1)) * (tj - b * (k + 1)))
+                   AS sd2
+                 FROM tj CROSS JOIN tot)
+         SELECT CAST(b AS BIGINT) AS b_blocks, CAST(k AS BIGINT) AS k_treat,
+                CASE WHEN a <> b * k * (k + 1) * (k + 1) THEN
+                  ROUND(CAST((k - 1) * sd2 AS DOUBLE)
+                    / CAST(a - b * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+                    + 0.0
+                END AS chi2
+         FROM tot CROSS JOIN dev""",
 
     "ts17_theil_sen" ->
       """WITH daily AS (SELECT user_id,

@@ -87,7 +87,21 @@ class PlanSweepSpec extends AnyFunSuite {
     "dq15_schema_drift" -> "1-row time-extent midpoint (explicit broadcast)",
     "v12_mmr_rerank" -> ("top-20 candidate frame throughout (rerank " +
       "contract: inputs bounded by construction) — pair self-join and " +
-      "greedy argmax steps all <= 20-row sides"))
+      "greedy argmax steps all <= 20-row sides"),
+    "a45_sign_bh" -> ("(maxM+1)(maxM+2)/2-row Pascal-triangle broadcast " +
+      "(config-bounded, maxM <= 120) + bucket-offset triangle " +
+      "(globalRowNumber) + 1-row family-size M and 1-row BH rank scalars " +
+      "(explicit broadcasts)"),
+    "e2e_rag_retrieve" -> ("1-row N/avgdl stats (bm25 stage) + " +
+      "bucket-offset triangles over the two 50-row ranked lists (rrf) + " +
+      "the <= 20-row fused-candidate frame through the MMR pair join and " +
+      "greedy steps — every side bounded by the k/n contract, not data"),
+    "t37_qlm_topk" -> ("1-row corpus token total (the t19 stats pattern); " +
+      "the dense doc x term expansion is a generator over a literal " +
+      "array, not a join"),
+    "a46_friedman" -> ("1-row treatment-cardinality frame (completeness " +
+      "gate) + k-row rank-sum x 1-row sufficient-stats frames (explicit " +
+      "broadcasts) — k is the bounded treatment cardinality"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -71,4 +71,127 @@ class Round9OpsSpec extends AnyFunSuite {
       .select("k").as[String].collect()
     assert(out.toSeq === Seq("small"))
   }
+
+  test("winnowing: a shared run of k+w-1 tokens shares a fingerprint") {
+    // k=3, w=4 → guarantee threshold k+w−1 = 6: doc a and doc b share
+    // the 6-token run "p q r s t u" at DIFFERENT offsets, doc c shares
+    // nothing — the MOSS property is (a,b) detected, (·,c) not
+    val docs = Seq(
+      (1L, "p q r s t u x1 x2 x3"),
+      (2L, "y1 y2 p q r s t u"),
+      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val pairs = graft.dedup.DedupOps
+      .winnowSharedPairs(docs, "doc_id", "text", k = 3, w = 4,
+        minShared = 1, maxDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("winnowing: density is ~2/(w+1) and identical docs coincide") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val fp = graft.dedup.DedupOps
+      .winnowedFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) === byDoc(2L))
+    // 38 k-grams, 35 full windows → distinct minima well under 35 but ≥ ~7
+    assert(byDoc(1L) >= 7L && byDoc(1L) <= 20L)
+    assert(fp.select("fp").distinct().count() === byDoc(1L))
+  }
+
+  test("semanticDedup: lower id survives, cross-cluster twins untouched") {
+    // ids 1,2 are identical vectors in the [1,0] cluster → 2 dropped;
+    // id 3 lands in the other cluster so its (identical) direction is
+    // never compared cross-cluster — kept by construction
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(1.0f, 0.05f)),
+      (3L, Array(0.05f, 1.0f))).toDF("vec_id", "embedding")
+    val out = graft.dedup.DedupOps.semanticDedup(
+        corpus, "vec_id", "embedding",
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), threshold = 0.99)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 0, 3L -> 1))
+  }
+
+  test("signTestBH: exact dyadic p and BH step-up flag") {
+    // u1: 10 points strictly increasing → m=9, kmin=0, p = 2·C(9,0)/2^9
+    // = 1/256 = 0.00390625; u2: alternating → pos=neg=4, m=8, p=1 via
+    // min(1, ·). BH with q=0.05, M=2: rank-1 gate 0.025 → u1 flagged,
+    // u2 (rank 2, gate 0.05) not
+    val u1 = (1L to 10L).map(d => ("u1", d, d))
+    val u2 = (1L to 9L).map(d => ("u2", d, if (d % 2 == 0) 10L else 1L))
+    val out = AssociationOps.signTestBH(
+        (u1 ++ u2).toDF("k", "o", "v"), "k", col("o"), col("v"), q = 0.05)
+      .select("k", "p", "flagged").as[(String, Double, Int)]
+      .collect().map { case (k, p, f) => k -> (p, f) }.toMap
+    val (p1, f1) = out("u1")
+    assert(math.abs(p1 - 0.003906) < 1e-9 && f1 === 1)
+    val (p2, f2) = out("u2")
+    assert(p2 === 1.0 && f2 === 0)
+  }
+
+  test("friedman: perfectly consistent rankings hit the b(k-1) maximum") {
+    // 3 blocks ranking 3 treatments identically (A<B<C everywhere):
+    // R = (3,6,9), chi2 = 12/(3·3·4)·(9+36+81) − 3·3·4 = 42 − 36 = 6 =
+    // b(k−1); incomplete block u4 (2 of 3 treatments) must be dropped
+    val rows = for (b <- 1 to 3; (t, v) <- Seq(("A", 1L), ("B", 2L), ("C", 3L)))
+      yield (s"u$b", t, v * 10 + b)
+    val extra = Seq(("u4", "A", 5L), ("u4", "B", 6L))
+    val df = (rows ++ extra).toDF("blk", "trt", "v")
+    val r = RegressionOps.friedman(df, col("blk"), col("trt"), col("v"))
+      .head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 6.0)
+  }
+
+  test("friedman: all-tied blocks yield null chi2") {
+    val df = (for (b <- 1 to 2; t <- Seq("A", "B")) yield (s"u$b", t, 7L))
+      .toDF("blk", "trt", "v")
+    val r = RegressionOps.friedman(df, col("blk"), col("trt"), col("v"))
+      .head()
+    assert(r.isNullAt(2))
+  }
+
+  test("labelPropagation: disjoint triangles converge to min-id labels") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("queryLikelihoodTopK: hand-computed Dirichlet scores and order") {
+    // corpus: d1="a a b", d2="b c c"; terms {a,b}, mu=3; |C|=6,
+    // cf(a)=cf(b)=2 → P(t|C)=1/3. d1: ln((2+1)/6)+ln((1+1)/6) =
+    // ln(.5)+ln(1/3) = −1.791759; d2: ln(1/6)+ln(1/3) = −2.890372
+    val docs = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
+    val out = RetrievalOps.queryLikelihoodTopK(docs, "doc_id", "text",
+        terms = Seq("a", "b"), k = 10, mu = 3.0)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(math.abs(out(0)._2 - (-1.791759)) < 1e-6)
+    assert(math.abs(out(1)._2 - (-2.890372)) < 1e-6)
+  }
+
+  test("groupAdvantage: exact mean-centering, z, and degenerate groups") {
+    // g1 rewards (1,2,3): advantages (−1,0,1), z = ±3/√6 = ±1.224745;
+    // g2 singleton: advantage 0, null z; g3 constant: advantage 0, null z
+    val df = Seq(("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L),
+      ("g2", 4L, 9L), ("g3", 5L, 4L), ("g3", 6L, 4L))
+      .toDF("grp", "id", "r")
+    val out = FoldOps.groupAdvantage(df, "grp", "id", col("r"))
+      .select("id", "advantage", "z")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out(1L) === (-1.0, Some(-1.224745)))
+    assert(out(2L) === (0.0, Some(0.0)))
+    assert(out(3L) === (1.0, Some(1.224745)))
+    assert(out(4L) === (0.0, None))
+    assert(out(5L) === (0.0, None))
+    assert(out(6L) === (0.0, None))
+  }
 }
