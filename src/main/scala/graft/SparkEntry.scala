@@ -823,6 +823,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
 
+    // matryoshka-prefix retrieval (Kusupati et al. 2022): the same brute
+    // top-k over only the FIRST 16 of 64 dims — the truncated-embedding
+    // eval an MRL-trained index runs before committing to a prefix
+    // length; one slice projection, identical join shape to v01
+    "v13_matryoshka_topk" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val pre = emb(s, d).select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      Knn.bruteForceTopK(pre, pre.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
+
     // trained IVF: k-means coarse quantizer then cluster-local search.
     // Fully oracled (r6): kmeansAssign quantizes each round's means to 6dp
     // before the next assignment, so the Lloyd trajectory is
@@ -2280,6 +2293,23 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt")),
         col("user_id"), col("dow"), col("cnt"))),
 
+    // Holt double-exponential smoothing (α = β = ½) over each user's
+    // daily counts — final (level, trend) + one-step forecast; the fold
+    // runs in exact integer micros with pure-integer half-up rounding,
+    // so the sequential recursion is engine-portable by construction
+    "ts18_holt" -> ((s, d) =>
+      TimeSeriesOps.holtSmooth(
+        ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"))),
+
+    // pooled two-proportion z: did even-id users "purchase" at a
+    // different rate than odd-id users — four exact integer counts, one
+    // mirrored IEEE assembly
+    "a47_prop_ztest" -> ((s, d) =>
+      AssociationOps.twoProportionZ(ev(s, d),
+        col("user_id") % 2 === 0, col("event_type") === "purchase")),
+
     // a44's "how fast" companion: per-user Theil-Sen robust slope —
     // median of pairwise Δcnt/Δday off the same bounded pair join,
     // exact type-7 median (no per-group buffer)
@@ -2308,6 +2338,16 @@ object SparkEntry {
     // graph (pairs seen together in ≥ 2 orders — single co-purchases are
     // noise and would densify the wedge join ~60×): common-neighbor
     // count + inverse-log-degree sum per candidate pair, hub-capped
+    // neighborhood Jaccard over the same support-≥2 graph as g04 — the
+    // unweighted structural-equivalence sibling; exact integer
+    // overlap/union, full-degree denominators, maxDeg hub cap on the
+    // wedge join
+    "g08_neighbor_jaccard" -> ((s, d) =>
+      GraphOps.neighborJaccard(
+        GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
+          .filter(col("cnt") >= 2),
+        "src", "dst", maxDeg = 50, minCommon = 1L)),
+
     "g04_adamic_adar" -> ((s, d) =>
       GraphOps.adamicAdar(
         GraphOps.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey")
@@ -5878,6 +5918,24 @@ object SparkEntry {
              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
          WHERE rn <= 5""",
 
+    // v01 over the first-16-dim slice — LIST slicing before the double
+    // cast mirrors the engine's slice-then-toDoubleArr
+    "v13_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           LIST_TRANSFORM(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) + 0.0
+                    AS sim
+           FROM (SELECT * FROM e WHERE vec_id < 8) q
+           CROSS JOIN e c WHERE c.vec_id <> q.vec_id)
+         SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
+         WHERE rn <= 5""",
+
     "v02_ann_clustered" ->
       """WITH e AS (SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
@@ -7830,6 +7888,72 @@ object SparkEntry {
                 END AS chi2
          FROM tot CROSS JOIN dev""",
 
+    // Holt fold replayed with LIST_REDUCE over [l, b] BIGINT-micro pair
+    // states: α = β = ½, step rounding is the pure-integer half-up
+    // ⌊(2v + 2)/4⌋, the level re-derivation inside the trend update is
+    // the SAME expression the engine's lNew binding evaluates twice, and
+    // the only float op is the closing /1e6 per column
+    "ts18_holt" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) * 1000000 AS v
+                        FROM events GROUP BY 1, 2),
+         g AS (SELECT user_id, LIST(v ORDER BY day) AS ys
+               FROM daily GROUP BY 1
+               HAVING COUNT(*) BETWEEN 2 AND 5000),
+         f AS (SELECT user_id, CAST(LEN(ys) AS BIGINT) AS n,
+                      LIST_REDUCE(
+                        LIST_PREPEND([ys[1], ys[2] - ys[1]],
+                          LIST_TRANSFORM(ys[3:], y -> [y, CAST(0 AS BIGINT)])),
+                        (acc, x) ->
+                          [CAST(FLOOR((2 * (x[1] + acc[1] + acc[2]) + 2)
+                              / 4.0) AS BIGINT),
+                           CAST(FLOOR((2 * (CAST(FLOOR(
+                                 (2 * (x[1] + acc[1] + acc[2]) + 2) / 4.0)
+                                 AS BIGINT) - acc[1] + acc[2]) + 2) / 4.0)
+                             AS BIGINT)]) AS lb
+               FROM g)
+         SELECT user_id, n,
+                CAST(lb[1] AS DOUBLE) / 1e6 AS level,
+                CAST(lb[2] AS DOUBLE) / 1e6 AS trend,
+                CAST(lb[1] + lb[2] AS DOUBLE) / 1e6 AS forecast_1
+         FROM f""",
+
+    // four exact integer counts from one conditional-aggregate scan, the
+    // pooled-z assembly mirrored op-for-op; empty/degenerate pools null
+    "a47_prop_ztest" ->
+      """WITH c AS (SELECT
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN user_id % 2 = 0
+                          AND event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN user_id % 2 <> 0
+                          AND event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x2
+         FROM events WHERE user_id IS NOT NULL),
+         w AS (SELECT *,
+                      CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                        AS pp
+               FROM c)
+         SELECT n1, x1, n2, x2,
+                CASE WHEN n1 > 0 THEN
+                  ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + 0.0
+                END AS p1,
+                CASE WHEN n2 > 0 THEN
+                  ROUND(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + 0.0
+                END AS p2,
+                CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0
+                      AND x1 + x2 < n1 + n2 THEN
+                  ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / SQRT((pp * (1.0 - pp))
+                      * (1.0 / CAST(n1 AS DOUBLE)
+                         + 1.0 / CAST(n2 AS DOUBLE))), 6) + 0.0
+                END AS z
+         FROM w""",
+
     "ts17_theil_sen" ->
       """WITH daily AS (SELECT user_id,
                                DATEDIFF('day', DATE '1970-01-01',
@@ -7898,6 +8022,31 @@ object SparkEntry {
          FROM small a JOIN small b ON a.z = b.z AND a.n < b.n
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
+
+    // g04's wedge enumeration, Jaccard closing: common / (full-degree
+    // union), exact integers into one rounded division
+    "g08_neighbor_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+         e AS (SELECT a.i AS u, b.i AS v
+               FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= 2),
+         adj AS (SELECT u AS z, v AS n FROM e
+                 UNION ALL SELECT v AS z, u AS n FROM e),
+         deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+         small AS (SELECT adj.z, adj.n
+                   FROM adj JOIN deg USING (z) WHERE deg.d <= 50),
+         p AS (SELECT a.n AS node_a, b.n AS node_b,
+                      CAST(COUNT(*) AS BIGINT) AS common
+               FROM small a JOIN small b ON a.z = b.z AND a.n < b.n
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= 1)
+         SELECT node_a, node_b, common,
+                ROUND(CAST(common AS DOUBLE)
+                  / CAST(da.d + db.d - common AS DOUBLE), 6) + 0.0
+                  AS jaccard
+         FROM p JOIN deg da ON da.z = node_a JOIN deg db ON db.z = node_b""",
 
     // add-1-smoothed bigram model: bigram + unigram count joins over the
     // per-doc distinct-bigram frame; V a one-row cross join; docs with

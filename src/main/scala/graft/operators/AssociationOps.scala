@@ -331,4 +331,40 @@ object AssociationOps {
         when(col("rank") <= col("__rmax"), 1).otherwise(0).cast("int")
           .as("flagged"))
   }
+
+  /** Pooled two-proportion z-test — the A/B-test primitive ("did cohort
+    * A convert at a different rate than cohort B"):
+    *   z = (p₁ − p₂) / √( p̂(1−p̂) · (1/n₁ + 1/n₂) ),  p̂ = (x₁+x₂)/(n₁+n₂).
+    * One full-scan conditional aggregate to a single row of four exact
+    * integer counts; the closing assembly is a fixed sequence of
+    * correctly-rounded IEEE ops mirrored op-for-op by the oracle.
+    * Degenerate pools (p̂ = 0 or 1, or an empty cohort) yield null z.
+    * Rows where `inA` is null are excluded (they belong to neither
+    * cohort — don't let when().otherwise() silently fold them into B).
+    */
+  def twoProportionZ(df: DataFrame, inA: Column, success: Column)
+      : DataFrame = {
+    val counts = df.filter(inA.isNotNull)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n1"),
+        sum(when(inA && success, 1L).otherwise(0L)).as("x1"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n2"),
+        sum(when(!inA && success, 1L).otherwise(0L)).as("x2"))
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val p2 = col("x2").cast("double") / col("n2").cast("double")
+    val pp = (col("x1") + col("x2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val rad = (pp * (lit(1.0) - pp)) *
+      (lit(1.0) / col("n1").cast("double") +
+        lit(1.0) / col("n2").cast("double"))
+    // when() keeps the divisions lazy, so an empty cohort yields null
+    // instead of an ANSI divide-by-zero error
+    counts.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      when(col("n1") > 0, round(p1, 6)).as("p1"),
+      when(col("n2") > 0, round(p2, 6)).as("p2"),
+      when(col("n1") > 0 && col("n2") > 0 &&
+          col("x1") + col("x2") > 0 &&
+          col("x1") + col("x2") < col("n1") + col("n2"),
+        round((p1 - p2) / sqrt(rad), 6)).as("z"))
+  }
 }

@@ -296,4 +296,36 @@ object GraphOps {
         round(sum(lit(1.0) / log(col("a.__deg"))), 6).as("adamic_adar"))
       .filter(col("common") >= minCommon)
   }
+
+  /** Neighborhood Jaccard similarity — [[adamicAdar]]'s unweighted
+    * sibling, |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|: the structural-equivalence
+    * score link-prediction and entity-resolution pipelines rank on.
+    * Same wedge enumeration through shared neighbors with the `maxDeg`
+    * hub cap bounding the quadratic fan-out (shared neighbors above the
+    * cap don't generate pairs — the adamicAdar discipline); denominators
+    * use FULL degrees, so the score itself is exact: one division of
+    * exact integers (common / (deg_a + deg_b − common)), rounded to 6.
+    */
+  def neighborJaccard(edges: DataFrame, src: String, dst: String,
+      maxDeg: Int = 1000, minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+    val adj = e.select(col("__u").as("__z"), col("__v").as("__n"))
+      .union(e.select(col("__v").as("__z"), col("__u").as("__n")))
+    val deg = adj.groupBy("__z").agg(count(lit(1)).as("__deg"))
+    val small = adj.join(deg.filter(col("__deg") <= maxDeg), Seq("__z"))
+    val pairs = small.alias("a").join(small.alias("b"),
+        col("a.__z") === col("b.__z") && col("a.__n") < col("b.__n"))
+      .groupBy(col("a.__n").as("node_a"), col("b.__n").as("node_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("__z").as("node_a"), col("__deg").as("__da")),
+        Seq("node_a"))
+      .join(deg.select(col("__z").as("node_b"), col("__deg").as("__db")),
+        Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("__da") + col("__db") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -564,4 +564,72 @@ object TimeSeriesOps {
     CleaningOps.groupQuantiles(slopes, key, "__slope", 0.5, 0.5)
       .select(col(key), round(col("q_lo"), 6).as("slope"))
   }
+
+  /** Holt linear-trend (double exponential) smoothing per entity — the
+    * classic short-horizon forecaster:
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}),
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},
+    * initialized l₀ = y₀, b₀ = y₁ − y₀; returns the final (level, trend)
+    * and the one-step forecast level + trend. Entities need ≥ 2 points;
+    * `ord` must be unique per entity and `value` integer-valued
+    * (aggregate/quantize first).
+    *
+    * The recursion is inherently sequential per entity, so it runs as a
+    * higher-order `aggregate` fold over the entity's collected series —
+    * state is TWO longs and the array is bounded by `maxSeries` (the
+    * mannKendallTrend cap), so per-row memory stays constant at any
+    * corpus size.
+    *
+    * Engine portability is by EXACT INTEGER construction, not rounding:
+    * α = aN/aD and β = bN/bD are rationals, state lives in integer
+    * micros, and each step rounds v/q with the pure-integer half-up rule
+    * ⌊(2v + q)/(2q)⌋ — a first draft pinned each step with ROUND(·, 6)
+    * and α = ½ over integer counts lands EXACTLY on ·5e-7 boundaries,
+    * where Spark's BigDecimal HALF_UP (sees the full binary expansion,
+    * e.g. -0.0975875 → -0.09758749…) and DuckDB's std::round(x·1e6)
+    * (sees -97587.5 → away from zero) disagree. Integer state has no
+    * such boundary: both engines do exact long arithmetic and one FLOOR
+    * of an exact-in-double quotient per step; the only float op in the
+    * whole operator is the closing /1e6 per output column.
+    */
+  def holtSmooth(df: DataFrame, key: String, ord: Column, value: Column,
+      alphaNum: Int = 1, alphaDen: Int = 2, betaNum: Int = 1,
+      betaDen: Int = 2, maxSeries: Int = 5000): DataFrame = {
+    require(alphaNum >= 0 && alphaNum <= alphaDen && alphaDen > 0 &&
+      betaNum >= 0 && betaNum <= betaDen && betaDen > 0,
+      "holtSmooth: smoothing rationals must satisfy 0 <= num <= den")
+    // ⌊(2v + q)/(2q)⌋ = round-half-up(v/q); 2v+q stays exact in the
+    // double division for |v| < 2^51 (micros of bounded daily counts)
+    def rnd(v: Column, q: Int): Column =
+      floor((lit(2) * v + lit(q)).cast("double") / lit(2.0 * q))
+        .cast("long")
+    val base = df.select(col(key), ord.as("__o"),
+        (value.cast("long") * 1000000L).as("__v"))
+      .withColumn("__len", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__len") <= maxSeries && col("__len") >= 2).drop("__len")
+    val arr = base.groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("__o"), col("__v"))))
+        .as("__sv"))
+      .select(col(key),
+        transform(col("__sv"), s => s.getField("__v")).as("__ys"))
+    val init = array(element_at(col("__ys"), 1),
+      element_at(col("__ys"), 2) - element_at(col("__ys"), 1))
+    val folded = aggregate(
+      slice(col("__ys"), lit(3), greatest(size(col("__ys")) - 2, lit(0))),
+      init,
+      (acc: Column, y: Column) => {
+        val lNew = rnd(lit(alphaNum) * y + lit(alphaDen - alphaNum) *
+          (element_at(acc, 1) + element_at(acc, 2)), alphaDen)
+        val bNew = rnd(lit(betaNum) * (lNew - element_at(acc, 1)) +
+          lit(betaDen - betaNum) * element_at(acc, 2), betaDen)
+        array(lNew, bNew)
+      })
+    arr.select(col(key), size(col("__ys")).cast("long").as("n"),
+        folded.as("__lb"))
+      .select(col(key), col("n"),
+        (element_at(col("__lb"), 1).cast("double") / lit(1e6)).as("level"),
+        (element_at(col("__lb"), 2).cast("double") / lit(1e6)).as("trend"),
+        ((element_at(col("__lb"), 1) + element_at(col("__lb"), 2))
+          .cast("double") / lit(1e6)).as("forecast_1"))
+  }
 }

@@ -101,7 +101,9 @@ class PlanSweepSpec extends AnyFunSuite {
       "array, not a join"),
     "a46_friedman" -> ("1-row treatment-cardinality frame (completeness " +
       "gate) + k-row rank-sum x 1-row sufficient-stats frames (explicit " +
-      "broadcasts) — k is the bounded treatment cardinality"))
+      "broadcasts) — k is the bounded treatment cardinality"),
+    "v13_matryoshka_topk" -> ("explicit bounded query set (vec_id < 8), " +
+      "brute-force contract — the v01 exemption over the 16-dim prefix"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -194,4 +194,47 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(5L) === (0.0, None))
     assert(out(6L) === (0.0, None))
   }
+
+  test("holtSmooth: integer-micro fold, hand-traced α=β=½ recursion") {
+    // ys = [4,1,1,3]: l0=4, b0=-3; y=1 → l=1, b=-3; y=3 → vL=1e6 →
+    // ⌊(2e6+2)/4⌋ = 500000 (half-up toward +∞), vB=-3.5e6 → -1750000
+    val df = Seq(("u", 1L, 4L), ("u", 2L, 1L), ("u", 3L, 1L),
+      ("u", 4L, 3L)).toDF("k", "o", "v")
+    val r = TimeSeriesOps.holtSmooth(df, "k", col("o"), col("v")).head()
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) === -1.75)
+    assert(r.getDouble(4) === -1.25)
+  }
+
+  test("holtSmooth: two-point series returns the init state unchanged") {
+    val df = Seq(("u", 1L, 5L), ("u", 2L, 9L)).toDF("k", "o", "v")
+    val r = TimeSeriesOps.holtSmooth(df, "k", col("o"), col("v")).head()
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 9.0)
+  }
+
+  test("neighborJaccard: structurally equivalent square corners score 1") {
+    // cycle 1-2-3-4: Γ(1) = Γ(3) = {2,4}, Γ(2) = Γ(4) = {1,3} →
+    // (1,3) and (2,4) share BOTH neighbors: jaccard 2/(2+2−2) = 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val out = GraphOps.neighborJaccard(edges, "src", "dst",
+        maxDeg = 10, minCommon = 1L)
+      .select("node_a", "node_b", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("twoProportionZ: hand-computed pooled z and null-cohort exclusion") {
+    // A: 1/4 success, B: 3/4 → pp=.5, rad=.25·.5=.125,
+    // z = -.5/√.125 = -1.414214; a null-cohort row must not count as B
+    val rows = (1 to 4).map(i => (Some(true), i == 1)) ++
+      (1 to 4).map(i => (Some(false), i <= 3)) :+ ((None: Option[Boolean]) -> false)
+    val df = rows.map { case (a, s) => (a, s) }.toDF("ina", "succ")
+    val r = AssociationOps.twoProportionZ(df, col("ina"), col("succ"))
+      .head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 1L)
+    assert(r.getLong(2) === 4L && r.getLong(3) === 3L)
+    assert(r.getDouble(6) === -1.414214)
+  }
 }
