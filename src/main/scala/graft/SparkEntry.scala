@@ -2271,6 +2271,14 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt")),
         "user_id", col("day"), col("cnt"))),
 
+    // a44's effect-size companion: Kendall τ-b off the same bounded pair
+    // join — exact integer S and tie counts, one √ + one division
+    "a48_kendall_tau" -> ((s, d) =>
+      TimeSeriesOps.kendallTau(
+        ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"))),
+
     // per-entity exact sign test + Benjamini–Hochberg step-up across the
     // family — the multiple-testing correction for a fleet of per-series
     // monitors. p-values are exact dyadic rationals (Pascal-triangle
@@ -3250,6 +3258,13 @@ object SparkEntry {
     "t34_bpe_count" -> ((s, d) =>
       BpeOps.bpeTokenCounts(docs(s, d), "doc_id", "text", k = 10)),
 
+    // tokenizer fertility per declared language: chars per real BPE
+    // token off the t34 merge table — the multilingual context-budget
+    // audit; one division over exact integer sums
+    "ml22_tokenizer_fertility" -> ((s, d) =>
+      BpeOps.tokenizerFertility(docs(s, d), "doc_id", "text",
+        by = "lang", chars = col("n_chars"), k = 10)),
+
     // DPO-style preference-pair construction: per prompt group (source),
     // pair the best- and worst-scoring documents (integer lexical-
     // diversity score — exact, so the argmax/argmin need no float
@@ -3465,6 +3480,19 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretoks,
                 CAST(SUM(n_sym) AS BIGINT) AS n_bpe
          FROM pt JOIN bpec USING (word) GROUP BY 1"""
+
+  private def ml22OracleSql: String =
+    s"""WITH ${bpeVocabCtes(10)},
+         t AS (SELECT p.doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+               FROM pt p JOIN bpec USING (word) GROUP BY 1)
+         SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+                CAST(SUM(t.n_bpe) AS BIGINT) AS n_bpe,
+                CASE WHEN SUM(t.n_bpe) > 0 THEN
+                  ROUND(CAST(SUM(d.n_chars) AS DOUBLE)
+                    / CAST(SUM(t.n_bpe) AS DOUBLE), 6) + 0.0
+                END AS fertility
+         FROM t JOIN documents d USING (doc_id) GROUP BY 1"""
 
   private def ml06bOracleSql: String =
     s"""WITH ${bpeVocabCtes(10)},
@@ -3759,6 +3787,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "v10_pca_project" -> v10OracleSql,
     "t34_bpe_count" -> t34OracleSql,
+    "ml22_tokenizer_fertility" -> ml22OracleSql,
     "ml06b_bpe_budget" -> ml06bOracleSql,
     "g06_kcore" -> g06OracleSql,
     "g07_label_prop" -> g07OracleSql,
@@ -7803,6 +7832,31 @@ object SparkEntry {
                      ELSE ROUND((s - SIGN(s))
                             / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tiet
                                      AS DOUBLE) / 18), 6) + 0.0 END AS z
+         FROM sgg JOIN tt USING (user_id)""",
+
+    // τ-b over the same pair join: doubled n₀ kept integer, radicand an
+    // exact long product /4.0 (a power of two — no rounding), one √ +
+    // one division
+    "a48_kendall_tau" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+         p AS (SELECT a.user_id, SIGN(b.cnt - a.cnt) AS sg
+               FROM daily a JOIN daily b
+                 ON a.user_id = b.user_id AND a.day < b.day),
+         sgg AS (SELECT user_id, CAST(SUM(sg) AS BIGINT) AS s
+                 FROM p GROUP BY 1),
+         t AS (SELECT user_id, cnt, CAST(COUNT(*) AS BIGINT) AS t
+               FROM daily GROUP BY 1, 2),
+         tt AS (SELECT user_id, CAST(SUM(t) AS BIGINT) AS n,
+                       CAST(SUM(t * (t - 1)) AS BIGINT) AS t2
+                FROM t GROUP BY 1)
+         SELECT sgg.user_id, n, s,
+                CASE WHEN n * (n - 1) - t2 > 0 THEN
+                  ROUND(CAST(s AS DOUBLE)
+                    / SQRT(CAST((n * (n - 1) - t2) * (n * (n - 1))
+                        AS DOUBLE) / 4.0), 6) + 0.0
+                END AS tau
          FROM sgg JOIN tt USING (user_id)""",
 
     // exact dyadic sign-test p (LIST_REDUCE binomial products in HUGEINT

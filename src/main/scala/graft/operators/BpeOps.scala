@@ -147,4 +147,26 @@ object BpeOps {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_pretoks"), sum(col("n_sym")).as("n_bpe"))
   }
+
+  /** Tokenizer fertility per document group (chars emitted per BPE
+    * token) — the compression diagnostic multilingual-tokenizer audits
+    * track: a language whose fertility is 2× the corpus mean pays 2× the
+    * context budget for the same text. Composes [[bpeTokenCounts]] with
+    * the grouping column; the ratio is ONE division over two exact
+    * integer sums. Documents with no pre-tokens drop (they have no
+    * tokenizer behavior to measure); a group whose BPE total is zero
+    * yields null fertility.
+    */
+  def tokenizerFertility(docs: DataFrame, id: String, textCol: String,
+      by: String, chars: Column, k: Int): DataFrame = {
+    bpeTokenCounts(docs, id, textCol, k)
+      .join(docs.select(col(id), col(by), chars.as("__nc")), Seq(id))
+      .groupBy(col(by))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .select(col(by), col("n_docs"), col("n_chars"), col("n_bpe"),
+        when(col("n_bpe") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe").cast("double"),
+            6)).as("fertility"))
+  }
 }

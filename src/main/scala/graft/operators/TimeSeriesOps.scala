@@ -538,6 +538,40 @@ object TimeSeriesOps {
           .as("z"))
   }
 
+  /** Kendall's τ-b per entity — [[mannKendallTrend]]'s EFFECT-SIZE
+    * companion (the z answers "is there a trend", τ-b answers "how
+    * concordant is it", in [-1, 1]):
+    *   τ_b = S / √( (n₀ − n₁) · n₀ ),  n₀ = n(n−1)/2, n₁ = Σ t(t−1)/2
+    * with S the concordant-minus-discordant pair sum and n₁ the
+    * value-tie pair count (`ord` is unique per entity, so there are no
+    * ties on the other axis). Same bounded within-entity pair join and
+    * maxSeries cap as the z test; every sufficient statistic is an exact
+    * integer and the close is one √ and one division. All-tied or
+    * single-point series (zero radicand) yield null.
+    */
+  def kendallTau(df: DataFrame, key: String, ord: Column, value: Column,
+      maxSeries: Int = 5000): DataFrame = {
+    val base = df.select(col(key), ord.as("__o"),
+        value.cast("long").as("__v"))
+      .withColumn("__len", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__len") <= maxSeries).drop("__len")
+    val s = base.alias("a").join(base.alias("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.__o") < col("b.__o"))
+      .groupBy(col(s"a.$key").as(key))
+      .agg(sum(signum(col("b.__v") - col("a.__v")).cast("long")).as("s"))
+    val ties = base.groupBy(col(key), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(key))
+      .agg(sum(col("__t") * (col("__t") - 1)).as("__2t1"),
+        sum(col("__t")).as("n"))
+    val n0x2 = col("n") * (col("n") - 1) // 2·n₀ — keep doubled, exact
+    val rad = ((n0x2 - col("__2t1")) * n0x2).cast("double") / 4.0
+    s.join(ties, Seq(key))
+      .select(col(key), col("n"), col("s"),
+        when(n0x2 - col("__2t1") > 0,
+          round(col("s").cast("double") / sqrt(rad), 6)).as("tau"))
+  }
+
   /** Theil-Sen robust slope per entity — [[mannKendallTrend]]'s "how fast
     * is it drifting" companion: the median of all pairwise slopes
     * (Δvalue/Δorder). Same bounded within-entity pair join (series length

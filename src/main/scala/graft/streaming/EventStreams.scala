@@ -213,6 +213,51 @@ object EventStreams {
       }
   }
 
+  case class DailyCount(user_id: Long, day: java.sql.Date, cnt: Long)
+  case class HoltState(seen: Long, lMic: Long, bMic: Long)
+  case class HoltOut(user_id: Long, day: java.sql.Date,
+      level: Double, trend: Double, forecast_1: Double)
+
+  /** Stateful streaming twin of the batch `ts18_holt` integer-micro
+    * fold: per-key state is (count, level, trend) — three longs, not the
+    * series. Parity with [[graft.operators.TimeSeriesOps.holtSmooth]] is
+    * bit-for-bit BECAUSE the batch fold is pure integer arithmetic
+    * (α = β = ½, step rounding ⌊(2v+2)/4⌋ replayed here in exact Long
+    * math) — no float op exists to drift until the closing /1e6, which
+    * both sides perform identically. Emits the running state per daily
+    * row once initialized (row 1 is absorbed into the init, matching the
+    * batch contract's n ≥ 2).
+    */
+  def holtStream(daily: Dataset[DailyCount]): Dataset[HoltOut] = {
+    import daily.sparkSession.implicits._
+    def rnd2(v: Long): Long = Math.floorDiv(2L * v + 2L, 4L)
+    daily
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[DailyCount], state: GroupState[HoltState]) =>
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
+          sorted.foreach { r =>
+            val y = r.cnt * 1000000L
+            st =
+              if (st.seen == 0L) HoltState(1L, y, 0L)
+              else if (st.seen == 1L) HoltState(2L, st.lMic, y - st.lMic)
+              else {
+                val lNew = rnd2(y + st.lMic + st.bMic)
+                val bNew = rnd2(lNew - st.lMic + st.bMic)
+                HoltState(st.seen + 1L, lNew, bNew)
+              }
+            if (st.seen >= 2L)
+              out += HoltOut(uid, r.day, st.lMic / 1e6, st.bMic / 1e6,
+                (st.lMic + st.bMic) / 1e6)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class EwmaEvent(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, value: Option[Double])
   case class EwmaState(window: List[Option[Double]])

@@ -157,6 +157,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming Holt fold equals the batch ts18 final state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-holt")
+    // materialize the daily-count frame the batch query folds over
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy($"user_id", to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val daily = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[EventStreams.DailyCount]
+    val q = EventStreams.holtStream(daily)
+      .writeStream.format("memory").queryName("holt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("holt")
+      .as[EventStreams.HoltOut].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_.day.getTime)
+        u -> (java.lang.Double.doubleToLongBits(last.level),
+          java.lang.Double.doubleToLongBits(last.trend),
+          java.lang.Double.doubleToLongBits(last.forecast_1))
+      }
+    val batch = SparkEntry.queries("ts18_holt")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          java.lang.Double.doubleToLongBits(r.getDouble(4))))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful streaming rolling z-score equals the batch w19 window form") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zroll")
