@@ -969,6 +969,29 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // the entity-resolution chain END-TO-END: normalize part names →
+    // first-char blocking + Jaro-Winkler match pairs (f30's portable
+    // kernel) → min-label connected components (d08's machinery on the
+    // min-partkey name ids) → every name with its cluster canonical.
+    // Gates the normalize→block→match→cluster stage INTERACTIONS the way
+    // e2e_corpus_curate gates the curation chain
+    "e2e_entity_resolution" -> ((s, d) => {
+      val ids = prt(s, d).filter(col("p_name").isNotNull)
+        .select(lower(trim(col("p_name"))).as("name"), col("p_partkey"))
+        .groupBy("name").agg(min("p_partkey").as("nid"))
+      val pairs = LinkageOps.jaroWinklerPairs(ids, "name", threshold = 0.9)
+      val pairIds = pairs
+        .join(ids.select(col("name").as("name_a"), col("nid").as("__ia")),
+          Seq("name_a"))
+        .join(ids.select(col("name").as("name_b"), col("nid").as("__ib")),
+          Seq("name_b"))
+        .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+      val comps = DedupOps.connectedComponents(pairIds, "id_a", "id_b")
+      ids.join(comps.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left")
+        .select(col("name"), col("nid"),
+          coalesce(col("canonical_id"), col("nid")).as("canonical_id"))
+    }),
+
     // ---------------- multimodal plumbing ----------------
     "m01_binary_meta" -> ((s, d) =>
       BinaryOps.withPayload(docs(s, d), "text", "payload")
@@ -1457,6 +1480,20 @@ object SparkEntry {
         (col("doc_id") % 8 + 1).as("h"))
       val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
       BinaryOps.phash63(s, png, "doc_id", "png").toDF()
+    }),
+
+    // image near-dup pairs: m05's perceptual hashes → 4×16-bit band LSH
+    // (pigeonhole-complete for Hamming ≤ 3) → exact bit_count verify —
+    // the d03 dedup shape on the image modality, saturated bands capped
+    "m10_phash_pairs" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (octet_length(col("text")) % 16 + 1).as("w"),
+        (col("doc_id") % 8 + 1).as("h"))
+      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
+      BinaryOps.phashNearDupPairs(
+        BinaryOps.phash63(s, png, "doc_id", "png").toDF(),
+        "doc_id", "phash", maxHamming = 3, maxBucket = 1000L)
     }),
 
     // REAL decode → nearest-neighbor 4×4 thumbnail: the resize stage of
@@ -3791,6 +3828,30 @@ object SparkEntry {
     "ml06b_bpe_budget" -> ml06bOracleSql,
     "g06_kcore" -> g06OracleSql,
     "g07_label_prop" -> g07OracleSql,
+
+    // normalize → first-char block + raw-threshold JW (the f30 portable
+    // compare) → recursive-CTE min-label closure (the d08 pattern) →
+    // singletons via LEFT JOIN COALESCE
+    "e2e_entity_resolution" ->
+      """WITH RECURSIVE
+         v AS (SELECT LOWER(TRIM(p_name)) AS name,
+                      CAST(MIN(p_partkey) AS BIGINT) AS nid
+               FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+         e0 AS (SELECT a.nid AS x, b.nid AS y
+                FROM v a JOIN v b
+                  ON SUBSTR(a.name, 1, 1) = SUBSTR(b.name, 1, 1)
+                 AND a.name < b.name
+                WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+         und AS (SELECT x AS a, y AS b FROM e0
+                 UNION SELECT y, x FROM e0),
+         reach AS (SELECT a, b FROM und
+                   UNION
+                   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         cc AS (SELECT a AS nid, LEAST(a, MIN(b)) AS canon
+                FROM reach GROUP BY a)
+         SELECT v.name, v.nid,
+                CAST(COALESCE(cc.canon, v.nid) AS BIGINT) AS canonical_id
+         FROM v LEFT JOIN cc USING (nid)""",
     "v12_mmr_rerank" -> v12OracleSql,
     "e2e_rag_retrieve" -> e2eRagOracleSql,
 
@@ -6479,6 +6540,44 @@ object SparkEntry {
                   AS phash
          FROM g LEFT JOIN bits USING (doc_id)
          GROUP BY 1""",
+
+    // m05's phash closed form → 4×16-bit band join → exact XOR popcount
+    // verify at Hamming ≤ 3; saturated bands dropped at the same cap
+    "m10_phash_pairs" ->
+      """WITH n AS (SELECT doc_id, text,
+                           OCTET_LENGTH(CAST(text AS BLOB)) AS len,
+                           CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 16 + 1 AS INTEGER) AS w,
+                           CAST(doc_id % 8 + 1 AS INTEGER) AS h
+                    FROM documents),
+         px AS (SELECT doc_id, i, w * h AS wh,
+                       ASCII(SUBSTR(text, CAST(i % len AS INTEGER) + 1, 1)) AS v
+                FROM n CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 127)) AS i)
+                WHERE i < w * h),
+         g AS (SELECT DISTINCT doc_id, wh FROM px),
+         bits AS (SELECT g.doc_id, b.i
+                  FROM g CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 62)) AS i) b
+                  JOIN px pa ON pa.doc_id = g.doc_id AND pa.i = b.i % g.wh
+                  JOIN px pb ON pb.doc_id = g.doc_id AND pb.i = (b.i + 1) % g.wh
+                  WHERE pa.v > pb.v),
+         ph AS (SELECT g.doc_id,
+                       CAST(COALESCE(SUM(CAST(1 AS BIGINT) << bits.i), 0)
+                         AS BIGINT) AS phash
+                FROM g LEFT JOIN bits USING (doc_id) GROUP BY 1),
+         bands AS (SELECT doc_id, phash, b.i AS band,
+                          (phash >> (b.i * 16)) & 65535 AS bkey
+                   FROM ph CROSS JOIN
+                     (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) b),
+         keep AS (SELECT band, bkey FROM bands GROUP BY 1, 2
+                  HAVING COUNT(*) <= 1000),
+         capped AS (SELECT bands.* FROM bands JOIN keep USING (band, bkey)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.phash AS pa, b.phash AS pb
+                  FROM capped a JOIN capped b
+                    ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+                CAST(BIT_COUNT(XOR(pa, pb)) AS INTEGER) AS hamming
+         FROM cand WHERE BIT_COUNT(XOR(pa, pb)) <= 3""",
 
     // resize closed form: output (px, py) reads source raster index
     // (py·h//4)·w + (px·w//4), which is byte (idx mod len) of the text

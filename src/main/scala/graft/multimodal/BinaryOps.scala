@@ -313,6 +313,45 @@ object BinaryOps {
       }
   }
 
+  /** Image near-duplicate candidate pairs from 63-bit perceptual hashes
+    * (the d03 LSH shape transplanted to the image modality): split each
+    * hash into four 16-bit bands; by pigeonhole, any pair within Hamming
+    * distance ≤ 3 collides on at least one band, so the band equi-join
+    * finds every such pair with NO all-pairs scan; the exact
+    * `bit_count(xor)` verify then drops the false positives.
+    *
+    * Scale shape: one |images|×4 banding projection, a hash equi-join on
+    * (band, band_key), and the bounded verify — `maxBucket` drops
+    * saturated bands (e.g. the all-black-thumbnail key) BEFORE the join,
+    * the same loud quadratic-tail cap as the text LSH (`lshMaxBucket`).
+    */
+  def phashNearDupPairs(hashes: DataFrame, id: String, phash: String,
+      maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    require(maxHamming <= 3,
+      s"phashNearDupPairs: 4 bands only guarantee recall up to Hamming 3")
+    val bands = (0 until 4).map { i =>
+      hashes.select(col(id), col(phash).as("__ph"), lit(i).as("__band"),
+        (shiftrightunsigned(col(phash), i * 16) % 65536L).as("__key"))
+    }.reduce(_ unionByName _)
+    val keep = bands.groupBy(col("__band"), col("__key"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("__band"), col("__key"))
+    val capped = bands.join(keep, Seq("__band", "__key"))
+    val cand = capped.alias("a").join(capped.alias("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.__ph").as("__pa"), col("b.__ph").as("__pb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("__pa").bitwiseXOR(col("__pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   case class PngHash(doc_id: Long, phash: Long)
 
   /** Perceptual difference-hash over the DECODED raster — the image

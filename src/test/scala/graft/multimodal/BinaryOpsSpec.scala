@@ -81,6 +81,24 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(got === Map(0 -> 2L, 1 -> 1L, 15 -> 1L))
   }
 
+  test("phashNearDupPairs: pigeonhole recall at Hamming 3, cap drops saturated bands") {
+    import spark.implicits._
+    // (1,2): Hamming 3 inside band 0 → found; (1,3): 4 set bits spread
+    // over all four bands → no shared band, correctly outside the
+    // guarantee; (2,3): differs in bits {0,1,2} vs {0,16,32,48} → ham 7
+    val hashes = Seq(
+      (1L, 0L), (2L, 7L),
+      (3L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)))
+      .toDF("doc_id", "phash")
+    val got = BinaryOps.phashNearDupPairs(hashes, "doc_id", "phash")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 3)))
+    // three identical hashes saturate every band at maxBucket = 2
+    val sat = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "phash")
+    assert(BinaryOps.phashNearDupPairs(sat, "doc_id", "phash",
+      maxBucket = 2L).count() === 0L)
+  }
+
   test("sampleFrames: empty payload yields zero frames, not a backwards sequence") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     val withBin = BinaryOps.withPayload(empty, "text", "payload")
