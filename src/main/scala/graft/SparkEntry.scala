@@ -953,12 +953,17 @@ object SparkEntry {
           "vec_id", "embedding", k = 50,
           simFn = (a, b) => call_function("cosine_sim", a, b))
         .select(col("neighbor_id").as("doc_id"), col("sim").as("score"))
+      // pin the 20-row fused list: cands feeds the rerank AND the pair
+      // grid, and cv self-joins — unpinned, the BM25+ANN+RRF chain
+      // re-ran once per downstream reference
       val fused = RetrievalOps.rrfFuse(Seq(lex, vec), "doc_id", k = 20)
       val cands = fused.select(col("doc_id").as("id"), col("rrf").as("rel"))
+        .localCheckpoint(false)
       val cv = e
         .join(cands.select(col("id").as("vec_id")), Seq("vec_id"))
         .select(col("vec_id"),
           graft.functions.VectorFns.toDoubleArr(col("embedding")).as("__v"))
+        .localCheckpoint(false)
       val ps = cv.alias("x").join(broadcast(cv.alias("y")),
           col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -1331,6 +1336,60 @@ object SparkEntry {
       val pairs = DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
         shingleN = 3, k = 12, bands = 6, threshold = 0.5)
       DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // leakage-free dedup-aware k-fold: near-dup clusters (the d08
+    // pipeline) are assigned WHOLE to folds by hashing the cluster
+    // canonical — the split LLM eval prep needs, where a near-dup pair
+    // straddling train/test silently inflates benchmarks
+    "ml23_dedup_split" -> ((s, d) => {
+      val t = docs(s, d)
+      val pairs = DedupOps.nearDupPairs(t, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      t.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("fold", FoldOps.foldOf(col("cluster_id"), 5).cast("int"))
+    }),
+
+    // first-occurrence n-gram novelty by ingestion order: the share of a
+    // doc's distinct 3-gram shingles whose FIRST corpus appearance is
+    // this doc — the memorization/staleness signal of an incremental
+    // crawl; one min-aggregate over the exploded shingle frame + a join
+    // back, never shingle × shingle
+    "t38_ngram_novelty" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("sg"))
+      val first = sh.groupBy("sg").agg(min("doc_id").as("__first"))
+      sh.join(first, Seq("sg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") /
+            col("n_shingles").cast("double"), 6).as("novelty"))
+    }),
+
+    // the A/B-test chain END-TO-END: first-signup cohort → 7-day
+    // purchase-conversion window (the j13 interval-label shape) →
+    // parity assignment → pooled two-proportion z (a47's kernel) —
+    // gates the cohort→label→test stage interactions
+    "e2e_ab_test" -> ((s, d) => {
+      val e = ev(s, d)
+      val firstSignup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val conv = firstSignup.join(purch, Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"), 1)
+          .otherwise(0)).as("converted"))
+      AssociationOps.twoProportionZ(conv,
+        col("user_id") % 2 === 0, col("converted") === 1)
     }),
 
     // ---------------- multi-attribute fairness melt ----------------
@@ -6375,6 +6434,125 @@ object SparkEntry {
            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
          SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS canonical_id
          FROM reach GROUP BY a""",
+
+    // d08's minhash-LSH → verify → closure chain, then every doc (left
+    // join, singletons = own cluster) folded by the ml01 Knuth hash of
+    // its cluster canonical
+    "ml23_dedup_split" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5),
+         und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         cc AS (SELECT a AS did, LEAST(a, MIN(b)) AS canon
+                FROM reach GROUP BY a)
+         SELECT d.doc_id,
+                CAST(COALESCE(cc.canon, d.doc_id) AS BIGINT) AS cluster_id,
+                CAST(((COALESCE(cc.canon, d.doc_id) * 2654435761)
+                    % 1000000007) % 5 AS INTEGER) AS fold
+         FROM documents d LEFT JOIN cc ON cc.did = d.doc_id""",
+
+    // per-shingle first-appearance min + join back; docs under 3 tokens
+    // have no shingles and drop on both sides
+    "t38_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         f AS (SELECT sg, MIN(doc_id) AS fst FROM ex GROUP BY 1)
+         SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(SUM(CASE WHEN f.fst = ex.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                ROUND(CAST(SUM(CASE WHEN f.fst = ex.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+                  AS novelty
+         FROM ex JOIN f USING (sg) GROUP BY 1""",
+
+    // first-signup cohort → 7-day purchase window → parity cohorts →
+    // the a47 pooled-z closing, mirrored op-for-op
+    "e2e_ab_test" ->
+      """WITH fs AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         conv AS (SELECT fs.user_id,
+                         MAX(CASE WHEN e.event_type = 'purchase'
+                                   AND e.ts >= fs.s_ts
+                                   AND e.ts <= fs.s_ts + INTERVAL 7 DAY
+                                  THEN 1 ELSE 0 END) AS converted
+                  FROM fs LEFT JOIN events e ON e.user_id = fs.user_id
+                  GROUP BY 1),
+         c AS (SELECT
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND converted = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN user_id % 2 <> 0 AND converted = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x2
+         FROM conv WHERE user_id IS NOT NULL),
+         w AS (SELECT *,
+                      CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                        AS pp
+               FROM c)
+         SELECT n1, x1, n2, x2,
+                CASE WHEN n1 > 0 THEN
+                  ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + 0.0
+                END AS p1,
+                CASE WHEN n2 > 0 THEN
+                  ROUND(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + 0.0
+                END AS p2,
+                CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0
+                      AND x1 + x2 < n1 + n2 THEN
+                  ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / SQRT((pp * (1.0 - pp))
+                      * (1.0 / CAST(n1 AS DOUBLE)
+                         + 1.0 / CAST(n2 AS DOUBLE))), 6) + 0.0
+                END AS z
+         FROM w""",
 
     "t07_context_negation" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' data ') AS parts FROM documents),

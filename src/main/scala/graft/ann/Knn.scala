@@ -60,7 +60,14 @@ object Knn {
     * Inputs are BOUNDED BY CONSTRUCTION (a rerank consumes a top-N list,
     * N ≈ 20-100), so the k unrolled steps — an anti-join, a max-sim
     * aggregate over |selected|·N pair rows, and a TakeOrderedAndProject
-    * argmax — never touch data-sized frames and need no checkpointing.
+    * argmax — never touch data-sized frames. The candidate and pair-sim
+    * frames ARE materialized once up front (localCheckpoint of ≤N and
+    * ≤N² rows), and the growing selection is pinned per step: without
+    * that, every step's plan re-embeds the full upstream chain (each
+    * `sel` references `c`/`ps` and the previous `sel` multiple times),
+    * so a rerank over an expensive retrieval chain re-ran retrieval
+    * once per greedy step — 23 s instead of ~1 s on the composed RAG
+    * chain at sf0.1.
     *
     * Determinism: `rel` and `sim` arrive 6dp-rounded (the v01 contract),
     * the score is two IEEE ops on identical doubles — note (1−λ) is
@@ -74,8 +81,10 @@ object Knn {
       pairSims: DataFrame, a: String, b: String, sim: String,
       k: Int, lam: Double): DataFrame = {
     val c = cands.select(col(id).as("__id"), col(rel).as("__rel"))
+      .localCheckpoint(false)
     val ps = pairSims.select(col(a).as("__a"), col(b).as("__b"),
       col(sim).as("__s"))
+      .localCheckpoint(false)
     var sel = c
       .orderBy(col("__rel").desc, col("__id").asc).limit(1)
       .select(col("__id"), col("__rel"), lit(1).as("rank"),
@@ -89,7 +98,7 @@ object Knn {
           lit(lam) * col("__rel") - (lit(1.0) - lit(lam)) * col("__mx"))
         .orderBy(col("__score").desc, col("__id").asc).limit(1)
         .select(col("__id"), col("__rel"), lit(t).as("rank"), col("__score"))
-      sel = sel.unionByName(pick)
+      sel = sel.unionByName(pick).localCheckpoint(false)
     }
     sel.select(col("__id").as(id), col("rank"),
       round(col("__score"), 6).as("mmr_score"))

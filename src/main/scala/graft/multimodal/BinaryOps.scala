@@ -329,9 +329,14 @@ object BinaryOps {
       maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
     require(maxHamming <= 3,
       s"phashNearDupPairs: 4 bands only guarantee recall up to Hamming 3")
+    // materialize (id, hash) once: 16 bytes/row, but the INPUT plan is
+    // typically the decode+hash mapPartitions chain, and the four band
+    // projections + the bucket-cap join would otherwise replay it ~12×
+    val h = hashes.select(col(id), col(phash).as("__ph"))
+      .localCheckpoint(false)
     val bands = (0 until 4).map { i =>
-      hashes.select(col(id), col(phash).as("__ph"), lit(i).as("__band"),
-        (shiftrightunsigned(col(phash), i * 16) % 65536L).as("__key"))
+      h.select(col(id), col("__ph"), lit(i).as("__band"),
+        (shiftrightunsigned(col("__ph"), i * 16) % 65536L).as("__key"))
     }.reduce(_ unionByName _)
     val keep = bands.groupBy(col("__band"), col("__key"))
       .agg(count(lit(1)).as("__bn"))
