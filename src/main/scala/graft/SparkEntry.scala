@@ -362,6 +362,13 @@ object SparkEntry {
     // orderBy().limit(k) → TakeOrderedAndProject: distributed per-partition
     // heaps, identical tie-break semantics to a rank-filter, no
     // single-partition exchange over the (unbounded) counts frame
+    // balanced range-partition boundaries for a 32-bucket write of
+    // lineitem by price — exact type-7 quantiles via two-phase rank, the
+    // data frame touched exactly twice, no global sort ever
+    "o07_range_splits" -> ((s, d) =>
+      RankOps.rangeSplitPoints(li(s, d), col("l_extendedprice"),
+        nBuckets = 32)),
+
     "o04_topk" -> ((s, d) =>
       li(s, d).groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_partkey").asc)
@@ -5201,6 +5208,25 @@ object SparkEntry {
                 CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
                   ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
          FROM orders""",
+
+    // explicit rank-pick mirror of the type-7 interpolation (not
+    // QUANTILE_CONT — the op-for-op expression is the contract):
+    // h = (n−1)i/32 + 1, split = v_lo + (rem/32)·(v_hi − v_lo)
+    "o07_range_splits" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         s AS (SELECT i AS split_no,
+                      ((n - 1) * i) % 32 AS rem,
+                      ((n - 1) * i - ((n - 1) * i) % 32) // 32 + 1 AS lo
+               FROM (SELECT UNNEST(GENERATE_SERIES(1, 31)) AS i)
+               CROSS JOIN n)
+         SELECT CAST(split_no AS INTEGER) AS split_no,
+                ROUND(vlo.x + (CAST(rem AS DOUBLE) / 32.0)
+                  * (COALESCE(vhi.x, vlo.x) - vlo.x), 6) + 0.0 AS split
+         FROM s JOIN r vlo ON vlo.rn = s.lo
+                LEFT JOIN r vhi ON vhi.rn = s.lo + 1""",
 
     "o04_topk" ->
       """SELECT l_partkey, cnt FROM (

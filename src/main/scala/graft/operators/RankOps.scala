@@ -148,4 +148,47 @@ object RankOps {
     // rows from the output while still counting them in N
     df.join(ranked, col(valueCol) <=> col("__pr_v")).drop("__pr_v")
   }
+
+  /** Balanced range-partition split points — the boundary computation
+    * behind range-partitioned writes and sort-merge bucketing at scale:
+    * the (nBuckets − 1) exact type-7 quantiles of `value`, WITHOUT a
+    * global sort. The rank frame comes from [[globalRowNumber]] (range
+    * shuffle + per-bucket windows + bounded offset triangle); the
+    * (2·(nBuckets−1))-row needed-rank frame broadcasts into one hash
+    * equi-join, so the data-sized frame is touched exactly twice (rank,
+    * probe) at any input size.
+    *
+    * Exactness: with h = (n−1)·i/B + 1 (type-7, 1-indexed), the rank
+    * and remainder come from exact integer arithmetic; the close is
+    * v_lo + (rem/B)·(v_hi − v_lo) — three IEEE ops on exact operands,
+    * mirrored op-for-op by the oracle.
+    */
+  def rangeSplitPoints(df: DataFrame, value: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "rangeSplitPoints: need at least 2 buckets")
+    val b = nBuckets.toLong
+    val rows = df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = globalRowNumber(rows, Seq(col("__v").asc), "__rn")
+    val n = rows.agg(count(lit(1)).as("__n"))
+    val splits = n
+      .select(explode(sequence(lit(1), lit(nBuckets - 1))).as("split_no"),
+        col("__n"))
+      .withColumn("__num", (col("__n") - 1) * col("split_no"))
+      .withColumn("__rem", pmod(col("__num"), lit(b)))
+      .withColumn("__lo", ((col("__num") - col("__rem")) / b).cast("long") + 1)
+    val needed = splits
+      .select(col("split_no"), col("__rem"), col("__lo").as("__rank"),
+        lit(0).as("__hi"))
+      .unionByName(splits.select(col("split_no"), col("__rem"),
+        (col("__lo") + 1).as("__rank"), lit(1).as("__hi")))
+    ranked.join(broadcast(needed), col("__rn") === col("__rank"))
+      .groupBy(col("split_no"), col("__rem"))
+      .agg(max(when(col("__hi") === 0, col("__v"))).as("__vlo"),
+        max(when(col("__hi") === 1, col("__v"))).as("__vhi"))
+      .select(col("split_no"),
+        round(col("__vlo") + (col("__rem").cast("double") / lit(b.toDouble)) *
+          (coalesce(col("__vhi"), col("__vlo")) - col("__vlo")), 6)
+          .as("split"))
+  }
 }

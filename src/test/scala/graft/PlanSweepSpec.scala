@@ -103,7 +103,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "gate) + k-row rank-sum x 1-row sufficient-stats frames (explicit " +
       "broadcasts) — k is the bounded treatment cardinality"),
     "v13_matryoshka_topk" -> ("explicit bounded query set (vec_id < 8), " +
-      "brute-force contract — the v01 exemption over the 16-dim prefix"))
+      "brute-force contract — the v01 exemption over the 16-dim prefix"),
+    "o07_range_splits" -> ("bucket-offset triangle (globalRowNumber) — " +
+      "<= shuffle-partition rows; the needed-rank probe itself is a " +
+      "2(B-1)-row broadcast HASH join, not a BNL"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -225,6 +225,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
   }
 
+  test("rangeSplitPoints: exact type-7 boundaries, integer and fractional") {
+    import org.apache.spark.sql.functions.col
+    // 1..9, 4 buckets: h = 8i/4 + 1 = 3,5,7 → splits land ON ranks;
+    // 1..10: h = 9i/4 + 1 = 3.25, 5.5, 7.75 → interpolated
+    val nine = (1 to 9).map(_.toDouble).toDF("x")
+    val got9 = RankOps.rangeSplitPoints(nine, col("x"), 4)
+      .as[(Int, Double)].collect().toMap
+    assert(got9 === Map(1 -> 3.0, 2 -> 5.0, 3 -> 7.0))
+    val ten = (1 to 10).map(_.toDouble).toDF("x")
+    val got10 = RankOps.rangeSplitPoints(ten, col("x"), 4)
+      .as[(Int, Double)].collect().toMap
+    assert(got10 === Map(1 -> 3.25, 2 -> 5.5, 3 -> 7.75))
+  }
+
   test("twoProportionZ: hand-computed pooled z and null-cohort exclusion") {
     // A: 1/4 success, B: 3/4 → pp=.5, rad=.25·.5=.125,
     // z = -.5/√.125 = -1.414214; a null-cohort row must not count as B
