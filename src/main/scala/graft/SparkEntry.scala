@@ -830,6 +830,35 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, simFn = (a, b) => call_function("cosine_sim", a, b))
     }),
 
+    // FILTERED vector search: top-5 neighbors drawn only from OTHER
+    // sources than the query's — the cross-source decontamination /
+    // attribute-filtered ANN shape; the predicate rides the same
+    // broadcast join (evaluated before the sim ranking, never after a
+    // wasted top-k)
+    "v16_filtered_ann" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val withSrc = emb(s, d).join(
+        docs(s, d).select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      val corpus = withSrc.select(col("vec_id").as("neighbor_id"),
+        col("source").as("__ns"),
+        graft.functions.VectorFns.toDoubleArr(col("embedding")).as("__ne"))
+      val queries = withSrc.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("source").as("__qs"),
+          graft.functions.VectorFns.toDoubleArr(col("embedding")).as("__qe"))
+      val joined = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") &&
+          col("__ns") =!= col("__qs"))
+      import org.apache.spark.sql.expressions.Window
+      val sim = round(call_function("cosine_sim",
+        col("__qe"), col("__ne")), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      joined.select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
+
     // matryoshka-prefix retrieval (Kusupati et al. 2022): the same brute
     // top-k over only the FIRST 16 of 64 dims — the truncated-embedding
     // eval an MRL-trained index runs before committing to a prefix
@@ -2420,6 +2449,39 @@ object SparkEntry {
     "a47_prop_ztest" -> ((s, d) =>
       AssociationOps.twoProportionZ(ev(s, d),
         col("user_id") % 2 === 0, col("event_type") === "purchase")),
+
+    // a47's magnitude companion: Cohen's d on per-user activity totals
+    // between the parity cohorts — six exact DECIMAL(38,0) sufficient
+    // statistics, one mirrored close
+    "a50_cohens_d" -> ((s, d) =>
+      RegressionOps.cohensD(
+        ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt")),
+        col("user_id") % 2 === 0, col("cnt"))),
+
+    // median signup→purchase latency in hours across converting users —
+    // the time-to-convert product metric; exact type-7 median over µs
+    // deltas (no per-group buffer), one closing unit division
+    "q13_time_to_convert" -> ((s, d) => {
+      val e = ev(s, d)
+      val fs = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val deltas = fs
+        .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts")), Seq("user_id"))
+        .filter(col("p_ts") >= col("s_ts"))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+          .as("__dus"))
+      // global exact median via the two-phase split-point machinery
+      // (B = 2 → the single 0.5 boundary) — a constant-key window would
+      // constant-fold to an Exchange SinglePartition and trip the guard
+      val med = RankOps.rangeSplitPoints(deltas, col("__dus"), 2)
+        .select(col("split").as("__med"))
+      val n = deltas.agg(count(lit(1)).as("n_converters"))
+      n.crossJoin(broadcast(med)) // 1-row × 1-row stats frames
+        .select(col("n_converters"),
+          round(col("__med") / lit(3.6e9), 6).as("median_hours"))
+    }),
 
     // a44's "how fast" companion: per-user Theil-Sen robust slope —
     // median of pairwise Δcnt/Δday off the same bounded pair join,
@@ -6093,6 +6155,26 @@ object SparkEntry {
              ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
          WHERE rn <= 5""",
 
+    // v01 with the cross-source predicate inside the candidate join
+    "v16_filtered_ann" ->
+      """WITH e AS (SELECT em.vec_id,
+                           LIST_TRANSFORM(em.embedding, x -> CAST(x AS DOUBLE)) AS v,
+                           d.source
+                    FROM embeddings em
+                    JOIN documents d ON d.doc_id = em.vec_id),
+         sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                    / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) + 0.0
+                    AS sim
+           FROM (SELECT * FROM e WHERE vec_id < 8) q
+           CROSS JOIN e c
+           WHERE c.vec_id <> q.vec_id AND c.source <> q.source)
+         SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
+         WHERE rn <= 5""",
+
     // v01 over the first-16-dim slice — LIST slicing before the double
     // cast mirrors the engine's slice-then-toDoubleArr
     "v13_matryoshka_topk" ->
@@ -8310,6 +8392,60 @@ object SparkEntry {
                          + 1.0 / CAST(n2 AS DOUBLE))), 6) + 0.0
                 END AS z
          FROM w""",
+
+    // six HUGEINT sufficient statistics mirroring the engine's
+    // DECIMAL(38,0); pooled-variance close assembled op-for-op
+    "a50_cohens_d" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1),
+         c AS (SELECT
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+           SUM(CASE WHEN user_id % 2 = 0 THEN CAST(cnt AS HUGEINT) END)
+             AS s1,
+           SUM(CASE WHEN user_id % 2 = 0
+               THEN CAST(cnt AS HUGEINT) * cnt END) AS q1,
+           CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+           SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(cnt AS HUGEINT) END)
+             AS s2,
+           SUM(CASE WHEN user_id % 2 <> 0
+               THEN CAST(cnt AS HUGEINT) * cnt END) AS q2
+         FROM u WHERE user_id IS NOT NULL)
+         SELECT n1, n2,
+                CASE WHEN n1 > 0 THEN
+                  ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + 0.0
+                END AS mean_a,
+                CASE WHEN n2 > 0 THEN
+                  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + 0.0
+                END AS mean_b,
+                CASE WHEN n1 > 1 AND n2 > 1
+                      AND (n1 * q1 - s1 * s1) + (n2 * q2 - s2 * s2) > 0 THEN
+                  ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / SQRT((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)
+                        + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                          / CAST(n2 AS DOUBLE))
+                      / CAST(n1 + n2 - 2 AS DOUBLE)), 6) + 0.0
+                END AS d
+         FROM c""",
+
+    // exact type-7 median over first-conversion µs deltas (QUANTILE_CONT
+    // mirrors groupQuantiles — the ts17/dq12 precedent), one closing
+    // unit division inside the round
+    "q13_time_to_convert" ->
+      """WITH fs AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         d AS (SELECT fs.user_id,
+                      MIN(EPOCH_US(e.ts) - EPOCH_US(fs.s_ts)) AS dus
+               FROM fs JOIN events e ON e.user_id = fs.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= fs.s_ts
+               GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+                ROUND(QUANTILE_CONT(CAST(dus AS DOUBLE), 0.5) / 3.6e9, 6)
+                  + 0.0 AS median_hours
+         FROM d""",
 
     "ts17_theil_sen" ->
       """WITH daily AS (SELECT user_id,

@@ -323,6 +323,45 @@ object RegressionOps {
           6).as("h"))
   }
 
+  /** Cohen's d effect size for two cohorts of an integer-valued metric —
+    * the "is the difference MEANINGFUL" companion to a z/t test's "is it
+    * real": (m₁ − m₂) / s_pooled with the classic pooled variance
+    *   s_p² = ( (n₁Q₁ − S₁²)/n₁ + (n₂Q₂ − S₂²)/n₂ ) / (n₁ + n₂ − 2).
+    * One conditional-aggregate scan to six DECIMAL(38,0) integers; the
+    * close is a fixed mirrored IEEE sequence (two divisions per
+    * variance-numerator, one pooled division, one √, one final
+    * division). Degenerate inputs (a cohort with < 2 rows, or zero
+    * pooled variance) yield null d. Rows with null cohort or value are
+    * excluded.
+    */
+  def cohensD(df: DataFrame, inA: Column, value: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(inA.isNotNull && value.isNotNull)
+      .select(inA.as("__a"), value.cast("long").as("__v"))
+    val agg = base.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__a"), dec(col("__v")))).as("__s1"),
+      sum(when(col("__a"), dec(col("__v")) * col("__v"))).as("__q1"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__a"), dec(col("__v")))).as("__s2"),
+      sum(when(!col("__a"), dec(col("__v")) * col("__v"))).as("__q2"))
+    val m1 = col("__s1").cast("double") / col("n1").cast("double")
+    val m2 = col("__s2").cast("double") / col("n2").cast("double")
+    val vn1 = (col("n1") * col("__q1") - col("__s1") * col("__s1"))
+      .cast("double") / col("n1").cast("double")
+    val vn2 = (col("n2") * col("__q2") - col("__s2") * col("__s2"))
+      .cast("double") / col("n2").cast("double")
+    val sp2 = (vn1 + vn2) / (col("n1") + col("n2") - 2).cast("double")
+    agg.select(col("n1"), col("n2"),
+      when(col("n1") > 0, round(m1, 6)).as("mean_a"),
+      when(col("n2") > 0, round(m2, 6)).as("mean_b"),
+      when(col("n1") > 1 && col("n2") > 1 &&
+          (col("n1") * col("__q1") - col("__s1") * col("__s1")) +
+            (col("n2") * col("__q2") - col("__s2") * col("__s2")) >
+            lit(0).cast("decimal(38,0)"),
+        round((m1 - m2) / sqrt(sp2), 6)).as("d"))
+  }
+
   /** Exact tie-corrected Friedman test — the repeated-measures sibling of
     * [[kruskalWallis]]: each block (subject) ranks the SAME k treatments,
     * so between-block variation cancels and only the within-block

@@ -106,7 +106,13 @@ class PlanSweepSpec extends AnyFunSuite {
       "brute-force contract — the v01 exemption over the 16-dim prefix"),
     "o07_range_splits" -> ("bucket-offset triangle (globalRowNumber) — " +
       "<= shuffle-partition rows; the needed-rank probe itself is a " +
-      "2(B-1)-row broadcast HASH join, not a BNL"))
+      "2(B-1)-row broadcast HASH join, not a BNL"),
+    "v16_filtered_ann" -> ("explicit bounded query set (vec_id < 8) with " +
+      "the cross-source predicate in the join condition — the v01 " +
+      "brute-force exemption"),
+    "q13_time_to_convert" -> ("bucket-offset triangle (rangeSplitPoints' " +
+      "globalRowNumber) + 1-row median x 1-row count frames (explicit " +
+      "broadcasts)"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —
