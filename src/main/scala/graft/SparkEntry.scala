@@ -1532,6 +1532,37 @@ object SparkEntry {
         .select("s_suppkey", "s_name", "s_acctbal")
     }),
 
+    // dirty-feed recovery: every p_partkey % 7 == 0 line ships a
+    // non-numeric size field; the PERMISSIVE scan keeps those as
+    // _corrupt_record rows (never a dropped line, never a failed job)
+    // and the query reports the triage aggregate the quarantine monitor
+    // reads. Counts + clean-sum are exact integers
+    "s16_dirty_recovery" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s16").toString
+      prt(s, d).select(
+          when(col("p_partkey") % 7 === 0,
+            concat_ws(",", col("p_partkey"), col("p_name"), lit("bad")))
+            .otherwise(concat_ws(",", col("p_partkey"), col("p_name"),
+              col("p_size"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("size",
+          org.apache.spark.sql.types.IntegerType)))
+      graft.sources.Readers.permissiveCsv(s, out, schema)
+        .localCheckpoint(false) // corrupt-column filter restriction
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_clean"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("size").cast("long")))
+            .as("clean_size_sum"))
+    }),
+
     "s10_multiline_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
       val src = prt(s, d).select(col("p_partkey"),
@@ -2399,6 +2430,16 @@ object SparkEntry {
     // calendar span (never the corpus), continuity-corrected z
     "a44_mann_kendall" -> ((s, d) =>
       TimeSeriesOps.mannKendallTrend(
+        ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "user_id", col("day"), col("cnt"))),
+
+    // Wald–Wolfowitz runs test per user: do daily activity levels CLUMP
+    // around the median (regime-y) or alternate randomly — the
+    // randomness companion to the a44/a48 trend family; all sufficient
+    // statistics exact integers
+    "a52_runs_test" -> ((s, d) =>
+      TimeSeriesOps.runsTest(
         ev(s, d).groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("cnt")),
         "user_id", col("day"), col("cnt"))),
@@ -6791,6 +6832,17 @@ object SparkEntry {
     "s10_multiline_roundtrip" ->
       """SELECT p_partkey, REPLACE(p_name, ' ', CHR(10)) AS multi_name FROM part""",
 
+    // the triage aggregate computed straight off part: %7 rows are the
+    // planted corrupt lines
+    "s16_dirty_recovery" ->
+      """SELECT CAST(SUM(CASE WHEN p_partkey % 7 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clean,
+                CAST(SUM(CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_corrupt,
+                CAST(SUM(CASE WHEN p_partkey % 7 <> 0 THEN p_size END)
+                  AS BIGINT) AS clean_size_sum
+         FROM part""",
+
     "m03_frame_sample" ->
       """WITH n AS (SELECT doc_id, text,
                            CAST(FLOOR((OCTET_LENGTH(CAST(text AS BLOB)) - 1) / 64.0)
@@ -8218,6 +8270,42 @@ object SparkEntry {
                             / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tiet
                                      AS DOUBLE) / 18), 6) + 0.0 END AS z
          FROM sgg JOIN tt USING (user_id)""",
+
+    // per-user exact median (QUANTILE_CONT mirrors groupQuantiles — the
+    // ts17 precedent), median-ties dropped, runs via one lag window,
+    // the z close mirrored op-for-op on exact integers
+    "a52_runs_test" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+         m AS (SELECT user_id, QUANTILE_CONT(CAST(cnt AS DOUBLE), 0.5)
+                 AS med
+               FROM daily GROUP BY 1),
+         sgn AS (SELECT d.user_id, d.day,
+                        CASE WHEN CAST(d.cnt AS DOUBLE) > m.med
+                             THEN 1 ELSE 0 END AS s
+                 FROM daily d JOIN m USING (user_id)
+                 WHERE CAST(d.cnt AS DOUBLE) <> m.med),
+         r AS (SELECT user_id, s,
+                      CASE WHEN LAG(s) OVER w IS NULL
+                             OR s <> LAG(s) OVER w THEN 1 ELSE 0 END AS nw
+               FROM sgn WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         ag AS (SELECT user_id, CAST(SUM(nw) AS BIGINT) AS runs,
+                       CAST(SUM(s) AS BIGINT) AS n1,
+                       CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+                FROM r GROUP BY 1)
+         SELECT user_id, n1, n2, runs,
+                CASE WHEN n1 > 0 AND n2 > 0
+                      AND 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) > 0 THEN
+                  ROUND((CAST(runs AS DOUBLE)
+                      - (CAST(2 * n1 * n2 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                    / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                        AS DOUBLE)
+                      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+                        AS DOUBLE)), 6) + 0.0
+                END AS z
+         FROM ag""",
 
     // τ-b over the same pair join: doubled n₀ kept integer, radicand an
     // exact long product /4.0 (a power of two — no rounding), one √ +

@@ -572,6 +572,50 @@ object TimeSeriesOps {
           round(col("s").cast("double") / sqrt(rad), 6)).as("tau"))
   }
 
+  /** Wald–Wolfowitz runs test per entity — the randomness check the
+    * trend family can't give ("values drift" vs "values CLUMP"): count
+    * maximal runs of above-median/below-median signs (exact type-7
+    * median per entity; ties AT the median drop, the standard
+    * convention), then
+    *   z = (R − (2n₁n₂/n + 1)) / √( 2n₁n₂(2n₁n₂ − n) / (n²(n−1)) ).
+    * R, n₁, n₂ and both radicand operands are exact integers (longs —
+    * bounded by maxSeries²·2, far under 2⁶³ at the 5000 cap); the close
+    * is one division + √ + division, mirrored op-for-op. Degenerate
+    * entities (one sign class, or 2n₁n₂ = n) yield null z; all-tied
+    * series vanish entirely (no signs survive).
+    */
+  def runsTest(df: DataFrame, key: String, ord: Column, value: Column,
+      maxSeries: Int = 5000): DataFrame = {
+    val base = df.select(col(key), ord.as("__o"),
+        value.cast("long").as("__v"))
+      .withColumn("__len", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__len") <= maxSeries).drop("__len")
+    val med = CleaningOps.groupQuantiles(
+      base.select(col(key), col("__v").cast("double").as("__vd")),
+      key, "__vd", 0.5, 0.5)
+    val signs = base.join(med, Seq(key))
+      .filter(col("__v").cast("double") =!= col("q_lo"))
+      .select(col(key), col("__o"),
+        when(col("__v").cast("double") > col("q_lo"), 1L).otherwise(0L)
+          .as("__s"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__o"))
+    val ag = signs
+      .withColumn("__nw",
+        when(lag(col("__s"), 1).over(w).isNull ||
+          col("__s") =!= lag(col("__s"), 1).over(w), 1L).otherwise(0L))
+      .groupBy(col(key))
+      .agg(sum(col("__nw")).as("runs"), sum(col("__s")).as("n1"),
+        (count(lit(1)) - sum(col("__s"))).as("n2"))
+    val n = col("n1") + col("n2")
+    val p = lit(2L) * col("n1") * col("n2")
+    val mu = p.cast("double") / n.cast("double") + lit(1.0)
+    val rad = (p * (p - n)).cast("double") /
+      (n * n * (n - 1)).cast("double")
+    ag.select(col(key), col("n1"), col("n2"), col("runs"),
+      when(col("n1") > 0 && col("n2") > 0 && p * (p - n) > 0,
+        round((col("runs").cast("double") - mu) / sqrt(rad), 6)).as("z"))
+  }
+
   /** Theil-Sen robust slope per entity — [[mannKendallTrend]]'s "how fast
     * is it drifting" companion: the median of all pairwise slopes
     * (Δvalue/Δorder). Same bounded within-entity pair join (series length

@@ -43,6 +43,24 @@ object Readers {
   def glob(spark: SparkSession, pattern: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(pattern)
 
+  /** S16 — dirty-feed recovery scan: PERMISSIVE CSV parse that KEEPS
+    * malformed lines as a `_corrupt_record` column instead of failing
+    * the job or silently dropping them — the ingestion contract for
+    * web-scale feeds where some fraction of lines is always broken.
+    * Clean rows parse into the declared schema (corrupt column null);
+    * malformed rows surface all-null fields plus the raw line, so the
+    * caller can count/quarantine/route them. (FAILFAST is the loud
+    * sibling; DROPMALFORMED is the silent one this explicitly avoids —
+    * dropped rows are invisible to monitoring.)
+    */
+  def permissiveCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** S11 — JSON-lines corpus scan (the interchange format of LLM training
     * corpora: one JSON object per line, newline-delimited, gzip-splittable
     * per file). Schema is explicit as everywhere else — inference would

@@ -225,6 +225,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
   }
 
+  test("runsTest: alternation vs clumping around the exact median") {
+    // alternating 1,9,... (n=6): median 5, R=6, n1=n2=3 → µ=4,
+    // σ²=18·12/(36·5)=1.2, z=2/√1.2=1.825742; clumped 1,1,1,9,9,9 →
+    // R=2 → z=−1.825742; constant series drops entirely (all ties)
+    val alt = (1 to 6).map(i => ("alt", i.toLong, if (i % 2 == 0) 9L else 1L))
+    val clump = (1 to 6).map(i => ("cl", i.toLong, if (i <= 3) 1L else 9L))
+    val const = (1 to 5).map(i => ("k", i.toLong, 7L))
+    val out = TimeSeriesOps.runsTest(
+        (alt ++ clump ++ const).toDF("k", "o", "v"),
+        "k", col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet === Set("alt", "cl"))
+    assert(out("alt") === ((6L, 1.825742)))
+    assert(out("cl") === ((2L, -1.825742)))
+  }
+
   test("rangeSplitPoints: exact type-7 boundaries, integer and fractional") {
     import org.apache.spark.sql.functions.col
     // 1..9, 4 buckets: h = 8i/4 + 1 = 3,5,7 → splits land ON ranks;

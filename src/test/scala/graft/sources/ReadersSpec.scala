@@ -78,4 +78,25 @@ class ReadersSpec extends AnyFunSuite {
     val one = spark.read.parquet(dir).filter($"stay_id" === 2L)
     assert(one.select("v").as[Double].collect().toSeq === Seq(20.0))
   }
+
+  test("permissiveCsv keeps malformed lines as corrupt records, never drops") {
+    val dir = tmpDir()
+    Files.write(java.nio.file.Paths.get(dir, "feed.csv"),
+      "1,ok,10\n2,broken,xx\n3,ok,30\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("size",
+        org.apache.spark.sql.types.IntegerType)))
+    val got = Readers.permissiveCsv(spark, dir, schema)
+      .localCheckpoint(false)
+    assert(got.count() === 3L) // the broken line is KEPT
+    val bad = got.filter($"_corrupt_record".isNotNull).collect()
+    assert(bad.length === 1 && bad(0).getAs[String]("_corrupt_record")
+      === "2,broken,xx")
+    assert(got.filter($"_corrupt_record".isNull)
+      .agg(org.apache.spark.sql.functions.sum($"size")).head.getLong(0) === 40L)
+  }
 }
