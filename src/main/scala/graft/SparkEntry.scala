@@ -789,6 +789,13 @@ object SparkEntry {
       DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
         shingleN = 3, k = 12, bands = 6, threshold = 0.5)),
 
+    // MinHash estimator audit: signature-agreement ĵ next to the exact
+    // Jaccard with signed error per LSH candidate — the "is k big
+    // enough" report before trusting ĵ as the verify shortcut at scale
+    "d20_minhash_estimate" -> ((s, d) =>
+      DedupOps.minhashEstimateAudit(docs(s, d), "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6)),
+
     "d04_simhash" -> ((s, d) =>
       DedupOps.simhash32(docs(s, d), "doc_id", "text")),
 
@@ -5898,6 +5905,74 @@ object SparkEntry {
          SELECT id_a, id_b, ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 6) + 0.0 AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5""",
+
+    // d03's signature/cand CTEs + per-lane string-equality agreement;
+    // est, jaccard, and err assembled with the engine's exact ops
+    "d20_minhash_estimate" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, CASE WHEN LEN(toks) >= 3 THEN
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS sh FROM t),
+         sig AS (SELECT doc_id, sh,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0:' || x))) AS m00,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1:' || x))) AS m01,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2:' || x))) AS m02,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3:' || x))) AS m03,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4:' || x))) AS m04,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5:' || x))) AS m05,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6:' || x))) AS m06,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7:' || x))) AS m07,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('8:' || x))) AS m08,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('9:' || x))) AS m09,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('10:' || x))) AS m10,
+                LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('11:' || x))) AS m11
+           FROM s),
+         bands AS (
+           SELECT doc_id, 0 AS band, MD5(m00 || '|' || m01) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, MD5(m02 || '|' || m03) FROM sig
+           UNION ALL SELECT doc_id, 2, MD5(m04 || '|' || m05) FROM sig
+           UNION ALL SELECT doc_id, 3, MD5(m06 || '|' || m07) FROM sig
+           UNION ALL SELECT doc_id, 4, MD5(m08 || '|' || m09) FROM sig
+           UNION ALL SELECT doc_id, 5, MD5(m10 || '|' || m11) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         agr AS (SELECT c.id_a, c.id_b,
+                        (CASE WHEN x.m00 = y.m00 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m01 = y.m01 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m02 = y.m02 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m03 = y.m03 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m04 = y.m04 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m05 = y.m05 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m06 = y.m06 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m07 = y.m07 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m08 = y.m08 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m09 = y.m09 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m10 = y.m10 THEN 1 ELSE 0 END
+                       + CASE WHEN x.m11 = y.m11 THEN 1 ELSE 0 END)
+                          AS lanes
+                 FROM cand c JOIN sig x ON x.doc_id = c.id_a
+                      JOIN sig y ON y.doc_id = c.id_b),
+         ex AS (SELECT doc_id, UNNEST(sh) AS sg FROM s),
+         sizes AS (SELECT doc_id, LEN(sh) AS n FROM s),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+                   FROM cand c JOIN ex a ON a.doc_id = c.id_a
+                     JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+                   GROUP BY 1, 2)
+         SELECT agr.id_a, agr.id_b, CAST(lanes AS BIGINT) AS lanes_agree,
+                ROUND(CAST(lanes AS DOUBLE) / 12, 6) + 0.0 AS est,
+                ROUND(CAST(COALESCE(cnt, 0) AS DOUBLE)
+                  / CAST(sa.n + sb.n - COALESCE(cnt, 0) AS DOUBLE), 6) + 0.0
+                  AS jaccard,
+                ROUND(CAST(lanes AS DOUBLE) / 12
+                  - CAST(COALESCE(cnt, 0) AS DOUBLE)
+                    / CAST(sa.n + sb.n - COALESCE(cnt, 0) AS DOUBLE), 6)
+                  + 0.0 AS err
+         FROM agr
+         LEFT JOIN inter ON inter.id_a = agr.id_a AND inter.id_b = agr.id_b
+         JOIN sizes sa ON sa.doc_id = agr.id_a
+         JOIN sizes sb ON sb.doc_id = agr.id_b""",
 
     "d04_simhash" ->
       """WITH toks AS (

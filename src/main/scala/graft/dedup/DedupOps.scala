@@ -241,6 +241,57 @@ object DedupOps {
     jaccardVerify(cands, shingled, id, threshold, maxDf)
   }
 
+  /** MinHash estimator audit over the LSH candidate set: for every
+    * candidate pair, the signature-agreement estimate ĵ = |matching
+    * lanes|/k NEXT TO the exact Jaccard and their signed error — the
+    * tuning report that tells you whether k is large enough BEFORE you
+    * trust ĵ as a verify shortcut at scale (E[ĵ] = J, sd = √(J(1−J)/k);
+    * at k = 12 that's ±0.14 at J = 0.5 — this report makes the spread
+    * visible on real data instead of assumed).
+    *
+    * Same bounded machinery as [[nearDupPairs]]: one checkpointed
+    * shingle frame, band equi-join candidates with the bucket cap, the
+    * inverted-index intersect for truth — never all-pairs, and the k
+    * lane equality checks are one codegen'd projection on the joined
+    * signature rows.
+    */
+  def minhashEstimateAudit(docs: DataFrame, id: String, text: String,
+      shingleN: Int, k: Int, bands: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    val shingled = withShingles(docs, id, text, shingleN)
+      .localCheckpoint(false)
+    val sigs = signaturesFromShingles(shingled, id, k)
+    val cands = lshCandidatePairs(
+      lshBandKeys(sigs, id, bands, k / bands), id, maxBucket)
+    val lanes = (0 until k).map(i => f"mh$i%02d")
+    val a = sigs.select(col(id).as("id_a") +:
+      lanes.map(c => col(c).as(s"__a_$c")): _*)
+    val b = sigs.select(col(id).as("id_b") +:
+      lanes.map(c => col(c).as(s"__b_$c")): _*)
+    val agree = lanes.map(c =>
+        when(col(s"__a_$c") === col(s"__b_$c"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ex = shingled.select(col(id), explode(col("shingles")).as("__s"))
+    val sz = shingled.select(col(id), size(col("shingles")).cast("long").as("__sz"))
+    val inter = cands
+      .join(ex.select(col(id).as("id_a"), col("__s")), Seq("id_a"))
+      .join(ex.select(col(id).as("id_b"), col("__s")), Seq("id_b", "__s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__ni"))
+    val est = col("lanes_agree").cast("double") / k
+    val jac = coalesce(col("__ni"), lit(0L)).cast("double") /
+      (col("__sa") + col("__sb") - coalesce(col("__ni"), lit(0L)))
+        .cast("double")
+    cands
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), agree.as("lanes_agree"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sz.select(col(id).as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+      .join(sz.select(col(id).as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("lanes_agree"),
+        round(est, 6).as("est"), round(jac, 6).as("jaccard"),
+        round(est - jac, 6).as("err"))
+  }
+
   /** Incremental near-dup: a NEW ingest batch tested against an EXISTING
     * corpus index — candidates are (new × indexed) band-bucket matches,
     * never new×new or indexed×indexed. This is the growth path of a live
