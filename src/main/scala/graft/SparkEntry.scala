@@ -3631,6 +3631,102 @@ object SparkEntry {
           round(cnt("\\s").cast("double") / n, 6).as("space_ratio"),
           round(cnt("[^a-zA-Z0-9\\s]").cast("double") / n, 6)
             .as("other_ratio"))
+    }),
+
+    // HITS hubs/authorities over the directed event-type transition graph
+    // (the pr01 edge list) — 3 unrolled supersteps, per-edge contributions
+    // integer-pico quantized, L1 totals exact integer sums
+    "g09_hits" -> ((s, d) => {
+      val edges = TimeSeriesOps.transitionCounts(ev(s, d), "user_id", "ts",
+        "event_id", "event_type")
+      GraphOps.hits(edges, "from_state", "to_state", "cnt", iters = 3)
+    }),
+
+    // local clustering coefficient per brand node on the co-occurrence
+    // graph — degree-ordered triangle enumeration scattered back to all
+    // three corners; one exact-integer division per node
+    "g10_clustering_coeff" -> ((s, d) => {
+      val baskets = li(s, d)
+        .join(prt(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      GraphOps.localClusteringCoeff(
+        GraphOps.coOccurrenceEdges(baskets, "l_orderkey", "p_brand")
+          .filter(col("cnt") >= 20), "src", "dst")
+    }),
+
+    // Gopher word-level quality rules (Rae et al. 2021 A1.1): five
+    // per-doc heuristics + composite keep, one codegen'd map-only pass
+    "t40_gopher_rules" -> ((s, d) =>
+      QualityOps.gopherRules(docs(s, d), "doc_id", "text")),
+
+    // CCNet perplexity gate (Wenzek et al. 2020): corpus-relative
+    // head/middle/tail terciles of bigram-LM perplexity via the
+    // two-phase exact global rank — no single-partition exchange
+    "t39_ppl_buckets" -> ((s, d) =>
+      QualityOps.perplexityBuckets(docs(s, d), "doc_id", "text")),
+
+    // DSIR hashed-bigram importance weights (Xie et al. 2023): target =
+    // the English slice, raw = the whole corpus; per-bucket log ratios
+    // nano-quantized so per-doc means are exact-integer closed
+    "ml24_dsir_weights" -> ((s, d) =>
+      QualityOps.dsirWeights(docs(s, d), "doc_id", "text",
+        col("lang") === "en", dim = 128)),
+
+    // ExactSubstr duplication coverage (Lee et al. 2022): fraction of
+    // each doc's tokens covered by a 5-gram occurring ≥2× corpus-wide;
+    // equal-length spans make the interval union one lead() window
+    "d21_dupspan_coverage" -> ((s, d) =>
+      QualityOps.dupSpanCoverage(docs(s, d), "doc_id", "text", k = 5)),
+
+    // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
+    // candidates (popcount over two packed words), exact cosine rerank
+    // to top-5 — v01's contract at 1/32nd the scan bandwidth
+    "v17_hamming_topk" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Knn.hammingTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 8),
+        "vec_id", "embedding", cand = 32, k = 5,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+    }),
+
+    // Jarque–Bera normality screen of account balances per nation —
+    // exact DECIMAL(38,0) power sums, one closing double sequence
+    "a49_jarque_bera" -> ((s, d) =>
+      AssociationOps.jarqueBera(cust(s, d), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0))
+        .withColumnRenamed("grp", "c_nationkey")),
+
+    // Brown–Forsythe variance-homogeneity test of balances across
+    // nations — exact type-7 medians, integer |2x − 2·med| deviations,
+    // fixed-point-pinned ANOVA sums
+    "a51_brown_forsythe" -> ((s, d) =>
+      AssociationOps.brownForsythe(cust(s, d), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0))),
+
+    // per-frame zero-crossing rate on the real PCM byte path — the
+    // voiced/unvoiced twin of m06; mean-removed sign test kept exact by
+    // multiplying through to (n·s−S) integers
+    "m11_pcm_zcr" -> ((s, d) =>
+      BinaryOps.pcmFrameZcr(s,
+        BinaryOps.withPayload(docs(s, d).filter(col("text").isNotNull),
+          "text", "payload"),
+        "doc_id", "payload", frameLen = 256).toDF()),
+
+    // composed FineWeb-style quality gate: Gopher rules ∧ CCNet
+    // non-tail tercile → DSIR weights on the survivors → top-100 by
+    // importance — the rule→LM→importance stack as ONE hash-gated chain
+    "e2e_quality_gate" -> ((s, d) => {
+      val base = docs(s, d)
+      val keepIds = QualityOps.gopherRules(base, "doc_id", "text")
+        .filter(col("keep") === 1).select("doc_id")
+        .join(QualityOps.perplexityBuckets(base, "doc_id", "text")
+          .filter(col("bucket") =!= "tail").select("doc_id"), Seq("doc_id"))
+      val survivors = base.join(keepIds, Seq("doc_id"), "left_semi")
+      QualityOps.dsirWeights(survivors, "doc_id", "text",
+          col("lang") === "en", dim = 128)
+        .filter(col("dsir_w").isNotNull)
+        .orderBy(col("dsir_w").desc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("n_bigrams"), col("dsir_w"))
     })
   )
 
@@ -9425,6 +9521,446 @@ object SparkEntry {
                   AS n_converted
          FROM c
          WHERE event_type = 'view'
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // weighted HITS, 3 supersteps unrolled — per-edge contributions pico-
+    // quantized, L1 totals exact BIGINT sums (the pr01 fixed-point
+    // contract applied to the two-score recurrence)
+    "g09_hits" ->
+      """WITH base AS (
+           SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         e AS (SELECT event_type AS src, next_type AS dst,
+                      CAST(COUNT(*) AS DOUBLE) AS w
+               FROM base WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         h0 AS (SELECT node, ROUND(1.0 / n, 9) + 0.0 AS hub
+                FROM nodes CROSS JOIN nn),
+         a1f AS (SELECT e.dst AS node,
+                        SUM(CAST(ROUND(h.hub * e.w * 1e12, 0) AS BIGINT)) AS afp
+                 FROM h0 h JOIN e ON e.src = h.node GROUP BY 1),
+         a1t AS (SELECT CAST(SUM(afp) AS DOUBLE) AS t FROM a1f),
+         a1 AS (SELECT n.node,
+                       ROUND(CAST(COALESCE(f.afp, 0) AS DOUBLE) / t.t, 9) + 0.0
+                         AS authority
+                FROM nodes n LEFT JOIN a1f f ON f.node = n.node CROSS JOIN a1t t),
+         h1f AS (SELECT e.src AS node,
+                        SUM(CAST(ROUND(a.authority * e.w * 1e12, 0) AS BIGINT)) AS hfp
+                 FROM a1 a JOIN e ON e.dst = a.node GROUP BY 1),
+         h1t AS (SELECT CAST(SUM(hfp) AS DOUBLE) AS t FROM h1f),
+         h1 AS (SELECT n.node,
+                       ROUND(CAST(COALESCE(f.hfp, 0) AS DOUBLE) / t.t, 9) + 0.0 AS hub
+                FROM nodes n LEFT JOIN h1f f ON f.node = n.node CROSS JOIN h1t t),
+         a2f AS (SELECT e.dst AS node,
+                        SUM(CAST(ROUND(h.hub * e.w * 1e12, 0) AS BIGINT)) AS afp
+                 FROM h1 h JOIN e ON e.src = h.node GROUP BY 1),
+         a2t AS (SELECT CAST(SUM(afp) AS DOUBLE) AS t FROM a2f),
+         a2 AS (SELECT n.node,
+                       ROUND(CAST(COALESCE(f.afp, 0) AS DOUBLE) / t.t, 9) + 0.0
+                         AS authority
+                FROM nodes n LEFT JOIN a2f f ON f.node = n.node CROSS JOIN a2t t),
+         h2f AS (SELECT e.src AS node,
+                        SUM(CAST(ROUND(a.authority * e.w * 1e12, 0) AS BIGINT)) AS hfp
+                 FROM a2 a JOIN e ON e.dst = a.node GROUP BY 1),
+         h2t AS (SELECT CAST(SUM(hfp) AS DOUBLE) AS t FROM h2f),
+         h2 AS (SELECT n.node,
+                       ROUND(CAST(COALESCE(f.hfp, 0) AS DOUBLE) / t.t, 9) + 0.0 AS hub
+                FROM nodes n LEFT JOIN h2f f ON f.node = n.node CROSS JOIN h2t t),
+         a3f AS (SELECT e.dst AS node,
+                        SUM(CAST(ROUND(h.hub * e.w * 1e12, 0) AS BIGINT)) AS afp
+                 FROM h2 h JOIN e ON e.src = h.node GROUP BY 1),
+         a3t AS (SELECT CAST(SUM(afp) AS DOUBLE) AS t FROM a3f),
+         a3 AS (SELECT n.node,
+                       ROUND(CAST(COALESCE(f.afp, 0) AS DOUBLE) / t.t, 9) + 0.0
+                         AS authority
+                FROM nodes n LEFT JOIN a3f f ON f.node = n.node CROSS JOIN a3t t),
+         h3f AS (SELECT e.src AS node,
+                        SUM(CAST(ROUND(a.authority * e.w * 1e12, 0) AS BIGINT)) AS hfp
+                 FROM a3 a JOIN e ON e.dst = a.node GROUP BY 1),
+         h3t AS (SELECT CAST(SUM(hfp) AS DOUBLE) AS t FROM h3f),
+         h3 AS (SELECT n.node,
+                       ROUND(CAST(COALESCE(f.hfp, 0) AS DOUBLE) / t.t, 9) + 0.0 AS hub
+                FROM nodes n LEFT JOIN h3f f ON f.node = n.node CROSS JOIN h3t t)
+         SELECT h3.node, ROUND(a3.authority, 6) + 0.0 AS authority,
+                ROUND(h3.hub, 6) + 0.0 AS hub
+         FROM h3 JOIN a3 ON a3.node = h3.node""",
+
+    // per-node triangles via the naive wedge join (fine at oracle scale;
+    // the engine's degree-ordered orientation counts the same triangles)
+    "g10_clustering_coeff" ->
+      """WITH bsk AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                      FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e AS (SELECT a.i AS s, b.i AS t
+               FROM bsk a JOIN bsk b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+         adj AS (SELECT s AS z, t AS nb FROM e UNION ALL SELECT t, s FROM e),
+         deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS degree
+                 FROM adj GROUP BY 1),
+         tri AS (SELECT x.z, CAST(COUNT(*) AS BIGINT) AS t
+                 FROM adj x JOIN adj y ON x.z = y.z AND x.nb < y.nb
+                 JOIN e ON e.s = x.nb AND e.t = y.nb
+                 GROUP BY 1)
+         SELECT d.z AS node, d.degree,
+                COALESCE(tri.t, 0) AS triangles,
+                CASE WHEN d.degree < 2 THEN 0.0
+                     ELSE ROUND(COALESCE(tri.t, 0) * 2.0
+                                / (d.degree * (d.degree - 1)), 6) + 0.0
+                END AS clustering_coeff
+         FROM deg d LEFT JOIN tri ON tri.z = d.z""",
+
+    // Gopher rule flags from exact integer token statistics; the keep
+    // verdict compares the ROUNDED ratios exactly as the engine does
+    "t40_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+                           STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         q AS (SELECT doc_id, LEN(toks) AS n,
+                      LIST_SUM(LIST_TRANSFORM(toks, x -> LEN(x))) AS totlen,
+                      LEN(LIST_FILTER(toks,
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+                      LEN(LIST_FILTER(toks,
+                        x -> CONTAINS(x, '#') OR CONTAINS(x, '...'))) AS sym,
+                      LEN(LIST_FILTER(toks,
+                        x -> x IN ('the','be','to','of','and','that','have','with')))
+                        AS stp
+               FROM t)
+         SELECT doc_id, CAST(n AS INT) AS n_words,
+                ROUND(totlen * 1.0 / n, 6) + 0.0 AS mean_word_len,
+                ROUND(alpha * 1.0 / n, 6) + 0.0 AS alpha_frac,
+                ROUND(sym * 1.0 / n, 6) + 0.0 AS symbol_frac,
+                CAST(stp AS INT) AS stop_hits,
+                CASE WHEN n BETWEEN 50 AND 100000
+                      AND ROUND(totlen * 1.0 / n, 6) BETWEEN 3.0 AND 10.0
+                      AND ROUND(alpha * 1.0 / n, 6) >= 0.8
+                      AND ROUND(sym * 1.0 / n, 6) <= 0.1
+                      AND stp >= 2 THEN 1 ELSE 0 END AS keep
+         FROM q""",
+
+    // the t28 bigram-LM construction, closed by perplexity + the exact
+    // global tercile rank (ppl is a rounded double, so both engines
+    // order identical values; ties break on doc_id)
+    "t39_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                         k -> toks[k] || ' ' || toks[k+1])) AS bg
+                FROM t WHERE LEN(toks) >= 2),
+         m AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+               FROM bg GROUP BY 1, 2),
+         cb AS (SELECT bg, CAST(SUM(m) AS BIGINT) AS cbg FROM m GROUP BY 1),
+         uni AS (SELECT UNNEST(toks) AS tok FROM t),
+         cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
+                       SUM(m.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll
+                FROM m
+                JOIN cb USING (bg)
+                JOIN cu ON cu.tok = SPLIT_PART(m.bg, ' ', 1)
+                CROSS JOIN v
+                GROUP BY 1),
+         scored AS (SELECT doc_id,
+                           ROUND(EXP(-(ROUND(ll / nb, 6))), 6) + 0.0 AS ppl
+                    FROM sc WHERE nb > 0),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+         r AS (SELECT doc_id, ppl,
+                      ROW_NUMBER() OVER (ORDER BY ppl ASC, doc_id ASC) AS rk
+               FROM scored)
+         SELECT doc_id, ppl,
+                CASE WHEN FLOOR((rk - 1) * 3.0 / n) = 0 THEN 'head'
+                     WHEN FLOOR((rk - 1) * 3.0 / n) = 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM r CROSS JOIN nt""",
+
+    // DSIR: exact integer bucket counts → one nano-quantized log ratio
+    // per bucket → exact BIGINT per-doc sums, one closing division
+    "ml24_dsir_weights" ->
+      """WITH t AS (SELECT doc_id,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                           STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id, tgt,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                         k -> toks[k] || ' ' || toks[k+1])) AS bg
+                FROM t WHERE LEN(toks) >= 2),
+         bb AS (SELECT doc_id,
+                       CAST(CAST(('0x' || SUBSTRING(MD5(bg), 1, 4)) AS BIGINT)
+                         % 128 AS INT) AS b,
+                       tgt
+                FROM bg),
+         counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                           CAST(SUM(tgt) AS BIGINT) AS tc
+                    FROM bb GROUP BY 1),
+         tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rt,
+                        CAST(SUM(tc) AS BIGINT) AS tt FROM counts),
+         ratio AS (SELECT b,
+                          CAST(ROUND(LN((tc + 1.0) / (tt + 128.0)
+                                        * (rt + 128.0) / (r + 1.0)) * 1e9, 0)
+                            AS BIGINT) AS lrq
+                   FROM counts CROSS JOIN tot),
+         per AS (SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                        CAST(SUM(ratio.lrq) AS BIGINT) AS s
+                 FROM bb JOIN ratio USING (b) GROUP BY 1)
+         SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+                ROUND(per.s / per.n_bigrams / 1e9, 6) + 0.0 AS dsir_w
+         FROM documents d LEFT JOIN per USING (doc_id)""",
+
+    // ExactSubstr coverage: global 5-gram hash counts → duplicated start
+    // positions → equal-length interval union via one LEAD window
+    "d21_dupspan_coverage" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS (SELECT doc_id, n, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         dp AS (SELECT gh.doc_id, gh.pos FROM gh JOIN dup USING (h)),
+         cov AS (SELECT doc_id, pos,
+                        LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                 FROM dp),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                        CAST(SUM(CASE WHEN nxt IS NULL THEN 5
+                                      ELSE LEAST(5, nxt - pos) END) AS BIGINT)
+                          AS covered
+                 FROM cov GROUP BY 1)
+         SELECT tk.doc_id, CAST(tk.n AS INT) AS n_toks,
+                COALESCE(agg.n_dup_spans, 0) AS n_dup_spans,
+                COALESCE(agg.covered, 0) AS covered_tokens,
+                ROUND(COALESCE(agg.covered, 0) * 1.0 / tk.n, 6) + 0.0 AS coverage
+         FROM tk LEFT JOIN agg USING (doc_id)""",
+
+    // sign-bit packing into two 32-bit words (powers of two ≤ 2³¹ are
+    // exact doubles), popcount-of-XOR shortlist, exact cosine rerank
+    "v17_hamming_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         b AS (SELECT vec_id, v,
+                      CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 31),
+                        i -> CASE WHEN v[i + 1] > 0
+                               THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END))
+                        AS BIGINT) AS w1,
+                      CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(32, 63),
+                        i -> CASE WHEN v[i + 1] > 0
+                               THEN CAST(POWER(2, i - 32) AS BIGINT) ELSE 0 END))
+                        AS BIGINT) AS w2
+               FROM e),
+         cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         q.v AS qv, c.v AS cv,
+                         CAST(BIT_COUNT(XOR(q.w1, c.w1))
+                              + BIT_COUNT(XOR(q.w2, c.w2)) AS INT) AS hamming
+                  FROM (SELECT * FROM b WHERE vec_id < 8) q
+                  CROSS JOIN b c WHERE c.vec_id <> q.vec_id),
+         short AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming ASC, neighbor_id ASC) AS hr
+                   FROM cand),
+         sims AS (SELECT query_id, neighbor_id, hamming,
+                         ROUND(LIST_DOT_PRODUCT(qv, cv)
+                           / (SQRT(LIST_DOT_PRODUCT(qv, qv))
+                              * SQRT(LIST_DOT_PRODUCT(cv, cv))), 6) + 0.0 AS sim
+                  FROM short WHERE hr <= 32)
+         SELECT query_id, neighbor_id, hamming, sim,
+                CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id ASC) AS rn FROM sims)
+         WHERE rn <= 5""",
+
+    // four exact HUGEINT power sums per group, one fixed closing double
+    // sequence (the a40 discipline, two moments further)
+    "a49_jarque_bera" ->
+      """WITH r AS (SELECT c_nationkey,
+                           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS q
+                    FROM customer),
+         s AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(q AS HUGEINT)) AS s1,
+                      SUM(CAST(q AS HUGEINT) * q) AS s2,
+                      SUM(CAST(q AS HUGEINT) * q * q) AS s3,
+                      SUM(CAST(q AS HUGEINT) * q * q * q) AS s4
+               FROM r GROUP BY 1),
+         f AS (SELECT c_nationkey, n,
+                      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+               FROM s),
+         m AS (SELECT c_nationkey, n,
+                      r2 - mu * mu AS m2,
+                      r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                      r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                         - 3.0 * mu * mu * mu * mu AS m4
+               FROM f)
+         SELECT c_nationkey, n,
+                CASE WHEN m2 > 0
+                  THEN ROUND(m3 / SQRT(m2 * m2 * m2), 6) + 0.0 END AS skewness,
+                CASE WHEN m2 > 0
+                  THEN ROUND(m4 / (m2 * m2) - 3.0, 6) + 0.0 END AS ex_kurtosis,
+                CASE WHEN m2 > 0
+                  THEN ROUND(CAST(n AS DOUBLE) / 6.0 *
+                         ((m3 / SQRT(m2 * m2 * m2)) * (m3 / SQRT(m2 * m2 * m2))
+                          + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                            / 4.0), 6) + 0.0 END AS jb
+         FROM m""",
+
+    // type-7 medians (QUANTILE_CONT ≡ the engine's exact rank interp over
+    // integers), exact |2x − 2·med| deviations, per-group double terms
+    // pinned to integer units before the cross-group exact sum
+    "a51_brown_forsythe" ->
+      """WITH r AS (SELECT c_nationkey AS grp,
+                           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS q
+                    FROM customer WHERE c_acctbal IS NOT NULL),
+         med AS (SELECT grp,
+                        CAST(ROUND(QUANTILE_CONT(q, 0.5) * 2, 0) AS BIGINT) AS m2
+                 FROM r GROUP BY 1),
+         z AS (SELECT r.grp, ABS(r.q * 2 - med.m2) AS z2
+               FROM r JOIN med USING (grp)),
+         pg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+                       SUM(CAST(z2 AS HUGEINT)) AS sg,
+                       SUM(CAST(z2 AS HUGEINT) * z2) AS qg
+                FROM z GROUP BY 1),
+         gr AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(ng) AS BIGINT) AS n,
+                       SUM(sg) AS s FROM pg),
+         terms AS (SELECT pg.ng, pg.sg, pg.qg, gr.k, gr.n,
+                          CAST(gr.s AS DOUBLE) / CAST(gr.n AS DOUBLE) AS mu,
+                          CAST(pg.sg AS DOUBLE) / CAST(pg.ng AS DOUBLE) AS mug
+                   FROM pg CROSS JOIN gr),
+         agg AS (SELECT MAX(k) AS k, MAX(n) AS n,
+                        SUM(CAST(ROUND(CAST(qg AS DOUBLE)
+                          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                            / CAST(ng AS DOUBLE), 0) AS HUGEINT)) AS ssw,
+                        SUM(CAST(ROUND(CAST(ng AS DOUBLE) * (mug - mu)
+                          * (mug - mu), 0) AS HUGEINT)) AS ssb
+                 FROM terms)
+         SELECT k, n,
+                CASE WHEN k > 1 AND ssw > 0
+                  THEN ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                    / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6) + 0.0
+                END AS f_stat
+         FROM agg""",
+
+    // m06's byte-level sample reconstruction; the mean-removed sign test
+    // multiplied through to exact integers (n·s − S), one closing division
+    "m11_pcm_zcr" ->
+      """WITH b AS (SELECT doc_id, text,
+                           CAST(LEN(text) // 2 AS INT) AS ns
+                    FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, text, ns,
+                      UNNEST(GENERATE_SERIES(0,
+                        CAST(CEIL(ns / 256.0) AS INT) - 1)) AS frame
+               FROM b WHERE ns >= 1),
+         g AS (SELECT doc_id, CAST(frame AS INT) AS frame, text,
+                      frame * 256 AS st,
+                      LEAST(ns, (frame + 1) * 256) AS en
+               FROM f),
+         h AS (SELECT doc_id, frame, text, st, en,
+                      CAST(en - st AS INT) AS n,
+                      LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(st, en - 1),
+                        k -> CAST(UNICODE(SUBSTR(text, 2*k + 1, 1))
+                             + 256 * UNICODE(SUBSTR(text, 2*k + 2, 1)) AS BIGINT)))
+                        AS s
+               FROM g),
+         z AS (SELECT doc_id, frame, n,
+                      CAST(LEN(LIST_FILTER(GENERATE_SERIES(st + 1, en - 1),
+                        k -> (n * (UNICODE(SUBSTR(text, 2*k - 1, 1))
+                                   + 256 * UNICODE(SUBSTR(text, 2*k, 1))) - s)
+                             * (n * (UNICODE(SUBSTR(text, 2*k + 1, 1))
+                                     + 256 * UNICODE(SUBSTR(text, 2*k + 2, 1))) - s)
+                             < 0)) AS BIGINT) AS crossings
+               FROM h)
+         SELECT doc_id, frame, n AS n_samples, crossings,
+                CASE WHEN n >= 2
+                  THEN ROUND(crossings * 1.0 / (n - 1), 6) + 0.0 END AS zcr
+         FROM z""",
+
+    // the full composed gate: Gopher keep ∧ CCNet non-tail tercile →
+    // DSIR weights trained on the SURVIVOR corpus → top-100 by weight
+    "e2e_quality_gate" ->
+      """WITH t0 AS (SELECT doc_id, lang,
+                            STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                     FROM documents WHERE text IS NOT NULL),
+         gq AS (SELECT doc_id, LEN(toks) AS n,
+                       LIST_SUM(LIST_TRANSFORM(toks, x -> LEN(x))) AS totlen,
+                       LEN(LIST_FILTER(toks,
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+                       LEN(LIST_FILTER(toks,
+                         x -> CONTAINS(x, '#') OR CONTAINS(x, '...'))) AS sym,
+                       LEN(LIST_FILTER(toks,
+                         x -> x IN ('the','be','to','of','and','that','have','with')))
+                         AS stp
+                FROM t0),
+         keep_g AS (SELECT doc_id FROM gq
+                    WHERE n BETWEEN 50 AND 100000
+                      AND ROUND(totlen * 1.0 / n, 6) BETWEEN 3.0 AND 10.0
+                      AND ROUND(alpha * 1.0 / n, 6) >= 0.8
+                      AND ROUND(sym * 1.0 / n, 6) <= 0.1
+                      AND stp >= 2),
+         tAll AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                  FROM documents),
+         bgp AS (SELECT doc_id,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                          k -> toks[k] || ' ' || toks[k+1])) AS bg
+                 FROM tAll WHERE LEN(toks) >= 2),
+         m AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+               FROM bgp GROUP BY 1, 2),
+         cb AS (SELECT bg, CAST(SUM(m) AS BIGINT) AS cbg FROM m GROUP BY 1),
+         uni AS (SELECT UNNEST(toks) AS tok FROM tAll),
+         cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
+                       SUM(m.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll
+                FROM m
+                JOIN cb USING (bg)
+                JOIN cu ON cu.tok = SPLIT_PART(m.bg, ' ', 1)
+                CROSS JOIN v
+                GROUP BY 1),
+         scored AS (SELECT doc_id,
+                           ROUND(EXP(-(ROUND(ll / nb, 6))), 6) + 0.0 AS ppl
+                    FROM sc WHERE nb > 0),
+         ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+         rk AS (SELECT doc_id, ppl,
+                       ROW_NUMBER() OVER (ORDER BY ppl ASC, doc_id ASC) AS rk
+                FROM scored),
+         keep_p AS (SELECT doc_id FROM rk CROSS JOIN ntot
+                    WHERE FLOOR((rk - 1) * 3.0 / n) < 2),
+         surv AS (SELECT doc_id FROM keep_g INTERSECT SELECT doc_id FROM keep_p),
+         sdoc AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+                  JOIN surv USING (doc_id)),
+         st AS (SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                       STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                FROM sdoc),
+         sbg AS (SELECT doc_id, tgt,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                          k -> toks[k] || ' ' || toks[k+1])) AS bg
+                 FROM st WHERE LEN(toks) >= 2),
+         sbb AS (SELECT doc_id,
+                        CAST(CAST(('0x' || SUBSTRING(MD5(bg), 1, 4)) AS BIGINT)
+                          % 128 AS INT) AS b,
+                        tgt
+                 FROM sbg),
+         scounts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                            CAST(SUM(tgt) AS BIGINT) AS tc
+                     FROM sbb GROUP BY 1),
+         stot AS (SELECT CAST(SUM(r) AS BIGINT) AS rt,
+                         CAST(SUM(tc) AS BIGINT) AS tt FROM scounts),
+         sratio AS (SELECT b,
+                           CAST(ROUND(LN((tc + 1.0) / (tt + 128.0)
+                                         * (rt + 128.0) / (r + 1.0)) * 1e9, 0)
+                             AS BIGINT) AS lrq
+                    FROM scounts CROSS JOIN stot),
+         sper AS (SELECT sbb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                         CAST(SUM(sratio.lrq) AS BIGINT) AS s
+                  FROM sbb JOIN sratio USING (b) GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+                ROUND(s / n_bigrams / 1e9, 6) + 0.0 AS dsir_w
+         FROM sper
+         ORDER BY dsir_w DESC, doc_id ASC
+         LIMIT 100"""
   )
 }

@@ -282,4 +282,60 @@ object Knn {
         round(coalesce(col("__hits"), lit(0L)).cast("double") / col("k"), 6)
           .as("recall"))
   }
+
+  /** Sign-bit binarization of a ≤ 64-dim embedding into two 32-bit words
+    * (bit i set iff component i > 0) — the 64-byte-vector → 8-byte-code
+    * compression behind binary-quantized indexes. Two words rather than
+    * one keep every intermediate strictly positive and < 2³², so the
+    * packing is exact integer arithmetic on both engines (bit 63 in one
+    * signed word would overflow). Powers of two up to 2³¹ are exact
+    * doubles, so `pow` is safe here.
+    */
+  private def signWord(e: Column, lo: Int, hi: Int): Column =
+    aggregate(sequence(lit(lo), lit(hi)), lit(0L),
+      (acc, i) => acc + when(element_at(e, i + 1) > 0,
+        pow(lit(2.0), i - lo).cast("long")).otherwise(lit(0L)))
+
+  def signBits(e: Column): (Column, Column) =
+    (signWord(e, 0, 31), signWord(e, 32, 63))
+
+  /** Two-stage binary-quantized search: Hamming distance over the packed
+    * sign bits prunes the corpus to `cand` candidates per query (popcount
+    * of two XOR words — integer-exact, so the prune is deterministic with
+    * (hamming, id) tie-break), then the exact cosine reranks the
+    * survivors to top `k`. The scan pays 2 longs per vector instead of
+    * 64 floats until the rerank touches the `cand`·|queries| survivors —
+    * the classic memory-bandwidth win of binary quantization, here with
+    * the full-precision rerank restoring exact ordering on the shortlist.
+    * Queries broadcast; the corpus is never shuffled (the v01 contract).
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      emb: String, cand: Int, k: Int,
+      simFn: Sim = VectorFns.cosine): DataFrame = {
+    def packed(df: DataFrame, idOut: String, embOut: String) = {
+      val (w1, w2) = signBits(VectorFns.toDoubleArr(col(emb)))
+      df.select(col(id).as(idOut),
+        VectorFns.toDoubleArr(col(emb)).as(embOut),
+        w1.as(s"${embOut}_w1"), w2.as(s"${embOut}_w2"))
+    }
+    val c = packed(corpus, "neighbor_id", "__ne")
+    val q = packed(queries, "query_id", "__qe")
+    val ham = (bit_count(col("__qe_w1").bitwiseXOR(col("__ne_w1"))) +
+      bit_count(col("__qe_w2").bitwiseXOR(col("__ne_w2")))).cast("int")
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", ham)
+      .withColumn("__hr", row_number().over(wHam))
+      .filter(col("__hr") <= cand)
+    val sim = round(simFn(col("__qe"), col("__ne")), 6)
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .withColumn("sim", sim)
+      .withColumn("__rn", row_number().over(wSim))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("sim"), col("__rn").as("rank"))
+  }
 }

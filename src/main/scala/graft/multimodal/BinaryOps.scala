@@ -164,6 +164,57 @@ object BinaryOps {
       }
   }
 
+  /** Row shape for per-frame mean-removed zero-crossing counts. */
+  case class FrameZcr(doc_id: Long, frame: Int, n_samples: Int,
+      crossings: Long, zcr: Option[Double])
+
+  /** Per-frame zero-crossing rate on the REAL PCM byte path — the classic
+    * voiced/unvoiced + pitch-proxy feature next to [[pcmFrameEnergy]]'s
+    * loudness. ZCR is always taken after DC removal; with the frame mean
+    * μ = S/n the sign test (s[k−1]−μ)(s[k]−μ) < 0 multiplies through by
+    * n² to the EXACT integer test (n·s[k−1] − S)(n·s[k] − S) < 0 — no
+    * float mean ever exists, so the count is bit-deterministic and the
+    * closing rate is one division (crossings / (n−1), 6-decimal HALF_UP;
+    * null for 1-sample tails). |n·s| ≤ 256·2¹⁵ and the product ≤ 2⁴⁷ —
+    * comfortably exact in Long. Same map-only batch shape as m06; rows
+    * out ≈ bytes/2/frameLen per doc.
+    */
+  def pcmFrameZcr(spark: SparkSession, df: DataFrame, id: String,
+      payload: String, frameLen: Int): Dataset[FrameZcr] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val nSamp = if (bytes == null) 0 else bytes.length / 2
+          val nFrames = (nSamp + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameLen
+            val end = math.min(nSamp, start + frameLen)
+            val n = end - start
+            def s(i: Int): Long = {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt // sign-extends: true int16
+              ((hi << 8) | lo).toLong
+            }
+            var sum = 0L
+            var k = start
+            while (k < end) { sum += s(k); k += 1 }
+            var crossings = 0L
+            k = start + 1
+            while (k < end) {
+              if ((n * s(k - 1) - sum) * (n * s(k) - sum) < 0) crossings += 1
+              k += 1
+            }
+            FrameZcr(docId, f, n, crossings,
+              if (n < 2) None
+              else Some(BigDecimal(crossings.toDouble / (n - 1))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }
+      }
+  }
+
   /** Row shape for decoded image metadata: dimensions plus two
     * order-insensitive pixel checksums (sum and xor of the 8-bit gray
     * samples) — the deterministic face of a lossy-looking pipeline stage.

@@ -367,4 +367,95 @@ object AssociationOps {
           col("x1") + col("x2") < col("n1") + col("n2"),
         round((p1 - p2) / sqrt(rad), 6)).as("z"))
   }
+
+  /** Jarque–Bera normality test per group: JB = n/6·(S² + K²/4) from the
+    * sample skewness S and EXCESS kurtosis K — the one-pass "is this
+    * column roughly Gaussian" screen run per segment before any
+    * normality-assuming downstream stat.
+    *
+    * All four raw power sums over integer-quantized values accumulate
+    * exactly in DECIMAL(38,0) (the `a40_welch_ttest` discipline — with
+    * |q| ≤ 10⁶ the fourth power is ≤ 10²⁴, so ~10¹⁴ rows fit before 38
+    * digits saturate); the central moments are one fixed closing double
+    * sequence per group, replayed verbatim by the oracle. Groups with
+    * zero variance surface null. One hash aggregate; no window, no sort.
+    */
+  def jarqueBera(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = value.cast("long")
+    val agg = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(q)).as("__s1"),
+      sum(dec(q) * q).as("__s2"),
+      sum(dec(q) * q * q).as("__s3"),
+      sum(dec(q) * q * q * q).as("__s4"))
+    val n = col("n").cast("double")
+    val mu = col("__s1").cast("double") / n
+    val r2 = col("__s2").cast("double") / n
+    val r3 = col("__s3").cast("double") / n
+    val r4 = col("__s4").cast("double") / n
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exk = m4 / (m2 * m2) - lit(3.0)
+    agg.select(col("grp"), col("n"),
+      when(m2 > 0, round(skew, 6)).as("skewness"),
+      when(m2 > 0, round(exk, 6)).as("ex_kurtosis"),
+      when(m2 > 0,
+        round(n / lit(6.0) * (skew * skew + exk * exk / lit(4.0)), 6))
+        .as("jb"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test (the median-centered
+    * Levene): one-way ANOVA F over z = |x − median_g| — the robust "can I
+    * pool these segments' variances" gate.
+    *
+    * Exactness: group medians come from the exact type-7 rank machinery
+    * ([[CleaningOps.groupQuantiles]]); over integer-quantized values the
+    * type-7 median is always an integer or a half-integer, so
+    * z₂ = |2x − 2·med| is an EXACT integer and the ANOVA sufficient
+    * statistics (n_g, Σz₂, Σz₂²) accumulate exactly. The between/within
+    * sums of squares close per group as one double each, correctly
+    * rounded to integer units and summed in DECIMAL(38,0) — the
+    * fixed-point contract — so the k-way float sum order is never
+    * observable. F is scale-invariant, so the ×2 in z₂ cancels. Output:
+    * one row (k, n, f_stat).
+    */
+  def brownForsythe(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("grp"), value.cast("long").as("__q"))
+      .filter(col("__q").isNotNull)
+    val med = CleaningOps.groupQuantiles(base, "grp", "__q", 0.5, 0.5)
+      .select(col("grp"), round(col("q_lo") * 2, 0).cast("long").as("__m2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val z2 = abs(col("__q") * 2 - col("__m2"))
+    val perGroup = base.join(med, Seq("grp"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("__ng"),
+        sum(dec(z2)).as("__sg"),
+        sum(dec(z2) * z2).as("__qg"))
+    // within-group term (Σz² − (Σz)²/n) and, against the grand mean,
+    // the between term n·(μ_g − μ)² — each ONE double per group, pinned
+    // to integer units before the exact cross-group sum
+    val grand = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("__ng")).as("n"),
+      sum(dec(col("__sg"))).as("__s"))
+    val mu = col("__s").cast("double") / col("n").cast("double")
+    val muG = col("__sg").cast("double") / col("__ng").cast("double")
+    val joined = perGroup.crossJoin(broadcast(grand))
+    val agg = joined.agg(
+      max(col("k")).as("k"), max(col("n")).as("n"),
+      sum(round(col("__qg").cast("double") -
+        col("__sg").cast("double") * col("__sg").cast("double") /
+          col("__ng").cast("double"), 0).cast("decimal(38,0)")).as("__ssw"),
+      sum(round(col("__ng").cast("double") * (muG - mu) * (muG - mu), 0)
+        .cast("decimal(38,0)")).as("__ssb"))
+    agg.select(col("k"), col("n"),
+      when(col("k") > 1 && col("__ssw") > 0,
+        round((col("__ssb").cast("double") / (col("k") - 1).cast("double")) /
+          (col("__ssw").cast("double") / (col("n") - col("k")).cast("double")),
+          6)).as("f_stat"))
+  }
 }

@@ -328,4 +328,109 @@ object GraphOps {
           (col("__da") + col("__db") - col("common")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** HITS hubs/authorities (Kleinberg 1999), `iters` unrolled relational
+    * supersteps over a DIRECTED edge list — [[pageRank]]'s bipartite-score
+    * sibling (query-flow graphs, citation graphs, the "good pointer vs
+    * good content" split PageRank can't express).
+    *
+    * Superstep (classic order, weighted form): authority
+    * a'(v) = Σ_{u→v} w·h(u), then hub h'(u) = Σ_{u→v} w·a'(v), each
+    * followed by an L1 normalization.
+    * Determinism is the pageRank fixed-point contract taken one step
+    * further: per-edge contributions are correctly rounded to integer
+    * picos (×1e12, BIGINT) BEFORE summation, and the L1 total is the sum
+    * of those same integers — so the normalizing division is a ratio of
+    * two exact integers and no float accumulation order is ever
+    * observable. Scores are pinned to 9 decimals per superstep (the
+    * kmeansIterate trajectory-pinning argument) and 6 on output.
+    *
+    * Scale: per superstep one equi-join on each edge endpoint plus one
+    * hash agg — all key-partitioned; the L1 total is a one-row frame
+    * (8 bytes broadcast). Score frames are checkpointed per superstep to
+    * keep the unrolled lineage flat. Nodes with no in-edges hold
+    * authority 0, no out-edges hub 0 (left joins, coalesce).
+    */
+  def hits(edges: DataFrame, src: String, dst: String, weight: String,
+      iters: Int): DataFrame = {
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"),
+      col(weight).cast("double").as("__w")).localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct().localCheckpoint()
+    // h₀ = 1/N: the same correctly-rounded double in both engines
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var hub = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), round(lit(1.0) / col("__n"), 9).as("hub"))
+    var auth: DataFrame = null
+    for (i <- 0 until iters) {
+      if (i > 0) hub = hub.localCheckpoint()
+      // a'(v) = Σ h(u) over in-edges, integer-pico accumulated
+      val afp = e.join(hub, col("__src") === col("node"))
+        .groupBy(col("__dst").as("anode"))
+        .agg(sum(round(col("hub") * col("__w") * 1e12, 0).cast("long")).as("__afp"))
+      val aTot = afp.agg(sum(col("__afp")).cast("double").as("__at"))
+      auth = nodes.join(afp, col("node") === col("anode"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          round(coalesce(col("__afp"), lit(0L)).cast("double") / col("__at"), 9)
+            .as("authority"))
+        .localCheckpoint()
+      // h'(u) = Σ a'(v) over out-edges, same fixed-point contract
+      val hfp = e.join(auth, col("__dst") === col("node"))
+        .groupBy(col("__src").as("hnode"))
+        .agg(sum(round(col("authority") * col("__w") * 1e12, 0).cast("long")).as("__hfp"))
+      val hTot = hfp.agg(sum(col("__hfp")).cast("double").as("__ht"))
+      hub = nodes.join(hfp, col("node") === col("hnode"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          round(coalesce(col("__hfp"), lit(0L)).cast("double") / col("__ht"), 9)
+            .as("hub"))
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), round(col("authority"), 6).as("authority"),
+        round(col("hub"), 6).as("hub"))
+  }
+
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1)),
+    * T(v) = triangles through v — the per-node refinement of
+    * [[triangleCount]] ("how club-like is this node's neighborhood").
+    *
+    * Triangle enumeration reuses the degree-ordered forward-counting
+    * orientation (out-degrees O(√m) regardless of hub skew), but each
+    * closed triangle (s, a, b) is scattered back to ALL THREE corners
+    * before the per-node count — a 3-row explode of an already-bounded
+    * triangle stream, not a wider join. The coefficient is one division
+    * of exact integers; deg < 2 surfaces as coefficient 0 by the usual
+    * convention. Input edges must be canonical undirected (`src < dst`).
+    */
+  def localClusteringCoeff(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+      .localCheckpoint()
+    val deg = e.select(col("__u").as("__n"))
+      .union(e.select(col("__v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    val oriented = e
+      .join(deg.withColumnRenamed("__n", "__u")
+        .withColumnRenamed("__deg", "__du"), Seq("__u"))
+      .join(deg.withColumnRenamed("__n", "__v")
+        .withColumnRenamed("__deg", "__dv"), Seq("__v"))
+      .select(
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          col("__u")).otherwise(col("__v")).as("s"),
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          col("__v")).otherwise(col("__u")).as("t"))
+    val tris = oriented.alias("e1").join(oriented.alias("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("w"), col("e1.t").as("a"), col("e2.t").as("b"))
+      .join(e, col("a") === col("__u") && col("b") === col("__v"))
+      .select(explode(array(col("w"), col("a"), col("b"))).as("__n"))
+      .groupBy("__n").agg(count(lit(1)).as("__tri"))
+    deg.join(tris, Seq("__n"), "left")
+      .select(col("__n").as("node"), col("__deg").as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("triangles"),
+        when(col("__deg") < 2, lit(0.0)).otherwise(
+          round(coalesce(col("__tri"), lit(0L)).cast("double") * 2.0 /
+            (col("__deg") * (col("__deg") - 1)).cast("double"), 6))
+          .as("clustering_coeff"))
+  }
 }

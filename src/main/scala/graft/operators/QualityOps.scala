@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Published corpus-curation quality gates, each a single codegen'd pass
+  * (or two hash aggregates) over the document frame — the rule-based
+  * front half of an LLM training-data pipeline, upstream of the
+  * `dedup.DedupOps` near-dup stages:
+  *
+  *  - [[gopherRules]]   — the Gopher repetition-free quality heuristics
+  *                        (Rae et al. 2021, appendix A1.1)
+  *  - [[perplexityBuckets]] — CCNet's LM-perplexity head/middle/tail
+  *                        terciles (Wenzek et al. 2020)
+  *  - [[dsirWeights]]   — Data Selection via Importance Resampling's
+  *                        hashed-n-gram log importance weights
+  *                        (Xie et al. 2023)
+  *  - [[dupSpanCoverage]] — fraction of each doc covered by corpus-
+  *                        duplicated token spans (Lee et al. 2022,
+  *                        "Deduplicating Training Data Makes Language
+  *                        Models Better" — the ExactSubstr measure)
+  *
+  * All four are deterministic pure functions of the corpus (no RNG, no
+  * float-sum ordering: integer sufficient statistics or per-term
+  * fixed-point quantization throughout), so each is hash-oracle-able
+  * against a SQL engine.
+  */
+object QualityOps {
+
+  /** The Gopher word-level quality rules as per-document flags plus the
+    * composite keep verdict. One map-only pass: every measure is a
+    * higher-order function over the split token array (codegen'd, no
+    * UDFs, no shuffle at all):
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 10] characters
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≤ 10% of words are symbol-ish (`#` or `...`)
+    *  - at least two hits from the Gopher stopword octet
+    *
+    * Ratios are exact-integer divisions rounded to 6; `keep` is an int
+    * flag so downstream filters and the SQL oracle agree bit-for-bit.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(docs: DataFrame, id: String, text: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = TextFns.tokens(col(text))
+    val n = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / n
+    val symbolFrac = size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("double") / n
+    val stopHits = TextFns.tokenCountIn(toks, gopherStopwords)
+    docs.filter(col(text).isNotNull)
+      .select(col(id), n.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        round(symbolFrac, 6).as("symbol_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        when(col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 &&
+          col("symbol_frac") <= 0.1 &&
+          col("stop_hits") >= 2, 1).otherwise(0))
+  }
+
+  /** CCNet's perplexity gate: score every doc under the corpus-trained
+    * add-1 bigram LM ([[SummaryOps.bigramLogProb]]), convert to
+    * perplexity exp(−avg logprob), and bucket the corpus into
+    * head / middle / tail terciles by perplexity rank — head being the
+    * most fluent third the pipeline keeps, tail the third it drops or
+    * down-weights (Wenzek et al. 2020 §4.3, which buckets on exactly
+    * this corpus-relative rank rather than an absolute threshold).
+    *
+    * The tercile rank is the two-phase exact global rank
+    * ([[RankOps.globalRowNumber]] — no single-partition exchange), keyed
+    * on the ROUNDED score so both engines order identical doubles;
+    * bucket = ⌊(rank−1)·3 / n⌋ against a one-row count frame. Docs with
+    * no bigrams (< 2 tokens) are excluded — they have no LM score.
+    */
+  def perplexityBuckets(docs: DataFrame, id: String, text: String): DataFrame = {
+    val scored = SummaryOps.bigramLogProb(docs, id, text)
+      .filter(col("n_bigrams") > 0)
+      .select(col(id), round(exp(-col("avg_logprob")), 6).as("ppl"))
+    val ranked = RankOps.globalRowNumber(scored,
+      Seq(col("ppl").asc, col(id).asc), "__rk")
+    val nTot = scored.agg(count(lit(1)).as("__nt"))
+    ranked.crossJoin(broadcast(nTot))
+      .select(col(id), col("ppl"),
+        element_at(
+          array(lit("head"), lit("middle"), lit("tail")),
+          (floor((col("__rk") - 1) * 3 / col("__nt")) + 1).cast("int"))
+          .as("bucket"))
+  }
+
+  /** DSIR hashed-n-gram importance weights (Xie et al. 2023): estimate a
+    * bag-of-hashed-bigrams unigram model p over the TARGET slice and q
+    * over the RAW corpus, both add-1 smoothed over `dim` hash buckets;
+    * each document's weight is its mean per-bigram log importance ratio
+    * ln(p_b / q_b) — the score importance resampling then samples by.
+    *
+    * Cross-engine exactness: bucket counts are exact integers (two hash
+    * aggregates); the per-bucket log ratio is ONE double computed from
+    * those integers, quantized to integer nanos at the bucket table
+    * (≤ `dim` rows, broadcast); per-doc sums are therefore exact BIGINT
+    * sums, closed by a single division — the pageRank fixed-point
+    * contract. Docs with no bigrams surface with null weight.
+    *
+    * Scale: explode-bigram → bucket is map-side; the two count
+    * aggregates shuffle `dim`-bounded keys; the per-doc score is one
+    * hash aggregate on the doc id. The target predicate is evaluated on
+    * the same pass — the corpus is read once.
+    */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+      isTarget: Column, dim: Int = 128): DataFrame = {
+    val bg = graft.Tables.spread(
+        docs.select(col(id), col(text), isTarget.cast("int").as("__tgt")),
+        tinyBytes = 0L)
+      .select(col(id), col("__tgt"),
+        explode(TextFns.rawShingles(TextFns.tokens(col(text)), 2)).as("__bg"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__bg")), 1, 4), 16, 10).cast("int"),
+          lit(dim)))
+    val counts = bg.groupBy("__b")
+      .agg(count(lit(1)).as("__r"), sum(col("__tgt")).cast("long").as("__t"))
+    val totals = counts.agg(sum(col("__r")).as("__rt"), sum(col("__t")).as("__tt"))
+    // ln(p_b/q_b) per bucket from exact integer counts, pinned to nanos;
+    // buckets with no mass at all simply never join (no bigram hashes
+    // there), so add-1 smoothing over `dim` buckets is applied to the
+    // observed-bucket table only — identical on both engines
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(log((col("__t") + 1.0) / (col("__tt") + lit(dim.toDouble)) *
+          (col("__rt") + lit(dim.toDouble)) / (col("__r") + 1.0)) * 1e9, 0)
+          .cast("long").as("__lrq"))
+    val perDoc = bg.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lrq")).as("__s"))
+    docs.select(col(id)).join(perDoc, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("n_bigrams") / 1e9, 6).as("dsir_w"))
+  }
+
+  /** ExactSubstr duplication coverage (Lee et al. 2022): the fraction of
+    * each document's token positions covered by some `k`-token span that
+    * occurs ≥ 2 times corpus-wide. Where [[graft.dedup.DedupOps]] asks
+    * "which DOCUMENT PAIRS are near-dups", this asks "how much of THIS
+    * doc is boilerplate that appears elsewhere" — the signal behind
+    * span-level dedup and the memorization audits.
+    *
+    * Plan: posexplode each doc's k-gram starts (positions 0..n−k), hash
+    * the joined gram, count grams globally (one hash agg), keep hashes
+    * with count ≥ 2, join back to positions (inner — non-dup positions
+    * drop early), then per-doc interval union WITHOUT an interval-merge
+    * loop: spans all have length k and arrive position-sorted, so union
+    * length = Σ min(k, next_start − start) with the last span
+    * contributing k — one lead() window per doc. All-integer until the
+    * closing division.
+    */
+  def dupSpanCoverage(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
+    val gramsFixed = toks
+      .filter(col("n_toks") >= k)
+      .select(col(id), col("__t"), col("n_toks"),
+        posexplode(sequence(lit(0), size(col("__t")) - k))
+          .as(Seq("__i", "pos")))
+      .select(col(id), col("n_toks"), col("pos"),
+        md5(array_join(slice(col("__t"), col("pos") + 1, lit(k)), " ")).as("__h"))
+    val dupHashes = gramsFixed.groupBy("__h")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("__h")
+    val dupPos = gramsFixed.join(dupHashes, Seq("__h"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val covered = dupPos
+      .withColumn("__next", lead(col("pos"), 1).over(w))
+      .withColumn("__cov",
+        when(col("__next").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), (col("__next") - col("pos")).cast("long"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("__cov")).as("covered_tokens"))
+    docs.select(col(id)).join(toks.select(col(id), col("n_toks")), Seq(id))
+      .join(covered, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_toks"), 6).as("coverage"))
+  }
+}

@@ -112,7 +112,24 @@ class PlanSweepSpec extends AnyFunSuite {
       "brute-force exemption"),
     "q13_time_to_convert" -> ("bucket-offset triangle (rangeSplitPoints' " +
       "globalRowNumber) + 1-row median x 1-row count frames (explicit " +
-      "broadcasts)"))
+      "broadcasts)"),
+    "g09_hits" -> ("1-row node count + per-superstep 1-row L1-total " +
+      "frames (explicit broadcasts) — the pr01 exemption on the " +
+      "two-score recurrence"),
+    "t39_ppl_buckets" -> ("1-row vocabulary size V (t28 stage) + 1-row " +
+      "scored-doc count + bucket-offset triangle (globalRowNumber) — " +
+      "all explicit broadcasts"),
+    "ml24_dsir_weights" -> ("1-row corpus/target bigram totals (explicit " +
+      "broadcast); the dim-row ratio table itself joins by hash on the " +
+      "bucket key"),
+    "e2e_quality_gate" -> ("t39's 1-row V/count scalars + triangle, and " +
+      "ml24's 1-row totals, composed — every BNL side a 1-row or " +
+      "<= shuffle-partition frame"),
+    "a51_brown_forsythe" -> ("1-row grand (k, N, Σ) frame against the " +
+      "k-row per-group stats frame (explicit broadcast) — bounded by " +
+      "group cardinality"),
+    "v17_hamming_topk" -> ("explicit bounded query set (vec_id < 8), " +
+      "the v01 brute-force exemption over packed sign bits"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

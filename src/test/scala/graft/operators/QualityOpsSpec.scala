@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-checkable cases for the corpus-curation quality gates, the new
+  * graph measures, the moment/variance tests, and the binary-quantized
+  * ANN added in round 9 (continued).
+  */
+class QualityOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- Gopher rules ------------------------------------------------------
+
+  test("gopherRules: flags and composite keep on crafted docs") {
+    val good = (("the quick brown fox jumps over and very lazy dog " * 5) +
+      "that have with it").trim // > 50 words, all alpha, plenty stopwords
+    val short = "the of and"
+    val df = Seq((1L, good), (2L, short)).toDF("doc_id", "text")
+    val r = QualityOps.gopherRules(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("keep") === 1)
+    assert(r(0).getAs[Double]("alpha_frac") === 1.0)
+    assert(r(0).getAs[Int]("stop_hits") >= 2)
+    // 3 words only: word-count rule fails even though ratios are fine
+    assert(r(1).getAs[Int]("n_words") === 3)
+    assert(r(1).getAs[Int]("keep") === 0)
+  }
+
+  test("gopherRules: symbol ratio and alpha fraction discriminate") {
+    val symy = (1 to 60).map(_ => "#").mkString(" ") // all-symbol doc
+    val df = Seq((1L, symy)).toDF("doc_id", "text")
+    val r = QualityOps.gopherRules(df, "doc_id", "text").head()
+    assert(r.getAs[Double]("symbol_frac") === 1.0)
+    assert(r.getAs[Double]("alpha_frac") === 0.0)
+    assert(r.getAs[Int]("keep") === 0)
+  }
+
+  // --- CCNet perplexity terciles -----------------------------------------
+
+  test("perplexityBuckets: rank terciles are ordered by perplexity") {
+    // 6 docs, 2 per tercile once ranked by LM perplexity
+    val docs = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b b a"),
+      (3L, "a b c d a b c d"), (4L, "c d c d a b a b"),
+      (5L, "e f g h i j k l"), (6L, "m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val r = QualityOps.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy("ppl").collect()
+    assert(r.length === 6)
+    assert(r.map(_.getAs[String]("bucket")).toSeq ===
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    // buckets follow the ppl order: heads are the lowest-perplexity docs
+    val ppl = r.map(_.getAs[Double]("ppl"))
+    assert(ppl.sorted.toSeq === ppl.toSeq)
+  }
+
+  // --- DSIR importance weights -------------------------------------------
+
+  test("dsirWeights: target-like docs score positive, off-target negative") {
+    val docs = Seq(
+      (1L, "x y x y x y", 1), (2L, "x y x y x y", 1), (3L, "x y x y", 1),
+      (4L, "p q p q p q", 0), (5L, "p q p q", 0), (6L, "x y p q", 0))
+      .toDF("doc_id", "text", "is_en")
+    val r = QualityOps.dsirWeights(docs, "doc_id", "text",
+        col("is_en") === 1, dim = 32)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("dsir_w")).toMap
+    assert(r(1) > 0) // built from target-dominant bigrams
+    assert(r(4) < 0) // built from raw-only bigrams
+    assert(r(1) === r(2)) // same bigram bag → same weight
+  }
+
+  test("dsirWeights: docs without bigrams surface with null weight") {
+    val docs = Seq((1L, "solo", 1), (2L, "a b", 0)).toDF("doc_id", "text", "t")
+    val r = QualityOps.dsirWeights(docs, "doc_id", "text", col("t") === 1)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 0L && r(0).isNullAt(2))
+    assert(r(1).getLong(1) === 1L && !r(1).isNullAt(2))
+  }
+
+  // --- ExactSubstr duplicated-span coverage ------------------------------
+
+  test("dupSpanCoverage: shared 5-gram covers both docs' spans exactly") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // grams at 0 ("a b c d e", dup) and 1 (unique)
+      (2L, "a b c d e"), // one gram, dup
+      (3L, "z1 z2 z3 z4 z5 z6")) // all unique
+      .toDF("doc_id", "text")
+    val r = QualityOps.dupSpanCoverage(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("covered_tokens") === 5L)
+    assert(r(0).getAs[Double]("coverage") === BigDecimal(5.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getAs[Double]("coverage") === 1.0)
+    assert(r(2).getAs[Long]("n_dup_spans") === 0L &&
+      r(2).getAs[Double]("coverage") === 0.0)
+  }
+
+  test("dupSpanCoverage: overlapping spans union, not sum") {
+    // identical 7-token docs: dup starts 0,1,2 with k=5 →
+    // union = 1 + 1 + 5 = 7 tokens, NOT 15
+    val docs = Seq((1L, "x y z w v u t"), (2L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val r = QualityOps.dupSpanCoverage(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_dup_spans") === 3L)
+    assert(r(0).getAs[Long]("covered_tokens") === 7L)
+    assert(r(0).getAs[Double]("coverage") === 1.0)
+  }
+
+  test("dupSpanCoverage: docs shorter than k contribute and cover nothing") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val r = QualityOps.dupSpanCoverage(docs, "doc_id", "text", k = 5)
+      .collect()
+    assert(r.forall(_.getAs[Long]("covered_tokens") === 0L))
+  }
+
+  // --- HITS ---------------------------------------------------------------
+
+  test("hits: two hubs pointing at one authority") {
+    // a→c, b→c: authority mass all on c, hub mass splits a/b evenly
+    val e = Seq(("a", "c", 1L), ("b", "c", 1L)).toDF("s", "t", "w")
+    val r = GraphOps.hits(e, "s", "t", "w", iters = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("authority"), x.getAs[Double]("hub"))).toMap
+    assert(r("c") === ((1.0, 0.0)))
+    assert(r("a") === ((0.0, 0.5)))
+    assert(r("b") === ((0.0, 0.5)))
+  }
+
+  test("hits: edge weight shifts authority toward the heavier target") {
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("s", "t", "w")
+    val r = GraphOps.hits(e, "s", "t", "w", iters = 2)
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("authority")).toMap
+    assert(r("b") > r("c"))
+    assert(math.abs(r("b") + r("c") + r("a") - 1.0) < 1e-6) // L1 normalized
+  }
+
+  // --- local clustering coefficient ---------------------------------------
+
+  test("localClusteringCoeff: triangle plus pendant") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.localClusteringCoeff(e, "src", "dst")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("triangles"),
+          x.getAs[Double]("clustering_coeff"))).toMap
+    assert(r(1L) === ((2L, 1L, 1.0)))
+    assert(r(2L) === ((2L, 1L, 1.0)))
+    assert(r(3L) === ((3L, 1L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r(4L) === ((1L, 0L, 0.0)))
+  }
+
+  // --- Jarque–Bera ---------------------------------------------------------
+
+  test("jarqueBera: symmetric three-point mass") {
+    // {1,2,3}: skew 0, m2 = 2/3, m4 = 2/3 → kurt = 1.5, excess −1.5,
+    // JB = 3/6 · (0 + 2.25/4) = 0.28125
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("g", "v")
+    val r = AssociationOps.jarqueBera(df, col("g"), col("v")).head()
+    assert(r.getAs[Double]("skewness") === 0.0)
+    assert(r.getAs[Double]("ex_kurtosis") === -1.5)
+    assert(r.getAs[Double]("jb") === 0.28125)
+  }
+
+  test("jarqueBera: zero-variance group yields nulls") {
+    val df = Seq(("g", 5L), ("g", 5L)).toDF("g", "v")
+    val r = AssociationOps.jarqueBera(df, col("g"), col("v")).head()
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  // --- Brown–Forsythe ------------------------------------------------------
+
+  test("brownForsythe: identical spreads give F = 0") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 11L), ("b", 12L), ("b", 13L)).toDF("g", "v")
+    val r = AssociationOps.brownForsythe(df, col("g"), col("v")).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getAs[Double]("f_stat") === 0.0)
+  }
+
+  test("brownForsythe: wider group drives F above zero; zero SSW nulls") {
+    val spready = Seq(("a", 0L), ("a", 10L), ("a", 20L),
+      ("b", 10L), ("b", 11L), ("b", 12L)).toDF("g", "v")
+    val f = AssociationOps.brownForsythe(spready, col("g"), col("v"))
+      .head().getAs[Double]("f_stat")
+    assert(f > 1.0)
+    // both groups' |x − med| constant → SSW = 0 → guarded null
+    val degen = Seq(("a", 0L), ("a", 10L), ("b", 5L), ("b", 15L))
+      .toDF("g", "v")
+    assert(AssociationOps.brownForsythe(degen, col("g"), col("v"))
+      .head().isNullAt(2))
+  }
+
+  // --- binary-quantized ANN ------------------------------------------------
+
+  test("hammingTopK: with an uncut shortlist it matches brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 4)
+    val brute = graft.ann.Knn.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+    val viaHam = graft.ann.Knn.hammingTopK(emb, q, "vec_id", "embedding",
+        cand = 10000, k = 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+    assert(viaHam.exceptAll(brute).isEmpty && brute.exceptAll(viaHam).isEmpty)
+  }
+
+  test("hammingTopK: identical sign patterns land hamming 0 first") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(0.5f)), // same signs as 0 → hamming 0
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ann.Knn.hammingTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", cand = 1, k = 1).head()
+    assert(r.getAs[Long]("neighbor_id") === 1L)
+    assert(r.getAs[Int]("hamming") === 0)
+  }
+
+  // --- PCM zero-crossing rate ----------------------------------------------
+
+  test("pcmFrameZcr: alternating signal crosses its mean at every step") {
+    // samples 0,100,0,100 (LE int16): mean 50 → signs −,+,−,+ → 3 crossings
+    val bytes = Array[Byte](0, 0, 100, 0, 0, 0, 100, 0)
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val r = graft.multimodal.BinaryOps
+      .pcmFrameZcr(spark, df, "doc_id", "payload", frameLen = 256).head()
+    assert(r.n_samples === 4 && r.crossings === 3L)
+    assert(r.zcr === Some(1.0))
+  }
+
+  test("pcmFrameZcr: constant signal never crosses; 1-sample tail is null") {
+    val const = Array[Byte](10, 0, 10, 0, 10, 0)
+    val df = Seq((1L, const)).toDF("doc_id", "payload")
+    val r = graft.multimodal.BinaryOps
+      .pcmFrameZcr(spark, df, "doc_id", "payload", frameLen = 256).head()
+    assert(r.crossings === 0L && r.zcr === Some(0.0))
+    val single = Seq((2L, Array[Byte](10, 0)))
+      .toDF("doc_id", "payload")
+    val r1 = graft.multimodal.BinaryOps
+      .pcmFrameZcr(spark, single, "doc_id", "payload", frameLen = 256).head()
+    assert(r1.n_samples === 1 && r1.zcr === None)
+  }
+}
