@@ -3727,6 +3727,49 @@ object SparkEntry {
         .orderBy(col("dsir_w").desc, col("doc_id").asc)
         .limit(100)
         .select(col("doc_id"), col("n_bigrams"), col("dsir_w"))
+    }),
+
+    // Hosmer–Lemeshow calibration χ² over the a14 prob/label pair —
+    // fixed-width bins, exact integer-micro expected counts, per-bin
+    // terms nano-pinned before the ≤10-way sum
+    "a53_hosmer_lemeshow" -> ((s, d) =>
+      MetricsOps.hosmerLemeshow(li(s, d), col("l_discount") * 10.0,
+        when(col("l_returnflag") === "R", 1).otherwise(0), bins = 10)),
+
+    // entropy ℓ-diversity profile per (nation, segment) quasi-identifier
+    // with the balance bracket as the sensitive attribute — distinct ℓ,
+    // sensitive-distribution entropy, dominant-value share
+    "dq16_l_diversity" -> ((s, d) =>
+      PrivacyOps.lDiversityProfile(cust(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long"))),
+
+    // directed-edge reciprocity of the event-type transition graph —
+    // one semi-join of the distinct edge list against its transpose
+    "g11_reciprocity" -> ((s, d) => {
+      val edges = TimeSeriesOps.transitionCounts(ev(s, d), "user_id", "ts",
+        "event_id", "event_type")
+      GraphOps.reciprocity(edges, "from_state", "to_state")
+    }),
+
+    // per-lane embedding mean drift between the even and odd vec_id
+    // halves — the embedding-space PSI; one posexplode scan, exact
+    // DECIMAL sums per (lane, slice), d bounded rows out
+    "dq17_embedding_drift" -> ((s, d) =>
+      RegressionOps.embeddingMeanDrift(emb(s, d), "embedding",
+        col("vec_id") % 2 === 1)),
+
+    // DSIR's actual resampling step: importance weights → deterministic
+    // Efraimidis–Spirakis weighted sample (w = e^dsir, priority ln(u)/w)
+    // — TakeOrderedAndProject, no global sort
+    "ml25_dsir_resample" -> ((s, d) => {
+      val w = QualityOps.dsirWeights(docs(s, d), "doc_id", "text",
+          col("lang") === "en", dim = 128)
+        .filter(col("dsir_w").isNotNull)
+      FoldOps.weightedSample(w, col("doc_id"), exp(col("dsir_w")), n = 50)
+        .withColumn("priority",
+          round(FoldOps.weightedPriority(col("doc_id"), exp(col("dsir_w"))), 6))
+        .select(col("doc_id"), col("dsir_w"), col("priority"))
     })
   )
 
@@ -9961,6 +10004,135 @@ object SparkEntry {
                 ROUND(s / n_bigrams / 1e9, 6) + 0.0 AS dsir_w
          FROM sper
          ORDER BY dsir_w DESC, doc_id ASC
-         LIMIT 100"""
+         LIMIT 100""",
+
+    // fixed-width-bin HL χ²: exact integer-micro E sums, per-bin terms
+    // nano-pinned, degenerate (E=0 or E=n) bins excluded from χ² and df
+    "a53_hosmer_lemeshow" ->
+      """WITH r AS (SELECT LEAST(FLOOR(l_discount * 10.0 * 10), 9) AS bin,
+                           CAST(ROUND(l_discount * 10.0 * 1e6, 0) AS BIGINT) AS pq,
+                           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                    FROM lineitem),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ng,
+                      CAST(SUM(y) AS BIGINT) AS og,
+                      CAST(SUM(pq) AS BIGINT) AS eq
+               FROM r GROUP BY 1),
+         t AS (SELECT ng, og, eq,
+                      eq > 0 AND eq < ng * 1000000 AS valid,
+                      CAST(eq AS DOUBLE) / 1e6 AS e
+               FROM g),
+         agg AS (SELECT CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_bins,
+                        CAST(SUM(ng) AS BIGINT) AS n,
+                        SUM(CASE WHEN valid THEN CAST(ROUND(
+                          (CAST(og AS DOUBLE) - e) * (CAST(og AS DOUBLE) - e)
+                            / (e * (1.0 - e / CAST(ng AS DOUBLE))) * 1e9, 0)
+                          AS BIGINT) END) AS chifp
+                 FROM t)
+         SELECT n_bins, n, ROUND(chifp / 1e9, 6) + 0.0 AS hl_chi2,
+                CAST(n_bins - 2 AS BIGINT) AS df
+         FROM agg""",
+
+    // the a19 entropy closed form per QI group + distinct-ℓ + dominance
+    "dq16_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+                           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sv,
+                           COUNT(*) AS c
+                    FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, c_mktsegment,
+                CAST(SUM(c) AS BIGINT) AS k_count,
+                CAST(COUNT(*) AS BIGINT) AS l_distinct,
+                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0 AS entropy,
+                ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) + 0.0 AS max_share
+         FROM c GROUP BY 1, 2""",
+
+    // distinct non-loop directed pairs, EXISTS against the transpose
+    "g11_reciprocity" ->
+      """WITH base AS (
+           SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         e AS (SELECT DISTINCT event_type AS u, next_type AS v
+               FROM base
+               WHERE next_type IS NOT NULL AND event_type <> next_type),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         r AS (SELECT CAST(COUNT(*) AS BIGINT) AS reciprocal
+               FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                                      WHERE b.u = a.v AND b.v = a.u))
+         SELECT m.m, r.reciprocal,
+                ROUND(CAST(r.reciprocal AS DOUBLE) / CAST(m.m AS DOUBLE), 6)
+                  + 0.0 AS reciprocity
+         FROM m CROSS JOIN r""",
+
+    // v09's lane quantization, folded to per-(lane, parity-slice) exact
+    // sums; means and drift close as one double sequence per lane
+    "dq17_embedding_drift" ->
+      """WITH e AS (SELECT CAST(vec_id % 2 AS INT) AS b,
+                           CAST(generate_subscripts(embedding, 1) AS INT) - 1
+                             AS lane,
+                           CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e6,
+                                      0) AS BIGINT) AS q
+                    FROM embeddings)
+         SELECT lane,
+                CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                ROUND(CAST(SUM(CASE WHEN b = 0 THEN CAST(q AS HUGEINT)
+                                    ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / 1e6, 6) + 0.0 AS mean_a,
+                ROUND(CAST(SUM(CASE WHEN b = 1 THEN CAST(q AS HUGEINT)
+                                    ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / 1e6, 6) + 0.0 AS mean_b,
+                ROUND(CAST(SUM(CASE WHEN b = 1 THEN CAST(q AS HUGEINT)
+                                    ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / 1e6
+                      - CAST(SUM(CASE WHEN b = 0 THEN CAST(q AS HUGEINT)
+                                      ELSE 0 END) AS DOUBLE)
+                        / CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / 1e6, 6) + 0.0 AS drift
+         FROM e GROUP BY 1""",
+
+    // ml24's weight construction closed by the ml08 Efraimidis–Spirakis
+    // priority with w = e^dsir — same md5-derived u, same top-50 contract
+    "ml25_dsir_resample" ->
+      """WITH t AS (SELECT doc_id,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                           STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id, tgt,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                         k -> toks[k] || ' ' || toks[k+1])) AS bg
+                FROM t WHERE LEN(toks) >= 2),
+         bb AS (SELECT doc_id,
+                       CAST(CAST(('0x' || SUBSTRING(MD5(bg), 1, 4)) AS BIGINT)
+                         % 128 AS INT) AS b,
+                       tgt
+                FROM bg),
+         counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                           CAST(SUM(tgt) AS BIGINT) AS tc
+                    FROM bb GROUP BY 1),
+         tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rt,
+                        CAST(SUM(tc) AS BIGINT) AS tt FROM counts),
+         ratio AS (SELECT b,
+                          CAST(ROUND(LN((tc + 1.0) / (tt + 128.0)
+                                        * (rt + 128.0) / (r + 1.0)) * 1e9, 0)
+                            AS BIGINT) AS lrq
+                   FROM counts CROSS JOIN tot),
+         per AS (SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                        CAST(SUM(ratio.lrq) AS BIGINT) AS s
+                 FROM bb JOIN ratio USING (b) GROUP BY 1),
+         sel AS (SELECT doc_id,
+                        ROUND(s / n_bigrams / 1e9, 6) + 0.0 AS dsir_w
+                 FROM per),
+         pri AS (SELECT doc_id, dsir_w,
+                        LN((CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 0.5) / 4294967296.0)
+                          / EXP(dsir_w) AS pri
+                 FROM sel)
+         SELECT doc_id, dsir_w, ROUND(pri, 6) + 0.0 AS priority
+         FROM pri ORDER BY pri DESC, doc_id ASC LIMIT 50"""
   )
 }

@@ -433,4 +433,24 @@ object GraphOps {
             (col("__deg") * (col("__deg") - 1)).cast("double"), 6))
           .as("clustering_coeff"))
   }
+
+  /** Edge reciprocity of a DIRECTED graph — the share of non-loop edges
+    * whose reverse edge also exists ("is this flow conversational or
+    * one-way?"; ~1 for mutual-follow social graphs, ~0 for strict
+    * pipelines). One left-semi self-join of the distinct edge list
+    * against its own transpose + two counts; exact integer division,
+    * one row out.
+    */
+  def reciprocity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+      .filter(col("__u") =!= col("__v")).distinct().localCheckpoint()
+    val mutual = e.join(
+      e.select(col("__v").as("__u"), col("__u").as("__v")),
+      Seq("__u", "__v"), "left_semi")
+    e.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("reciprocal"))))
+      .select(col("m"), col("reciprocal"),
+        round(col("reciprocal").cast("double") / col("m").cast("double"), 6)
+          .as("reciprocity"))
+  }
 }

@@ -547,4 +547,39 @@ object MetricsOps {
       round(percentile(col("__mean"), lit(loQ)), 6).as("ci_lo"),
       round(percentile(col("__mean"), lit(hiQ)), 6).as("ci_hi"))
   }
+
+  /** Hosmer–Lemeshow goodness-of-fit over fixed-width probability bins
+    * (the [[calibrationBins]] binning convention — documented divergence
+    * from the rank-decile textbook form, which would force a global sort):
+    * χ² = Σ_g (O_g − E_g)² / (E_g·(1 − E_g/n_g)), O = observed positives,
+    * E = Σ p̂ expected. The significance-test sibling of a14b's ECE.
+    *
+    * Exactness: probabilities sum as exact integer micros per bin, each
+    * bin's χ² term is ONE double correctly rounded to integer nanos and
+    * summed as BIGINT (the fixed-point contract), so the ≤`bins`-way sum
+    * order is unobservable. Degenerate bins (E = 0 or E = n, where the
+    * term divides by zero) are excluded from both χ² and the df count —
+    * the standard practice. One hash aggregate + one ≤`bins`-row close.
+    */
+  def hosmerLemeshow(df: DataFrame, prob: Column, label: Column,
+      bins: Int): DataFrame = {
+    val perBin = df
+      .withColumn("__bin", least(floor(prob * bins), lit(bins - 1)).cast("long"))
+      .withColumn("__pq", round(prob * 1e6, 0).cast("long"))
+      .withColumn("__y", label.cast("long"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__og"),
+        sum(col("__pq")).as("__eq"))
+    val valid = col("__eq") > 0 && col("__eq") < col("__ng") * lit(1000000L)
+    val e = col("__eq").cast("double") / 1e6
+    val term = (col("__og").cast("double") - e) * (col("__og").cast("double") - e) /
+      (e * (lit(1.0) - e / col("__ng").cast("double")))
+    perBin.agg(
+        sum(when(valid, 1L).otherwise(0L)).as("n_bins"),
+        sum(col("__ng")).as("n"),
+        sum(when(valid, round(term * 1e9, 0).cast("long"))).as("__chifp"))
+      .select(col("n_bins"), col("n"),
+        round(col("__chifp") / 1e9, 6).as("hl_chi2"),
+        (col("n_bins") - 2).as("df"))
+  }
 }

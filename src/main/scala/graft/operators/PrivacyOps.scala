@@ -30,4 +30,30 @@ object PrivacyOps {
         countDistinct(sensitive).as("l_distinct"))
       .withColumn("suppress",
         when(col("k_count") < minK, 1).otherwise(0))
+
+  /** Entropy ℓ-diversity profile (Machanavajjhala et al. 2007): per
+    * quasi-identifier group, the distinct-sensitive-value count
+    * (distinct ℓ), the entropy of the sensitive distribution (the group
+    * satisfies entropy ℓ-diversity iff entropy ≥ ln ℓ), and the dominant
+    * value's share (the recursive-(c,ℓ) screen) — the re-identification
+    * audit one notch past [[kAnonymityProfile]]'s k.
+    *
+    * Two hash aggregates ((QI, sensitive) cells, then QI), the
+    * [[SummaryOps.groupEntropy]] closed form (ln Σc − Σ c·ln c / Σc over
+    * exact integer counts), dominance as one max over the cell frame.
+    */
+  def lDiversityProfile(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column): DataFrame =
+    df.groupBy((qiCols.map(col) :+ sensitive.as("__sv")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(
+        sum("__c").cast("long").as("k_count"),
+        count(lit(1)).cast("long").as("l_distinct"),
+        round(
+          log(sum("__c")) -
+            sum(col("__c").cast("double") * log(col("__c"))) / sum("__c"), 6)
+          .as("entropy"),
+        round(max(col("__c")).cast("double") / sum("__c"), 6)
+          .as("max_share"))
 }

@@ -649,4 +649,36 @@ object RegressionOps {
     df.select(col(id),
       round(num.cast("double") / lit(1e18), 6).as("pc1"))
   }
+
+  /** Per-lane embedding mean drift between two corpus slices (old vs new
+    * snapshot, train vs serve, source A vs B) — the embedding-space
+    * sibling of dq03's PSI: a per-dimension shift of the mean vector is
+    * the earliest detectable symptom of an upstream encoder change.
+    *
+    * One posexplode scan; lanes quantized on the 10⁻⁶ grid ([[quantLaneChecked]]
+    * — same overflow contract as the covariance pass) and summed per
+    * (lane, slice) in DECIMAL(38,0), so both means and their difference
+    * close as one exact-integer-fed double sequence per lane. Output is
+    * d rows — bounded by embedding dim, never by data.
+    */
+  def embeddingMeanDrift(df: DataFrame, emb: String,
+      inB: Column): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    df.select(inB.cast("int").as("__b"), posexplode(col(emb)).as(Seq("lane", "__x")))
+      .select(col("__b"), col("lane"), quantLaneChecked(col("__x")).as("__q"))
+      .groupBy("lane")
+      .agg(
+        sum(when(col("__b") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__b") === 0, dec(col("__q"))).otherwise(dec(lit(0)))).as("__sa"),
+        sum(when(col("__b") === 1, dec(col("__q"))).otherwise(dec(lit(0)))).as("__sb"))
+      .select(col("lane"), col("n_a"), col("n_b"),
+        round(col("__sa").cast("double") / col("n_a").cast("double") / 1e6, 6)
+          .as("mean_a"),
+        round(col("__sb").cast("double") / col("n_b").cast("double") / 1e6, 6)
+          .as("mean_b"),
+        round(col("__sb").cast("double") / col("n_b").cast("double") / 1e6 -
+          col("__sa").cast("double") / col("n_a").cast("double") / 1e6, 6)
+          .as("drift"))
+  }
 }

@@ -129,7 +129,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "k-row per-group stats frame (explicit broadcast) — bounded by " +
       "group cardinality"),
     "v17_hamming_topk" -> ("explicit bounded query set (vec_id < 8), " +
-      "the v01 brute-force exemption over packed sign bits"))
+      "the v01 brute-force exemption over packed sign bits"),
+    "g11_reciprocity" -> "two 1-row count scalars (explicit broadcast)",
+    "ml25_dsir_resample" -> ("ml24's 1-row corpus/target bigram totals " +
+      "(explicit broadcast); the sample itself is TakeOrderedAndProject"))
 
   /** Queries whose single-partition stage provably does NOT carry the
     * data: document the bound. (Global windows stay banned everywhere —

@@ -245,4 +245,84 @@ class QualityOpsSpec extends AnyFunSuite {
       .pcmFrameZcr(spark, single, "doc_id", "payload", frameLen = 256).head()
     assert(r1.n_samples === 1 && r1.zcr === None)
   }
+
+  // --- Hosmer–Lemeshow ------------------------------------------------------
+
+  test("hosmerLemeshow: perfectly calibrated bins give chi2 = 0") {
+    import org.apache.spark.sql.functions._
+    // bin 0.25: 4 rows, 1 positive (O = E = 1); bin 0.75: 4 rows, 3 pos
+    val df = (Seq.fill(3)((0.25, 0)) ++ Seq((0.25, 1)) ++
+      Seq.fill(3)((0.75, 1)) ++ Seq((0.75, 0))).toDF("p", "y")
+    val r = MetricsOps.hosmerLemeshow(df, col("p"), col("y"), bins = 2)
+      .head()
+    assert(r.getAs[Long]("n_bins") === 2L && r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Double]("hl_chi2") === 0.0)
+    assert(r.getAs[Long]("df") === 0L)
+  }
+
+  test("hosmerLemeshow: miscalibration grows chi2; degenerate bins drop") {
+    import org.apache.spark.sql.functions._
+    // upper bin (p = 0.5) has ALL positives: O = 4, E = 2 ->
+    // term = 4/(2*(1-2/4)) = 4; lower bin (p = 0): E = 0, excluded
+    val df = (Seq.fill(4)((0.5, 1)) ++
+      Seq.fill(2)((0.0, 0))).toDF("p", "y")
+    val r = MetricsOps.hosmerLemeshow(df, col("p"), col("y"), bins = 2)
+      .head()
+    assert(r.getAs[Long]("n_bins") === 1L)
+    assert(r.getAs[Double]("hl_chi2") === 4.0)
+  }
+
+  // --- l-diversity -----------------------------------------------------------
+
+  test("lDiversityProfile: distinct l, entropy, and dominance per QI group") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("qa", "s1"), ("qa", "s1"), ("qa", "s2"), ("qa", "s3"), // diverse
+      ("qb", "s1"), ("qb", "s1"), ("qb", "s1")) // degenerate: l = 1
+      .toDF("qi", "sv")
+    val r = PrivacyOps.lDiversityProfile(df, Seq("qi"), col("sv"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("qa").getAs[Long]("l_distinct") === 3L)
+    assert(r("qb").getAs[Long]("l_distinct") === 1L)
+    assert(r("qb").getAs[Double]("entropy") === 0.0)
+    assert(r("qb").getAs[Double]("max_share") === 1.0)
+    // H(1/2, 1/4, 1/4) = ln4 - (2 ln2)/4 - ... = 1.5 ln 2
+    val want = BigDecimal(1.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("qa").getAs[Double]("entropy") === want)
+    assert(r("qa").getAs[Double]("max_share") === 0.5)
+  }
+
+  // --- reciprocity -----------------------------------------------------------
+
+  test("reciprocity: mutual pair counts once each way, loops ignored") {
+    import org.apache.spark.sql.functions._
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"))
+      .toDF("s", "t")
+    val r = GraphOps.reciprocity(e, "s", "t").head()
+    assert(r.getAs[Long]("m") === 3L) // loop dropped
+    assert(r.getAs[Long]("reciprocal") === 2L) // a->b and b->a
+    val want = BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("reciprocity") === want)
+  }
+
+  // --- embedding mean drift ---------------------------------------------------
+
+  test("embeddingMeanDrift: per-lane means of each slice, exact deltas") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f)), (2L, Array(3.0f, -2.0f)), // slice A: means 2, -2
+      (1L, Array(5.0f, 7.0f)), (3L, Array(7.0f, 9.0f))) // slice B: means 6, 8
+      .toDF("vec_id", "embedding")
+    val r = RegressionOps.embeddingMeanDrift(df, "embedding",
+        col("vec_id") % 2 === 1)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(0).getAs[Double]("mean_a") === 2.0 &&
+      r(0).getAs[Double]("mean_b") === 6.0 &&
+      r(0).getAs[Double]("drift") === 4.0)
+    assert(r(1).getAs[Double]("mean_a") === -2.0 &&
+      r(1).getAs[Double]("mean_b") === 8.0 &&
+      r(1).getAs[Double]("drift") === 10.0)
+  }
 }
