@@ -346,6 +346,51 @@ object EventStreams {
       }
   }
 
+  case class MedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Option[Double])
+  case class MedWindowState(window: List[Option[Double]])
+  case class MedOut(event_id: Long, roll_med: Option[Double])
+
+  /** Stateful streaming twin of the batch `w15_rolling_median`: one
+    * ≤k-deep per-key deque holding the last k row VALUES (nulls keep
+    * their window slot, exactly like the batch ROWS frame where
+    * `percentile` skips nulls but the row still ages the window), the
+    * same type-7 interpolation Spark's exact `percentile` evaluates —
+    * `(higher − pos)·v[lo] + (pos − lower)·v[hi]`, replayed verbatim so
+    * batch backfill ≡ live smoothing on the rounded output. State is k
+    * options per key, never the stream.
+    */
+  def rollingMedianStream(events: Dataset[MedEvent],
+      k: Int = 7): Dataset[MedOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MedWindowState, MedOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[MedEvent], state: GroupState[MedWindowState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var win = state.getOption.map(_.window).getOrElse(Nil)
+          val out = sorted.map { e =>
+            win = (win :+ e.value).takeRight(k)
+            val vals = win.flatten.sorted
+            val med =
+              if (vals.isEmpty) None
+              else {
+                val pos = (vals.length - 1) * 0.5
+                val lo = math.floor(pos).toInt
+                val hi = math.ceil(pos).toInt
+                val m = if (hi == lo) vals(lo)
+                  else (hi - pos) * vals(lo) + (pos - lo) * vals(hi)
+                Some(BigDecimal(m)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+            MedOut(e.event_id, med)
+          }
+          state.update(MedWindowState(win))
+          out.iterator
+      }
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -222,6 +222,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming rolling median equals the batch w15 window form") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-medroll")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val evs = EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString))
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[EventStreams.MedEvent]
+    val q = EventStreams.rollingMedianStream(evs)
+      .writeStream.format("memory").queryName("medroll")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("medroll")
+      .as[EventStreams.MedOut].collect()
+      .map(a => a.event_id -> a.roll_med).toMap
+
+    val batch = SparkEntry.queries("w15_rolling_median")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
   test("streaming hourly rollup equals the batch rollup (kappa invariant)") {
     // file source needs a directory of one schema → stage events alone
     val dir = Files.createTempDirectory("graft-stream")
