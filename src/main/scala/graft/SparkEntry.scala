@@ -3770,6 +3770,17 @@ object SparkEntry {
         .withColumn("priority",
           round(FoldOps.weightedPriority(col("doc_id"), exp(col("dsir_w"))), 6))
         .select(col("doc_id"), col("dsir_w"), col("priority"))
+    }),
+
+    // MASE forecast backtest per user over daily activity counts: does
+    // week-ago seasonality beat yesterday's-value persistence? Exact
+    // integer MAE sums off one window sort, one ratio per entity
+    "ts19_mase" -> ((s, d) => {
+      val daily = ev(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("__day"))
+        .agg(count(lit(1)).as("__cnt"))
+      TimeSeriesOps.maseBacktest(daily, "user_id", col("__day"),
+        col("__cnt"), season = 7)
     })
   )
 
@@ -10133,6 +10144,38 @@ object SparkEntry {
                           / EXP(dsir_w) AS pri
                  FROM sel)
          SELECT doc_id, dsir_w, ROUND(pri, 6) + 0.0 AS priority
-         FROM pri ORDER BY pri DESC, doc_id ASC LIMIT 50"""
+         FROM pri ORDER BY pri DESC, doc_id ASC LIMIT 50""",
+
+    // exact-integer MAE sums over the observed per-day sequence; the
+    // close replays (ss/ns)/(s1/n1) verbatim
+    "ts19_mase" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         l AS (SELECT user_id, cnt,
+                      LAG(cnt, 1) OVER w AS l1,
+                      LAG(cnt, 7) OVER w AS ls
+               FROM daily
+               WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                      CAST(SUM(CASE WHEN l1 IS NOT NULL
+                                    THEN ABS(cnt - l1) END) AS BIGINT) AS s1,
+                      CAST(SUM(CASE WHEN ls IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ns,
+                      CAST(SUM(CASE WHEN ls IS NOT NULL
+                                    THEN ABS(cnt - ls) END) AS BIGINT) AS ss
+               FROM l GROUP BY 1)
+         SELECT user_id, n,
+                ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + 0.0
+                  AS mae_naive,
+                ROUND(CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE), 6) + 0.0
+                  AS mae_seasonal,
+                CASE WHEN s1 > 0 THEN
+                  ROUND((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE))
+                        / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) + 0.0
+                END AS mase
+         FROM a WHERE ns > 0 AND n1 > 0"""
   )
 }

@@ -710,4 +710,40 @@ object TimeSeriesOps {
         ((element_at(col("__lb"), 1) + element_at(col("__lb"), 2))
           .cast("double") / lit(1e6)).as("forecast_1"))
   }
+
+  /** MASE-style one-step forecast backtest per entity (Hyndman–Koehler
+    * 2006 scaling): the seasonal-naive forecast (value `season` steps
+    * back on the OBSERVED sequence — row steps, documented divergence
+    * from calendar lags for gappy series) scored against the persistence
+    * naive (previous observation), as the MAE ratio
+    * MASE = MAE_seasonal / MAE_naive. < 1 means the seasonal pattern
+    * genuinely beats "tomorrow = today" — the go/no-go gate before any
+    * fancier per-entity forecaster.
+    *
+    * Both MAEs are exact-integer sums of |Δ| over integer-quantized
+    * values with exact integer counts; the close is two divisions and a
+    * ratio. Two lag columns off ONE window sort, one hash aggregate.
+    */
+  def maseBacktest(df: DataFrame, key: String, ord: Column, value: Column,
+      season: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("__o"))
+    val v = value.cast("long")
+    val withLags = df
+      .select(col(key), ord.as("__o"), v.as("__v"))
+      .withColumn("__l1", lag(col("__v"), 1).over(w))
+      .withColumn("__ls", lag(col("__v"), season).over(w))
+    val agg = withLags.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l1").isNotNull, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__l1").isNotNull, abs(col("__v") - col("__l1")))).as("__s1"),
+        sum(when(col("__ls").isNotNull, 1L).otherwise(0L)).as("__ns"),
+        sum(when(col("__ls").isNotNull, abs(col("__v") - col("__ls")))).as("__ss"))
+    val maeN = col("__s1").cast("double") / col("__n1").cast("double")
+    val maeS = col("__ss").cast("double") / col("__ns").cast("double")
+    agg.filter(col("__ns") > 0 && col("__n1") > 0)
+      .select(col(key), col("n"),
+        round(maeN, 6).as("mae_naive"),
+        round(maeS, 6).as("mae_seasonal"),
+        when(col("__s1") > 0, round(maeS / maeN, 6)).as("mase"))
+  }
 }

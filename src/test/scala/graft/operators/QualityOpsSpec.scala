@@ -325,4 +325,51 @@ class QualityOpsSpec extends AnyFunSuite {
       r(1).getAs[Double]("mean_b") === 8.0 &&
       r(1).getAs[Double]("drift") === 10.0)
   }
+
+  // --- MASE backtest ----------------------------------------------------------
+
+  test("maseBacktest: exact weekly pattern scores mase 0; constant nulls") {
+    import org.apache.spark.sql.functions._
+    // 21 days of a strict period-7 pattern: seasonal errors all 0,
+    // persistence errors mostly > 0 -> mase = 0
+    val weekly = (0 until 21).map(i => ("u", i.toLong, ((i % 7) + 1).toLong))
+      .toDF("k", "o", "v")
+    val r = TimeSeriesOps.maseBacktest(weekly, "k", col("o"), col("v"),
+      season = 7).head()
+    assert(r.getAs[Double]("mae_seasonal") === 0.0)
+    assert(r.getAs[Double]("mase") === 0.0)
+    assert(r.getAs[Double]("mae_naive") > 0.0)
+    // constant series: naive MAE 0 -> ratio guarded to null
+    val const = (0 until 10).map(i => ("u", i.toLong, 5L)).toDF("k", "o", "v")
+    val rc = TimeSeriesOps.maseBacktest(const, "k", col("o"), col("v"),
+      season = 7).head()
+    assert(rc.getAs[Double]("mae_naive") === 0.0 && rc.isNullAt(4))
+  }
+
+  test("maseBacktest: alternating series, hand-computed MAEs") {
+    import org.apache.spark.sql.functions._
+    // 0,10,0,10,... over 10 steps: |v - lag1| = 10 always (9 terms);
+    // |v - lag7| = 10 always (3 terms, lag7 flips parity) -> mase = 1
+    val alt = (0 until 10).map(i => ("u", i.toLong, (i % 2) * 10L))
+      .toDF("k", "o", "v")
+    val r = TimeSeriesOps.maseBacktest(alt, "k", col("o"), col("v"),
+      season = 7).head()
+    assert(r.getAs[Double]("mae_naive") === 10.0)
+    assert(r.getAs[Double]("mae_seasonal") === 10.0)
+    assert(r.getAs[Double]("mase") === 1.0)
+  }
+
+  // --- DSIR invariant ----------------------------------------------------------
+
+  test("dsirWeights: target == corpus collapses every weight to zero") {
+    import org.apache.spark.sql.functions._
+    // p and q are the SAME smoothed distribution when every doc is
+    // target, so ln(p/q) = 0 in every bucket regardless of content
+    val docs = Seq((1L, "a b c a b"), (2L, "x y z"), (3L, "q w e r t"))
+      .toDF("doc_id", "text")
+    val r = QualityOps.dsirWeights(docs, "doc_id", "text", lit(true),
+      dim = 16).collect()
+    assert(r.forall(x => x.isNullAt(2) || x.getAs[Double]("dsir_w") === 0.0))
+    assert(r.exists(x => !x.isNullAt(2)))
+  }
 }
