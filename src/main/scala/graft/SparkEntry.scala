@@ -3781,6 +3781,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("__cnt"))
       TimeSeriesOps.maseBacktest(daily, "user_id", col("__day"),
         col("__cnt"), season = 7)
+    }),
+
+    // TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    // symmetrized adjacent-token co-occurrence graph, top-20 words —
+    // the graph-centrality keyword extractor next to RAKE's (t26)
+    // frequency heuristic; reuses the pr01 fixed-point machinery
+    "t41_textrank" -> ((s, d) => {
+      val pairs = docs(s, d)
+        .select(explode(TextFns.rawShingles(
+          TextFns.tokens(col("text")), 2)).as("__bg"))
+        .select(substring_index(col("__bg"), " ", 1).as("a"),
+          substring_index(col("__bg"), " ", -1).as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      GraphOps.pageRank(edges, "src", "dst", "cnt",
+          iters = 3, damping = 0.85)
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+        .select(col("node").as("word"), col("rank"))
+    }),
+
+    // int8 scalar-quantization quality audit: top-5 over the
+    // quantize→dequantize round trip vs exact brute top-5, recall per
+    // query — "is 4× compression losing neighbors?" in one number
+    "v18_int8_recall" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val deq = e
+        .select(col("vec_id"), VectorFns.toDoubleArr(col("embedding")).as("__v"))
+        .withColumn("__lo", array_min(col("__v")))
+        .withColumn("__scale", (array_max(col("__v")) - col("__lo")) / 255.0)
+        .select(col("vec_id"),
+          transform(VectorFns.int8Quantize(col("__v"), col("__lo"),
+              array_max(col("__v"))),
+            q => col("__lo") + (q + 128).cast("double") * col("__scale"))
+            .as("embedding"))
+      val exact = Knn.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+      val approx = Knn.bruteForceTopK(deq, deq.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5,
+        simFn = (a, b) => call_function("cosine_sim", a, b))
+      Knn.recallAtK(exact, approx)
     })
   )
 
@@ -10176,6 +10221,103 @@ object SparkEntry {
                   ROUND((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE))
                         / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) + 0.0
                 END AS mase
-         FROM a WHERE ns > 0 AND n1 > 0"""
+         FROM a WHERE ns > 0 AND n1 > 0""",
+
+    // pr01's unrolled fixed-point PageRank over the symmetrized
+    // adjacent-token graph, closed by the top-20 keyword cut
+    "t41_textrank" ->
+      """WITH t AS (SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         bgl AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                        k -> toks[k] || ' ' || toks[k+1])) AS bg
+                 FROM t WHERE LEN(toks) >= 2),
+         p0 AS (SELECT SPLIT_PART(bg, ' ', 1) AS a, SPLIT_PART(bg, ' ', 2) AS b
+                FROM bgl WHERE SPLIT_PART(bg, ' ', 1) <> SPLIT_PART(bg, ' ', 2)),
+         e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+               FROM (SELECT a AS src, b AS dst FROM p0
+                     UNION ALL SELECT b, a FROM p0)
+               GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+         r0 AS (SELECT node, ROUND(1.0 / n, 9) + 0.0 AS rank
+                FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
+                FROM r0 r JOIN ow ON r.node = ow.src JOIN e ON e.src = r.node
+                GROUP BY 1),
+         d1 AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e12, 0) AS BIGINT)), 0) AS dfp
+                FROM r0 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         r1 AS (SELECT r.node,
+                       ROUND((1.0 - 0.85) / n + 0.85 *
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) + 0.0 AS rank
+                FROM r0 r LEFT JOIN c1 c ON r.node = c.node
+                CROSS JOIN d1 d CROSS JOIN nn),
+         c2 AS (SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
+                FROM r1 r JOIN ow ON r.node = ow.src JOIN e ON e.src = r.node
+                GROUP BY 1),
+         d2 AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e12, 0) AS BIGINT)), 0) AS dfp
+                FROM r1 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         r2 AS (SELECT r.node,
+                       ROUND((1.0 - 0.85) / n + 0.85 *
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) + 0.0 AS rank
+                FROM r1 r LEFT JOIN c2 c ON r.node = c.node
+                CROSS JOIN d2 d CROSS JOIN nn),
+         c3 AS (SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / ow.outw * e.w * 1e12, 0) AS BIGINT)) AS cfp
+                FROM r2 r JOIN ow ON r.node = ow.src JOIN e ON e.src = r.node
+                GROUP BY 1),
+         d3 AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank * 1e12, 0) AS BIGINT)), 0) AS dfp
+                FROM r2 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         r3 AS (SELECT r.node,
+                       ROUND((1.0 - 0.85) / n + 0.85 *
+                         (COALESCE(c.cfp, 0) / 1e12 + d.dfp / 1e12 / n), 9) + 0.0 AS rank
+                FROM r2 r LEFT JOIN c3 c ON r.node = c.node
+                CROSS JOIN d3 d CROSS JOIN nn)
+         SELECT node AS word, ROUND(rank, 6) + 0.0 AS rank FROM r3
+         ORDER BY rank DESC, node ASC LIMIT 20""",
+
+    // v05's quantizer round-tripped to doubles, scored with the v07
+    // recall construction against the exact float top-5
+    "v18_int8_recall" ->
+      """WITH e AS (SELECT vec_id,
+                           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         m AS (SELECT vec_id, v, LIST_MIN(v) AS lo, LIST_MAX(v) AS hi FROM e),
+         deq AS (SELECT vec_id,
+                        LIST_TRANSFORM(v, x -> lo +
+                          (CASE WHEN hi = lo THEN -128
+                                ELSE CAST(ROUND((x - lo) / ((hi - lo) / 255.0))
+                                       AS INTEGER) - 128 END + 128)
+                          * ((hi - lo) / 255.0)) AS v
+                 FROM m),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE vec_id < 8) q
+             CROSS JOIN e c WHERE c.vec_id <> q.vec_id) WHERE rn <= 5),
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM deq WHERE vec_id < 8) q
+             CROSS JOIN deq c WHERE c.vec_id <> q.vec_id) WHERE rn <= 5),
+         hits AS (SELECT x.query_id, COUNT(*) AS n_hits
+                  FROM exact x JOIN approx a
+                    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+                  GROUP BY 1)
+         SELECT x.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                CAST(COUNT(*) AS BIGINT) AS k,
+                ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) + 0.0 AS recall
+         FROM exact x LEFT JOIN hits h USING (query_id)
+         GROUP BY x.query_id, h.n_hits"""
   )
 }

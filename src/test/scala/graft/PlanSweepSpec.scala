@@ -131,6 +131,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "v17_hamming_topk" -> ("explicit bounded query set (vec_id < 8), " +
       "the v01 brute-force exemption over packed sign bits"),
     "g11_reciprocity" -> "two 1-row count scalars (explicit broadcast)",
+    "t41_textrank" -> ("pr01's exemption over the token graph: 1-row " +
+      "node count + 1-row dangling-mass frame per superstep"),
+    "v18_int8_recall" -> ("explicit bounded query set (vec_id < 8) on " +
+      "both the exact and the dequantized brute-force lists — the v07 " +
+      "recall exemption"),
     "ml25_dsir_resample" -> ("ml24's 1-row corpus/target bigram totals " +
       "(explicit broadcast); the sample itself is TakeOrderedAndProject"))
 

@@ -372,4 +372,52 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(r.forall(x => x.isNullAt(2) || x.getAs[Double]("dsir_w") === 0.0))
     assert(r.exists(x => !x.isNullAt(2)))
   }
+
+  // --- TextRank / int8 recall ---------------------------------------------------
+
+  test("textrank shape: the shared hub token outranks the leaves") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val docs = Seq((1L, "hub x"), (2L, "hub y"), (3L, "hub z"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val pairs = docs
+      .select(explode(TextFns.rawShingles(TextFns.tokens(col("text")), 2))
+        .as("__bg"))
+      .select(substring_index(col("__bg"), " ", 1).as("a"),
+        substring_index(col("__bg"), " ", -1).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val r = GraphOps.pageRank(edges, "src", "dst", "cnt",
+        iters = 3, damping = 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > r("x") && r("hub") > (r("y") + 1e-9) && r("hub") > r("z"))
+  }
+
+  test("int8 round trip is lossless on grid-aligned vectors") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    // components already on the 255-step [lo, hi] grid -> dequantized
+    // vectors equal the originals, so approx top-k == exact top-k
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f, 1.0f)), (3L, Array(1.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val deq = vecs
+      .select(col("vec_id"), VectorFns.toDoubleArr(col("embedding")).as("__v"))
+      .withColumn("__lo", array_min(col("__v")))
+      .withColumn("__scale", (array_max(col("__v")) - col("__lo")) / 255.0)
+      .select(col("vec_id"),
+        transform(VectorFns.int8Quantize(col("__v"), col("__lo"),
+            array_max(col("__v"))),
+          q => col("__lo") + (q + 128).cast("double") * col("__scale"))
+          .as("embedding"))
+    val exact = graft.ann.Knn.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", k = 2)
+    val approx = graft.ann.Knn.bruteForceTopK(deq,
+      deq.filter(col("vec_id") < 2), "vec_id", "embedding", k = 2)
+    val rec = graft.ann.Knn.recallAtK(exact, approx).collect()
+    assert(rec.length === 2 && rec.forall(_.getAs[Double]("recall") === 1.0))
+  }
 }
