@@ -3826,6 +3826,34 @@ object SparkEntry {
         "vec_id", "embedding", k = 5,
         simFn = (a, b) => call_function("cosine_sim", a, b))
       Knn.recallAtK(exact, approx)
+    }),
+
+    // char-trigram language ID (Cavnar–Trenkle family, add-1 multinomial
+    // form): per-language models trained on the declared labels, every
+    // doc scored under all languages with EXACT integer arithmetic,
+    // declared-vs-predicted confusion out — the strong-audit sibling of
+    // the t03/t33 stopword heuristic
+    "t43_charngram_langid" -> ((s, d) =>
+      QualityOps.charNgramLangId(docs(s, d), "doc_id", "text", "lang")),
+
+    // deterministic per-epoch global shuffle: position = exact two-phase
+    // rank over (epoch, md5(epoch:id)) — reproducible training-data
+    // order on any cluster size, no single-partition sort
+    "ml26_epoch_shuffle" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+        .withColumn("__key", md5(concat(col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      val ranked = RankOps.globalRowNumber(base,
+        Seq(col("epoch").asc, col("__key").asc, col("doc_id").asc), "__grn")
+      val counts = base.groupBy("epoch").agg(count(lit(1)).as("__n"))
+      val offs = counts.alias("a")
+        .join(counts.alias("b"), col("b.epoch") < col("a.epoch"), "left")
+        .groupBy(col("a.epoch").as("epoch"))
+        .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+      ranked.join(broadcast(offs), Seq("epoch"))
+        .select(col("epoch"), col("doc_id"),
+          (col("__grn") - col("__off")).as("position"))
     })
   )
 
@@ -10318,6 +10346,61 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS k,
                 ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) + 0.0 AS recall
          FROM exact x LEFT JOIN hits h USING (query_id)
-         GROUP BY x.query_id, h.n_hits"""
+         GROUP BY x.query_id, h.n_hits""",
+
+    // exact-integer Naive Bayes: pico-pinned per-(gram, lang) logprobs,
+    // M·base + Σ m·(lp − base) decomposition, integer argmax
+    "t43_charngram_langid" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents
+                       WHERE text IS NOT NULL AND LEN(text) >= 3),
+         grams AS (SELECT doc_id, lang,
+                          SUBSTR(text, CAST(p AS INT), 3) AS g
+                   FROM (SELECT doc_id, lang, text,
+                                UNNEST(GENERATE_SERIES(1, LEN(text) - 2)) AS p
+                         FROM base)),
+         dg AS (SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS m
+                FROM grams GROUP BY 1, 2, 3),
+         doctot AS (SELECT doc_id, lang, CAST(SUM(m) AS BIGINT) AS mm
+                    FROM dg GROUP BY 1, 2),
+         gl AS (SELECT g, lang AS l, CAST(COUNT(*) AS BIGINT) AS c
+                FROM grams GROUP BY 1, 2),
+         tl AS (SELECT l, CAST(SUM(c) AS BIGINT) AS t FROM gl GROUP BY 1),
+         vocab AS (SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS v FROM gl),
+         lp AS (SELECT gl.g, gl.l,
+                       CAST(ROUND(LN((gl.c + 1.0) / (tl.t + vocab.v)) * 1e12, 0)
+                         AS BIGINT) AS lpq
+                FROM gl JOIN tl USING (l) CROSS JOIN vocab),
+         baselp AS (SELECT tl.l,
+                           CAST(ROUND(LN(1.0 / (tl.t + vocab.v)) * 1e12, 0)
+                             AS BIGINT) AS bq
+                    FROM tl CROSS JOIN vocab),
+         contrib AS (SELECT dg.doc_id, lp.l,
+                            CAST(SUM(dg.m * (lp.lpq - baselp.bq)) AS BIGINT)
+                              AS delta
+                     FROM dg JOIN lp USING (g) JOIN baselp ON baselp.l = lp.l
+                     GROUP BY 1, 2),
+         scores AS (SELECT d.doc_id, d.lang, b.l,
+                           d.mm * b.bq + COALESCE(c.delta, 0) AS score
+                    FROM doctot d CROSS JOIN baselp b
+                    LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.l = b.l),
+         pred AS (SELECT doc_id, lang, l AS pred_lang FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, l ASC) AS rn FROM scores)
+                  WHERE rn = 1)
+         SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2""",
+
+    // per-epoch md5-keyed permutation — binary hex ordering is identical
+    // in both engines; position is the within-epoch rank
+    "ml26_epoch_shuffle" ->
+      """WITH b AS (SELECT doc_id, UNNEST([0, 1]) AS epoch FROM documents),
+         k AS (SELECT doc_id, CAST(epoch AS INT) AS epoch,
+                      MD5(CAST(epoch AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)) AS key
+               FROM b)
+         SELECT epoch, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                  ORDER BY key ASC, doc_id ASC) AS BIGINT) AS position
+         FROM k"""
   )
 }

@@ -165,6 +165,66 @@ object QualityOps {
     * contributing k — one lead() window per doc. All-integer until the
     * closing division.
     */
+  /** Char-n-gram language identification (the Cavnar–Trenkle 1994 n-gram
+    * categorization family, in its add-1 multinomial form): train per-
+    * language char-trigram models on the corpus's own declared labels,
+    * score every doc under all languages, emit the declared-vs-predicted
+    * confusion matrix — the audit that catches mislabeled-language feeds
+    * with far more signal than the t03 stopword heuristic.
+    *
+    * EXACT integer end-to-end: the per-(gram, lang) log-likelihood and
+    * the per-lang unseen-gram baseline are each ONE double pinned to
+    * integer picos at the bounded model table; a doc's score decomposes
+    * as M·base_l + Σ_seen m·(lp_gl − base_l), all BIGINT, so the argmax
+    * compares exact integers — no float ordering anywhere. Scale: one
+    * substring explode (|chars| rows), two hash aggregates for the
+    * model, one gram-keyed join back (hash join on the gram — the model
+    * frame is vocabulary-sized, NOT broadcast), one ≤|langs|-row
+    * broadcast of baselines.
+    */
+  def charNgramLangId(docs: DataFrame, id: String, text: String,
+      lang: String, n: Int = 3): DataFrame = {
+    val base = graft.Tables.spread(
+        docs.select(col(id), col(text), col(lang)), tinyBytes = 0L)
+      .filter(col(text).isNotNull && length(col(text)) >= n)
+    val grams = base.select(col(id), col(lang), col(text),
+        explode(sequence(lit(1), length(col(text)) - (n - 1))).as("__p"))
+      .select(col(id), col(lang),
+        col(text).substr(col("__p"), lit(n)).as("__g"))
+    val dg = grams.groupBy(col(id), col(lang), col("__g"))
+      .agg(count(lit(1)).as("__m"))
+    val docTot = dg.groupBy(col(id), col(lang)).agg(sum("__m").as("__M"))
+    val gl = grams.groupBy(col("__g"), col(lang).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val tl = gl.groupBy("__l").agg(sum(col("__c")).as("__T"))
+    val vocab = gl.select("__g").distinct()
+      .agg(count(lit(1)).cast("double").as("__V"))
+    val lp = gl.join(broadcast(tl), Seq("__l")).crossJoin(broadcast(vocab))
+      .select(col("__g"), col("__l"),
+        round(log((col("__c") + 1.0) / (col("__T") + col("__V"))) * 1e12, 0)
+          .cast("long").as("__lpq"))
+    val baseLp = tl.crossJoin(broadcast(vocab))
+      .select(col("__l"),
+        round(log(lit(1.0) / (col("__T") + col("__V"))) * 1e12, 0)
+          .cast("long").as("__bq"))
+    val contrib = dg.drop(lang).join(lp, Seq("__g"))
+      .join(broadcast(baseLp), Seq("__l"))
+      .groupBy(col(id), col("__l"))
+      .agg(sum(col("__m") * (col("__lpq") - col("__bq"))).as("__delta"))
+    val scores = docTot.crossJoin(broadcast(baseLp))
+      .join(contrib, Seq(id, "__l"), "left")
+      .select(col(id), col(lang), col("__l"),
+        (col("__M") * col("__bq") + coalesce(col("__delta"), lit(0L)))
+          .as("__score"))
+    // argmax score, ties to the alphabetically first language — the
+    // labelPropagation struct-min trick, exact integer comparison
+    val pred = scores.groupBy(col(id), col(lang))
+      .agg(min(struct((-col("__score")).as("ns"), col("__l").as("l")))
+        .getField("l").as("pred_lang"))
+    pred.groupBy(col(lang), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def dupSpanCoverage(docs: DataFrame, id: String, text: String,
       k: Int): DataFrame = {
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)

@@ -136,6 +136,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "v18_int8_recall" -> ("explicit bounded query set (vec_id < 8) on " +
       "both the exact and the dequantized brute-force lists — the v07 " +
       "recall exemption"),
+    "t43_charngram_langid" -> ("1-row vocabulary scalar + <=|langs|-row " +
+      "baseline frame (explicit broadcasts); the gram-keyed model join " +
+      "itself is a hash join"),
+    "ml26_epoch_shuffle" -> ("bucket-offset triangle (globalRowNumber) " +
+      "+ <=|epochs|-row offset frame (explicit broadcast)"),
     "ml25_dsir_resample" -> ("ml24's 1-row corpus/target bigram totals " +
       "(explicit broadcast); the sample itself is TakeOrderedAndProject"))
 

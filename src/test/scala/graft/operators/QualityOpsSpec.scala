@@ -420,4 +420,39 @@ class QualityOpsSpec extends AnyFunSuite {
     val rec = graft.ann.Knn.recallAtK(exact, approx).collect()
     assert(rec.length === 2 && rec.forall(_.getAs[Double]("recall") === 1.0))
   }
+
+  // --- char-n-gram language ID ----------------------------------------------
+
+  test("charNgramLangId: self-trained models recover clean labels") {
+    import org.apache.spark.sql.functions._
+    // two sharply different char distributions, 3 docs each
+    val docs = Seq(
+      (1L, "aaa bbb aaa bbb aaa", "aa"), (2L, "aab baa abb aba bab", "aa"),
+      (3L, "bbb aaa bba abb aab", "aa"),
+      (4L, "xxx yyy xxx yyy xxx", "xx"), (5L, "xxy yxx xyy xyx yxy", "xx"),
+      (6L, "yyy xxx yyx xyy xxy", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val r = QualityOps.charNgramLangId(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r(("aa", "aa")) === 3L && r(("xx", "xx")) === 3L)
+    assert(!r.contains(("aa", "xx")) && !r.contains(("xx", "aa")))
+  }
+
+  // --- deterministic epoch shuffle --------------------------------------------
+
+  test("ml26 epoch shuffle: per-epoch bijection, epochs differ") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("ml26_epoch_shuffle")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byEpoch = out.groupBy(_.getInt(0))
+    assert(byEpoch.keySet === Set(0, 1))
+    val n = byEpoch(0).length
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to n).toSeq)
+    }
+    // the two permutations are genuinely different orders
+    def order(e: Int) = byEpoch(e).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(order(0) !== order(1))
+  }
 }
