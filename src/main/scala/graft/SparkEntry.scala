@@ -3854,6 +3854,26 @@ object SparkEntry {
       ranked.join(broadcast(offs), Seq("epoch"))
         .select(col("epoch"), col("doc_id"),
           (col("__grn") - col("__off")).as("position"))
+    }),
+
+    // the TRUE CCNet filter shape (Wenzek et al. 2020): a bigram LM
+    // trained on the TARGET slice (English) scores the whole corpus,
+    // side by side with the self-trained t28 score — delta > 0 reads
+    // "more target-like than corpus-average"; unseen grams exercise the
+    // add-1 floor via left joins
+    "t42_domain_lm_delta" -> ((s, d) => {
+      val all = docs(s, d)
+      val target = SummaryOps.bigramLogProbAgainst(
+          all.filter(col("lang") === "en"), all, "doc_id", "text")
+        .withColumnRenamed("avg_logprob", "lp_target")
+        .select("doc_id", "n_bigrams", "lp_target")
+      val self = SummaryOps.bigramLogProb(all, "doc_id", "text")
+        .withColumnRenamed("avg_logprob", "lp_corpus")
+        .select("doc_id", "lp_corpus")
+      target.join(self, Seq("doc_id"))
+        .select(col("doc_id"), col("n_bigrams"), col("lp_target"),
+          col("lp_corpus"),
+          round(col("lp_target") - col("lp_corpus"), 6).as("delta"))
     })
   )
 
@@ -10401,6 +10421,58 @@ object SparkEntry {
          SELECT epoch, doc_id,
                 CAST(ROW_NUMBER() OVER (PARTITION BY epoch
                   ORDER BY key ASC, doc_id ASC) AS BIGINT) AS position
-         FROM k"""
+         FROM k""",
+
+    // target-trained LM (LEFT joins exercise the add-1 floor on unseen
+    // grams) next to the self-trained t28 stack; delta of the two
+    // rounded scores
+    "t42_domain_lm_delta" ->
+      """WITH tAll AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                       FROM documents),
+         tTr AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                 FROM documents WHERE lang = 'en'),
+         trbg AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                         k -> toks[k] || ' ' || toks[k+1])) AS bg
+                  FROM tTr WHERE LEN(toks) >= 2),
+         cbt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg FROM trbg GROUP BY 1),
+         truni AS (SELECT UNNEST(toks) AS tok FROM tTr),
+         cut AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM truni GROUP BY 1),
+         vt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cut),
+         sbg AS (SELECT doc_id,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                          k -> toks[k] || ' ' || toks[k+1])) AS bg
+                 FROM tAll WHERE LEN(toks) >= 2),
+         sm AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+                FROM sbg GROUP BY 1, 2),
+         sct AS (SELECT sm.doc_id, CAST(SUM(sm.m) AS BIGINT) AS nb,
+                        SUM(sm.m * LN((COALESCE(cbt.cbg, 0) + 1.0)
+                          / (COALESCE(cut.cu, 0) + vt.v))) AS ll
+                 FROM sm
+                 LEFT JOIN cbt USING (bg)
+                 LEFT JOIN cut ON cut.tok = SPLIT_PART(sm.bg, ' ', 1)
+                 CROSS JOIN vt
+                 GROUP BY 1),
+         tgt AS (SELECT d.doc_id, CAST(COALESCE(sct.nb, 0) AS BIGINT)
+                          AS n_bigrams,
+                        ROUND(sct.ll / sct.nb, 6) + 0.0 AS lp_target
+                 FROM documents d LEFT JOIN sct ON d.doc_id = sct.doc_id),
+         cb AS (SELECT bg, CAST(SUM(m) AS BIGINT) AS cbg FROM sm GROUP BY 1),
+         uni AS (SELECT UNNEST(toks) AS tok FROM tAll),
+         cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         scf AS (SELECT sm.doc_id,
+                        SUM(sm.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll,
+                        CAST(SUM(sm.m) AS BIGINT) AS nb
+                 FROM sm
+                 JOIN cb USING (bg)
+                 JOIN cu ON cu.tok = SPLIT_PART(sm.bg, ' ', 1)
+                 CROSS JOIN v
+                 GROUP BY 1),
+         slf AS (SELECT d.doc_id,
+                        ROUND(scf.ll / scf.nb, 6) + 0.0 AS lp_corpus
+                 FROM documents d LEFT JOIN scf ON d.doc_id = scf.doc_id)
+         SELECT tgt.doc_id, tgt.n_bigrams, tgt.lp_target, slf.lp_corpus,
+                ROUND(tgt.lp_target - slf.lp_corpus, 6) + 0.0 AS delta
+         FROM tgt JOIN slf ON slf.doc_id = tgt.doc_id"""
   )
 }

@@ -241,6 +241,44 @@ object SummaryOps {
         round(col("__ll") / col("n_bigrams"), 6).as("avg_logprob"))
   }
 
+  /** [[bigramLogProb]] with the model corpus decoupled from the scored
+    * corpus — the true CCNet shape (Wenzek et al. 2020), where the LM is
+    * trained on the TARGET domain and scores everything. Bigrams and
+    * previous-tokens unseen in the training slice fall back to the add-1
+    * floor ((0+1)/(0+V)) via LEFT joins — exactly the smoothing the
+    * self-trained form never exercises. Same two hash aggregates + two
+    * joins; V is a 1-row broadcast over the TRAIN vocabulary.
+    */
+  def bigramLogProbAgainst(train: DataFrame, score: DataFrame, id: String,
+      text: String): DataFrame = {
+    import graft.functions.TextFns
+    def toks(df: DataFrame) =
+      graft.Tables.spread(df.select(col(id), col(text)), tinyBytes = 0L)
+        .select(col(id), TextFns.tokens(col(text)).as("__t"))
+    val trainToks = toks(train)
+    val bgCounts = trainToks
+      .select(explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cbg"))
+    val uniCounts = trainToks.select(explode(col("__t")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cu"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
+    val bg = toks(score).select(col(id),
+        explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
+      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
+    val scored = bg
+      .join(bgCounts, Seq("__bg"), "left")
+      .withColumn("__prev", substring_index(col("__bg"), " ", 1))
+      .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(id))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__m") * log((coalesce(col("__cbg"), lit(0L)) + 1.0) /
+          (coalesce(col("__cu"), lit(0L)) + col("__v")))).as("__ll"))
+    score.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__ll") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
   def approxDistinctCount(df: DataFrame, group: String, c: String,
       rsd: Double = 0.05): DataFrame =
     df.groupBy(group).agg(approx_count_distinct(col(c), rsd).as("approx_distinct"))

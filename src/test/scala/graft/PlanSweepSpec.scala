@@ -141,6 +141,8 @@ class PlanSweepSpec extends AnyFunSuite {
       "itself is a hash join"),
     "ml26_epoch_shuffle" -> ("bucket-offset triangle (globalRowNumber) " +
       "+ <=|epochs|-row offset frame (explicit broadcast)"),
+    "t42_domain_lm_delta" -> ("two 1-row vocabulary-size scalars " +
+      "(explicit broadcasts) — the t28 exemption on both LM stacks"),
     "ml25_dsir_resample" -> ("ml24's 1-row corpus/target bigram totals " +
       "(explicit broadcast); the sample itself is TakeOrderedAndProject"))
 

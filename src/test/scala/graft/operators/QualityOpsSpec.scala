@@ -455,4 +455,27 @@ class QualityOpsSpec extends AnyFunSuite {
     def order(e: Int) = byEpoch(e).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
     assert(order(0) !== order(1))
   }
+
+  // --- domain-LM delta -----------------------------------------------------------
+
+  test("bigramLogProbAgainst: unseen grams hit the add-1 floor ln(1/V)") {
+    import org.apache.spark.sql.functions._
+    val train = Seq((1L, "a b")).toDF("doc_id", "text") // V = 2 unigrams
+    val score = Seq((9L, "z w")).toDF("doc_id", "text") // fully unseen
+    val r = SummaryOps.bigramLogProbAgainst(train, score, "doc_id", "text")
+      .head()
+    val want = BigDecimal(math.log(1.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) === 1L)
+    assert(r.getAs[Double]("avg_logprob") === want)
+  }
+
+  test("bigramLogProbAgainst: in-domain text outscores out-of-domain") {
+    import org.apache.spark.sql.functions._
+    val train = Seq((1L, "x y x y x y"), (2L, "x y x y")).toDF("doc_id", "text")
+    val score = Seq((10L, "x y x y"), (11L, "p q p q")).toDF("doc_id", "text")
+    val r = SummaryOps.bigramLogProbAgainst(train, score, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_logprob")).toMap
+    assert(r(10L) > r(11L))
+  }
 }
