@@ -258,6 +258,55 @@ object EventStreams {
       }
   }
 
+  case class MaseState(window: List[Long], n: Long, n1: Long, s1: Long,
+      ns: Long, ss: Long)
+  case class MaseOut(user_id: Long, day: java.sql.Date, n: Long,
+      mae_naive: Option[Double], mae_seasonal: Option[Double],
+      mase: Option[Double])
+
+  /** Stateful streaming twin of the batch `ts19_mase` backtest: per-key
+    * state is the ≤`season`-deep value deque plus five exact-integer
+    * counters (n, n1, Σ|Δ1|, ns, Σ|Δs|) — the deque's last element IS
+    * lag 1 and its head IS lag `season` once full, so both error streams
+    * accumulate the same exact integers as the batch window form. Rows
+    * emit once the seasonal lag exists (mirroring the batch `ns > 0`
+    * filter); the final row per key equals the batch row on the rounded
+    * output, including the s1 = 0 → null MASE guard.
+    */
+  def maseStream(daily: Dataset[DailyCount],
+      season: Int = 7): Dataset[MaseOut] = {
+    import daily.sparkSession.implicits._
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    daily
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MaseState, MaseOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[DailyCount], state: GroupState[MaseState]) =>
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(MaseState(Nil, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MaseOut]
+          sorted.foreach { r =>
+            val w = st.window
+            val n1 = st.n1 + (if (w.nonEmpty) 1L else 0L)
+            val s1 = st.s1 + (if (w.nonEmpty) math.abs(r.cnt - w.last) else 0L)
+            val full = w.length == season
+            val ns = st.ns + (if (full) 1L else 0L)
+            val ss = st.ss + (if (full) math.abs(r.cnt - w.head) else 0L)
+            st = MaseState((w :+ r.cnt).takeRight(season), st.n + 1L,
+              n1, s1, ns, ss)
+            if (st.ns > 0L && st.n1 > 0L) {
+              val maeN = st.s1.toDouble / st.n1.toDouble
+              val maeS = st.ss.toDouble / st.ns.toDouble
+              out += MaseOut(uid, r.day, st.n, Some(rnd(maeN)), Some(rnd(maeS)),
+                if (st.s1 > 0L) Some(rnd(maeS / maeN)) else None)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class EwmaEvent(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, value: Option[Double])
   case class EwmaState(window: List[Option[Double]])

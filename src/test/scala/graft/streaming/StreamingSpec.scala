@@ -222,6 +222,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful streaming MASE backtest equals the batch ts19 final state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mase")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("ts").isNotNull)
+      .groupBy($"user_id", to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val daily = spark.readStream.schema(schema).parquet(dir.toString)
+      .as[EventStreams.DailyCount]
+    val q = EventStreams.maseStream(daily)
+      .writeStream.format("memory").queryName("masetwin")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("masetwin")
+      .as[EventStreams.MaseOut].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_.day.getTime)
+        u -> (last.n, last.mae_naive, last.mae_seasonal, last.mase)
+      }
+    val batch = SparkEntry.queries("ts19_mase")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(0) -> (r.getLong(1), opt(2), opt(3), opt(4))
+      }
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful streaming rolling median equals the batch w15 window form") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-medroll")
