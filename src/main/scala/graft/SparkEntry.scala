@@ -3874,7 +3874,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("lp_target"),
           col("lp_corpus"),
           round(col("lp_target") - col("lp_corpus"), 6).as("delta"))
-    })
+    }),
+
+    // 2×2 effect sizes with Wald CIs: does a deep discount raise the
+    // return rate? — odds/risk ratios from four exact integer cells
+    "a54_odds_ratio" -> ((s, d) =>
+      AssociationOps.twoByTwoEffects(li(s, d),
+        (col("l_discount") > 0.05).cast("int"),
+        (col("l_returnflag") === "R").cast("int")))
   )
 
   /** DuckDB oracle for `v10_pca_project`: the SAME integer power
@@ -10473,6 +10480,38 @@ object SparkEntry {
                  FROM documents d LEFT JOIN scf ON d.doc_id = scf.doc_id)
          SELECT tgt.doc_id, tgt.n_bigrams, tgt.lp_target, slf.lp_corpus,
                 ROUND(tgt.lp_target - slf.lp_corpus, 6) + 0.0 AS delta
-         FROM tgt JOIN slf ON slf.doc_id = tgt.doc_id"""
+         FROM tgt JOIN slf ON slf.doc_id = tgt.doc_id""",
+
+    // four exact integer cells, one fixed closing double sequence per
+    // effect; any zero cell nulls the effects
+    "a54_odds_ratio" ->
+      """WITH r AS (SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS e,
+                           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                    FROM lineitem),
+         cells AS (SELECT
+             CAST(SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM r),
+         f AS (SELECT a, b, c, d,
+                      CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                      CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+               FROM cells),
+         g AS (SELECT a, b, c, d,
+                      a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok,
+                      LN(ad * dd / (bd * cd)) AS lnor,
+                      SQRT(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd) AS seor,
+                      LN((ad / (ad + bd)) / (cd / (cd + dd))) AS lnrr,
+                      SQRT(bd / (ad * (ad + bd)) + dd / (cd * (cd + dd))) AS serr
+               FROM f)
+         SELECT a, b, c, d,
+                CASE WHEN ok THEN ROUND(EXP(lnor), 6) + 0.0 END AS odds_ratio,
+                CASE WHEN ok THEN ROUND(EXP(lnor - 1.96 * seor), 6) + 0.0 END AS or_lo,
+                CASE WHEN ok THEN ROUND(EXP(lnor + 1.96 * seor), 6) + 0.0 END AS or_hi,
+                CASE WHEN ok THEN ROUND(EXP(lnrr), 6) + 0.0 END AS risk_ratio,
+                CASE WHEN ok THEN ROUND(EXP(lnrr - 1.96 * serr), 6) + 0.0 END AS rr_lo,
+                CASE WHEN ok THEN ROUND(EXP(lnrr + 1.96 * serr), 6) + 0.0 END AS rr_hi
+         FROM g"""
   )
 }

@@ -368,6 +368,39 @@ object AssociationOps {
         round((p1 - p2) / sqrt(rad), 6)).as("z"))
   }
 
+  /** 2×2 effect sizes — odds ratio and risk ratio with Wald 95% CIs, the
+    * epidemiology/A-B-test summary row: OR = ad/bc,
+    * RR = (a/(a+b))/(c/(c+d)), CI = exp(ln·effect ± 1.96·SE) with the
+    * standard SE√(Σ 1/cell) (OR) and √(b/(a(a+b)) + d/(c(c+d))) (RR).
+    * One conditional-aggregate pass to four exact integer cells; every
+    * float is one fixed closing sequence; any empty margin or zero cell
+    * nulls the affected effect rather than dividing by zero.
+    */
+  def twoByTwoEffects(df: DataFrame, exposure: Column,
+      outcome: Column): DataFrame = {
+    val e = exposure.cast("int")
+    val y = outcome.cast("int")
+    val cells = df.agg(
+      sum(when(e === 1 && y === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(e === 1 && y === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(e === 0 && y === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(e === 0 && y === 0, 1L).otherwise(0L)).as("d"))
+    val (a, b, c, d) = (col("a").cast("double"), col("b").cast("double"),
+      col("c").cast("double"), col("d").cast("double"))
+    val allPos = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val lnOr = log(a * d / (b * c))
+    val seOr = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c + lit(1.0) / d)
+    val lnRr = log((a / (a + b)) / (c / (c + d)))
+    val seRr = sqrt(b / (a * (a + b)) + d / (c * (c + d)))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(allPos, round(exp(lnOr), 6)).as("odds_ratio"),
+      when(allPos, round(exp(lnOr - lit(1.96) * seOr), 6)).as("or_lo"),
+      when(allPos, round(exp(lnOr + lit(1.96) * seOr), 6)).as("or_hi"),
+      when(allPos, round(exp(lnRr), 6)).as("risk_ratio"),
+      when(allPos, round(exp(lnRr - lit(1.96) * seRr), 6)).as("rr_lo"),
+      when(allPos, round(exp(lnRr + lit(1.96) * seRr), 6)).as("rr_hi"))
+  }
+
   /** Jarque–Bera normality test per group: JB = n/6·(S² + K²/4) from the
     * sample skewness S and EXCESS kurtosis K — the one-pass "is this
     * column roughly Gaussian" screen run per segment before any

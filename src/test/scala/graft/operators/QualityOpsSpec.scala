@@ -478,4 +478,27 @@ class QualityOpsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_logprob")).toMap
     assert(r(10L) > r(11L))
   }
+
+  // --- 2x2 effect sizes ---------------------------------------------------------
+
+  test("twoByTwoEffects: hand 2x2, OR and RR closed forms") {
+    import org.apache.spark.sql.functions._
+    // a=20 b=10 c=5 d=15: OR = 20*15/(10*5) = 6, RR = (2/3)/(1/4) = 8/3
+    val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(10)((1, 0)) ++
+      Seq.fill(5)((0, 1)) ++ Seq.fill(15)((0, 0))
+    val df = rows.toDF("e", "y")
+    val r = AssociationOps.twoByTwoEffects(df, col("e"), col("y")).head()
+    assert(r.getAs[Double]("odds_ratio") === 6.0)
+    assert(r.getAs[Double]("risk_ratio") === BigDecimal(8.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("or_lo") < 6.0 && r.getAs[Double]("or_hi") > 6.0)
+  }
+
+  test("twoByTwoEffects: a zero cell nulls the effects, cells stay exact") {
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(5)((1, 1)) ++ Seq.fill(5)((0, 0))).toDF("e", "y")
+    val r = AssociationOps.twoByTwoEffects(df, col("e"), col("y")).head()
+    assert(r.getLong(0) === 5L && r.getLong(3) === 5L)
+    assert(r.isNullAt(4) && r.isNullAt(7))
+  }
 }
