@@ -191,11 +191,15 @@ object QualityOps {
         explode(sequence(lit(1), length(col(text)) - (n - 1))).as("__p"))
       .select(col(id), col(lang),
         col(text).substr(col("__p"), lit(n)).as("__g"))
+    // ONE explode + one shuffle: the per-doc collapse feeds everything —
+    // training counts are re-aggregates of the (much smaller) collapsed
+    // frame, never a second pass over the raw gram stream
     val dg = grams.groupBy(col(id), col(lang), col("__g"))
       .agg(count(lit(1)).as("__m"))
+      .localCheckpoint()
     val docTot = dg.groupBy(col(id), col(lang)).agg(sum("__m").as("__M"))
-    val gl = grams.groupBy(col("__g"), col(lang).as("__l"))
-      .agg(count(lit(1)).as("__c"))
+    val gl = dg.groupBy(col("__g"), col(lang).as("__l"))
+      .agg(sum(col("__m")).as("__c"))
     val tl = gl.groupBy("__l").agg(sum(col("__c")).as("__T"))
     val vocab = gl.select("__g").distinct()
       .agg(count(lit(1)).cast("double").as("__V"))
