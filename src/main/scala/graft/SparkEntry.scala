@@ -8919,12 +8919,17 @@ object SparkEntry {
                HAVING COUNT(*) >= 2),
          adj AS (SELECT u AS z, v AS n FROM e
                  UNION ALL SELECT v AS z, u AS n FROM e),
-         deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
-         small AS (SELECT adj.z, adj.n, deg.d
+         deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d,
+                        CASE WHEN COUNT(*) >= 2
+                          THEN CAST(ROUND(1.0 / LN(CAST(COUNT(*) AS BIGINT))
+                                          * 1e12, 0) AS BIGINT)
+                          ELSE 0 END AS rq
+                 FROM adj GROUP BY 1),
+         small AS (SELECT adj.z, adj.n, deg.d, deg.rq
                    FROM adj JOIN deg USING (z) WHERE deg.d <= 50)
          SELECT a.n AS node_a, b.n AS node_b,
                 CAST(COUNT(*) AS BIGINT) AS common,
-                ROUND(SUM(1.0 / LN(a.d)), 6) + 0.0 AS adamic_adar
+                ROUND(CAST(SUM(a.rq) AS DOUBLE) / 1e12, 6) + 0.0 AS adamic_adar
          FROM small a JOIN small b ON a.z = b.z AND a.n < b.n
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
@@ -8970,15 +8975,18 @@ object SparkEntry {
          uni AS (SELECT UNNEST(toks) AS tok FROM t),
          cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
          v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         mdl AS (SELECT cb.bg,
+                        CAST(ROUND(LN((cb.cbg + 1.0) / (cu.cu + v.v)) * 1e12, 0)
+                          AS BIGINT) AS lpq
+                 FROM cb JOIN cu ON cu.tok = SPLIT_PART(cb.bg, ' ', 1)
+                 CROSS JOIN v),
          sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
-                       SUM(m.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll
-                FROM m
-                JOIN cb USING (bg)
-                JOIN cu ON cu.tok = SPLIT_PART(m.bg, ' ', 1)
-                CROSS JOIN v
+                       SUM(CAST(m.m AS HUGEINT) * mdl.lpq) AS llq
+                FROM m JOIN mdl USING (bg)
                 GROUP BY 1)
          SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
-                ROUND(sc.ll / sc.nb, 6) + 0.0 AS avg_logprob
+                ROUND(CAST(sc.llq AS DOUBLE) / 1e12 / sc.nb, 6) + 0.0
+                  AS avg_logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // ts11's stack, collapsed to the per-user argmax (acf desc, lag asc)
@@ -9809,15 +9817,18 @@ object SparkEntry {
          uni AS (SELECT UNNEST(toks) AS tok FROM t),
          cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
          v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         mdl AS (SELECT cb.bg,
+                        CAST(ROUND(LN((cb.cbg + 1.0) / (cu.cu + v.v)) * 1e12, 0)
+                          AS BIGINT) AS lpq
+                 FROM cb JOIN cu ON cu.tok = SPLIT_PART(cb.bg, ' ', 1)
+                 CROSS JOIN v),
          sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
-                       SUM(m.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll
-                FROM m
-                JOIN cb USING (bg)
-                JOIN cu ON cu.tok = SPLIT_PART(m.bg, ' ', 1)
-                CROSS JOIN v
+                       SUM(CAST(m.m AS HUGEINT) * mdl.lpq) AS llq
+                FROM m JOIN mdl USING (bg)
                 GROUP BY 1),
          scored AS (SELECT doc_id,
-                           ROUND(EXP(-(ROUND(ll / nb, 6))), 6) + 0.0 AS ppl
+                           ROUND(EXP(-(ROUND(CAST(llq AS DOUBLE) / 1e12 / nb,
+                                             6))), 6) + 0.0 AS ppl
                     FROM sc WHERE nb > 0),
          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
          r AS (SELECT doc_id, ppl,
@@ -10066,15 +10077,18 @@ object SparkEntry {
          uni AS (SELECT UNNEST(toks) AS tok FROM tAll),
          cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
          v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         mdl AS (SELECT cb.bg,
+                        CAST(ROUND(LN((cb.cbg + 1.0) / (cu.cu + v.v)) * 1e12, 0)
+                          AS BIGINT) AS lpq
+                 FROM cb JOIN cu ON cu.tok = SPLIT_PART(cb.bg, ' ', 1)
+                 CROSS JOIN v),
          sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
-                       SUM(m.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll
-                FROM m
-                JOIN cb USING (bg)
-                JOIN cu ON cu.tok = SPLIT_PART(m.bg, ' ', 1)
-                CROSS JOIN v
+                       SUM(CAST(m.m AS HUGEINT) * mdl.lpq) AS llq
+                FROM m JOIN mdl USING (bg)
                 GROUP BY 1),
          scored AS (SELECT doc_id,
-                           ROUND(EXP(-(ROUND(ll / nb, 6))), 6) + 0.0 AS ppl
+                           ROUND(EXP(-(ROUND(CAST(llq AS DOUBLE) / 1e12 / nb,
+                                             6))), 6) + 0.0 AS ppl
                     FROM sc WHERE nb > 0),
          ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
          rk AS (SELECT doc_id, ppl,
@@ -10451,32 +10465,47 @@ object SparkEntry {
                  FROM tAll WHERE LEN(toks) >= 2),
          sm AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
                 FROM sbg GROUP BY 1, 2),
+         mdlt AS (SELECT cbt.bg,
+                         CAST(ROUND(LN((cbt.cbg + 1.0) / (cut.cu + vt.v))
+                                    * 1e12, 0) AS BIGINT) AS lpq
+                  FROM cbt JOIN cut ON cut.tok = SPLIT_PART(cbt.bg, ' ', 1)
+                  CROSS JOIN vt),
+         prevt AS (SELECT cut.tok,
+                          CAST(ROUND(LN(1.0 / (cut.cu + vt.v)) * 1e12, 0)
+                            AS BIGINT) AS ppq
+                   FROM cut CROSS JOIN vt),
+         baset AS (SELECT CAST(ROUND(LN(1.0 / vt.v) * 1e12, 0) AS BIGINT) AS bq
+                   FROM vt),
          sct AS (SELECT sm.doc_id, CAST(SUM(sm.m) AS BIGINT) AS nb,
-                        SUM(sm.m * LN((COALESCE(cbt.cbg, 0) + 1.0)
-                          / (COALESCE(cut.cu, 0) + vt.v))) AS ll
+                        SUM(CAST(sm.m AS HUGEINT)
+                            * COALESCE(mdlt.lpq, prevt.ppq, baset.bq)) AS llq
                  FROM sm
-                 LEFT JOIN cbt USING (bg)
-                 LEFT JOIN cut ON cut.tok = SPLIT_PART(sm.bg, ' ', 1)
-                 CROSS JOIN vt
+                 LEFT JOIN mdlt USING (bg)
+                 LEFT JOIN prevt ON prevt.tok = SPLIT_PART(sm.bg, ' ', 1)
+                 CROSS JOIN baset
                  GROUP BY 1),
          tgt AS (SELECT d.doc_id, CAST(COALESCE(sct.nb, 0) AS BIGINT)
                           AS n_bigrams,
-                        ROUND(sct.ll / sct.nb, 6) + 0.0 AS lp_target
+                        ROUND(CAST(sct.llq AS DOUBLE) / 1e12 / sct.nb, 6) + 0.0
+                          AS lp_target
                  FROM documents d LEFT JOIN sct ON d.doc_id = sct.doc_id),
          cb AS (SELECT bg, CAST(SUM(m) AS BIGINT) AS cbg FROM sm GROUP BY 1),
          uni AS (SELECT UNNEST(toks) AS tok FROM tAll),
          cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
          v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu),
+         mdlc AS (SELECT cb.bg,
+                         CAST(ROUND(LN((cb.cbg + 1.0) / (cu.cu + v.v)) * 1e12,
+                                    0) AS BIGINT) AS lpq
+                  FROM cb JOIN cu ON cu.tok = SPLIT_PART(cb.bg, ' ', 1)
+                  CROSS JOIN v),
          scf AS (SELECT sm.doc_id,
-                        SUM(sm.m * LN((cb.cbg + 1.0) / (cu.cu + v.v))) AS ll,
+                        SUM(CAST(sm.m AS HUGEINT) * mdlc.lpq) AS llq,
                         CAST(SUM(sm.m) AS BIGINT) AS nb
-                 FROM sm
-                 JOIN cb USING (bg)
-                 JOIN cu ON cu.tok = SPLIT_PART(sm.bg, ' ', 1)
-                 CROSS JOIN v
+                 FROM sm JOIN mdlc USING (bg)
                  GROUP BY 1),
          slf AS (SELECT d.doc_id,
-                        ROUND(scf.ll / scf.nb, 6) + 0.0 AS lp_corpus
+                        ROUND(CAST(scf.llq AS DOUBLE) / 1e12 / scf.nb, 6) + 0.0
+                          AS lp_corpus
                  FROM documents d LEFT JOIN scf ON d.doc_id = scf.doc_id)
          SELECT tgt.doc_id, tgt.n_bigrams, tgt.lp_target, slf.lp_corpus,
                 ROUND(tgt.lp_target - slf.lp_corpus, 6) + 0.0 AS delta

@@ -287,13 +287,22 @@ object GraphOps {
     val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
     val adj = e.select(col("__u").as("__z"), col("__v").as("__n"))
       .union(e.select(col("__v").as("__z"), col("__u").as("__n")))
+    // 1/ln(deg) pico-quantized once per NODE (the bounded degree frame),
+    // so the per-pair score is an exact-integer sum — shuffle-order
+    // independent. A node generates wedges only with deg ≥ 2 (it needs
+    // two neighbors), so the deg-1 guard never reaches an aggregate; it
+    // only keeps ln(1)=0 from minting an infinity in the projection.
     val deg = adj.groupBy("__z").agg(count(lit(1)).as("__deg"))
+      .withColumn("__rq", when(col("__deg") >= 2L,
+        round(lit(1.0) / log(col("__deg")) * 1e12, 0).cast("long"))
+        .otherwise(lit(0L)))
     val small = adj.join(deg.filter(col("__deg") <= maxDeg), Seq("__z"))
     small.alias("a").join(small.alias("b"),
         col("a.__z") === col("b.__z") && col("a.__n") < col("b.__n"))
       .groupBy(col("a.__n").as("node_a"), col("b.__n").as("node_b"))
       .agg(count(lit(1)).as("common"),
-        round(sum(lit(1.0) / log(col("a.__deg"))), 6).as("adamic_adar"))
+        round(sum(col("a.__rq")).cast("double") / lit(1e12), 6)
+          .as("adamic_adar"))
       .filter(col("common") >= minCommon)
   }
 

@@ -215,6 +215,14 @@ object SummaryOps {
     * carries each doc's DISTINCT bigrams with multiplicities (collapsed
     * map-side), never the raw token stream. V is a 1-row broadcast. Docs
     * with < 2 tokens have no bigrams and are emitted with a null score.
+    *
+    * Determinism: the per-bigram log-probability is quantized to integer
+    * picos AT THE MODEL FRAME (one row per distinct corpus bigram — the
+    * bounded side), and the per-doc accumulation sums exact DECIMAL(38,0)
+    * — the shuffle-order-independent convention every other float
+    * reduction in the engine follows. A raw double Σ m·ln(p) over ~10⁶
+    * bigrams could flip the 6th decimal with partition order at scale;
+    * this cannot.
     */
   def bigramLogProb(docs: DataFrame, id: String, text: String): DataFrame = {
     import graft.functions.TextFns
@@ -227,18 +235,24 @@ object SummaryOps {
     val uni = toks.select(col(id), explode(col("__t")).as("__tok"))
     val uniCounts = uni.groupBy("__tok").agg(count(lit(1)).as("__cu"))
     val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
-    val scored = bg
-      .join(bgCounts, Seq("__bg"))
+    // pico-quantized log-prob, one row per DISTINCT corpus bigram
+    val model = bgCounts
       .withColumn("__prev", substring_index(col("__bg"), " ", 1))
       .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
       .crossJoin(broadcast(vocab))
+      .select(col("__bg"),
+        round(log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))) * 1e12, 0)
+          .cast("long").as("__lpq"))
+    val scored = bg
+      .join(model, Seq("__bg"))
       .groupBy(col(id))
       .agg(sum(col("__m")).as("n_bigrams"),
-        sum(col("__m") * log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))))
-          .as("__ll"))
+        sum(col("__m").cast("decimal(18,0)") * col("__lpq").cast("decimal(18,0)"))
+          .as("__llq"))
     docs.select(col(id)).join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("__ll") / col("n_bigrams"), 6).as("avg_logprob"))
+        round(col("__llq").cast("double") / lit(1e12) / col("n_bigrams"), 6)
+          .as("avg_logprob"))
   }
 
   /** [[bigramLogProb]] with the model corpus decoupled from the scored
@@ -248,6 +262,14 @@ object SummaryOps {
     * floor ((0+1)/(0+V)) via LEFT joins — exactly the smoothing the
     * self-trained form never exercises. Same two hash aggregates + two
     * joins; V is a 1-row broadcast over the TRAIN vocabulary.
+    *
+    * Determinism ([[bigramLogProb]]'s convention): each of the three
+    * smoothing cases is pico-quantized at its own bounded frame — known
+    * bigram at the train-bigram frame, unseen-bigram/known-prev at the
+    * train-unigram frame, both-unseen at the 1-row vocabulary scalar —
+    * and the per-doc sum is exact DECIMAL(38,0). (A train bigram's
+    * previous token is always in the train vocabulary, so "bigram known,
+    * prev unknown" cannot occur.)
     */
   def bigramLogProbAgainst(train: DataFrame, score: DataFrame, id: String,
       text: String): DataFrame = {
@@ -262,21 +284,36 @@ object SummaryOps {
     val uniCounts = trainToks.select(explode(col("__t")).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__cu"))
     val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
+    val model = bgCounts
+      .withColumn("__prev", substring_index(col("__bg"), " ", 1))
+      .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__bg"),
+        round(log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))) * 1e12, 0)
+          .cast("long").as("__lpq"))
+    val prevModel = uniCounts.crossJoin(broadcast(vocab))
+      .select(col("__tok").as("__prev"),
+        round(log(lit(1.0) / (col("__cu") + col("__v"))) * 1e12, 0)
+          .cast("long").as("__ppq"))
+    val baseQ = vocab.select(
+      round(log(lit(1.0) / col("__v")) * 1e12, 0).cast("long").as("__bq"))
     val bg = toks(score).select(col(id),
         explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
       .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
     val scored = bg
-      .join(bgCounts, Seq("__bg"), "left")
+      .join(model, Seq("__bg"), "left")
       .withColumn("__prev", substring_index(col("__bg"), " ", 1))
-      .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(prevModel, Seq("__prev"), "left")
+      .crossJoin(broadcast(baseQ))
       .groupBy(col(id))
       .agg(sum(col("__m")).as("n_bigrams"),
-        sum(col("__m") * log((coalesce(col("__cbg"), lit(0L)) + 1.0) /
-          (coalesce(col("__cu"), lit(0L)) + col("__v")))).as("__ll"))
+        sum(col("__m").cast("decimal(18,0)") *
+          coalesce(col("__lpq"), col("__ppq"), col("__bq"))
+            .cast("decimal(18,0)")).as("__llq"))
     score.select(col(id)).join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("__ll") / col("n_bigrams"), 6).as("avg_logprob"))
+        round(col("__llq").cast("double") / lit(1e12) / col("n_bigrams"), 6)
+          .as("avg_logprob"))
   }
 
   def approxDistinctCount(df: DataFrame, group: String, c: String,
