@@ -5241,7 +5241,10 @@ object SparkEntry {
          c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
                 CAST(COUNT(*) AS BIGINT) AS n_types,
-                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0 AS entropy
+                ROUND(LN(SUM(c))
+                      - CAST(SUM(CAST(c AS HUGEINT)
+                                 * CAST(ROUND(LN(c) * 1e12, 0) AS BIGINT))
+                          AS DOUBLE) / 1e12 / SUM(c), 6) + 0.0 AS entropy
          FROM c GROUP BY source""",
 
     "t17_dup_ngrams" ->
@@ -5297,7 +5300,10 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2)
          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
                 CAST(COUNT(*) AS BIGINT) AS n_types,
-                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0 AS entropy
+                ROUND(LN(SUM(c))
+                      - CAST(SUM(CAST(c AS HUGEINT)
+                                 * CAST(ROUND(LN(c) * 1e12, 0) AS BIGINT))
+                          AS DOUBLE) / 1e12 / SUM(c), 6) + 0.0 AS entropy
          FROM c GROUP BY user_id""",
 
     "t18_unigram_logprob" ->
@@ -7506,23 +7512,32 @@ object SparkEntry {
                       FROM documents),
          c AS (SELECT tok, COUNT(*) AS cc FROM tok GROUP BY 1),
          st AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM c),
-         lall AS (SELECT SUM(LN((cc + 1.0) / (st.n + st.v))) AS lall
-                  FROM c CROSS JOIN st),
+         cq AS (SELECT c.tok,
+                       CAST(ROUND(LN((c.cc + 1.0) / (st.n + st.v)) * 1e12, 0)
+                         AS BIGINT) AS lpcq,
+                       st.v AS v
+                FROM c CROSS JOIN st),
+         lall AS (SELECT SUM(lpcq) AS lallq FROM cq),
          seen AS (SELECT source, tok, COUNT(*) AS sc FROM tok GROUP BY 1, 2),
          g AS (SELECT s.source,
                       CAST(SUM(s.sc) AS DOUBLE) AS ns,
                       CAST(COUNT(*) AS DOUBLE) AS vs,
-                      SUM((s.sc + 1.0) * LN(s.sc + 1.0)) AS a,
+                      SUM(CAST(s.sc + 1 AS HUGEINT)
+                          * CAST(ROUND(LN(s.sc + 1.0) * 1e12, 0) AS BIGINT))
+                        AS aq,
                       SUM(s.sc + 1.0) AS b,
-                      SUM((s.sc + 1.0) * LN((c.cc + 1.0) / (st.n + st.v))) AS d,
-                      SUM(LN((c.cc + 1.0) / (st.n + st.v))) AS lseen,
-                      ANY_VALUE(st.v) AS v
-               FROM seen s JOIN c USING (tok) CROSS JOIN st
+                      SUM(CAST(s.sc + 1 AS HUGEINT) * cq.lpcq) AS dq,
+                      SUM(cq.lpcq) AS lseenq,
+                      ANY_VALUE(cq.v) AS v
+               FROM seen s JOIN cq USING (tok)
                GROUP BY 1)
          SELECT source, CAST(ns AS BIGINT) AS n_tokens, CAST(vs AS BIGINT) AS n_types,
-                ROUND((a - b * LN(ns + v) - d) / (ns + v)
+                ROUND((CAST(aq AS DOUBLE) / 1e12 - b * LN(ns + v)
+                       - CAST(dq AS DOUBLE) / 1e12) / (ns + v)
                       + (1.0 / (ns + v)) * LN(1.0 / (ns + v)) * (v - vs)
-                      - (1.0 / (ns + v)) * (lall.lall - lseen), 6) + 0.0 AS kl
+                      - (1.0 / (ns + v))
+                        * (CAST(lall.lallq - lseenq AS DOUBLE) / 1e12), 6)
+                  + 0.0 AS kl
          FROM g CROSS JOIN lall""",
 
     "j18_interval_overlap" ->
@@ -10167,7 +10182,10 @@ object SparkEntry {
          SELECT c_nationkey, c_mktsegment,
                 CAST(SUM(c) AS BIGINT) AS k_count,
                 CAST(COUNT(*) AS BIGINT) AS l_distinct,
-                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) + 0.0 AS entropy,
+                ROUND(LN(SUM(c))
+                      - CAST(SUM(CAST(c AS HUGEINT)
+                                 * CAST(ROUND(LN(c) * 1e12, 0) AS BIGINT))
+                          AS DOUBLE) / 1e12 / SUM(c), 6) + 0.0 AS entropy,
                 ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) + 0.0 AS max_share
          FROM c GROUP BY 1, 2""",
 

@@ -50,9 +50,13 @@ object PrivacyOps {
       .agg(
         sum("__c").cast("long").as("k_count"),
         count(lit(1)).cast("long").as("l_distinct"),
+        // the groupEntropy pico-pinned form: exact DECIMAL sum of
+        // per-cell c·ln c quantized from exact integer counts
         round(
           log(sum("__c")) -
-            sum(col("__c").cast("double") * log(col("__c"))) / sum("__c"), 6)
+            sum(col("__c").cast("decimal(18,0)") *
+              round(log(col("__c")) * 1e12, 0).cast("decimal(18,0)"))
+              .cast("double") / lit(1e12) / sum("__c"), 6)
           .as("entropy"),
         round(max(col("__c")).cast("double") / sum("__c"), 6)
           .as("max_share"))

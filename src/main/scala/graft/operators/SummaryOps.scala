@@ -57,9 +57,14 @@ object SummaryOps {
       .groupBy(group).agg(
         sum("__c").cast("long").as("n_rows"),
         count(lit(1)).cast("long").as("n_categories"),
+        // c·ln c pinned to integer picos per category row (ln of an exact
+        // integer count — deterministic), summed as exact DECIMAL so the
+        // reduction is shuffle-order independent
         round(
           log(sum("__c")) -
-            sum(col("__c").cast("double") * log(col("__c"))) / sum("__c"), 6)
+            sum(col("__c").cast("decimal(18,0)") *
+              round(log(col("__c")) * 1e12, 0).cast("decimal(18,0)"))
+              .cast("double") / lit(1e12) / sum("__c"), 6)
           .as("entropy"))
 
   /** Pointwise mutual information of adjacent token pairs — the standard
@@ -116,28 +121,40 @@ object SummaryOps {
     val corpus = tok.groupBy("__tok").agg(count(lit(1)).as("__cc"))
     val stats = corpus.agg(sum("__cc").cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
-    val pc = (col("__cc") + lit(1.0)) / (col("__n") + col("__v"))
-    val lAll = corpus.crossJoin(broadcast(stats))
-      .agg(sum(log(pc)).as("__lall"))
+    // ln p_c pinned to integer picos once per CORPUS TOKEN (the bounded
+    // vocabulary frame); every downstream Σ over ln p_c is then an exact
+    // DECIMAL reduction — shuffle-order independent, per the engine-wide
+    // convention. ln(c+1) of the exact per-(group,token) count is
+    // likewise pinned per row before summing.
+    val corpusQ = corpus.crossJoin(broadcast(stats))
+      .withColumn("__lpcq",
+        round(log((col("__cc") + lit(1.0)) / (col("__n") + col("__v"))) * 1e12,
+          0).cast("long"))
+    val lAll = corpusQ
+      .agg(sum(col("__lpcq").cast("decimal(18,0)")).as("__lallq"))
     val seen = tok.groupBy(col(group), col("__tok")).agg(count(lit(1)).as("__sc"))
-      .join(corpus, "__tok")
-      .crossJoin(broadcast(stats))
+      .join(corpusQ, "__tok")
     val ns = sum(col("__sc")).cast("double")
     val perGroup = seen.groupBy(col(group)).agg(
       ns.as("__ns"),
       count(lit(1)).cast("double").as("__vs"),
       // Σ_seen p_g ln(p_g/p_c) with p_g=(c_g+1)/(N_g+V): N_g enters after
       // the agg, so carry Σ(c+1)ln(c+1), Σ(c+1), Σ(c+1)ln p_c partials
-      sum((col("__sc") + 1.0) * log(col("__sc") + 1.0)).as("__a"),
+      sum((col("__sc") + lit(1L)).cast("decimal(18,0)") *
+        round(log(col("__sc") + 1.0) * 1e12, 0).cast("decimal(18,0)"))
+        .as("__aq"),
       sum(col("__sc") + 1.0).as("__b"),
-      sum((col("__sc") + 1.0) * log(pc)).as("__d"),
-      sum(log(pc)).as("__lseen"),
+      sum((col("__sc") + lit(1L)).cast("decimal(18,0)") *
+        col("__lpcq").cast("decimal(18,0)")).as("__dq"),
+      sum(col("__lpcq").cast("decimal(18,0)")).as("__lseenq"),
       first(col("__v")).as("__v"))
     val denom = col("__ns") + col("__v")
     val u = lit(1.0) / denom
-    val seenPart = (col("__a") - col("__b") * log(denom) - col("__d")) / denom
+    val seenPart = (col("__aq").cast("double") / lit(1e12) -
+      col("__b") * log(denom) -
+      col("__dq").cast("double") / lit(1e12)) / denom
     val unseenPart = u * log(u) * (col("__v") - col("__vs")) -
-      u * (col("__lall") - col("__lseen"))
+      u * ((col("__lallq") - col("__lseenq")).cast("double") / lit(1e12))
     perGroup.crossJoin(broadcast(lAll))
       .select(col(group),
         col("__ns").cast("long").as("n_tokens"),
