@@ -9709,9 +9709,11 @@ object SparkEntry {
                   LEAD(event_type) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS next_type
            FROM events),
-         e AS (SELECT event_type AS src, next_type AS dst,
-                      CAST(COUNT(*) AS DOUBLE) AS w
-               FROM base WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         e0 AS (SELECT event_type AS src, next_type AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM base WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         wm AS (SELECT MAX(w) AS wm FROM e0),
+         e AS (SELECT src, dst, w / wm.wm AS w FROM e0 CROSS JOIN wm),
          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
          h0 AS (SELECT node, ROUND(1.0 / n, 9) + 0.0 AS hub
@@ -9957,7 +9959,7 @@ object SparkEntry {
       """WITH r AS (SELECT c_nationkey,
                            CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS q
                     FROM customer),
-         s AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         s AS (SELECT c_nationkey, CAST(COUNT(q) AS BIGINT) AS n,
                       SUM(CAST(q AS HUGEINT)) AS s1,
                       SUM(CAST(q AS HUGEINT) * q) AS s2,
                       SUM(CAST(q AS HUGEINT) * q * q) AS s3,

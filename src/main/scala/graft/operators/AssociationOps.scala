@@ -416,8 +416,11 @@ object AssociationOps {
   def jarqueBera(df: DataFrame, group: Column, value: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val q = value.cast("long")
+    // n counts exactly the rows the power sums see: count(q) skips
+    // null values (sum already does), so the moments are never biased
+    // by null-valued rows inflating the denominator
     val agg = df.groupBy(group.as("grp")).agg(
-      count(lit(1)).as("n"),
+      count(q).as("n"),
       sum(dec(q)).as("__s1"),
       sum(dec(q) * q).as("__s2"),
       sum(dec(q) * q * q).as("__s3"),

@@ -351,8 +351,15 @@ object GraphOps {
     * picos (×1e12, BIGINT) BEFORE summation, and the L1 total is the sum
     * of those same integers — so the normalizing division is a ratio of
     * two exact integers and no float accumulation order is ever
-    * observable. Scores are pinned to 9 decimals per superstep (the
-    * kmeansIterate trajectory-pinning argument) and 6 on output.
+    * observable. The quantized quantity is BOUNDED: weights are first
+    * normalized by the global max (a 1-row broadcast), so hub·w ≤ 1 and
+    * the pico value always fits a Long exactly — no 2^53 precision loss
+    * and no silent-wrap-vs-raise cast divergence at any weight scale.
+    * Per-node and L1 accumulations are exact DECIMAL. Scores are pinned
+    * to 9 decimals per superstep (the kmeansIterate trajectory-pinning
+    * argument) and 6 on output. Requires `iters >= 1` and positive
+    * weights; an empty edge list yields all-zero scores (guarded L1
+    * division) rather than a divide-by-zero.
     *
     * Scale: per superstep one equi-join on each edge endpoint plus one
     * hash agg — all key-partitioned; the L1 total is a one-row frame
@@ -362,8 +369,14 @@ object GraphOps {
     */
   def hits(edges: DataFrame, src: String, dst: String, weight: String,
       iters: Int): DataFrame = {
-    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"),
-      col(weight).cast("double").as("__w")).localCheckpoint()
+    require(iters >= 1, "hits requires iters >= 1")
+    val eRaw = edges.select(col(src).as("__src"), col(dst).as("__dst"),
+      col(weight).cast("double").as("__w"))
+    val wMax = eRaw.agg(max(col("__w")).as("__wm"))
+    val e = eRaw.crossJoin(broadcast(wMax))
+      .select(col("__src"), col("__dst"),
+        (col("__w") / col("__wm")).as("__w"))
+      .localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().localCheckpoint()
     // h₀ = 1/N: the same correctly-rounded double in both engines
@@ -376,24 +389,28 @@ object GraphOps {
       // a'(v) = Σ h(u) over in-edges, integer-pico accumulated
       val afp = e.join(hub, col("__src") === col("node"))
         .groupBy(col("__dst").as("anode"))
-        .agg(sum(round(col("hub") * col("__w") * 1e12, 0).cast("long")).as("__afp"))
+        .agg(sum(round(col("hub") * col("__w") * 1e12, 0).cast("long")
+          .cast("decimal(18,0)")).as("__afp"))
       val aTot = afp.agg(sum(col("__afp")).cast("double").as("__at"))
       auth = nodes.join(afp, col("node") === col("anode"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
-          round(coalesce(col("__afp"), lit(0L)).cast("double") / col("__at"), 9)
-            .as("authority"))
+          round(when(col("__at") > 0,
+            coalesce(col("__afp").cast("double"), lit(0.0)) / col("__at"))
+            .otherwise(lit(0.0)), 9).as("authority"))
         .localCheckpoint()
       // h'(u) = Σ a'(v) over out-edges, same fixed-point contract
       val hfp = e.join(auth, col("__dst") === col("node"))
         .groupBy(col("__src").as("hnode"))
-        .agg(sum(round(col("authority") * col("__w") * 1e12, 0).cast("long")).as("__hfp"))
+        .agg(sum(round(col("authority") * col("__w") * 1e12, 0).cast("long")
+          .cast("decimal(18,0)")).as("__hfp"))
       val hTot = hfp.agg(sum(col("__hfp")).cast("double").as("__ht"))
       hub = nodes.join(hfp, col("node") === col("hnode"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
-          round(coalesce(col("__hfp"), lit(0L)).cast("double") / col("__ht"), 9)
-            .as("hub"))
+          round(when(col("__ht") > 0,
+            coalesce(col("__hfp").cast("double"), lit(0.0)) / col("__ht"))
+            .otherwise(lit(0.0)), 9).as("hub"))
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), round(col("authority"), 6).as("authority"),

@@ -723,10 +723,16 @@ object TimeSeriesOps {
     * Both MAEs are exact-integer sums of |Δ| over integer-quantized
     * values with exact integer counts; the close is two divisions and a
     * ratio. Two lag columns off ONE window sort, one hash aggregate.
+    *
+    * Ordering contract: callers should pass a `(key, ord)`-unique
+    * ordinal (ts19 aggregates to one row per (user, day) first). If ties
+    * do occur, the window breaks them by the quantized value itself, so
+    * the lagged VALUE SEQUENCE — the only thing the MAEs read — is still
+    * deterministic across runs and engines.
     */
   def maseBacktest(df: DataFrame, key: String, ord: Column, value: Column,
       season: Int): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col("__o"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__o"), col("__v"))
     val v = value.cast("long")
     val withLags = df
       .select(col(key), ord.as("__o"), v.as("__v"))
