@@ -3678,6 +3678,15 @@ object SparkEntry {
     "d21_dupspan_coverage" -> ((s, d) =>
       QualityOps.dupSpanCoverage(docs(s, d), "doc_id", "text", k = 5)),
 
+    // TRUE ExactSubstr (Lee et al. 2022): arbitrary-length maximal
+    // duplicated spans via the sorted-suffix neighborhood — candidate
+    // positions from the d21 inverted index, 64-token suffix prefixes
+    // globally ranked, adjacent-LCP = exact maximal duplicated length,
+    // overlap-only island union per doc
+    "d22_exactsubstr_spans" -> ((s, d) =>
+      QualityOps.exactSubstrSpans(docs(s, d), "doc_id", "text",
+        minLen = 5, cap = 64)),
+
     // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
     // candidates (popcount over two packed words), exact cosine rerank
     // to top-5 — v01's contract at 1/32nd the scan bandwidth
@@ -9916,6 +9925,64 @@ object SparkEntry {
                 COALESCE(agg.covered, 0) AS covered_tokens,
                 ROUND(COALESCE(agg.covered, 0) * 1.0 / tk.n, 6) + 0.0 AS coverage
          FROM tk LEFT JOIN agg USING (doc_id)""",
+
+    // sorted-suffix neighborhood ExactSubstr: global suffix rank, LCP
+    // with the adjacent suffix (max-LCP partner is always adjacent in
+    // sorted order), overlap-only interval union — all exact integers
+    "d22_exactsubstr_spans" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS (SELECT doc_id, toks, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         cand AS (SELECT gh.doc_id, gh.pos,
+                         toks[gh.pos + 1 : gh.pos + 64] AS sfx
+                  FROM gh JOIN dup USING (h)),
+         rk AS (SELECT doc_id, pos, sfx,
+                       ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
+                                          doc_id, pos) AS rn
+                FROM cand),
+         nx AS (SELECT a.rn,
+                       CAST(COALESCE(
+                         LIST_MIN(LIST_FILTER(
+                           GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
+                           i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
+                         LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
+                FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+         sp AS (SELECT r.doc_id, r.pos,
+                       GREATEST(COALESCE(n1.lcpn, 0), COALESCE(n0.lcpn, 0))
+                         AS len
+                FROM rk r
+                LEFT JOIN nx n1 ON n1.rn = r.rn
+                LEFT JOIN nx n0 ON n0.rn = r.rn - 1
+                WHERE GREATEST(COALESCE(n1.lcpn, 0), COALESCE(n0.lcpn, 0)) >= 5),
+         il AS (SELECT doc_id, pos, len,
+                       MAX(pos + len) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS rmax
+                FROM sp),
+         ili AS (SELECT doc_id, pos, len,
+                        SUM(CASE WHEN rmax IS NULL OR pos >= rmax
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                 FROM il),
+         pis AS (SELECT doc_id, isl,
+                        MAX(pos + len) - MIN(pos) AS slen
+                 FROM ili GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                       CAST(MAX(slen) AS BIGINT) AS max_span,
+                       CAST(SUM(slen) AS BIGINT) AS covered
+                FROM pis GROUP BY 1)
+         SELECT tk.doc_id, CAST(tk.n AS INT) AS n_toks,
+                COALESCE(pd.n_spans, 0) AS n_spans,
+                COALESCE(pd.max_span, 0) AS max_span,
+                COALESCE(pd.covered, 0) AS covered_tokens,
+                ROUND(COALESCE(pd.covered, 0) * 1.0 / tk.n, 6) + 0.0 AS coverage
+         FROM tk LEFT JOIN pd USING (doc_id)""",
 
     // sign-bit packing into two 32-bit words (powers of two ≤ 2³¹ are
     // exact doubles), popcount-of-XOR shortlist, exact cosine rerank

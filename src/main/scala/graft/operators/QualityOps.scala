@@ -262,4 +262,103 @@ object QualityOps {
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_toks"), 6).as("coverage"))
   }
+
+  /** True ExactSubstr (Lee et al. 2022 §4.1): ARBITRARY-length maximal
+    * duplicated token spans, superseding [[dupSpanCoverage]]'s fixed-k
+    * shingle approximation — a 500-token verbatim duplicate is reported
+    * as one ~500-token span, not as k-gram coverage.
+    *
+    * Structure (the suffix-array neighborhood, relationally):
+    *  1. Candidate positions: a span of length ≥ `minLen` starting at p
+    *     requires p's `minLen`-gram to repeat globally — the
+    *     [[dupSpanCoverage]] inverted-index filter, so only genuinely
+    *     duplicated positions (not all n positions) carry a suffix key.
+    *     This loses nothing: a position's best partner shares its gram,
+    *     so both survive the filter and their LCP is computed exactly.
+    *  2. Sorted-suffix neighborhood: each candidate's `cap`-token suffix
+    *     prefix is globally sorted (two-phase exact rank — no
+    *     single-partition exchange) and LCP'd against its immediate
+    *     sorted neighbor. In a sorted suffix list the max-LCP partner is
+    *     always adjacent, so dupLen(p) = max(LCP prev, LCP next) is the
+    *     exact maximal duplicated length from p, clipped at `cap`.
+    *  3. Maximal spans: intervals [p, p+dupLen) with dupLen ≥ minLen are
+    *     unioned per doc via one running-max window (gaps-and-islands);
+    *     islands merge only on OVERLAP, so two abutting-but-distinct
+    *     duplicated spans stay separate.
+    *
+    * All arithmetic is exact integers; the only double is the closing
+    * coverage ratio. Scale: the suffix frame is |duplicated positions| ×
+    * cap tokens — proportional to actual duplication volume, never the
+    * n² suffix text; sort is range-partitioned; every join is an
+    * equi-join on rank or id.
+    */
+  def exactSubstrSpans(docs: DataFrame, id: String, text: String,
+      minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
+      .localCheckpoint(false)
+    val grams = toks
+      .filter(col("n_toks") >= minLen)
+      .select(col(id), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - minLen)).as("pos"))
+      .select(col(id), col("pos"),
+        md5(array_join(slice(col("__t"), col("pos") + 1, lit(minLen)), " "))
+          .as("__h"))
+    val dupHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    // fetch each doc's token array ONCE per doc (not once per candidate
+    // position) before slicing out the cap-token suffix prefixes
+    val candByDoc = grams.join(dupHashes, Seq("__h"))
+      .groupBy(col(id)).agg(collect_list(col("pos")).as("__ps"))
+    val suffixes = candByDoc.join(toks.select(col(id), col("__t")), Seq(id))
+      .select(col(id), col("__t"), explode(col("__ps")).as("pos"))
+      .select(col(id), col("pos"),
+        slice(col("__t"), col("pos") + 1, lit(cap)).as("__sfx"))
+      .withColumn("__key", array_join(col("__sfx"), " "))
+    val ranked = graft.operators.RankOps.globalRowNumber(suffixes,
+      Seq(col("__key"), col(id), col("pos")), "__rn").localCheckpoint(false)
+    // token LCP of two suffix prefixes: first mismatching position − 1,
+    // or the common length when one is a prefix of the other
+    def lcp(a: Column, b: Column): Column = coalesce(
+      array_min(filter(sequence(lit(1), greatest(size(a), size(b))),
+        i => !coalesce(try_element_at(a, i) === try_element_at(b, i),
+          lit(false)))) - 1,
+      least(size(a), size(b))).cast("long")
+    val nxt = ranked.alias("a")
+      .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
+      .select(col("a.__rn").as("__rn"),
+        lcp(col("a.__sfx"), col("b.__sfx")).as("__lcpn"))
+      .localCheckpoint(false)
+    val spans = ranked
+      .join(nxt, Seq("__rn"), "left")
+      .join(nxt.select((col("__rn") + 1).as("__rn"),
+        col("__lcpn").as("__lcpp")), Seq("__rn"), "left")
+      .select(col(id), col("pos"),
+        greatest(coalesce(col("__lcpn"), lit(0L)),
+          coalesce(col("__lcpp"), lit(0L))).as("__len"))
+      .filter(col("__len") >= minLen)
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val islands = spans
+      .withColumn("__rmax", max(col("pos") + col("__len"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__rmax").isNull || col("pos") >= col("__rmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+    val perIsland = islands.groupBy(col(id), col("__isl"))
+      .agg(min(col("pos")).as("__s"), max(col("pos") + col("__len")).as("__e"))
+      .select(col(id), (col("__e") - col("__s")).as("__slen"))
+    val perDoc = perIsland.groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"), max(col("__slen")).as("max_span"),
+        sum(col("__slen")).as("covered_tokens"))
+    docs.select(col(id)).join(toks.select(col(id), col("n_toks")), Seq(id))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_toks"), 6).as("coverage"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** True ExactSubstr (d22): arbitrary-length duplicated spans must be
+  * reported at their ACTUAL length — the property the fixed-k shingle
+  * approximation (d21) cannot express.
+  */
+class ExactSubstrSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(pieces: Seq[String]*): String =
+    pieces.flatten.mkString(" ")
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("a planted 50-token verbatim duplicate is reported as one ~50 span") {
+    val span = toks("s", 50)
+    val a = doc(toks("u", 20), span, toks("v", 20)) // 90 tokens
+    val b = doc(toks("w", 20), span, toks("x", 20))
+    val c = doc(toks("y", 40)) // no duplication anywhere
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = QualityOps.exactSubstrSpans(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length === 3)
+    for (i <- 0 to 1) {
+      assert(r(i).getAs[Long]("n_spans") === 1L)
+      assert(r(i).getAs[Long]("max_span") === 50L)
+      assert(r(i).getAs[Long]("covered_tokens") === 50L)
+    }
+    assert(r(0).getAs[Double]("coverage") === math.rint(50.0 / 90 * 1e6) / 1e6)
+    assert(r(2).getAs[Long]("n_spans") === 0L)
+    assert(r(2).getAs[Long]("max_span") === 0L)
+  }
+
+  test("interval union recovers spans LONGER than the suffix cap") {
+    // 80-token shared span with the default 64-token suffix cap: each
+    // position's LCP clips at 64, but the per-doc island union still
+    // reconstructs the full 80-token extent
+    val span = toks("s", 80)
+    val a = doc(toks("u", 10), span, toks("v", 10))
+    val b = doc(toks("w", 10), span, toks("x", 10))
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val r = QualityOps.exactSubstrSpans(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("max_span")).toSeq === Seq(80L, 80L))
+    assert(r.map(_.getAs[Long]("n_spans")).toSeq === Seq(1L, 1L))
+  }
+
+  test("within-doc repetition counts as duplication (full self-coverage)") {
+    val rep = toks("x", 10)
+    val df = Seq((1L, doc(rep, rep))).toDF("doc_id", "text")
+    val r = QualityOps.exactSubstrSpans(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("covered_tokens") === 20L)
+    assert(r.getAs[Double]("coverage") === 1.0)
+  }
+
+  test("two separate duplicated spans in one doc stay separate islands") {
+    val s1 = toks("p", 10)
+    val s2 = toks("q", 10)
+    // doc 1 carries both spans with a unique 10-token gap between them;
+    // docs 2 and 3 each duplicate ONE of the spans
+    val a = doc(s1, toks("g", 10), s2)
+    val b = doc(toks("m", 5), s1, toks("n", 5))
+    val c = doc(toks("r", 5), s2, toks("t", 5))
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = QualityOps.exactSubstrSpans(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_spans") === 2L)
+    assert(r(0).getAs[Long]("max_span") === 10L)
+    assert(r(0).getAs[Long]("covered_tokens") === 20L)
+  }
+
+  test("sub-threshold shared grams (< minLen) report nothing") {
+    val shared = toks("s", 4) // below minLen = 5
+    val a = doc(toks("u", 10), shared, toks("v", 10))
+    val b = doc(toks("w", 10), shared, toks("x", 10))
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val r = QualityOps.exactSubstrSpans(df, "doc_id", "text").collect()
+    assert(r.forall(_.getAs[Long]("n_spans") === 0L))
+  }
+}
