@@ -3440,6 +3440,18 @@ object SparkEntry {
           "text", "payload"),
         "doc_id", "payload", frameLen = 256).toDF()),
 
+    // REAL WAV container on the audio path: payload bytes wrapped in a
+    // RIFF/fmt/data PCM16 container, decoded back through
+    // javax.sound.sampled (the m02 javax.imageio precedent), metadata
+    // read off the container, m06's RMS front end over decoded samples
+    "m12_wav_decode" -> ((s, d) =>
+      BinaryOps.wavFrameEnergy(s,
+        BinaryOps.withWavPayload(s,
+          BinaryOps.withPayload(docs(s, d).filter(col("text").isNotNull),
+            "text", "payload"),
+          "doc_id", "payload", sampleRate = 16000),
+        "doc_id", "wav", frameLen = 256).toDF()),
+
     // sample-rate conversion on the same real PCM path: linear resample
     // to 2/3 of the source rate (exact integer interpolation numerators),
     // then the m06 frame-RMS front end over the RESAMPLED stream — one
@@ -4752,6 +4764,33 @@ object SparkEntry {
                         CAST(CEIL(ns / 256.0) AS INT) - 1)) AS frame
                FROM b WHERE ns >= 1)
          SELECT doc_id, CAST(frame AS INT) AS frame,
+                CAST(LEAST(ns, (frame + 1) * 256) - frame * 256 AS INT)
+                  AS n_samples,
+                ROUND(SQRT(
+                  LIST_SUM(LIST_TRANSFORM(
+                    GENERATE_SERIES(frame * 256,
+                      LEAST(ns, (frame + 1) * 256) - 1),
+                    k -> POWER(UNICODE(SUBSTR(text, 2*k + 1, 1))
+                               + 256 * UNICODE(SUBSTR(text, 2*k + 2, 1)),
+                           2)))
+                  / (LEAST(ns, (frame + 1) * 256) - frame * 256)), 6) + 0.0
+                  AS rms
+         FROM f""",
+
+    // m06's source-byte oracle with the container metadata the engine
+    // must read back off the decoded RIFF/fmt chunks — a PCM16 WAV
+    // round-trips the samples bit-exactly
+    "m12_wav_decode" ->
+      """WITH b AS (SELECT doc_id, text,
+                           CAST(LEN(text) // 2 AS INT) AS ns
+                    FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, text, ns,
+                      UNNEST(GENERATE_SERIES(0,
+                        CAST(CEIL(ns / 256.0) AS INT) - 1)) AS frame
+               FROM b WHERE ns >= 1)
+         SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+                CAST(frame AS INT) AS frame,
                 CAST(LEAST(ns, (frame + 1) * 256) - frame * 256 AS INT)
                   AS n_samples,
                 ROUND(SQRT(

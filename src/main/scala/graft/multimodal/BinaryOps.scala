@@ -465,4 +465,94 @@ object BinaryOps {
         (col("frame_no") * step).cast("long").as("byte_offset"),
         col(payload).substr(col("frame_no") * step + 1, lit(frameLen)).as("frame_bytes"))
   }
+
+  /** Row shape for decoded WAV per-frame energy with container metadata. */
+  case class WavFrame(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, frame: Int, n_samples: Int, rms: Double)
+
+  /** Wrap little-endian int16 mono PCM bytes in a canonical 44-byte
+    * RIFF/WAVE container (fmt chunk: PCM, 1 channel, 16 bits). Payload
+    * bytes beyond the last complete sample are dropped (the data chunk is
+    * 2·⌊len/2⌋ bytes), matching the m06 family's sample count. The audio
+    * sibling of [[encodePng]]: a real container real corpora actually
+    * carry, round-tripped losslessly.
+    */
+  def encodeWav(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val dataLen = if (payload == null) 0 else payload.length / 2 * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(1.toShort) // PCM encoding, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2)
+    bb.putShort(2.toShort).putShort(16.toShort) // block align, bit depth
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    if (dataLen > 0) bb.put(payload, 0, dataLen)
+    bb.array()
+  }
+
+  /** Attach a real WAV payload column: each row's `payload` bytes become
+    * the data chunk of a 16 kHz (configurable) PCM16 mono WAV.
+    * mapPartitions so a real encoder would warm once per partition —
+    * the [[withPngPayload]] batch shape.
+    */
+  def withWavPayload(spark: SparkSession, df: DataFrame, id: String,
+      payload: String, sampleRate: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) => (docId, encodeWav(bytes, sampleRate)) }
+      }
+      .toDF(id, "wav")
+  }
+
+  /** REAL audio-container decode: parse the RIFF/fmt/data chunks through
+    * `javax.sound.sampled` (pure JVM — the audio analogue of the m02
+    * `javax.imageio` precedent), read the format metadata off the decoded
+    * stream, and run the [[pcmFrameEnergy]] RMS front end over the decoded
+    * samples. PCM16 WAV round-trips bit-exactly, so the result admits the
+    * same closed-form oracle over the source payload bytes as m06 — with
+    * the sample rate / channel count / bit depth now coming from the
+    * CONTAINER, asserting the decode really happened. Map-only, decoder
+    * per partition, rows out ≈ samples/frameLen per doc.
+    */
+  def wavFrameEnergy(spark: SparkSession, df: DataFrame, id: String,
+      wav: String, frameLen: Int): Dataset[WavFrame] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(wav))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition: AudioSystem's file-reader SPI lookup amortizes here
+        it.flatMap { case (docId, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val sr = fmt.getSampleRate.toInt
+          val ch = fmt.getChannels
+          val bits = fmt.getSampleSizeInBits
+          val data = ais.readAllBytes()
+          ais.close()
+          val nSamp = data.length / 2
+          val nFrames = (nSamp + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var k = f * frameLen
+            val end = math.min(nSamp, k + frameLen)
+            val n = end - k
+            var ss = 0L
+            while (k < end) {
+              val lo = data(2 * k) & 0xff
+              val hi = data(2 * k + 1).toInt // sign-extends: true int16
+              val s = (hi << 8) | lo
+              ss += s.toLong * s
+              k += 1
+            }
+            WavFrame(docId, sr, ch, bits, f, n,
+              BigDecimal(math.sqrt(ss.toDouble / n))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+  }
 }

@@ -264,4 +264,48 @@ class BinaryOpsSpec extends AnyFunSuite {
     }
     assert(got.size === expected)
   }
+
+  test("encodeWav writes a valid RIFF container javax.sound can parse") {
+    val payload = Array.tabulate[Byte](10)(i => (i * 7).toByte) // 5 samples
+    val wav = BinaryOps.encodeWav(payload, 16000)
+    assert(wav.length === 44 + 10)
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") === "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate === 16000f)
+    assert(fmt.getChannels === 1)
+    assert(fmt.getSampleSizeInBits === 16)
+    assert(!fmt.isBigEndian)
+    assert(ais.readAllBytes().toSeq === payload.toSeq) // lossless data chunk
+  }
+
+  test("encodeWav drops a trailing odd byte (whole int16 samples only)") {
+    val wav = BinaryOps.encodeWav(Array[Byte](1, 2, 3), 8000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFrameLength === 1)
+    assert(ais.readAllBytes().toSeq === Seq[Byte](1, 2))
+  }
+
+  test("wavFrameEnergy: container round-trip matches the raw PCM kernel") {
+    val texts = Seq((1L, "abcdefghij" * 40), (2L, "xy"), (3L, "q")) // 3rd: 0 samples
+    val df = BinaryOps.withPayload(texts.toDF("doc_id", "text"), "text", "payload")
+    val viaWav = BinaryOps.wavFrameEnergy(spark,
+        BinaryOps.withWavPayload(spark, df, "doc_id", "payload", 16000),
+        "doc_id", "wav", frameLen = 64)
+      .collect().map(w => (w.doc_id, w.frame) -> (w.n_samples, w.rms)).toMap
+    val raw = BinaryOps.pcmFrameEnergy(spark, df, "doc_id", "payload", 64)
+      .collect().map(e => (e.doc_id, e.frame) -> (e.n_samples, e.rms)).toMap
+    assert(viaWav === raw)
+    assert(!viaWav.keySet.exists(_._1 == 3L)) // zero-sample doc: no frames
+    // metadata really comes from the decoded container
+    val meta = BinaryOps.wavFrameEnergy(spark,
+        BinaryOps.withWavPayload(spark, df, "doc_id", "payload", 22050),
+        "doc_id", "wav", frameLen = 64).head()
+    assert(meta.sample_rate === 22050)
+    assert(meta.channels === 1)
+    assert(meta.bits === 16)
+  }
 }
