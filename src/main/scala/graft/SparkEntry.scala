@@ -3736,7 +3736,13 @@ object SparkEntry {
     // non-tail tercile → DSIR weights on the survivors → top-100 by
     // importance — the rule→LM→importance stack as ONE hash-gated chain
     "e2e_quality_gate" -> ((s, d) => {
-      val base = docs(s, d)
+      // ONE corpus scan for the whole composed gate: the three stages
+      // (Gopher rules, perplexity terciles, DSIR on survivors) each
+      // consume this pinned frame instead of re-reading the parquet —
+      // the charNgramLangId collapse-then-reuse discipline, asserted by
+      // PlanQualitySpec ("quality gate reads documents once")
+      val base = docs(s, d).select("doc_id", "lang", "text")
+        .localCheckpoint(false)
       val keepIds = QualityOps.gopherRules(base, "doc_id", "text")
         .filter(col("keep") === 1).select("doc_id")
         .join(QualityOps.perplexityBuckets(base, "doc_id", "text")

@@ -181,6 +181,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assertSinglePartitionOnlyForGlobalAgg("t17_dup_ngrams", p)
   }
 
+  test("quality gate reads the documents table once (pinned frame)") {
+    val df = SparkEntry.queries("e2e_quality_gate")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Gopher, perplexity, and DSIR all consume ONE lazily-checkpointed
+    // frame: the composed gate's final plan has no file scans at all —
+    // the single documents scan happened in the checkpoint job
+    assert(!p.contains("FileScan"),
+      s"quality gate must read documents via the pinned frame only:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("entropy and retention are pure hash-aggregate towers — no windows, no sorts") {
     Seq("t16_source_entropy", "a19_behavior_entropy", "q02_retention").foreach { q =>
       val p = finalPlan(q)
