@@ -121,7 +121,33 @@ object QualityOps {
     */
   def dsirWeights(docs: DataFrame, id: String, text: String,
       isTarget: Column, dim: Int = 128): DataFrame = {
-    val bg = graft.Tables.spread(
+    val bg = bucketedBigrams(docs, id, text, isTarget, dim)
+    val perDoc = bg.join(broadcast(bucketRatiosFrom(bg, dim)), Seq("__b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lrq")).as("__s"))
+    docs.select(col(id)).join(perDoc, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("n_bigrams") / 1e9, 6).as("dsir_w"))
+  }
+
+  /** The FROZEN DSIR model as a standalone frame: per-bucket
+    * nano-quantized log importance ratio, ≤ `dim` rows — exactly the
+    * table [[dsirWeights]] scores against. Train it batch-side, collect
+    * it (bounded by construction), and hand it to the streaming twin
+    * ([[graft.streaming.EventStreams.qualityGateStream]]) to gate a live
+    * feed statelessly.
+    */
+  def dsirBucketRatios(docs: DataFrame, id: String, text: String,
+      isTarget: Column, dim: Int = 128): DataFrame =
+    bucketRatiosFrom(bucketedBigrams(docs, id, text, isTarget, dim), dim)
+      .select(col("__b").as("bucket"), col("__lrq").as("lrq"))
+
+  /** One row per (doc, bigram occurrence) with its hash bucket — the
+    * single corpus pass both DSIR aggregates re-aggregate.
+    */
+  private def bucketedBigrams(docs: DataFrame, id: String, text: String,
+      isTarget: Column, dim: Int): DataFrame =
+    graft.Tables.spread(
         docs.select(col(id), col(text), isTarget.cast("int").as("__tgt")),
         tinyBytes = 0L)
       .select(col(id), col("__tgt"),
@@ -129,24 +155,21 @@ object QualityOps {
       .withColumn("__b",
         pmod(conv(substring(md5(col("__bg")), 1, 4), 16, 10).cast("int"),
           lit(dim)))
+
+  /** ln(p_b/q_b) per bucket from exact integer counts, pinned to nanos;
+    * buckets with no mass at all simply never join (no bigram hashes
+    * there), so add-1 smoothing over `dim` buckets is applied to the
+    * observed-bucket table only — identical on both engines.
+    */
+  private def bucketRatiosFrom(bg: DataFrame, dim: Int): DataFrame = {
     val counts = bg.groupBy("__b")
       .agg(count(lit(1)).as("__r"), sum(col("__tgt")).cast("long").as("__t"))
     val totals = counts.agg(sum(col("__r")).as("__rt"), sum(col("__t")).as("__tt"))
-    // ln(p_b/q_b) per bucket from exact integer counts, pinned to nanos;
-    // buckets with no mass at all simply never join (no bigram hashes
-    // there), so add-1 smoothing over `dim` buckets is applied to the
-    // observed-bucket table only — identical on both engines
-    val ratio = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("__b"),
         round(log((col("__t") + 1.0) / (col("__tt") + lit(dim.toDouble)) *
           (col("__rt") + lit(dim.toDouble)) / (col("__r") + 1.0)) * 1e9, 0)
           .cast("long").as("__lrq"))
-    val perDoc = bg.join(broadcast(ratio), Seq("__b"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lrq")).as("__s"))
-    docs.select(col(id)).join(perDoc, Seq(id), "left")
-      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("__s") / col("n_bigrams") / 1e9, 6).as("dsir_w"))
   }
 
   /** ExactSubstr duplication coverage (Lee et al. 2022): the fraction of

@@ -547,6 +547,55 @@ object EventStreams {
     graft.operators.TimeSeriesOps.scoreAgainstProfile(events, profile,
       key, ts, id, value, zThresh, minN)
 
+  /** Streaming twin of the quality gate's front half
+    * (`e2e_quality_gate`'s Gopher stage + DSIR scoring): gate a live
+    * document feed with ZERO streaming state. Gopher rules are a
+    * map-only pass (same rounded-ratio comparisons as the batch
+    * `QualityOps.gopherRules`), and DSIR scoring against a FROZEN
+    * batch-trained bucket-ratio model is stateless per doc — the
+    * per-doc bigram sum folds INSIDE the row with higher-order
+    * functions against a ≤`dim`-entry map literal, replaying the batch
+    * op's exact arithmetic (same md5-bucket hash, same nano-quantized
+    * ratios, same long sum, same closing double sequence). Bigrams
+    * hashing to buckets absent from the model contribute nothing —
+    * mirroring the batch inner join against the observed-bucket table.
+    * Train the model with `QualityOps.dsirBucketRatios`, collect it
+    * (bounded by construction), refresh by restarting the query with a
+    * new map. Batch ≡ stream asserted in StreamingSpec.
+    */
+  def qualityGateStream(docs: DataFrame, id: String, text: String,
+      model: Map[Int, Long], dim: Int,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    import graft.functions.TextFns
+    val mdl = typedLit(model)
+    val toks = TextFns.tokens(col(text))
+    val n = size(toks)
+    val meanLen = round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / n, 6)
+    val alphaFrac = round(size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / n, 6)
+    val symbolFrac = round(size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("double") / n, 6)
+    val stopHits = TextFns.tokenCountIn(toks,
+      graft.operators.QualityOps.gopherStopwords)
+    val lrqs = filter(
+      transform(TextFns.rawShingles(toks, 2), b =>
+        try_element_at(mdl,
+          pmod(conv(substring(md5(b), 1, 4), 16, 10).cast("int"), lit(dim)))),
+      x => x.isNotNull)
+    val nb = size(lrqs).cast("long")
+    val s = aggregate(lrqs, lit(0L), (acc, x) => acc + x)
+    docs.filter(col(text).isNotNull)
+      .select(col(id),
+        when(n.between(minWords, maxWords) &&
+          meanLen.between(3.0, 10.0) &&
+          alphaFrac >= 0.8 &&
+          symbolFrac <= 0.1 &&
+          stopHits >= 2, 1).otherwise(0).as("keep"),
+        nb.as("n_bigrams"),
+        when(nb > 0, round(s / nb / lit(1e9), 6)).as("dsir_w"))
+  }
+
   /** Fixed-edge bin index in [0, bins): values below `lo` clamp to bin 0,
     * at/above `hi` to the last bin. Fixed edges, not data min/max — a
     * stream has no global extremes, and drift monitoring needs bins that

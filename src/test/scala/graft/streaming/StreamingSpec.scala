@@ -616,4 +616,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming quality gate (Gopher + frozen DSIR) equals the batch stages") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-qgate")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // the FROZEN model: batch-trained bucket ratios, bounded collect
+    val dim = 128
+    val model = graft.operators.QualityOps
+      .dsirBucketRatios(docs, "doc_id", "text", col("lang") === "en", dim)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(model.nonEmpty && model.size <= dim)
+
+    val stream = EventStreams.qualityGateStream(
+      spark.readStream.schema(rawSchema).parquet(dir.toString),
+      "doc_id", "text", model, dim)
+    val q = stream.writeStream
+      .format("memory").queryName("qgate").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qgate")
+      .as[(Long, Int, Long, Option[Double])].collect().toSet
+
+    val batch = graft.operators.QualityOps
+      .gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep"))
+      .join(graft.operators.QualityOps.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", dim), Seq("doc_id"))
+      .select(col("doc_id"), col("keep"), col("n_bigrams"), col("dsir_w"))
+      .as[(Long, Int, Long, Option[Double])].collect().toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_._2 == 1) && streamed.exists(_._2 == 0))
+    assert(streamed === batch)
+  }
 }
