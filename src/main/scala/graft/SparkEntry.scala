@@ -3699,6 +3699,13 @@ object SparkEntry {
       QualityOps.exactSubstrSpans(docs(s, d), "doc_id", "text",
         minLen = 5, cap = 64)),
 
+    // cross-doc attribution of duplicated spans: rank-adjacent suffix
+    // pairs with LCP >= 5 from different docs, normalized and grouped —
+    // which pairs share verbatim material and their longest shared span
+    "d23_dupspan_pairs" -> ((s, d) =>
+      QualityOps.dupSpanPairs(docs(s, d), "doc_id", "text",
+        minLen = 5, cap = 64)),
+
     // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
     // candidates (popcount over two packed words), exact cosine rerank
     // to top-5 — v01's contract at 1/32nd the scan bandwidth
@@ -3862,6 +3869,18 @@ object SparkEntry {
     // the t03/t33 stopword heuristic
     "t43_charngram_langid" -> ((s, d) =>
       QualityOps.charNgramLangId(docs(s, d), "doc_id", "text", "lang")),
+
+    // per-doc lexical richness (Yule 1944): TTR, hapax ratio, Yule's K
+    // from the frequency spectrum — two stacked hash aggregates, exact
+    // integers into three closing divisions
+    "t44_lexical_richness" -> ((s, d) =>
+      QualityOps.lexicalRichness(docs(s, d), "doc_id", "text")),
+
+    // Gopher repetition rules (Rae et al. 2021 Table A1, within-doc
+    // half): top-bigram character fraction + duplicated-5-gram position
+    // coverage + composite keep — per-doc hash aggregates only
+    "t45_gopher_repetition" -> ((s, d) =>
+      QualityOps.gopherRepetition(docs(s, d), "doc_id", "text")),
 
     // deterministic per-epoch global shuffle: position = exact two-phase
     // rank over (epoch, md5(epoch:id)) — reproducible training-data
@@ -10029,6 +10048,38 @@ object SparkEntry {
                 ROUND(COALESCE(pd.covered, 0) * 1.0 / tk.n, 6) + 0.0 AS coverage
          FROM tk LEFT JOIN pd USING (doc_id)""",
 
+    // d22's ranked-suffix adjacency with both doc ids kept: cross-doc
+    // pairs with LCP >= 5, normalized, longest shared span per pair
+    "d23_dupspan_pairs" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS (SELECT doc_id, toks, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         cand AS (SELECT gh.doc_id, gh.pos,
+                         toks[gh.pos + 1 : gh.pos + 64] AS sfx
+                  FROM gh JOIN dup USING (h)),
+         rk AS (SELECT doc_id, pos, sfx,
+                       ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
+                                          doc_id, pos) AS rn
+                FROM cand),
+         nx AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       CAST(COALESCE(
+                         LIST_MIN(LIST_FILTER(
+                           GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
+                           i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
+                         LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
+                FROM rk a JOIN rk b ON b.rn = a.rn + 1)
+         SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+                CAST(COUNT(*) AS BIGINT) AS n_adjacent,
+                CAST(MAX(lcpn) AS BIGINT) AS max_shared_span
+         FROM nx WHERE lcpn >= 5 AND da <> db
+         GROUP BY 1, 2""",
+
     // sign-bit packing into two 32-bit words (powers of two ≤ 2³¹ are
     // exact doubles), popcount-of-XOR shortlist, exact cosine rerank
     "v17_hamming_topk" ->
@@ -10562,6 +10613,77 @@ object SparkEntry {
                   WHERE rn = 1)
          SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
          FROM pred GROUP BY 1, 2""",
+
+    // frequency-spectrum collapse: exact integer Σ m·V, Σ V, V₁, Σ m²·V
+    // per doc, three closing divisions
+    "t44_lexical_richness" ->
+      """WITH tok AS (SELECT doc_id,
+                             UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS tok
+                      FROM documents WHERE text IS NOT NULL),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+                FROM tok GROUP BY 1, 2),
+         sp AS (SELECT doc_id, m, CAST(COUNT(*) AS BIGINT) AS v
+                FROM tf GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(SUM(m * v) AS BIGINT) AS n_tokens,
+                CAST(SUM(v) AS BIGINT) AS n_types,
+                CAST(SUM(CASE WHEN m = 1 THEN v ELSE 0 END) AS BIGINT) AS hapax,
+                ROUND(CAST(SUM(v) AS DOUBLE) / SUM(m * v), 6) + 0.0 AS ttr,
+                ROUND(CAST(SUM(CASE WHEN m = 1 THEN v ELSE 0 END) AS DOUBLE)
+                      / SUM(v), 6) + 0.0 AS hapax_ratio,
+                ROUND(1e4 * CAST(SUM(m * m * v) - SUM(m * v) AS DOUBLE)
+                      / (CAST(SUM(m * v) AS DOUBLE) * SUM(m * v)), 6) + 0.0
+                  AS yules_k
+         FROM sp GROUP BY doc_id""",
+
+    // within-doc repetition: per-doc top-bigram argmax (count desc, gram
+    // asc) and the d21 interval union with PER-DOC 5-gram counts
+    "t45_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, toks, LEN(toks) AS n,
+                      CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LEN(x)))
+                        AS BIGINT) AS chars
+               FROM t),
+         bg AS (SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                         k -> toks[k] || ' ' || toks[k+1])) AS bg
+                FROM b WHERE n >= 2),
+         bc AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+                FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, bg, c FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY c DESC, bg ASC) AS rn FROM bc) WHERE rn = 1),
+         g5 AS (SELECT doc_id, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT)))
+                               AS pos
+                      FROM b WHERE n >= 5)),
+         dup AS (SELECT doc_id, h FROM g5
+                 GROUP BY doc_id, h HAVING COUNT(*) >= 2),
+         dp AS (SELECT g5.doc_id, g5.pos FROM g5 JOIN dup USING (doc_id, h)),
+         cov AS (SELECT doc_id, pos,
+                        LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          AS nxt
+                 FROM dp),
+         cv AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN nxt IS NULL THEN 5
+                                     ELSE LEAST(5, nxt - pos) END) AS BIGINT)
+                         AS covered
+                FROM cov GROUP BY 1)
+         SELECT b.doc_id, CAST(b.n AS INT) AS n_toks,
+                top.bg AS top_bigram,
+                COALESCE(ROUND(top.c * (LEN(top.bg) - 1) / b.chars, 6) + 0.0,
+                         0.0) AS top_bigram_frac,
+                ROUND(COALESCE(cv.covered, 0) * 1.0 / b.n, 6) + 0.0
+                  AS dup5_coverage,
+                CASE WHEN COALESCE(ROUND(top.c * (LEN(top.bg) - 1) / b.chars,
+                                         6) + 0.0, 0.0) <= 0.2
+                      AND ROUND(COALESCE(cv.covered, 0) * 1.0 / b.n, 6) + 0.0
+                          <= 0.3
+                     THEN 1 ELSE 0 END AS keep
+         FROM b LEFT JOIN top USING (doc_id) LEFT JOIN cv USING (doc_id)""",
 
     // per-epoch md5-keyed permutation — binary hex ordering is identical
     // in both engines; position is the within-epoch rank

@@ -321,37 +321,11 @@ object QualityOps {
       .select(col(id), TextFns.tokens(col(text)).as("__t"))
       .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
       .localCheckpoint(false)
-    val grams = toks
-      .filter(col("n_toks") >= minLen)
-      .select(col(id), col("__t"),
-        explode(sequence(lit(0), size(col("__t")) - minLen)).as("pos"))
-      .select(col(id), col("pos"),
-        md5(array_join(slice(col("__t"), col("pos") + 1, lit(minLen)), " "))
-          .as("__h"))
-    val dupHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select("__h")
-    // fetch each doc's token array ONCE per doc (not once per candidate
-    // position) before slicing out the cap-token suffix prefixes
-    val candByDoc = grams.join(dupHashes, Seq("__h"))
-      .groupBy(col(id)).agg(collect_list(col("pos")).as("__ps"))
-    val suffixes = candByDoc.join(toks.select(col(id), col("__t")), Seq(id))
-      .select(col(id), col("__t"), explode(col("__ps")).as("pos"))
-      .select(col(id), col("pos"),
-        slice(col("__t"), col("pos") + 1, lit(cap)).as("__sfx"))
-      .withColumn("__key", array_join(col("__sfx"), " "))
-    val ranked = graft.operators.RankOps.globalRowNumber(suffixes,
-      Seq(col("__key"), col(id), col("pos")), "__rn").localCheckpoint(false)
-    // token LCP of two suffix prefixes: first mismatching position − 1,
-    // or the common length when one is a prefix of the other
-    def lcp(a: Column, b: Column): Column = coalesce(
-      array_min(filter(sequence(lit(1), greatest(size(a), size(b))),
-        i => !coalesce(try_element_at(a, i) === try_element_at(b, i),
-          lit(false)))) - 1,
-      least(size(a), size(b))).cast("long")
+    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
     val nxt = ranked.alias("a")
       .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
       .select(col("a.__rn").as("__rn"),
-        lcp(col("a.__sfx"), col("b.__sfx")).as("__lcpn"))
+        tokenLcp(col("a.__sfx"), col("b.__sfx")).as("__lcpn"))
       .localCheckpoint(false)
     val spans = ranked
       .join(nxt, Seq("__rn"), "left")
@@ -383,5 +357,169 @@ object QualityOps {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_toks"), 6).as("coverage"))
+  }
+
+  /** Cross-document attribution of duplicated spans — WHICH doc pairs
+    * share verbatim material, and how long their longest shared span is
+    * (the report behind "license boilerplate vs mirrored article"
+    * triage and span-level dedup keep-lists). Rank-adjacent suffix pairs
+    * with token-LCP ≥ `minLen` from the [[exactSubstrSpans]] machinery,
+    * restricted to pairs from DIFFERENT docs, normalized (doc_a <
+    * doc_b) and grouped — adjacency chains cover every duplication
+    * cluster transitively (the Lee et al. 2022 structure) without ever
+    * joining block × block.
+    */
+  def dupSpanPairs(docs: DataFrame, id: String, text: String,
+      minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
+    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
+    ranked.alias("a")
+      .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
+      .select(col(s"a.$id").as("__da"), col(s"b.$id").as("__db"),
+        tokenLcp(col("a.__sfx"), col("b.__sfx")).as("__lcpn"))
+      .filter(col("__lcpn") >= minLen && col("__da") =!= col("__db"))
+      .groupBy(least(col("__da"), col("__db")).as("doc_a"),
+        greatest(col("__da"), col("__db")).as("doc_b"))
+      .agg(count(lit(1)).as("n_adjacent"),
+        max(col("__lcpn")).as("max_shared_span"))
+  }
+
+  /** Shared front half of the ExactSubstr family: candidate positions
+    * (those whose `minLen`-gram repeats corpus-wide, via the inverted
+    * index) carrying their `cap`-token suffix prefixes, globally ranked
+    * by the two-phase exact sort. Token arrays are fetched once per DOC
+    * before slicing, not once per candidate position.
+    */
+  private def rankedDupSuffixes(toks: DataFrame, id: String,
+      minLen: Int, cap: Int): DataFrame = {
+    val grams = toks
+      .filter(col("n_toks") >= minLen)
+      .select(col(id), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - minLen)).as("pos"))
+      .select(col(id), col("pos"),
+        md5(array_join(slice(col("__t"), col("pos") + 1, lit(minLen)), " "))
+          .as("__h"))
+    val dupHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    val candByDoc = grams.join(dupHashes, Seq("__h"))
+      .groupBy(col(id)).agg(collect_list(col("pos")).as("__ps"))
+    val suffixes = candByDoc.join(toks.select(col(id), col("__t")), Seq(id))
+      .select(col(id), col("__t"), explode(col("__ps")).as("pos"))
+      .select(col(id), col("pos"),
+        slice(col("__t"), col("pos") + 1, lit(cap)).as("__sfx"))
+      .withColumn("__key", array_join(col("__sfx"), " "))
+    graft.operators.RankOps.globalRowNumber(suffixes,
+      Seq(col("__key"), col(id), col("pos")), "__rn").localCheckpoint(false)
+  }
+
+  /** Token LCP of two suffix prefixes: first mismatching position − 1,
+    * or the common length when one is a prefix of the other.
+    */
+  private def tokenLcp(a: Column, b: Column): Column = coalesce(
+    array_min(filter(sequence(lit(1), greatest(size(a), size(b))),
+      i => !coalesce(try_element_at(a, i) === try_element_at(b, i),
+        lit(false)))) - 1,
+    least(size(a), size(b))).cast("long")
+
+  /** Gopher's REPETITION rules (Rae et al. 2021 Table A1 — the
+    * within-document half that [[gopherRules]]' word-level screens don't
+    * cover): template-generated and looping text repeats itself, so
+    *  - `top_bigram_frac`: fraction of the doc's token characters
+    *    contained in occurrences of its MOST FREQUENT word bigram (ties
+    *    to the lexicographically smallest bigram; Rae's "top n-gram
+    *    character fraction" at n = 2, threshold 0.20)
+    *  - `dup5_coverage`: fraction of token positions covered by a
+    *    5-gram occurring ≥ 2 times WITHIN the doc ([[dupSpanCoverage]]'s
+    *    interval union with per-doc counts; documented divergence from
+    *    Rae's character-fraction form — positions, not characters,
+    *    threshold 0.30)
+    *  - `keep`: both under their thresholds.
+    *
+    * Exact integers into two closing divisions; two hash aggregates
+    * (per-doc bigram counts, per-doc 5-gram counts) plus one per-doc
+    * lead() window — no corpus-wide state at all, so the pass is
+    * embarrassingly parallel at any scale.
+    */
+  def gopherRepetition(docs: DataFrame, id: String, text: String,
+      maxTopBigramFrac: Double = 0.20,
+      maxDupCoverage: Double = 0.30): DataFrame = {
+    val base = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .filter(col(text).isNotNull)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"),
+        aggregate(col("__t"), lit(0L), (a, t) => a + length(t)).as("__chars"))
+      .localCheckpoint(false)
+    val topBg = base.filter(col("n_toks") >= 2)
+      .select(col(id), explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
+      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(min(struct((-col("__c")).as("nc"), col("__bg").as("g"))).as("__m"))
+      .select(col(id), (-col("__m.nc")).as("__topc"), col("__m.g").as("__topg"))
+    val g5 = base.filter(col("n_toks") >= 5)
+      .select(col(id), col("n_toks"),
+        explode(sequence(lit(0), col("n_toks") - 5)).as("pos"),
+        col("__t"))
+      .select(col(id), col("pos"),
+        md5(array_join(slice(col("__t"), col("pos") + 1, lit(5)), " "))
+          .as("__h"))
+    val dupPos = g5.join(
+      g5.groupBy(col(id), col("__h")).agg(count(lit(1)).as("__hc"))
+        .filter(col("__hc") >= 2).select(col(id), col("__h")),
+      Seq(id, "__h"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val covered = dupPos
+      .withColumn("__next", lead(col("pos"), 1).over(w))
+      .withColumn("__cov",
+        when(col("__next").isNull, lit(5L))
+          .otherwise(least(lit(5L), (col("__next") - col("pos")).cast("long"))))
+      .groupBy(col(id)).agg(sum(col("__cov")).as("__covered"))
+    base.select(col(id), col("n_toks"), col("__chars"))
+      .join(topBg, Seq(id), "left")
+      .join(covered, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        col("__topg").as("top_bigram"),
+        coalesce(
+          round(col("__topc") * (length(col("__topg")) - 1) / col("__chars"),
+            6), lit(0.0)).as("top_bigram_frac"),
+        round(coalesce(col("__covered"), lit(0L)).cast("double") /
+          col("n_toks"), 6).as("dup5_coverage"))
+      .withColumn("keep",
+        when(col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("dup5_coverage") <= maxDupCoverage, 1).otherwise(0))
+  }
+
+  /** Per-document lexical richness: type/token ratio, hapax ratio, and
+    * Yule's K — the vocabulary-diversity screens a corpus-quality report
+    * runs next to the Gopher rules (template-generated and keyword-spam
+    * text shows abnormally low diversity, i.e. high K).
+    *
+    *   K = 10⁴ · (Σ_m m²·V_m − N) / N²
+    *
+    * over the doc's frequency spectrum (V_m = number of types occurring
+    * exactly m times; Yule 1944, the length-robust repeat-rate measure).
+    * Everything up to the three closing divisions is exact integers: two
+    * stacked hash aggregates collapse the token stream to (doc, m)
+    * spectrum rows, then one per-doc aggregate — no windows, no sorts,
+    * and the shuffle never carries more than the distinct-token frame.
+    */
+  def lexicalRichness(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tf = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .filter(col(text).isNotNull)
+      .select(col(id), explode(TextFns.tokens(col(text))).as("__tok"))
+      .groupBy(col(id), col("__tok")).agg(count(lit(1)).as("__m"))
+    val spectrum = tf.groupBy(col(id), col("__m")).agg(count(lit(1)).as("__v"))
+    spectrum.groupBy(col(id)).agg(
+        sum(col("__m") * col("__v")).as("n_tokens"),
+        sum(col("__v")).as("n_types"),
+        sum(when(col("__m") === 1, col("__v")).otherwise(lit(0L))).as("hapax"),
+        sum(col("__m") * col("__m") * col("__v")).as("__sm2"))
+      .select(col(id), col("n_tokens"), col("n_types"), col("hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_ratio"),
+        round(lit(1e4) * (col("__sm2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens")), 6).as("yules_k"))
   }
 }

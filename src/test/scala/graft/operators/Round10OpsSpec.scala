@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-checkable cases for the round-10 additions: duplicated-span pair
+  * attribution, lexical richness, and the Gopher repetition rules.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  // --- dupSpanPairs -------------------------------------------------------
+
+  test("dupSpanPairs attributes a planted shared span to the right pair") {
+    val span = toks("s", 50)
+    val a = (toks("u", 20) ++ span ++ toks("v", 20)).mkString(" ")
+    val b = (toks("w", 20) ++ span ++ toks("x", 20)).mkString(" ")
+    val c = toks("y", 60).mkString(" ") // shares nothing
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = QualityOps.dupSpanPairs(df, "doc_id", "text").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("doc_a") === 1L)
+    assert(r(0).getAs[Long]("doc_b") === 2L)
+    assert(r(0).getAs[Long]("max_shared_span") === 50L)
+  }
+
+  test("dupSpanPairs: within-doc repetition alone yields no cross-doc pair") {
+    val rep = toks("x", 10)
+    val df = Seq((1L, (rep ++ rep).mkString(" ")),
+      (2L, toks("z", 30).mkString(" "))).toDF("doc_id", "text")
+    assert(QualityOps.dupSpanPairs(df, "doc_id", "text").count() === 0L)
+  }
+
+  // --- lexicalRichness ----------------------------------------------------
+
+  test("lexicalRichness: hand-checked spectrum (a a b c)") {
+    val df = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val r = QualityOps.lexicalRichness(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Long]("hapax") === 2L)
+    assert(r.getAs[Double]("ttr") === 0.75)
+    assert(r.getAs[Double]("hapax_ratio") === 0.666667)
+    // K = 1e4 * (Σ m²V − N) / N² = 1e4 * ((4·1 + 1·2) − 4) / 16 = 1250
+    assert(r.getAs[Double]("yules_k") === 1250.0)
+  }
+
+  test("lexicalRichness: all-distinct doc has K = 0 and TTR = 1") {
+    val df = Seq((1L, toks("w", 20).mkString(" "))).toDF("doc_id", "text")
+    val r = QualityOps.lexicalRichness(df, "doc_id", "text").head()
+    assert(r.getAs[Double]("yules_k") === 0.0)
+    assert(r.getAs[Double]("ttr") === 1.0)
+    assert(r.getAs[Double]("hapax_ratio") === 1.0)
+  }
+
+  // --- gopherRepetition ---------------------------------------------------
+
+  test("gopherRepetition flags a looping doc and passes a diverse one") {
+    val spam = Seq.fill(30)("spam ham").mkString(" ") // 60 tokens, 2 types
+    val clean = toks("word", 60).mkString(" ")
+    val df = Seq((1L, spam), (2L, clean)).toDF("doc_id", "text")
+    val r = QualityOps.gopherRepetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // spam: top bigram "spam ham" occurs 30x, chars = 30·(4+3) = 210,
+    // frac = 30·7/210 = 1.0; every 5-gram repeats → full coverage
+    assert(r(0).getAs[String]("top_bigram") === "spam ham")
+    assert(r(0).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(r(0).getAs[Double]("dup5_coverage") === 1.0)
+    assert(r(0).getAs[Int]("keep") === 0)
+    // clean: every bigram unique → tiny top fraction, zero dup coverage
+    assert(r(1).getAs[Double]("dup5_coverage") === 0.0)
+    assert(r(1).getAs[Double]("top_bigram_frac") < 0.05)
+    assert(r(1).getAs[Int]("keep") === 1)
+  }
+
+  test("gopherRepetition: single-token doc has no bigram, zero fractions") {
+    val df = Seq((1L, "lonely")).toDF("doc_id", "text")
+    val r = QualityOps.gopherRepetition(df, "doc_id", "text").head()
+    assert(r.isNullAt(r.fieldIndex("top_bigram")))
+    assert(r.getAs[Double]("top_bigram_frac") === 0.0)
+    assert(r.getAs[Double]("dup5_coverage") === 0.0)
+    assert(r.getAs[Int]("keep") === 1)
+  }
+}
