@@ -3862,6 +3862,14 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // PQ codebook TRAINING (Jegou 2011 III.A): all 8 subspaces advance
+    // jointly through 2 quantized Lloyd's supersteps (subspace as a
+    // grouping column) — the trained counterpart of v08/v11's fixed
+    // codebooks, fully oracled via the v03 trajectory-pinning contract
+    "v19_pq_train" -> ((s, d) =>
+      graft.ann.Pq.pqTrain(emb(s, d), "vec_id", "embedding",
+        m = 8, subDim = 8, k = 16, iters = 2)),
+
     // char-trigram language ID (Cavnar–Trenkle family, add-1 multinomial
     // form): per-language models trained on the declared labels, every
     // doc scored under all languages with EXACT integer arithmetic,
@@ -10574,6 +10582,62 @@ object SparkEntry {
 
     // exact-integer Naive Bayes: pico-pinned per-(gram, lang) logprobs,
     // M·base + Σ m·(lp − base) decomposition, integer argmax
+    // joint per-subspace Lloyd's, two unrolled rounds (the v03 oracle
+    // with subspace as a column): seeds = k smallest ids' subvectors,
+    // portable argmin (dist asc, codeword asc), 6dp-rounded means,
+    // empty codewords keep their previous centroid
+    "v19_pq_train" ->
+      """WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         js AS (SELECT CAST(UNNEST(GENERATE_SERIES(0, 7)) AS INT) AS j),
+         dims AS (SELECT CAST(UNNEST(GENERATE_SERIES(1, 8)) AS INT) AS i),
+         sub AS (SELECT vec_id, j, v[j*8 + 1 : j*8 + 8] AS sv
+                 FROM e CROSS JOIN js),
+         seeds AS (SELECT vec_id,
+                          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                            AS cw
+                   FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+         c0 AS (SELECT s.j, seeds.cw, s.sv AS cv
+                FROM sub s JOIN seeds USING (vec_id)),
+         a1 AS (SELECT vec_id, j, sv, cw FROM (
+                  SELECT s.vec_id, s.j, s.sv, c.cw,
+                         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                           LIST_SUM(LIST_TRANSFORM(range(1, 9),
+                             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC,
+                           c.cw ASC) AS rn
+                  FROM sub s JOIN c0 c ON c.j = s.j) WHERE rn = 1),
+         m1 AS (SELECT j, cw, LIST(mx ORDER BY i) AS mv FROM (
+                  SELECT j, cw, i, ROUND(AVG(sv[i]), 6) + 0.0 AS mx
+                  FROM a1 CROSS JOIN dims GROUP BY j, cw, i) GROUP BY j, cw),
+         c1 AS (SELECT c0.j, c0.cw, COALESCE(m1.mv, c0.cv) AS cv
+                FROM c0 LEFT JOIN m1 USING (j, cw)),
+         a2 AS (SELECT vec_id, j, sv, cw FROM (
+                  SELECT s.vec_id, s.j, s.sv, c.cw,
+                         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                           LIST_SUM(LIST_TRANSFORM(range(1, 9),
+                             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC,
+                           c.cw ASC) AS rn
+                  FROM sub s JOIN c1 c ON c.j = s.j) WHERE rn = 1),
+         m2 AS (SELECT j, cw, LIST(mx ORDER BY i) AS mv FROM (
+                  SELECT j, cw, i, ROUND(AVG(sv[i]), 6) + 0.0 AS mx
+                  FROM a2 CROSS JOIN dims GROUP BY j, cw, i) GROUP BY j, cw),
+         c2 AS (SELECT c1.j, c1.cw, COALESCE(m2.mv, c1.cv) AS cv
+                FROM c1 LEFT JOIN m2 USING (j, cw)),
+         af AS (SELECT vec_id, j, cw FROM (
+                  SELECT s.vec_id, s.j, c.cw,
+                         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                           LIST_SUM(LIST_TRANSFORM(range(1, 9),
+                             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC,
+                           c.cw ASC) AS rn
+                  FROM sub s JOIN c2 c ON c.j = s.j) WHERE rn = 1),
+         n AS (SELECT j, cw, CAST(COUNT(*) AS BIGINT) AS n_assigned
+               FROM af GROUP BY 1, 2)
+         SELECT c2.j AS subspace, c2.cw AS codeword,
+                COALESCE(n.n_assigned, 0) AS n_assigned,
+                CAST(d.i - 1 AS INT) AS pos,
+                c2.cv[d.i] AS c_v
+         FROM c2 LEFT JOIN n USING (j, cw) CROSS JOIN dims d""",
+
     "t43_charngram_langid" ->
       """WITH base AS (SELECT doc_id, lang, text FROM documents
                        WHERE text IS NOT NULL AND LEN(text) >= 3),

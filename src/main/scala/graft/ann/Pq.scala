@@ -133,4 +133,74 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
   }
+
+  /** TRAIN the codebooks [[pqEncode]]/[[pqTopK]] consume (Jégou §III.A:
+    * independent k-means per subspace) — with every subspace trained
+    * JOINTLY: the subspace id is a grouping column, so all `m` codebooks
+    * advance in the same `iters` distributed supersteps (one broadcast
+    * equi-join + one argmin window + one per-(subspace, codeword, dim)
+    * mean aggregate each), never m sequential loops.
+    *
+    * Round means are quantized to 6dp before seeding the next round —
+    * the [[Knn.kmeansAssign]] trajectory-pinning contract that makes the
+    * whole training loop engine-portable and lets it carry a full
+    * cross-engine oracle (v19). Init follows v03: the k smallest vector
+    * ids' subvectors seed codewords 0..k−1 of every subspace; empty
+    * codewords keep their previous centroid. The only driver traffic is
+    * the k seed ids; centroids live in a ≤ m·k-row frame broadcast per
+    * round. Output is the tall trained codebook:
+    * (subspace, codeword, n_assigned, pos, c_v).
+    */
+  def pqTrain(corpus: DataFrame, id: String, emb: String,
+      m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val subs = graft.Tables.spread(
+        corpus.select(col(id).cast("long").as("__vid"),
+          VectorFns.toDoubleArr(col(emb)).as("__e")), tinyBytes = 0L)
+      .select(col("__vid"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("__e"))
+      .select(col("__vid"), col("subspace"),
+        slice(col("__e"), col("subspace") * subDim + 1, lit(subDim)).as("__sv"))
+      .localCheckpoint(false)
+    val seedIds = subs.select(col("__vid")).distinct()
+      .orderBy(col("__vid")).limit(k)
+      .collect().map(_.getLong(0)).toSeq // bounded: exactly k ids
+    val cwOf = typedLit(seedIds.zipWithIndex.toMap)
+    var cb = subs
+      .filter(col("__vid").isin(seedIds: _*))
+      .select(col("subspace"), element_at(cwOf, col("__vid")).as("__cw"),
+        col("__sv").as("__cv"))
+      .localCheckpoint(false)
+    def assign(cbF: DataFrame): DataFrame = {
+      val d = aggregate(zip_with(col("__sv"), col("__cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+      val w = Window.partitionBy(col("__vid"), col("subspace"))
+        .orderBy(col("__dist").asc, col("__cw").asc)
+      subs.join(broadcast(cbF), Seq("subspace"))
+        .withColumn("__dist", d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__vid"), col("subspace"), col("__sv"), col("__cw"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign(cb)
+        .select(col("subspace"), col("__cw"),
+          posexplode(col("__sv")).as(Seq("pos", "__x")))
+        .groupBy(col("subspace"), col("__cw"), col("pos"))
+        .agg(round(avg(col("__x")), 6).as("__mx"))
+        .groupBy(col("subspace"), col("__cw"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("__mx")))),
+          s => s.getField("__mx")).as("__mv"))
+      cb = cb.join(means, Seq("subspace", "__cw"), "left")
+        .select(col("subspace"), col("__cw"),
+          coalesce(col("__mv"), col("__cv")).as("__cv"))
+        .localCheckpoint(false)
+    }
+    val nAssigned = assign(cb).groupBy(col("subspace"), col("__cw"))
+      .agg(count(lit(1)).as("n_assigned"))
+    cb.join(nAssigned, Seq("subspace", "__cw"), "left")
+      .select(col("subspace"), col("__cw").as("codeword"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        posexplode(col("__cv")).as(Seq("pos", "c_v")))
+  }
 }

@@ -79,6 +79,32 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(1).getAs[Int]("keep") === 1)
   }
 
+  // --- pqTrain ------------------------------------------------------------
+
+  test("pqTrain: trained codebooks beat the seed codebooks on distortion") {
+    import graft.ann.Pq
+    // 40 vectors in 16 dims, two well-separated blobs per half-space
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0 else 9.0
+      (i.toLong, Array.tabulate(16)(d => (base + (i * 7 + d) % 3 * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Pq.pqTrain(df, "vec_id", "embedding",
+      m = 2, subDim = 8, k = 2, iters = 3)
+    val rows = cb.collect()
+    assert(rows.length === 2 * 2 * 8) // m * k * subDim tall rows
+    // every vector lands on some codeword and both codewords are used
+    val byCw = rows.map(r => (r.getAs[Int]("subspace"),
+      r.getAs[Int]("codeword")) -> r.getAs[Long]("n_assigned")).toMap
+    assert(byCw.values.sum === 2L * 40) // m assignments per vector
+    assert(byCw.values.forall(_ > 0L))
+    // trained centroids sit near the blob centers (1.x and 9.x), not the
+    // two seed vectors' raw values only
+    val cvs = rows.map(_.getAs[Double]("c_v"))
+    assert(cvs.exists(v => v > 0.5 && v < 2.0))
+    assert(cvs.exists(v => v > 8.5 && v < 10.0))
+  }
+
   test("gopherRepetition: single-token doc has no bigram, zero fractions") {
     val df = Seq((1L, "lonely")).toDF("doc_id", "text")
     val r = QualityOps.gopherRepetition(df, "doc_id", "text").head()
