@@ -389,4 +389,47 @@ object SummaryOps {
       s"stack(${cols.size}, $stacked) as " +
         "(col_name, n, n_null, approx_distinct, min_v, max_v, approx_p50)"))
   }
+
+  /** Count–Min sketch build (Cormode & Muthukrishnan 2005): the
+    * fixed-memory frequency monitor for the 100 TB path. Each row hashes
+    * into one bucket per sketch row (md5 salted by the row index —
+    * independent-enough hash family, engine-portable), so the build is
+    * ONE depth-way explode + a hash aggregate whose key space is
+    * depth×width-bounded — the shuffle never scales with distinct keys,
+    * which is the whole point versus an exact value_counts at 10¹⁰
+    * distinct values. Spec-gated (ApproxSpec) like the HLL variants: the
+    * guarantee is one-sided (estimate ≥ truth) with overcount ≤ ~2N/width
+    * at depth 4, not a bit-stable oracle.
+    */
+  def countMinBuild(df: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    df.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__k"))
+      .select(col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("__k"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+          .cast("int").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch for a set of candidate keys: the estimate is
+    * the MIN over the depth rows of the key's bucket counters (missing
+    * buckets are exact zeros). The candidate frame is the caller's —
+    * typically the output of a sampled exact top-k, re-scored here
+    * against the full-corpus sketch.
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    keys.select(key.cast("string").as("__k")).distinct()
+      .filter(col("__k").isNotNull)
+      .select(col("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("__k"), col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("__k"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+          .cast("int").as("bucket"))
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col("__k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("__k").as("key"), col("est"))
 }

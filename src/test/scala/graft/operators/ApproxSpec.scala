@@ -111,4 +111,33 @@ class ApproxSpec extends AnyFunSuite {
         (if (c == "l_discount") 0.01 else 1.0), s"$c p50: $ap vs $ep")
     }
   }
+
+  test("Count-Min estimates are one-sided and inside the epsilon envelope") {
+    // zipf-ish key stream: key j appears ~20000/j times for j in 1..60
+    val rows = (1 to 60).flatMap(j => Seq.fill(20000 / j)(s"k$j"))
+    val keyed = rows.toDF("k")
+    val n = rows.size.toLong
+    val width = 1024
+    val sketch = SummaryOps.countMinBuild(keyed, col("k"), depth = 4,
+      width = width)
+    // sketch size is bounded by depth*width no matter the key cardinality
+    assert(sketch.count() <= 4L * width)
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val est = SummaryOps.countMinEstimate(sketch, keyed, col("k"),
+      depth = 4, width = width)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(a >= e, s"$k: CMS must never undercount ($a < $e)")
+      assert(a - e <= 4.0 * n / width,
+        s"$k: overcount ${a - e} beyond the 4N/width envelope")
+    }
+    // a key never inserted estimates within the same envelope of zero
+    val ghost = SummaryOps.countMinEstimate(sketch,
+      Seq("ghost").toDF("k"), col("k"), depth = 4, width = width)
+      .as[(String, Long)].collect().head._2
+    assert(ghost <= 4.0 * n / width)
+  }
 }
