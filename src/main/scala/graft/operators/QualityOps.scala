@@ -349,7 +349,10 @@ object QualityOps {
     val perDoc = perIsland.groupBy(col(id))
       .agg(count(lit(1)).as("n_spans"), max(col("__slen")).as("max_span"),
         sum(col("__slen")).as("covered_tokens"))
-    docs.select(col(id)).join(toks.select(col(id), col("n_toks")), Seq(id))
+    // toks is one row per doc already — joining the raw relation back in
+    // would only re-introduce the shared-lineage branch the fresh-alias
+    // projection above exists to avoid
+    toks.select(col(id), col("n_toks"))
       .join(perDoc, Seq(id), "left")
       .select(col(id), col("n_toks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -410,8 +413,15 @@ object QualityOps {
       .select(col(id), col("pos"),
         slice(col("__t"), col("pos") + 1, lit(cap)).as("__sfx"))
       .withColumn("__key", array_join(col("__sfx"), " "))
+    // fresh aliases above the checkpoint leaf: the LogicalRDD keeps the
+    // upstream attribute ids, and a later join of this frame against
+    // another branch of the SAME upstream lineage would otherwise hand
+    // the analyzer two leaves emitting identical expression ids (the
+    // "conflicting references" internal error DeterminismSpec caught)
     graft.operators.RankOps.globalRowNumber(suffixes,
       Seq(col("__key"), col(id), col("pos")), "__rn").localCheckpoint(false)
+      .select(col(id).as(id), col("pos").as("pos"), col("__sfx").as("__sfx"),
+        col("__key").as("__key"), col("__rn").as("__rn"))
   }
 
   /** Token LCP of two suffix prefixes: first mismatching position − 1,
