@@ -9794,7 +9794,8 @@ object SparkEntry {
                        CAST(COUNT(*) AS DOUBLE) AS w
                 FROM base WHERE next_type IS NOT NULL GROUP BY 1, 2),
          wm AS (SELECT MAX(w) AS wm FROM e0),
-         e AS (SELECT src, dst, w / wm.wm AS w FROM e0 CROSS JOIN wm),
+         e AS MATERIALIZED (SELECT src, dst, w / wm.wm AS w
+                            FROM e0 CROSS JOIN wm),
          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
          h0 AS (SELECT node, ROUND(1.0 / n, 9) + 0.0 AS hub
