@@ -3890,6 +3890,13 @@ object SparkEntry {
     "t45_gopher_repetition" -> ((s, d) =>
       QualityOps.gopherRepetition(docs(s, d), "doc_id", "text")),
 
+    // interpolated Kneser-Ney bigram LM (Kneser & Ney 1995, Chen &
+    // Goodman 1998; fixed D = 0.75): continuation counts off the same
+    // distinct-bigram frame, pico-pinned model logprobs, exact DECIMAL
+    // per-doc sums — the modern-smoothing sibling of t28
+    "t46_kneser_ney" -> ((s, d) =>
+      SummaryOps.knBigramLogProb(docs(s, d), "doc_id", "text")),
+
     // deterministic per-epoch global shuffle: position = exact two-phase
     // rank over (epoch, md5(epoch:id)) — reproducible training-data
     // order on any cluster size, no single-partition sort
@@ -10749,6 +10756,43 @@ object SparkEntry {
                           <= 0.3
                      THEN 1 ELSE 0 END AS keep
          FROM b LEFT JOIN top USING (doc_id) LEFT JOIN cv USING (doc_id)""",
+
+    // interpolated KN: all model counts off the distinct-bigram frame
+    // (context totals, distinct continuations, distinct contexts),
+    // one pico-quantized log per model bigram, exact per-doc sums
+    "t46_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         bgp AS (SELECT doc_id,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                          k -> toks[k] || ' ' || toks[k+1])) AS bg
+                 FROM t WHERE LEN(toks) >= 2),
+         m AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+               FROM bgp GROUP BY 1, 2),
+         cb AS (SELECT bg, CAST(SUM(m) AS BIGINT) AS cbg,
+                       SPLIT_PART(bg, ' ', 1) AS v,
+                       SPLIT_PART(bg, ' ', 2) AS w
+                FROM m GROUP BY 1),
+         ctx AS (SELECT v, CAST(SUM(cbg) AS BIGINT) AS cv,
+                        CAST(COUNT(*) AS BIGINT) AS n1v
+                 FROM cb GROUP BY 1),
+         cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM cb GROUP BY 1),
+         nbb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbb FROM cb),
+         mdl AS (SELECT cb.bg,
+                        CAST(ROUND(LN(
+                          (GREATEST(cb.cbg - 0.75, 0.0) +
+                            0.75 * ctx.n1v * (cont.n1w / nbb.nbb)) / ctx.cv)
+                          * 1e12, 0) AS BIGINT) AS lpq
+                 FROM cb JOIN ctx USING (v) JOIN cont USING (w)
+                 CROSS JOIN nbb),
+         sc AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS nb,
+                       SUM(CAST(m.m AS HUGEINT) * mdl.lpq) AS llq
+                FROM m JOIN mdl USING (bg)
+                GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+                ROUND(CAST(sc.llq AS DOUBLE) / 1e12 / sc.nb, 6) + 0.0
+                  AS avg_logprob_kn
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // per-epoch md5-keyed permutation — binary hex ordering is identical
     // in both engines; position is the within-epoch rank

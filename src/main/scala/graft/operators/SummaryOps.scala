@@ -390,6 +390,60 @@ object SummaryOps {
         "(col_name, n, n_null, approx_distinct, min_v, max_v, approx_p50)"))
   }
 
+  /** Per-document average bigram log-likelihood under an INTERPOLATED
+    * KNESER–NEY model (Kneser & Ney 1995; Chen & Goodman 1998's
+    * interpolated form, fixed discount D = 0.75) trained on the corpus
+    * itself — the modern-smoothing sibling of [[bigramLogProb]]'s add-1
+    * baseline, and the form real LM-based quality filters use:
+    *
+    *   P(w|v) = max(c(vw)−D, 0)/c(v·)
+    *          + (D·N₁₊(v·)/c(v·)) · N₁₊(·w)/N₁₊(··)
+    *
+    * where N₁₊(v·) counts distinct continuations of v, N₁₊(·w) distinct
+    * contexts of w (the continuation probability that makes KN favor
+    * words appearing in MANY contexts over burst words), and N₁₊(··)
+    * the distinct-bigram total. Every count is an exact integer off the
+    * distinct-bigram frame (context and continuation counts are
+    * re-aggregates of it — no second corpus pass); the per-bigram log is
+    * pico-quantized AT THE MODEL FRAME and per-doc sums are exact
+    * DECIMAL, the engine-wide order-independence convention. Scoring the
+    * training corpus itself means every scored bigram is in the model
+    * (the t28 self-trained contract); docs with < 2 tokens surface null.
+    */
+  def knBigramLogProb(docs: DataFrame, id: String, text: String,
+      discount: Double = 0.75): DataFrame = {
+    import graft.functions.TextFns
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+    val bg = toks.select(col(id),
+        explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
+      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
+    val bgCounts = bg.groupBy("__bg").agg(sum(col("__m")).as("__cbg"))
+      .withColumn("__v", substring_index(col("__bg"), " ", 1))
+      .withColumn("__w", substring_index(col("__bg"), " ", -1))
+    val ctx = bgCounts.groupBy("__v")
+      .agg(sum(col("__cbg")).as("__cv"), count(lit(1)).as("__n1v"))
+    val cont = bgCounts.groupBy("__w").agg(count(lit(1)).as("__n1w"))
+    val nbb = bgCounts.agg(count(lit(1)).cast("double").as("__nbb"))
+    val model = bgCounts
+      .join(ctx, Seq("__v")).join(cont, Seq("__w"))
+      .crossJoin(broadcast(nbb))
+      .select(col("__bg"),
+        round(log(
+          (greatest(col("__cbg") - lit(discount), lit(0.0)) +
+            lit(discount) * col("__n1v") * (col("__n1w") / col("__nbb"))) /
+            col("__cv")) * 1e12, 0).cast("long").as("__lpq"))
+    val scored = bg.join(model, Seq("__bg"))
+      .groupBy(col(id))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__m").cast("decimal(18,0)") * col("__lpq").cast("decimal(18,0)"))
+          .as("__llq"))
+    docs.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__llq").cast("double") / lit(1e12) / col("n_bigrams"), 6)
+          .as("avg_logprob_kn"))
+  }
+
   /** Count–Min sketch build (Cormode & Muthukrishnan 2005): the
     * fixed-memory frequency monitor for the 100 TB path. Each row hashes
     * into one bucket per sketch row (md5 salted by the row index —

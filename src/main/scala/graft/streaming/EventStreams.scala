@@ -596,6 +596,32 @@ object EventStreams {
         when(nb > 0, round(s / nb / lit(1e9), 6)).as("dsir_w"))
   }
 
+  /** Streaming twin of `SummaryOps.countMinBuild` per event-time window:
+    * the sketch is a pure counting aggregate, so the live form is ONE
+    * watermarked windowed groupBy on (window, row, bucket) — state is
+    * ≤ depth·width cells per open window REGARDLESS of key cardinality,
+    * the same boundedness that makes the batch sketch the 100 TB
+    * frequency monitor. Same salted-md5 bucket hash as the batch op, so
+    * window-level sketches from the two paths are interchangeable
+    * (batch ≡ stream asserted per window in StreamingSpec).
+    */
+  def countMinStream(events: DataFrame, key: Column, ts: String,
+      horizon: String, windowDur: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    events.select(col(ts).as("__ts"), key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .withWatermark("__ts", horizon)
+      .select(col("__ts"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__k"))
+      .select(col("__ts"), col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("__k"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+          .cast("int").as("bucket"))
+      .groupBy(window(col("__ts"), windowDur), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("row"),
+        col("bucket"), col("cnt"))
+
   /** Fixed-edge bin index in [0, bins): values below `lo` clamp to bin 0,
     * at/above `hi` to the last bin. Fixed edges, not data min/max — a
     * stream has no global extremes, and drift monitoring needs bins that

@@ -79,6 +79,30 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(1).getAs[Int]("keep") === 1)
   }
 
+  // --- knBigramLogProb ----------------------------------------------------
+
+  test("knBigramLogProb: hand-checked interpolated KN on a tiny corpus") {
+    // bigrams of "a b a b a c": ab x2, ba x2, ac x1
+    // ctx a: cv=3 n1v=2; ctx b: cv=2 n1v=1; cont b/a/c: n1w=1 each; nbb=3
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = SummaryOps.knBigramLogProb(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_bigrams") === 5L)
+    val pAB = (2 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3
+    val pBA = (2 - 0.75 + 0.75 * 1 * (1.0 / 3)) / 2
+    val pAC = (math.max(1 - 0.75, 0.0) + 0.75 * 2 * (1.0 / 3)) / 3
+    val expected =
+      (2 * math.log(pAB) + 2 * math.log(pBA) + math.log(pAC)) / 5
+    assert(math.abs(r.getAs[Double]("avg_logprob_kn") - expected) < 1e-5)
+  }
+
+  test("knBigramLogProb: a deterministic single-continuation corpus scores 0") {
+    // one bigram "x y": P(y|x) = (1−D)/1 + (D·1/1)·(1/1) = 1 → ln = 0
+    val df = Seq((1L, "x y")).toDF("doc_id", "text")
+    val r = SummaryOps.knBigramLogProb(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_bigrams") === 1L)
+    assert(r.getAs[Double]("avg_logprob_kn") === 0.0)
+  }
+
   // --- pqTrain ------------------------------------------------------------
 
   test("pqTrain: trained codebooks beat the seed codebooks on distortion") {

@@ -617,6 +617,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming Count-Min sketch equals the batch sketch per window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cms")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+
+    val stream = EventStreams.countMinStream(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)),
+      col("event_type"), "ts", horizon = "48 hours", windowDur = "1 day",
+      depth = 4, width = 64)
+    val q = stream.writeStream
+      .format("memory").queryName("cms").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cms")
+      .as[(java.sql.Timestamp, Int, Int, Long)].collect().toSet
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = ev
+      .select(col("ts"), col("event_type").cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("ts"),
+        explode(sequence(lit(0), lit(3))).as("row"), col("__k"))
+      .select(col("ts"), col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("__k"))), 1, 8), 16, 10).cast("long"), lit(64L))
+          .cast("int").as("bucket"))
+      .groupBy(window(col("ts"), "1 day"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("row"),
+        col("bucket"), col("cnt"))
+      .as[(java.sql.Timestamp, Int, Int, Long)].collect().toSet
+
+    assert(streamed.nonEmpty)
+    // state boundedness: never more than depth x width cells per window
+    val perWin = streamed.groupBy(_._1).view.mapValues(_.size)
+    assert(perWin.values.forall(_ <= 4 * 64))
+    assert(streamed === batch)
+  }
+
   test("streaming quality gate (Gopher + frozen DSIR) equals the batch stages") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-qgate")
