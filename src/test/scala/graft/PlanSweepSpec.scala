@@ -70,6 +70,8 @@ class PlanSweepSpec extends AnyFunSuite {
       "sides bounded by the shuffle-partition config, not data"),
     "a32_mannwhitney" -> "bucket-offset triangle (globalCumsum over the distinct-value frame)",
     "t28_bigram_lm" -> "1-row vocabulary size V (explicit broadcast)",
+    "t46_kneser_ney" -> ("1-row distinct-bigram total N1+(..) (explicit " +
+      "broadcast) — the t28 exemption on the KN model frame"),
     "a33_auroc_delong" -> "bucket-offset triangle (globalCumsums) + 1-row (m, n) totals",
     "a34_cohens_kappa" -> "1-row Σ marginal-product scalar (explicit broadcast)",
     "d16_lsh_recall" -> "three 1-row count scalars (explicit broadcasts)",
