@@ -3942,8 +3942,37 @@ object SparkEntry {
     "a54_odds_ratio" -> ((s, d) =>
       AssociationOps.twoByTwoEffects(li(s, d),
         (col("l_discount") > 0.05).cast("int"),
-        (col("l_returnflag") === "R").cast("int")))
+        (col("l_returnflag") === "R").cast("int"))),
+
+    // corpus-wide BLEU-2 (Papineni et al. 2002) over a deterministic
+    // eval pairing (each even doc scored against its same-language
+    // successor): clipped integer n-gram matches via (doc, n, gram)
+    // equi-joins — each doc is in O(1) pairs, so the whole scoring is
+    // linear; no smoothing, standard brevity penalty
+    "t47_bleu" -> ((s, d) =>
+      EvalOps.bleu(docs(s, d), "doc_id", "text",
+        evalPairs(s, d), maxN = 2)),
+
+    // ROUGE-2 recall/precision/F1 over the same eval pairing — the
+    // reference-recall side of the t47 precision metric, off the same
+    // clipped-match frame
+    "t48_rouge2" -> ((s, d) =>
+      EvalOps.rougeN(docs(s, d), "doc_id", "text",
+        evalPairs(s, d), n = 2))
   )
+
+  /** Deterministic eval pairing for `t47_bleu` / `t48_rouge2`: every even
+    * doc_id is a candidate scored against its same-language successor —
+    * the shape of a generated-vs-reference eval table, derivable on both
+    * engines without data movement beyond one self equi-join.
+    */
+  private def evalPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"))
+    base.as("a").join(base.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id") &&
+          col("a.doc_id") % 2 === 0 && col("a.lang") === col("b.lang"))
+      .select(col("a.doc_id").as("cand_id"), col("b.doc_id").as("ref_id"))
+  }
 
   /** DuckDB oracle for `v10_pca_project`: the SAME integer power
     * iteration as `RegressionOps.pcaProject`, with the fixed 30 matvecs
@@ -10904,6 +10933,93 @@ object SparkEntry {
                 CASE WHEN ok THEN ROUND(EXP(lnrr), 6) + 0.0 END AS risk_ratio,
                 CASE WHEN ok THEN ROUND(EXP(lnrr - 1.96 * serr), 6) + 0.0 END AS rr_lo,
                 CASE WHEN ok THEN ROUND(EXP(lnrr + 1.96 * serr), 6) + 0.0 END AS rr_hi
-         FROM g"""
+         FROM g""",
+
+    // clipped n-gram matches per (cand, ref) via gram equi-joins; BLEU-2
+    // with the standard brevity penalty, no smoothing — a zero modified
+    // precision zeroes the score
+    "t47_bleu" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         p AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+               FROM documents a JOIN documents b
+                 ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+                    AND a.lang = b.lang),
+         g1 AS (SELECT doc_id, tok AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) GROUP BY 1, 2),
+         g2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id,
+                             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                               k -> toks[k] || ' ' || toks[k+1])) AS gram
+                      FROM t WHERE LEN(toks) >= 2) GROUP BY 1, 2),
+         l AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS len FROM t),
+         o1 AS (SELECT p.cand_id, p.ref_id,
+                       CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+                FROM p JOIN g1 c ON c.doc_id = p.cand_id
+                       JOIN g1 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+                GROUP BY 1, 2),
+         o2 AS (SELECT p.cand_id, p.ref_id,
+                       CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+                FROM p JOIN g2 c ON c.doc_id = p.cand_id
+                       JOIN g2 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+                GROUP BY 1, 2),
+         b AS (SELECT p.cand_id, p.ref_id,
+                      CAST(COALESCE(o1.m, 0) AS BIGINT) AS m1,
+                      CAST(COALESCE(o2.m, 0) AS BIGINT) AS m2,
+                      lc.len AS len_c, lr.len AS len_r,
+                      CASE WHEN lc.len >= lr.len THEN 1.0
+                           ELSE EXP(1.0 - lr.len / CAST(lc.len AS DOUBLE))
+                      END AS bpr
+               FROM p JOIN l lc ON lc.doc_id = p.cand_id
+                      JOIN l lr ON lr.doc_id = p.ref_id
+                      LEFT JOIN o1 ON o1.cand_id = p.cand_id
+                                  AND o1.ref_id = p.ref_id
+                      LEFT JOIN o2 ON o2.cand_id = p.cand_id
+                                  AND o2.ref_id = p.ref_id)
+         SELECT cand_id, ref_id, m1, m2, len_c, len_r,
+                ROUND(bpr, 6) + 0.0 AS bp,
+                CASE WHEN m1 = 0 OR m2 = 0 OR len_c < 2 THEN 0.0
+                     ELSE ROUND(bpr * EXP((LN(m1 / CAST(len_c AS DOUBLE))
+                       + LN(m2 / CAST(len_c - 1 AS DOUBLE))) / 2), 6)
+                END + 0.0 AS bleu
+         FROM b""",
+
+    // ROUGE-2 recall/precision/F1 off the same clipped bigram matches
+    "t48_rouge2" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         p AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+               FROM documents a JOIN documents b
+                 ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+                    AND a.lang = b.lang),
+         g2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id,
+                             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                               k -> toks[k] || ' ' || toks[k+1])) AS gram
+                      FROM t WHERE LEN(toks) >= 2) GROUP BY 1, 2),
+         l AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS len FROM t),
+         o2 AS (SELECT p.cand_id, p.ref_id,
+                       CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+                FROM p JOIN g2 c ON c.doc_id = p.cand_id
+                       JOIN g2 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+                GROUP BY 1, 2),
+         x AS (SELECT p.cand_id, p.ref_id, lc.len AS len_c, lr.len AS len_r,
+                      CAST(COALESCE(o2.m, 0) AS BIGINT) AS m,
+                      CASE WHEN lr.len >= 2
+                           THEN COALESCE(o2.m, 0) / CAST(lr.len - 1 AS DOUBLE)
+                           ELSE 0.0 END AS r,
+                      CASE WHEN lc.len >= 2
+                           THEN COALESCE(o2.m, 0) / CAST(lc.len - 1 AS DOUBLE)
+                           ELSE 0.0 END AS pr
+               FROM p JOIN l lc ON lc.doc_id = p.cand_id
+                      JOIN l lr ON lr.doc_id = p.ref_id
+                      LEFT JOIN o2 ON o2.cand_id = p.cand_id
+                                  AND o2.ref_id = p.ref_id)
+         SELECT cand_id, ref_id, len_c, len_r, m AS matches,
+                ROUND(r, 6) + 0.0 AS rouge_r,
+                ROUND(pr, 6) + 0.0 AS rouge_p,
+                ROUND(CASE WHEN r + pr > 0 THEN 2 * r * pr / (r + pr)
+                           ELSE 0.0 END, 6) + 0.0 AS rouge_f1
+         FROM x"""
   )
 }

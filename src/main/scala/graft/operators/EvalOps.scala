@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Reference-based text-generation eval metrics (BLEU, ROUGE-N) computed
+  * corpus-wide — the scoring half of an LLM eval-data pipeline, where every
+  * (candidate, reference) pair in a generated eval set gets its n-gram
+  * overlap metrics in one distributed pass (Papineni et al. 2002, BLEU; Lin
+  * 2004, ROUGE).
+  *
+  * Scale shape: the pair list is an input (each candidate names its
+  * reference — an equi-keyed frame, never generated all-pairs here), and
+  * every join is an equi-join on `doc_id` or `(doc_id, n, gram)`. A
+  * document's gram frame is linear in its token count and each document
+  * participates in O(1) pairs, so the whole computation is one explode +
+  * two hash joins + one hash aggregate — no window over the corpus, no
+  * Cartesian, broadcast-free (both sides are corpus-sized). Clipped match
+  * counts stay integers end-to-end; the only floating point is the final
+  * per-pair scalar (log/exp of integer ratios), rounded to 6dp on both
+  * engines.
+  */
+object EvalOps {
+
+  /** Per-pair clipped n-gram overlap counts for n = 1..maxN.
+    *
+    * Input `pairs`: columns `cand_id`, `ref_id` (both keying `docs(idCol)`).
+    * Output: one row per pair with `len_c`, `len_r` (token counts) and
+    * `m1..m<maxN>` — the clipped matches sum(min(count_cand(g),
+    * count_ref(g))) over distinct grams g, the shared numerator of BLEU
+    * precision and ROUGE recall.
+    *
+    * min(c, 0) contributes nothing, so grams absent from either side drop
+    * out via the inner join — the join output is bounded by the smaller
+    * gram frame, never materializing the union vocabulary.
+    */
+  def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxN: Int): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val toks = docs.select(col(idCol).as("__id"),
+      TextFns.tokens(col(textCol)).as("__toks"))
+
+    // one gram frame per n, unioned with the n tag — each is one explode +
+    // one hash agg; the union keeps a single (id, n, gram) join downstream
+    val grams = (1 to maxN).map { n =>
+      val g = if (n == 1) col("__toks") else TextFns.rawShingles(col("__toks"), n)
+      toks.select(col("__id"), lit(n).as("__n"), explode(g).as("__gram"))
+        .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
+    }.reduce(_ unionByName _)
+
+    val lens = toks.select(col("__id"), size(col("__toks")).cast("long").as("__len"))
+
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val matched = p
+      .join(grams.as("gc"), col("cand_id") === col("gc.__id"))
+      .join(grams.as("gr"),
+        col("ref_id") === col("gr.__id") &&
+          col("gc.__n") === col("gr.__n") && col("gc.__gram") === col("gr.__gram"))
+      .groupBy(col("cand_id"), col("ref_id"), col("gc.__n").as("__n"))
+      .agg(sum(least(col("gc.__cnt"), col("gr.__cnt"))).as("__m"))
+
+    val mCols = (1 to maxN).map(n =>
+      coalesce(max(when(col("__n") === n, col("__m"))), lit(0L)).as(s"m$n"))
+
+    p.join(matched, Seq("cand_id", "ref_id"), "left")
+      .groupBy("cand_id", "ref_id")
+      .agg(mCols.head, mCols.tail: _*)
+      .join(lens.withColumnRenamed("__id", "cand_id")
+        .withColumnRenamed("__len", "len_c"), Seq("cand_id"))
+      .join(lens.withColumnRenamed("__id", "ref_id")
+        .withColumnRenamed("__len", "len_r"), Seq("ref_id"))
+  }
+
+  /** Per-pair BLEU-maxN with the standard brevity penalty and NO smoothing:
+    * any zero modified precision zeroes the score (the corpus-filtering
+    * convention — a pair with no shared bigram is simply not a match).
+    * Output: `cand_id, ref_id, len_c, len_r, m1..mN, bp, bleu`.
+    */
+  def bleu(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxN: Int = 2): DataFrame = {
+    val ov = ngramOverlap(docs, idCol, textCol, pairs, maxN)
+    // total n-grams in the candidate: len_c - n + 1 (0 when len_c < n)
+    def total(n: Int): Column = greatest(col("len_c") - (n - 1), lit(0L))
+    val logSum = (1 to maxN).map(n =>
+      log(col(s"m$n").cast("double") / total(n).cast("double"))).reduce(_ + _)
+    val anyZero = (1 to maxN).map(n =>
+      col(s"m$n") === 0 || total(n) === 0).reduce(_ || _)
+    val bp = when(col("len_c") >= col("len_r"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("len_r").cast("double") / col("len_c").cast("double")))
+    ov.withColumn("bp", round(bp, 6))
+      .withColumn("bleu",
+        when(anyZero, lit(0.0))
+          .otherwise(round(bp * exp(logSum / maxN), 6)) + lit(0.0))
+  }
+
+  /** Per-pair ROUGE-N recall / precision / F1 for a single n. Pairs where
+    * either side has fewer than n tokens score 0 (no grams to match).
+    * Output: `cand_id, ref_id, len_c, len_r, matches, rouge_r, rouge_p,
+    * rouge_f1`.
+    */
+  def rougeN(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int): DataFrame = {
+    val ov = ngramOverlap(docs, idCol, textCol, pairs, n)
+    val m = col(s"m$n").cast("double")
+    val totC = greatest(col("len_c") - (n - 1), lit(0L)).cast("double")
+    val totR = greatest(col("len_r") - (n - 1), lit(0L)).cast("double")
+    val r = when(totR > 0, m / totR).otherwise(lit(0.0))
+    val p = when(totC > 0, m / totC).otherwise(lit(0.0))
+    val f1 = when(r + p > 0, lit(2.0) * r * p / (r + p)).otherwise(lit(0.0))
+    ov.select(col("cand_id"), col("ref_id"), col("len_c"), col("len_r"),
+      col(s"m$n").as("matches"),
+      (round(r, 6) + lit(0.0)).as("rouge_r"),
+      (round(p, 6) + lit(0.0)).as("rouge_p"),
+      (round(f1, 6) + lit(0.0)).as("rouge_f1"))
+  }
+}
