@@ -3958,7 +3958,71 @@ object SparkEntry {
     // clipped-match frame
     "t48_rouge2" -> ((s, d) =>
       EvalOps.rougeN(docs(s, d), "doc_id", "text",
-        evalPairs(s, d), n = 2))
+        evalPairs(s, d), n = 2)),
+
+    // fill-in-middle training transform (Bavarian et al. 2022): each doc
+    // split at two deterministic modular cuts and re-emitted in SPM
+    // (suffix-prefix-middle) sentinel order — a pure projection, no
+    // shuffle, cuts reproducible on any engine from the row id alone
+    "ml27_fim_split" -> ((s, d) =>
+      FoldOps.fimSplit(docs(s, d), "doc_id", "text")),
+
+    // chrF (Popović 2015) over the t47 eval pairing — character n-gram
+    // F-β, the tokenization-free member of the eval-metric triple; same
+    // clipped-match equi-join core as BLEU/ROUGE, char grams instead
+    "t49_chrf" -> ((s, d) =>
+      EvalOps.chrF(docs(s, d), "doc_id", "text",
+        evalPairs(s, d), maxN = 3)),
+
+    // rank-aware quality of the IVF index against exact search on the v07
+    // frames: MRR + graded nDCG — position-sensitive where v07's recall is
+    // set-blind; per-position DCG terms pico-pinned before the sums
+    "v20_rank_eval" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Knn.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3)
+      val approx = Knn.clusteredTopK(e, "vec_id", "embedding", "label", k = 3)
+        .filter(col("query_id") < 8)
+      Knn.rankEval(exact, approx)
+    }),
+
+    // Bradley–Terry strengths over arena-style matches: adjacent docs from
+    // different sources "compete" on exact lexical score (tie → the earlier
+    // doc), 4 unrolled MM iterations on the bounded source-pair frame
+    "ml28_bradley_terry" -> ((s, d) => {
+      val t = docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(TextFns.tokens(col("text")))).cast("long")
+            .as("__score"))
+      val mm = t.as("a").join(t.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id") &&
+            col("a.source") =!= col("b.source"))
+        .select(
+          when(col("b.__score") > col("a.__score"), col("b.source"))
+            .otherwise(col("a.source")).as("winner"),
+          when(col("b.__score") > col("a.__score"), col("a.source"))
+            .otherwise(col("b.source")).as("loser"))
+      FoldOps.bradleyTerry(mm, "winner", "loser", iters = 4)
+    }),
+
+    // simplified silhouette per label cluster — the linear clustering-
+    // quality audit over the embedding space: integer-micro centroid
+    // distances (exact DECIMAL folds), two √ + one division per row
+    "v21_silhouette" -> ((s, d) =>
+      Knn.simplifiedSilhouette(emb(s, d), "vec_id", "embedding", "label")),
+
+    // split-conformal calibration on the event values: exact-order-
+    // statistic threshold from the even-id calibration slice, empirical
+    // coverage on the odd-id slice (α = 0.1)
+    "a55_conformal" -> ((s, d) =>
+      MetricsOps.splitConformal(ev(s, d), col("value"), col("event_id"),
+        col("event_id") % 2 === 0, alpha = 0.1)),
+
+    // Mondrian (per-event-type) conformal: group-local order statistics —
+    // the slice-conditional coverage guarantee, no global sort anywhere
+    "a56_group_conformal" -> ((s, d) =>
+      MetricsOps.groupConformal(ev(s, d), "event_type", col("value"),
+        col("event_id"), col("event_id") % 2 === 0, alpha = 0.1))
   )
 
   /** Deterministic eval pairing for `t47_bleu` / `t48_rouge2`: every even
@@ -11020,6 +11084,297 @@ object SparkEntry {
                 ROUND(pr, 6) + 0.0 AS rouge_p,
                 ROUND(CASE WHEN r + pr > 0 THEN 2 * r * pr / (r + pr)
                            ELSE 0.0 END, 6) + 0.0 AS rouge_f1
-         FROM x"""
+         FROM x""",
+
+    // the same two modular cuts over the same whitespace tokenization;
+    // DuckDB's inclusive 1-based list slices mirror Spark's slice(), and
+    // CONCAT_WS keeps empty segments (skipping only NULLs) on both engines
+    "ml27_fim_split" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         b AS (SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n FROM t),
+         c AS (SELECT doc_id, toks, n,
+                      CASE WHEN n > 1 THEN (doc_id * 7) % (n - 1) + 1
+                           ELSE 0 END AS cut1
+               FROM b),
+         c2 AS (SELECT doc_id, toks, n, cut1,
+                       cut1 + (doc_id * 13) % (n - cut1 + 1) AS cut2
+                FROM c),
+         seg AS (SELECT doc_id, n, cut1, cut2,
+                        COALESCE(ARRAY_TO_STRING(toks[1:cut1], ' '), '') AS pfx,
+                        COALESCE(ARRAY_TO_STRING(toks[cut1 + 1:cut2], ' '), '') AS mid,
+                        COALESCE(ARRAY_TO_STRING(toks[cut2 + 1:n], ' '), '') AS sfx
+                 FROM c2)
+         SELECT doc_id, n AS n_tokens,
+                CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2,
+                pfx AS prefix, mid AS middle, sfx AS suffix,
+                CONCAT_WS(' ', '<SUF>', sfx, '<PRE>', pfx, '<MID>', mid) AS fim
+         FROM seg""",
+
+    // char n-gram clipped matches over whitespace-stripped text; P/R are
+    // macro-averages over n = 1..3 (empty-n contributes 0), F-β with β=2
+    // — the same fixed IEEE sequence as the engine's per-row close
+    "t49_chrf" ->
+      """WITH ch AS (SELECT doc_id, REGEXP_REPLACE(text, '\s+', '', 'g') AS cs
+                     FROM documents),
+         p AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+               FROM documents a JOIN documents b
+                 ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+                    AND a.lang = b.lang),
+         g AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                 SELECT doc_id, 1 AS n,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs)),
+                          i -> cs[i:i])) AS gram
+                 FROM ch WHERE LEN(cs) >= 1
+                 UNION ALL
+                 SELECT doc_id, 2,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs) - 1),
+                          i -> cs[i:i+1]))
+                 FROM ch WHERE LEN(cs) >= 2
+                 UNION ALL
+                 SELECT doc_id, 3,
+                        UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs) - 2),
+                          i -> cs[i:i+2]))
+                 FROM ch WHERE LEN(cs) >= 3) GROUP BY 1, 2, 3),
+         o AS (SELECT p.cand_id, p.ref_id, c.n,
+                      CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+               FROM p JOIN g c ON c.doc_id = p.cand_id
+                      JOIN g r ON r.doc_id = p.ref_id AND r.n = c.n
+                                  AND r.gram = c.gram
+               GROUP BY 1, 2, 3),
+         l AS (SELECT doc_id, CAST(LEN(cs) AS BIGINT) AS len FROM ch),
+         m AS (SELECT p.cand_id, p.ref_id, lc.len AS len_c, lr.len AS len_r,
+                      COALESCE(MAX(CASE WHEN o.n = 1 THEN o.m END), 0) AS m1,
+                      COALESCE(MAX(CASE WHEN o.n = 2 THEN o.m END), 0) AS m2,
+                      COALESCE(MAX(CASE WHEN o.n = 3 THEN o.m END), 0) AS m3
+               FROM p JOIN l lc ON lc.doc_id = p.cand_id
+                      JOIN l lr ON lr.doc_id = p.ref_id
+                      LEFT JOIN o ON o.cand_id = p.cand_id
+                                 AND o.ref_id = p.ref_id
+               GROUP BY 1, 2, 3, 4),
+         x AS (SELECT cand_id, ref_id, len_c, len_r,
+                      (CASE WHEN len_c >= 1 THEN m1 / CAST(len_c AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN len_c >= 2 THEN m2 / CAST(len_c - 1 AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN len_c >= 3 THEN m3 / CAST(len_c - 2 AS DOUBLE) ELSE 0.0 END) / 3 AS pp,
+                      (CASE WHEN len_r >= 1 THEN m1 / CAST(len_r AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN len_r >= 2 THEN m2 / CAST(len_r - 1 AS DOUBLE) ELSE 0.0 END
+                     + CASE WHEN len_r >= 3 THEN m3 / CAST(len_r - 2 AS DOUBLE) ELSE 0.0 END) / 3 AS rr
+               FROM m)
+         SELECT cand_id, ref_id, len_c, len_r,
+                ROUND(pp, 6) + 0.0 AS chrf_p,
+                ROUND(rr, 6) + 0.0 AS chrf_r,
+                ROUND(CASE WHEN pp + rr > 0.0
+                           THEN (5.0 * pp * rr) / (4.0 * pp + rr)
+                           ELSE 0.0 END, 6) + 0.0 AS chrf
+         FROM x""",
+
+    // the v07 exact/approx ranked lists with rank kept; grades k-r+1 off
+    // the exact list, per-position DCG terms ROUND(x*1e12) BIGINTs (the
+    // engine's pico pinning), IDCG directly off the exact frame
+    "v20_rank_eval" ->
+      """WITH e AS (SELECT vec_id, label,
+                           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         exact AS (
+           SELECT query_id, neighbor_id, rn FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE vec_id < 8) q
+             CROSS JOIN e c WHERE c.vec_id <> q.vec_id) WHERE rn <= 3),
+         approx AS (
+           SELECT query_id, neighbor_id, rn FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE vec_id < 8) q
+             JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id) WHERE rn <= 3),
+         kq AS (SELECT query_id, CAST(MAX(rn) AS BIGINT) AS k
+                FROM exact GROUP BY 1),
+         idcg AS (SELECT x.query_id,
+                         SUM(CAST(ROUND((kq.k - x.rn + 1)
+                           / LOG2(CAST(x.rn AS DOUBLE) + 1.0) * 1e12, 0) AS BIGINT)) AS idcg
+                  FROM exact x JOIN kq USING (query_id) GROUP BY 1),
+         g AS (SELECT a.query_id, a.rn AS ar,
+                      CASE WHEN x.rn IS NOT NULL THEN kq.k - x.rn + 1
+                           ELSE 0 END AS rel
+               FROM approx a JOIN kq USING (query_id)
+                    LEFT JOIN exact x ON x.query_id = a.query_id
+                                     AND x.neighbor_id = a.neighbor_id),
+         pq AS (SELECT query_id,
+                       SUM(CASE WHEN rel > 0
+                                THEN CAST(ROUND(rel / LOG2(CAST(ar AS DOUBLE) + 1.0) * 1e12, 0) AS BIGINT)
+                                ELSE 0 END) AS dcg,
+                       MIN(CASE WHEN rel > 0 THEN ar END) AS fhr,
+                       COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_hits
+                FROM g GROUP BY 1)
+         SELECT kq.query_id, kq.k,
+                CAST(COALESCE(pq.n_hits, 0) AS BIGINT) AS n_hits,
+                CAST(pq.fhr AS BIGINT) AS first_hit_rank,
+                ROUND(CASE WHEN pq.fhr IS NOT NULL
+                           THEN CAST(1.0 AS DOUBLE) / pq.fhr
+                           ELSE 0.0 END, 6) + 0.0 AS mrr,
+                ROUND(COALESCE(pq.dcg, 0) / CAST(idcg.idcg AS DOUBLE), 6) + 0.0 AS ndcg
+         FROM kq JOIN idcg USING (query_id) LEFT JOIN pq USING (query_id)""",
+
+    // the same match construction, then Hunter's MM iteration UNROLLED 4×:
+    // pico-pinned pair denominators, micro-pinned normalizer, 6dp + 1e-6
+    // floor per round — each pN is a pure function of pN-1, as the engine
+    "ml28_bradley_terry" ->
+      """WITH t AS (SELECT doc_id, source,
+                CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS score
+             FROM documents WHERE text IS NOT NULL),
+         mm AS (SELECT CASE WHEN b.score > a.score THEN b.source ELSE a.source END AS w,
+                       CASE WHEN b.score > a.score THEN a.source ELSE b.source END AS l
+                FROM t a JOIN t b
+                  ON b.doc_id = a.doc_id + 1 AND a.source <> b.source),
+         wi AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS wins
+                FROM mm GROUP BY 1),
+         dirs AS (SELECT w AS i, l AS j FROM mm
+                  UNION ALL SELECT l, w FROM mm),
+         nij AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM dirs GROUP BY 1, 2),
+         nm AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS n_matches
+                FROM nij GROUP BY 1),
+         base AS (SELECT nm.item, CAST(COALESCE(wi.wins, 0) AS BIGINT) AS wins,
+                         nm.n_matches
+                  FROM nm LEFT JOIN wi USING (item)),
+         p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM base),
+         d1 AS (SELECT nij.i AS item,
+                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                FROM nij JOIN p0 pi ON pi.item = nij.i
+                         JOIN p0 pj ON pj.item = nij.j GROUP BY 1),
+         q1 AS (SELECT base.item,
+                       CAST(ROUND(base.wins * 1e12 / d1.den * 1e6, 0) AS BIGINT) AS q
+                FROM base JOIN d1 USING (item)),
+         s1 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q1),
+         p1 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
+                FROM q1 CROSS JOIN s1),
+         d2 AS (SELECT nij.i AS item,
+                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                FROM nij JOIN p1 pi ON pi.item = nij.i
+                         JOIN p1 pj ON pj.item = nij.j GROUP BY 1),
+         q2 AS (SELECT base.item,
+                       CAST(ROUND(base.wins * 1e12 / d2.den * 1e6, 0) AS BIGINT) AS q
+                FROM base JOIN d2 USING (item)),
+         s2 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q2),
+         p2 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
+                FROM q2 CROSS JOIN s2),
+         d3 AS (SELECT nij.i AS item,
+                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                FROM nij JOIN p2 pi ON pi.item = nij.i
+                         JOIN p2 pj ON pj.item = nij.j GROUP BY 1),
+         q3 AS (SELECT base.item,
+                       CAST(ROUND(base.wins * 1e12 / d3.den * 1e6, 0) AS BIGINT) AS q
+                FROM base JOIN d3 USING (item)),
+         s3 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q3),
+         p3 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
+                FROM q3 CROSS JOIN s3),
+         d4 AS (SELECT nij.i AS item,
+                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                FROM nij JOIN p3 pi ON pi.item = nij.i
+                         JOIN p3 pj ON pj.item = nij.j GROUP BY 1),
+         q4 AS (SELECT base.item,
+                       CAST(ROUND(base.wins * 1e12 / d4.den * 1e6, 0) AS BIGINT) AS q
+                FROM base JOIN d4 USING (item)),
+         s4 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q4),
+         p4 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
+                FROM q4 CROSS JOIN s4)
+         SELECT base.item, base.wins, base.n_matches, p4.p + 0.0 AS strength
+         FROM base JOIN p4 USING (item)""",
+
+    // micro-quantized lanes (the dq17 explode), exact HUGEINT centroid
+    // sums rounded to the micro grid, exact integer squared distances via
+    // a lane equi-join, integer mins, pico-pinned per-row silhouette
+    "v21_silhouette" ->
+      """WITH q AS (SELECT vec_id, label,
+                CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS lane,
+                CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e6, 0) AS BIGINT) AS qq
+             FROM embeddings WHERE embedding IS NOT NULL),
+         cent AS (SELECT label AS ccl, lane,
+                         CAST(ROUND(CAST(SUM(CAST(qq AS HUGEINT)) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) AS cq
+                  FROM q GROUP BY 1, 2),
+         d2 AS (SELECT q.vec_id, q.label, c.ccl,
+                       SUM(CAST(q.qq - c.cq AS HUGEINT) * (q.qq - c.cq)) AS dd
+                FROM q JOIN cent c ON c.lane = q.lane
+                GROUP BY 1, 2, 3),
+         ab AS (SELECT vec_id, label,
+                       MIN(CASE WHEN label = ccl THEN dd END) AS a2,
+                       MIN(CASE WHEN label <> ccl THEN dd END) AS b2
+                FROM d2 GROUP BY 1, 2),
+         s AS (SELECT label, a2, b2,
+                      SQRT(CAST(a2 AS DOUBLE)) AS a,
+                      SQRT(CAST(b2 AS DOUBLE)) AS b
+               FROM ab),
+         sp AS (SELECT label,
+                       CASE WHEN b2 IS NULL THEN CAST(0 AS BIGINT)
+                            WHEN GREATEST(a, b) > 0
+                              THEN CAST(ROUND((b - a) / GREATEST(a, b) * 1e12, 0) AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS spico
+                FROM s)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(CAST(SUM(spico) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  / 1e12, 6) + 0.0 AS mean_silhouette
+         FROM sp GROUP BY 1""",
+
+    // exact order statistic on the even-id calibration slice: the k-th
+    // smallest score with k = ceil((n+1)(1-α)) in exact integer ceil; the
+    // odd-id slice's coverage is two integer counts and one division
+    "a55_conformal" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS s, event_id,
+                           event_id % 2 = 0 AS c
+                    FROM events WHERE value IS NOT NULL),
+         cal AS (SELECT s, event_id FROM b WHERE c),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                      CAST(((COUNT(*) + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS k
+               FROM cal),
+         r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s ASC, event_id ASC) AS rn
+               FROM cal),
+         tau AS (SELECT r.s AS tau FROM r CROSS JOIN n WHERE r.rn = n.k),
+         t AS (SELECT s FROM b WHERE NOT c)
+         SELECT n.n_cal, n.k,
+                (SELECT tau FROM tau) + 0.0 AS tau,
+                CAST(COUNT(*) AS BIGINT) AS n_test,
+                CAST(SUM(CASE WHEN (SELECT tau FROM tau) IS NULL
+                               OR s <= (SELECT tau FROM tau)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                ROUND(CAST(SUM(CASE WHEN (SELECT tau FROM tau) IS NULL
+                                     OR s <= (SELECT tau FROM tau)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+         FROM t CROSS JOIN n GROUP BY 1, 2""",
+
+    // the same exact integer ceil and order statistic, PARTITIONED by
+    // event_type; groups present in both slices close with an inner join
+    "a56_group_conformal" ->
+      """WITH b AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS s,
+                           event_id, event_id % 2 = 0 AS c
+                    FROM events WHERE value IS NOT NULL),
+         cal AS (SELECT * FROM b WHERE c),
+         st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
+                       CAST(((COUNT(*) + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS k
+                FROM cal GROUP BY 1),
+         r AS (SELECT grp, s,
+                      ROW_NUMBER() OVER (PARTITION BY grp
+                        ORDER BY s ASC, event_id ASC) AS rn
+               FROM cal),
+         tau AS (SELECT r.grp, r.s AS tau
+                 FROM r JOIN st USING (grp) WHERE r.rn = st.k),
+         t AS (SELECT grp, s FROM b WHERE NOT c),
+         cov AS (SELECT t.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+                        CAST(SUM(CASE WHEN tau.tau IS NULL OR t.s <= tau.tau
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                        MAX(tau.tau) + 0.0 AS tau
+                 FROM t LEFT JOIN tau ON tau.grp = t.grp GROUP BY 1)
+         SELECT st.grp AS event_type, st.n_cal, st.k, cov.tau,
+                cov.n_test, cov.n_covered,
+                ROUND(CAST(cov.n_covered AS DOUBLE)
+                  / CAST(cov.n_test AS DOUBLE), 6) AS coverage
+         FROM st JOIN cov USING (grp)"""
   )
 }

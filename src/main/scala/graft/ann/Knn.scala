@@ -283,6 +283,139 @@ object Knn {
           .as("recall"))
   }
 
+  /** Rank-aware retrieval quality — MRR and graded nDCG — of an approximate
+    * ranked list against the exact one (both from [[bruteForceTopK]]-shaped
+    * frames: `query_id, neighbor_id, rank`). The set-blind complement of
+    * [[recallAtK]]: recall can't see that an index returns the true #1 at
+    * position k.
+    *
+    * Relevance grades come from the exact list: the true rank-r neighbor of
+    * a k-deep list has grade k−r+1, everything else 0. Then per query
+    * DCG = Σ grade_i / log2(i+1) over the approx ranks i, IDCG places the
+    * same grade multiset in best order — which is exactly the exact list's
+    * own order, so IDCG sums (k−r+1)/log2(r+1) over the exact frame with no
+    * extra sort. MRR = 1/rank of the first graded hit, 0 when none.
+    *
+    * Each per-position DCG term is pinned to integer picos before the sum
+    * (the repo-wide order-independence convention — per-query lists are
+    * tiny, but the contract is bit-stable sums everywhere), and both sides
+    * divide out at the close. One hash join on (query, neighbor) + two hash
+    * aggregates; nothing scales beyond |Q|·k rows.
+    */
+  def rankEval(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def picoTerm(grade: Column, pos: Column): Column =
+      round(grade.cast("double") / log2(pos.cast("double") + 1.0) * 1e12)
+        .cast("long")
+
+    val ex = exact.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__xr"))
+    val kq = ex.groupBy("query_id").agg(max(col("__xr")).as("k"))
+    val idcg = ex.join(kq, Seq("query_id"))
+      .groupBy("query_id")
+      .agg(sum(picoTerm(col("k") - col("__xr") + 1, col("__xr"))).as("__idcg"))
+
+    val ap = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__ar"))
+    val graded = ap.join(ex, Seq("query_id", "neighbor_id"), "left")
+      .join(kq, Seq("query_id"))
+      .withColumn("__rel",
+        when(col("__xr").isNotNull, col("k") - col("__xr") + 1)
+          .otherwise(lit(0L)))
+    val perQ = graded.groupBy("query_id")
+      .agg(sum(when(col("__rel") > 0, picoTerm(col("__rel"), col("__ar")))
+          .otherwise(lit(0L))).as("__dcg"),
+        min(when(col("__rel") > 0, col("__ar"))).as("first_hit_rank"),
+        count(when(col("__rel") > 0, lit(1))).as("n_hits"))
+
+    kq.join(idcg, Seq("query_id"))
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        (round(when(col("first_hit_rank").isNotNull,
+          lit(1.0) / col("first_hit_rank")).otherwise(lit(0.0)), 6) + lit(0.0))
+          .as("mrr"),
+        (round(coalesce(col("__dcg"), lit(0L)).cast("double") /
+          col("__idcg").cast("double"), 6) + lit(0.0)).as("ndcg"))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the linear-time
+    * clustering-quality audit (Hruschka et al. 2004's simplified variant of
+    * Rousseeuw 1987): a_i = distance to the own-cluster centroid, b_i = the
+    * nearest other centroid, s_i = (b−a)/max(a,b), averaged per cluster.
+    * The full silhouette's O(N²) pair distances never appear.
+    *
+    * Exactness discipline: lanes are micro-quantized longs, centroid lane
+    * means are exact DECIMAL sums rounded back to the micro grid, and every
+    * squared distance is an exact DECIMAL fold over the bounded dims — so
+    * a²/b² and their mins are integers, and the only doubles are two √ and
+    * one division per row, pico-pinned before the per-cluster mean (the
+    * repo's order-independent-sum convention).
+    *
+    * The ≤|clusters|·dim centroid frame is collected and re-enters as
+    * per-cluster literal arrays (the v03 k×dim-literal precedent), so the
+    * corpus is scanned twice with NO distance shuffle: once for centroids,
+    * once computing all k distances per row in one codegen'd projection.
+    * Rows with a missing cluster from the centroid pass can't exist (the
+    * centroids come from the same frame). Single-cluster corpora have no
+    * "other" centroid: s_i = 0 by convention.
+    */
+  def simplifiedSilhouette(df: DataFrame, id: String, emb: String,
+      bucket: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = df.filter(col(emb).isNotNull)
+      .select(col(id).as("__id"), col(bucket).as("__cl"),
+        transform(VectorFns.toDoubleArr(col(emb)),
+          x => round(x * lit(1e6), 0).cast("long")).as("__qv"))
+
+    val centRows = v
+      .select(col("__cl"), posexplode(col("__qv")).as(Seq("__lane", "__q")))
+      .groupBy("__cl", "__lane")
+      .agg(sum(dec(col("__q"))).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__cl"), col("__lane"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 0)
+          .cast("long").as("__cq"))
+      .collect() // bounded: |clusters| × dim rows, never data-sized
+    val centroids: Seq[(Any, Array[Long])] = centRows
+      .groupBy(_.get(0))
+      .map { case (cl, rows) =>
+        cl -> rows.sortBy(_.getAs[Int]("__lane")).map(_.getAs[Long]("__cq"))
+      }
+      .toSeq.sortBy(_._1.toString)
+
+    // one projection: the exact-integer squared distance to every centroid
+    val withD2 = v.select(col("__id") +: col("__cl") +:
+      centroids.zipWithIndex.map { case ((_, cq), i) =>
+        aggregate(
+          zip_with(col("__qv"), array(cq.map(lit(_)): _*),
+            (x, c) => dec(x - c) * dec(x - c)),
+          dec(lit(0)), (acc, t) => acc + t).as(s"__d2_$i")
+      }: _*)
+    val own = coalesce(centroids.zipWithIndex.map { case ((cl, _), i) =>
+      when(col("__cl") === lit(cl), col(s"__d2_$i"))
+    }: _*)
+    val others = centroids.zipWithIndex.map { case ((cl, _), i) =>
+      when(col("__cl") =!= lit(cl), col(s"__d2_$i"))
+    }
+    val nearestOther =
+      if (others.size == 1) others.head else least(others: _*)
+
+    val a = sqrt(col("__a2").cast("double"))
+    val b = sqrt(col("__b2").cast("double"))
+    val sPico = when(col("__b2").isNull, lit(0L))
+      .when(greatest(a, b) > 0,
+        round((b - a) / greatest(a, b) * lit(1e12), 0).cast("long"))
+      .otherwise(lit(0L))
+    withD2
+      .select(col("__id"), col("__cl"), own.as("__a2"),
+        nearestOther.as("__b2"))
+      .select(col("__cl"), sPico.as("__sp"))
+      .groupBy(col("__cl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("__sp")).cast("double") / count(lit(1)).cast("double")
+          / lit(1e12), 6) + lit(0.0)).as("mean_silhouette"))
+  }
+
   /** Sign-bit binarization of a ≤ 64-dim embedding into two 32-bit words
     * (bit i set iff component i > 0) — the 64-byte-vector → 8-byte-code
     * compression behind binary-quantized indexes. Two words rather than

@@ -51,7 +51,40 @@ object EvalOps {
     }.reduce(_ unionByName _)
 
     val lens = toks.select(col("__id"), size(col("__toks")).cast("long").as("__len"))
+    clippedOverlap(grams, lens, pairs, maxN)
+  }
 
+  /** [[ngramOverlap]] over CHARACTER n-grams of the whitespace-stripped
+    * text (the chrF convention — Popović 2015 strips spaces so the metric
+    * is tokenization-free). `len_c`/`len_r` are character counts.
+    */
+  def charNgramOverlap(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxN: Int): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val base = docs.select(col(idCol).as("__id"),
+      regexp_replace(col(textCol), "\\s+", "").as("__chars"))
+
+    // sequence(1, stop) DESCENDS when stop < 1 in Spark, so the < n docs
+    // are filtered out before the positional expansion, not guarded inside
+    val grams = (1 to maxN).map { n =>
+      base.filter(length(col("__chars")) >= n)
+        .select(col("__id"), lit(n).as("__n"),
+          explode(expr(s"transform(sequence(1, length(__chars) - ${n - 1}), " +
+            s"i -> substring(__chars, i, $n))")).as("__gram"))
+        .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
+    }.reduce(_ unionByName _)
+
+    val lens = base.select(col("__id"),
+      length(col("__chars")).cast("long").as("__len"))
+    clippedOverlap(grams, lens, pairs, maxN)
+  }
+
+  /** The shared clipped-match core: joins per-id gram-count frames to the
+    * pair list and closes m1..mN as exact integers (see [[ngramOverlap]]
+    * for the scale argument).
+    */
+  private def clippedOverlap(grams: DataFrame, lens: DataFrame,
+      pairs: DataFrame, maxN: Int): DataFrame = {
     val p = pairs.select(col("cand_id"), col("ref_id"))
     val matched = p
       .join(grams.as("gc"), col("cand_id") === col("gc.__id"))
@@ -114,5 +147,34 @@ object EvalOps {
       (round(r, 6) + lit(0.0)).as("rouge_r"),
       (round(p, 6) + lit(0.0)).as("rouge_p"),
       (round(f1, 6) + lit(0.0)).as("rouge_f1"))
+  }
+
+  /** Per-pair chrF (Popović 2015): character n-gram precision/recall
+    * macro-averaged over n = 1..maxN, combined as F-β (β = 2 weights
+    * recall 4×, the published default). An n with no grams on a side
+    * contributes 0 to that side's average (documented divergence from
+    * sacrebleu's skip-empty-n, which would make the divisor data-
+    * dependent). All per-row scalar math — order-independent, identical
+    * IEEE sequence on both engines — rounded 6dp at the close.
+    * Output: `cand_id, ref_id, len_c, len_r, chrf_p, chrf_r, chrf`.
+    */
+  def chrF(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxN: Int = 3, beta: Double = 2.0): DataFrame = {
+    val ov = charNgramOverlap(docs, idCol, textCol, pairs, maxN)
+    def totC(n: Int): Column = greatest(col("len_c") - (n - 1), lit(0L))
+    def totR(n: Int): Column = greatest(col("len_r") - (n - 1), lit(0L))
+    val p = (1 to maxN).map(n => when(totC(n) > 0,
+      col(s"m$n").cast("double") / totC(n).cast("double"))
+      .otherwise(lit(0.0))).reduce(_ + _) / maxN
+    val r = (1 to maxN).map(n => when(totR(n) > 0,
+      col(s"m$n").cast("double") / totR(n).cast("double"))
+      .otherwise(lit(0.0))).reduce(_ + _) / maxN
+    val b2 = beta * beta
+    val f = when(p + r > lit(0.0),
+      (lit(1.0 + b2) * p * r) / (lit(b2) * p + r)).otherwise(lit(0.0))
+    ov.select(col("cand_id"), col("ref_id"), col("len_c"), col("len_r"),
+      (round(p, 6) + lit(0.0)).as("chrf_p"),
+      (round(r, 6) + lit(0.0)).as("chrf_r"),
+      (round(f, 6) + lit(0.0)).as("chrf"))
   }
 }

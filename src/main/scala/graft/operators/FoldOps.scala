@@ -366,4 +366,105 @@ object FoldOps {
         round(num / col("__n").cast("double"), 6).as("advantage"),
         when(rad > 0.0, round(num / sqrt(rad), 6)).as("z"))
   }
+
+  /** Bradley–Terry strength fit over pairwise preference outcomes — the
+    * aggregation that turns arena-style "A beat B" judgments into per-item
+    * scores (Bradley & Terry 1952; Hunter 2004's MM iteration), the
+    * model-ranking half of a preference-data pipeline whose pair-building
+    * half is ml20's DPO construction.
+    *
+    * `matches` has one row per comparison (`winCol` beat `loseCol`). Items
+    * are BOUNDED BY CONSTRUCTION (policies/models/sources — a categorical
+    * key), so after two corpus-sized hash aggregates (win totals W_i and
+    * directed pair counts n_ij ≤ |items|² rows) every iteration runs on
+    * broadcast-sized frames.
+    *
+    * MM update: p_i ← W_i / Σ_j n_ij/(p_i + p_j), then sum-normalized.
+    * Every cross-row sum is an exact BIGINT in the repo's pinned-integer
+    * convention: per-pair denominator terms are pico-quantized
+    * (round(n·10¹²/(p_i+p_j))), the normalizer sums micro-quantized raw
+    * scores, and the new p is 6dp-pinned — so each iteration is a pure
+    * function of the previous 6dp frame, bit-stable on any engine or
+    * partitioning and mirrorable as unrolled SQL CTEs. A 10⁻⁶ floor keeps
+    * never-winning items from zeroing a later pair denominator (BT needs
+    * comparison-graph connectivity; the floor is the standard
+    * regularization stand-in). Per-iteration frames are localCheckpointed
+    * (bounded rows) so lineage doesn't compound — the pageRank discipline.
+    */
+  def bradleyTerry(matches: DataFrame, winCol: String, loseCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, "bradleyTerry requires iters >= 1")
+    val m = matches.select(col(winCol).as("__w"), col(loseCol).as("__l"))
+    val wins = m.groupBy(col("__w").as("item")).agg(count(lit(1)).as("wins"))
+    val directed = m.select(col("__w").as("i"), col("__l").as("j"))
+      .unionByName(m.select(col("__l").as("i"), col("__w").as("j")))
+    val nij = directed.groupBy("i", "j").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val base = nij.groupBy(col("i").as("item"))
+      .agg(sum("n").as("n_matches"))
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("n_matches"))
+      .localCheckpoint(false)
+
+    var p = base.select(col("item"), lit(1.0).as("p"))
+    for (_ <- 1 to iters) {
+      val den = nij
+        .join(broadcast(p.select(col("item").as("i"), col("p").as("pi"))), Seq("i"))
+        .join(broadcast(p.select(col("item").as("j"), col("p").as("pj"))), Seq("j"))
+        .groupBy(col("i").as("item"))
+        .agg(sum(round(col("n") * lit(1e12) / (col("pi") + col("pj")))
+          .cast("long")).as("__den"))
+      val q = base.join(den, Seq("item"))
+        .select(col("item"),
+          round(col("wins") * lit(1e12) / col("__den") * lit(1e6))
+            .cast("long").as("__q"))
+      val tot = q.agg(sum("__q").as("__tot"))
+      p = q.crossJoin(broadcast(tot))
+        .select(col("item"),
+          greatest(round(col("__q") / col("__tot"), 6), lit(1e-6)).as("p"))
+        .localCheckpoint(false)
+    }
+    base.join(p, Seq("item"))
+      .select(col("item"), col("wins"), col("n_matches"),
+        (col("p") + lit(0.0)).as("strength"))
+  }
+
+  /** Fill-in-middle (FIM) training transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"): each
+    * document is split at two token cuts and re-emitted in SPM order
+    * (suffix, prefix, middle) behind sentinel tokens, teaching infilling
+    * from a plain-causal objective.
+    *
+    * The cuts are a DETERMINISTIC function of the row id in exact modular
+    * integer arithmetic (no RNG) — reproducible across runs, engines,
+    * partitionings, and cluster sizes, the property every other sampler
+    * here (foldOf, hashBucket16, weightedPriority) is built around. With
+    * n tokens: cut1 ∈ [1, n-1] (0 when n < 2), cut2 ∈ [cut1, n], so
+    * prefix = toks[1..cut1], middle = toks[cut1+1..cut2], suffix =
+    * toks[cut2+1..n] partition the document; any segment may be empty.
+    *
+    * Pure projection — no shuffle, no UDF; the cuts are two `pmod`s, the
+    * segments array slices, all inside whole-stage codegen.
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFns.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val n = col("n_tokens")
+    val withCuts = base
+      .withColumn("cut1",
+        when(n > 1, pmod(col("doc_id") * 7, n - 1) + 1).otherwise(lit(0L)))
+      .withColumn("cut2",
+        col("cut1") + pmod(col("doc_id") * 13, n - col("cut1") + 1))
+    val prefix = array_join(slice(col("__toks"), lit(1), col("cut1").cast("int")), " ")
+    val middle = array_join(slice(col("__toks"), (col("cut1") + 1).cast("int"),
+      (col("cut2") - col("cut1")).cast("int")), " ")
+    val suffix = array_join(slice(col("__toks"), (col("cut2") + 1).cast("int"),
+      (n - col("cut2")).cast("int")), " ")
+    withCuts.select(col("doc_id"), col("n_tokens"), col("cut1"), col("cut2"),
+      prefix.as("prefix"), middle.as("middle"), suffix.as("suffix"),
+      concat_ws(" ", lit("<SUF>"), suffix, lit("<PRE>"), prefix,
+        lit("<MID>"), middle).as("fim"))
+  }
 }

@@ -582,4 +582,91 @@ object MetricsOps {
         round(col("__chifp") / 1e9, 6).as("hl_chi2"),
         (col("n_bins") - 2).as("df"))
   }
+
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2023's
+    * selective-prediction recipe): the 1−α quantile-with-correction of the
+    * calibration slice's nonconformity scores, τ = the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest score, then the empirical coverage P(score ≤ τ) on the
+    * held-out slice — the finite-sample-valid threshold an abstention gate
+    * runs with.
+    *
+    * The order statistic is EXACT via the two-phase global rank (never a
+    * single-partition sort); ties break on `tieCol` so the k-th row is
+    * engine-portable. When k exceeds n_cal (tiny calibration sets), τ is
+    * null and coverage is 1 by convention (the threshold is vacuous).
+    * Everything else is integer counts and one closing division.
+    * Output: ONE row `(n_cal, k, tau, n_test, n_covered, coverage)`.
+    */
+  def splitConformal(df: DataFrame, score: Column, tieCol: Column,
+      isCalib: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    // alpha on the 1e-6 grid so k = ceil((n+1)(1-alpha)) is EXACT integer
+    // arithmetic (ceil(a*m/q) = (a*m + q-1) div q) — never a float ceil
+    // teetering on an integer boundary
+    val m = math.round((1 - alpha) * 1e6)
+    val base = df.filter(score.isNotNull)
+      .select(score.cast("double").as("__s"), tieCol.as("__t"),
+        isCalib.cast("boolean").as("__c"))
+    val cal = base.filter(col("__c"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(s"((n_cal + 1) * ${m}L + 999999L) div 1000000L"))
+    val ranked = graft.operators.RankOps.globalRowNumber(cal,
+      Seq(col("__s").asc, col("__t").asc), "__rn")
+    val tau = ranked.crossJoin(broadcast(nCal))
+      .filter(col("__rn") === col("k"))
+      .select(col("__s").as("tau")) // EMPTY when k > n_cal: vacuous gate
+    val test = base.filter(!col("__c"))
+    test.join(broadcast(tau), lit(true), "left")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("tau").isNull || col("__s") <= col("tau"), 1L)
+          .otherwise(0L)).as("n_covered"),
+        (max(col("tau")) + lit(0.0)).as("tau"))
+      .crossJoin(broadcast(nCal))
+      .select(col("n_cal"), col("k"), col("tau"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** Mondrian (group-conditional) split conformal — [[splitConformal]]
+    * per category, the form that actually holds coverage per slice when
+    * score distributions differ across groups (Vovk's taxonomy-conditional
+    * validity). Everything is group-local: the order statistic is a
+    * per-group window rank (no global sort, no single partition, no
+    * broadcast of anything data-sized), so the plan scales with the
+    * natural (group, score) shuffle alone. Groups present in only one
+    * slice drop out (inner close) — a τ without test rows, or test rows
+    * without a τ contract, is unreportable either way.
+    * Output: one row per group
+    * `(<group>, n_cal, k, tau, n_test, n_covered, coverage)`.
+    */
+  def groupConformal(df: DataFrame, group: String, score: Column,
+      tieCol: Column, isCalib: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val m = math.round((1 - alpha) * 1e6)
+    val base = df.filter(score.isNotNull)
+      .select(col(group).as("__g"), score.cast("double").as("__s"),
+        tieCol.as("__t"), isCalib.cast("boolean").as("__c"))
+    val cal = base.filter(col("__c"))
+    val stats = cal.groupBy("__g").agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(s"((n_cal + 1) * ${m}L + 999999L) div 1000000L"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__s").asc, col("__t").asc)
+    val tau = cal.withColumn("__rn", row_number().over(w).cast("long"))
+      .join(stats, Seq("__g"))
+      .filter(col("__rn") === col("k"))
+      .select(col("__g"), col("__s").as("tau"))
+    val test = base.filter(!col("__c"))
+    val cov = test.join(tau, Seq("__g"), "left")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("tau").isNull || col("__s") <= col("tau"), 1L)
+          .otherwise(0L)).as("n_covered"),
+        (max(col("tau")) + lit(0.0)).as("tau"))
+    stats.join(cov, Seq("__g"))
+      .select(col("__g").as(group), col("n_cal"), col("k"), col("tau"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
 }

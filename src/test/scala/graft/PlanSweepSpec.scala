@@ -43,6 +43,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
     "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
     "v07_ann_recall" -> "bounded query set (vec_id < 8) on both result lists",
+    "v20_rank_eval" -> "bounded query set (vec_id < 8) on both ranked lists — the v07 exemption",
     "v08_pq_adc" -> "bounded query set (vec_id < 8) with literal codebook tables",
     "dq04_mad_outliers" -> "per-group median/MAD bounds frame",
     "a20_auprc" -> "bucket-offset triangle (globalCumsums) — <= shuffle-partition rows",
@@ -50,6 +51,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "dq05_ks" -> "bucket-offset triangle (globalCumsums) + 1-row sample totals",
     "w11_cum_uniques" -> "bucket-offset triangle: <= shuffle-partition rows (globalCumsum)",
     "pr01_pagerank" -> "1-row node count + 1-row dangling-mass frame per superstep",
+    "ml28_bradley_terry" -> "1-row micro-pinned normalizer total per MM iteration (4x) over the <=|sources|^2 pair frame",
+    "a55_conformal" -> "bucket-offset triangle (globalRowNumber) + 1-row (n_cal, k) and 1-row tau frames",
     "dq06_benford" -> "1-row digit-count total",
     "a24_gini" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
     "t22_zipf_fit" -> "bucket-offset triangle (globalRowNumber) over the vocab frame",

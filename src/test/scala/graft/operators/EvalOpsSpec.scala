@@ -60,4 +60,34 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rouge_r") === 0.0)
     assert(r.getAs[Double]("rouge_f1") === 0.0)
   }
+
+  test("chrF: hand-computed clipped char-gram averages") {
+    val d = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("cand_id", "ref_id")
+    val r = EvalOps.chrF(d, "doc_id", "text", pairs, maxN = 3).head()
+    // chars: "abab" vs "ab"; m1=2, m2=1, m3=0
+    // P = (2/4 + 1/3 + 0/2)/3 = 5/18; R = (2/2 + 1/1 + 0)/3 = 2/3
+    assert(r.getAs[Long]("len_c") === 4L)
+    assert(r.getAs[Long]("len_r") === 2L)
+    assert(r.getAs[Double]("chrf_p") === 0.277778)
+    assert(r.getAs[Double]("chrf_r") === 0.666667)
+    // F2 = 5PR/(4P+R) = (25/27)/(16/9) = 225/432
+    assert(r.getAs[Double]("chrf") === 0.520833)
+  }
+
+  test("chrF: identical pair scores 1; whitespace never matters") {
+    val d = Seq((1L, "a b  c"), (2L, "abc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("cand_id", "ref_id")
+    val r = EvalOps.chrF(d, "doc_id", "text", pairs, maxN = 3).head()
+    assert(r.getAs[Double]("chrf_p") === 1.0)
+    assert(r.getAs[Double]("chrf_r") === 1.0)
+    assert(r.getAs[Double]("chrf") === 1.0)
+  }
+
+  test("chrF: zero overlap scores 0 without dividing by zero") {
+    val d = Seq((1L, "xyz"), (2L, "abc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("cand_id", "ref_id")
+    val r = EvalOps.chrF(d, "doc_id", "text", pairs, maxN = 3).head()
+    assert(r.getAs[Double]("chrf") === 0.0)
+  }
 }

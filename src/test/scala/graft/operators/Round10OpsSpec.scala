@@ -129,6 +129,218 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(cvs.exists(v => v > 8.5 && v < 10.0))
   }
 
+  // --- fimSplit -----------------------------------------------------------
+
+  test("fimSplit: segments partition the document and cuts stay in range") {
+    val df = (0L until 12L).map(i => (i, toks("w", 5 + (i % 7).toInt)
+      .mkString(" "))).toDF("doc_id", "text")
+    val rows = FoldOps.fimSplit(df, "doc_id", "text").collect()
+    assert(rows.length === 12)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val (c1, c2) = (r.getAs[Long]("cut1"), r.getAs[Long]("cut2"))
+      assert(c1 >= 1 && c1 <= n - 1, s"cut1 $c1 out of [1, ${n - 1}]")
+      assert(c2 >= c1 && c2 <= n, s"cut2 $c2 out of [$c1, $n]")
+      // prefix ++ middle ++ suffix reassembles the original token stream
+      val re = Seq("prefix", "middle", "suffix")
+        .map(r.getAs[String]).filter(_.nonEmpty).mkString(" ")
+      val orig = toks("w", n.toInt).mkString(" ")
+      assert(re === orig, s"doc ${r.getAs[Long]("doc_id")} lost tokens")
+      val fim = r.getAs[String]("fim")
+      assert(fim.startsWith("<SUF>") && fim.contains("<PRE>") &&
+        fim.contains("<MID>"))
+    }
+  }
+
+  test("fimSplit: cuts are a pure function of doc_id — stable across runs") {
+    val df = (0L until 30L).map(i => (i, toks("t", 9).mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = FoldOps.fimSplit(df, "doc_id", "text")
+      .select("doc_id", "cut1", "cut2").collect().map(_.toSeq).toSet
+    val b = FoldOps.fimSplit(df.repartition(7), "doc_id", "text")
+      .select("doc_id", "cut1", "cut2").collect().map(_.toSeq).toSet
+    assert(a === b)
+    // same length → same relative cuts only when ids coincide mod n-1/n:
+    // with 30 ids over length 9 both cut positions are actually exercised
+    val c1s = a.map(_(1).asInstanceOf[Long]).toSet
+    assert(c1s.size > 1, "modular cut never varied")
+  }
+
+  test("fimSplit: single-token and empty-ish docs degrade without error") {
+    val df = Seq((4L, "only"), (6L, "a b")).toDF("doc_id", "text")
+    val rows = FoldOps.fimSplit(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val one = rows(4L)
+    assert(one.getAs[Long]("n_tokens") === 1L)
+    assert(one.getAs[Long]("cut1") === 0L)
+    assert(one.getAs[String]("prefix") === "")
+    val two = rows(6L)
+    assert(two.getAs[Long]("cut1") === 1L) // only legal interior cut
+  }
+
+  // --- simplifiedSilhouette -----------------------------------------------
+
+  test("simplifiedSilhouette: two well-separated clusters, hand distances") {
+    val df = Seq(
+      (1L, "A", Array(0f, 0f)), (2L, "A", Array(2f, 0f)),
+      (3L, "B", Array(10f, 0f)), (4L, "B", Array(12f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = graft.ann.Knn.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+      .collect().map(x => x.getAs[String]("label") -> x).toMap
+    // centroids (1,0) and (11,0); s = (10/11 + 8/9)/2 per cluster
+    assert(r("A").getAs[Long]("n") === 2L)
+    assert(r("A").getAs[Double]("mean_silhouette") === 0.89899)
+    assert(r("B").getAs[Double]("mean_silhouette") === 0.89899)
+  }
+
+  test("simplifiedSilhouette: single cluster scores 0 by convention") {
+    val df = Seq((1L, "A", Array(0f, 0f)), (2L, "A", Array(4f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = graft.ann.Knn.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+      .head()
+    assert(r.getAs[Double]("mean_silhouette") === 0.0)
+  }
+
+  test("simplifiedSilhouette: interleaved clusters score near zero or worse") {
+    val df = Seq(
+      (1L, "A", Array(0f, 0f)), (2L, "A", Array(10f, 0f)),
+      (3L, "B", Array(1f, 0f)), (4L, "B", Array(11f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = graft.ann.Knn.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+      .collect()
+    rows.foreach(x => assert(x.getAs[Double]("mean_silhouette") <= 0.0))
+  }
+
+  // --- splitConformal -----------------------------------------------------
+
+  test("splitConformal: hand-checked threshold and coverage") {
+    val cal = (1 to 10).map(i => (i.toLong, i.toDouble, true))
+    val test = Seq((100L, 5.0, false), (101L, 10.5, false))
+    val df = (cal ++ test).toDF("rid", "score", "is_cal")
+    val r = MetricsOps.splitConformal(df, col("score"), col("rid"),
+      col("is_cal"), alpha = 0.1).head()
+    // k = ceil(11 * 0.9) = 10 → tau = 10th smallest = 10.0
+    assert(r.getAs[Long]("n_cal") === 10L)
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Double]("tau") === 10.0)
+    assert(r.getAs[Long]("n_covered") === 1L)
+    assert(r.getAs[Double]("coverage") === 0.5)
+  }
+
+  test("splitConformal: k beyond the calibration set makes the gate vacuous") {
+    val df = Seq((1L, 1.0, true), (2L, 2.0, true), (3L, 3.0, true),
+      (4L, 99.0, false)).toDF("rid", "score", "is_cal")
+    val r = MetricsOps.splitConformal(df, col("score"), col("rid"),
+      col("is_cal"), alpha = 0.1).head()
+    assert(r.getAs[Long]("k") === 4L) // > n_cal = 3
+    assert(r.isNullAt(r.fieldIndex("tau")))
+    assert(r.getAs[Double]("coverage") === 1.0)
+  }
+
+  // --- groupConformal -----------------------------------------------------
+
+  test("groupConformal: per-group thresholds are independent") {
+    // group X: cal 1..10 (tau = 10); group Y: cal 101..110 (tau = 110)
+    val calX = (1 to 10).map(i => ("X", i.toLong, i.toDouble, true))
+    val calY = (1 to 10).map(i => ("Y", (100 + i).toLong, (100 + i).toDouble, true))
+    val testRows = Seq(("X", 900L, 10.0, false), ("X", 901L, 10.5, false),
+      ("Y", 902L, 105.0, false))
+    val df = (calX ++ calY ++ testRows).toDF("grp", "rid", "score", "is_cal")
+    val r = MetricsOps.groupConformal(df, "grp", col("score"), col("rid"),
+      col("is_cal"), alpha = 0.1)
+      .collect().map(x => x.getAs[String]("grp") -> x).toMap
+    assert(r("X").getAs[Double]("tau") === 10.0)
+    assert(r("X").getAs[Double]("coverage") === 0.5)
+    assert(r("Y").getAs[Double]("tau") === 110.0)
+    assert(r("Y").getAs[Double]("coverage") === 1.0)
+  }
+
+  test("groupConformal: a group with no test rows drops out") {
+    val df = Seq(("X", 1L, 1.0, true), ("X", 2L, 2.0, true),
+      ("X", 3L, 1.5, false),
+      ("Z", 4L, 9.0, true)).toDF("grp", "rid", "score", "is_cal")
+    val grps = MetricsOps.groupConformal(df, "grp", col("score"), col("rid"),
+      col("is_cal"), alpha = 0.1).collect().map(_.getAs[String]("grp")).toSet
+    assert(grps === Set("X"))
+  }
+
+  // --- bradleyTerry -------------------------------------------------------
+
+  test("bradleyTerry: two-item fixed point matches the closed-form MLE") {
+    // A beats B 3-1 → BT MLE has p_A/(p_A+p_B) = 3/4; normalized (.75,.25)
+    val m = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("winner", "loser")
+    val r = FoldOps.bradleyTerry(m, "winner", "loser", iters = 4)
+      .collect().map(x => x.getAs[String]("item") -> x).toMap
+    assert(r("A").getAs[Long]("wins") === 3L)
+    assert(r("A").getAs[Long]("n_matches") === 4L)
+    assert(r("A").getAs[Double]("strength") === 0.75)
+    assert(r("B").getAs[Double]("strength") === 0.25)
+  }
+
+  test("bradleyTerry: transitive wins order the strengths") {
+    val m = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"), ("A", "C"))
+      .toDF("winner", "loser")
+    val r = FoldOps.bradleyTerry(m, "winner", "loser", iters = 4)
+      .collect().map(x => x.getAs[String]("item") -> x.getAs[Double]("strength"))
+      .toMap
+    assert(r("A") > r("B") && r("B") > r("C"))
+  }
+
+  test("bradleyTerry: a never-winning item floors at 1e-6, not div-by-zero") {
+    val m = Seq(("A", "B"), ("A", "B")).toDF("winner", "loser")
+    val r = FoldOps.bradleyTerry(m, "winner", "loser", iters = 4)
+      .collect().map(x => x.getAs[String]("item") -> x).toMap
+    assert(r("B").getAs[Long]("wins") === 0L)
+    assert(r("B").getAs[Double]("strength") === 1e-6)
+    assert(r("A").getAs[Double]("strength") === 1.0)
+  }
+
+  // --- rankEval -----------------------------------------------------------
+
+  private def rankedDf(rows: Seq[(Long, Long, Int)]) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("rankEval: perfect ranking scores mrr = ndcg = 1") {
+    val exact = rankedDf(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    val r = graft.ann.Knn.rankEval(exact, exact).head()
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Long]("n_hits") === 3L)
+    assert(r.getAs[Long]("first_hit_rank") === 1L)
+    assert(r.getAs[Double]("mrr") === 1.0)
+    assert(r.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("rankEval: swapped pair — hand-checked pico DCG ratio") {
+    val exact = rankedDf(Seq((1L, 10L, 1), (1L, 11L, 2)))
+    val approx = rankedDf(Seq((1L, 11L, 1), (1L, 10L, 2)))
+    val r = graft.ann.Knn.rankEval(exact, approx).head()
+    // grades: 10→2, 11→1; DCG = 1/log2(2) + 2/log2(3), IDCG = 2 + 1/log2(3)
+    def pico(g: Double, pos: Double) =
+      math.round(g / (math.log(pos + 1) / math.log(2.0)) * 1e12)
+    val dcg = pico(1, 1) + pico(2, 2)
+    val idcg = pico(2, 1) + pico(1, 2)
+    val expected = math.round(dcg.toDouble / idcg * 1e6) / 1e6
+    assert(r.getAs[Double]("ndcg") === expected)
+    assert(r.getAs[Double]("mrr") === 1.0) // rank-1 item IS relevant (grade 1)
+    assert(r.getAs[Long]("first_hit_rank") === 1L)
+  }
+
+  test("rankEval: miss at the top halves MRR; full miss zeroes everything") {
+    val exact = rankedDf(Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (2L, 21L, 2)))
+    val approx = rankedDf(Seq(
+      (1L, 99L, 1), (1L, 10L, 2), // first hit at rank 2
+      (2L, 98L, 1), (2L, 97L, 2))) // no hits at all
+    val rows = graft.ann.Knn.rankEval(exact, approx)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(rows(1L).getAs[Double]("mrr") === 0.5)
+    assert(rows(1L).getAs[Long]("n_hits") === 1L)
+    assert(rows(2L).getAs[Double]("mrr") === 0.0)
+    assert(rows(2L).getAs[Double]("ndcg") === 0.0)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("first_hit_rank")))
+  }
+
   test("gopherRepetition: single-token doc has no bigram, zero fractions") {
     val df = Seq((1L, "lonely")).toDF("doc_id", "text")
     val r = QualityOps.gopherRepetition(df, "doc_id", "text").head()
