@@ -39,8 +39,8 @@ object EvalOps {
   def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val toks = docs.select(col(idCol).as("__id"),
-      TextFns.tokens(col(textCol)).as("__toks"))
+    val toks = restrictToPaired(docs, idCol, pairs)
+      .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
 
     // one gram frame per n, unioned with the n tag — each is one explode +
     // one hash agg; the union keeps a single (id, n, gram) join downstream
@@ -61,8 +61,9 @@ object EvalOps {
   def charNgramOverlap(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val base = docs.select(col(idCol).as("__id"),
-      regexp_replace(col(textCol), "\\s+", "").as("__chars"))
+    val base = restrictToPaired(docs, idCol, pairs)
+      .select(col(idCol).as("__id"),
+        regexp_replace(col(textCol), "\\s+", "").as("__chars"))
 
     // sequence(1, stop) DESCENDS when stop < 1 in Spark, so the < n docs
     // are filtered out before the positional expansion, not guarded inside
@@ -77,6 +78,18 @@ object EvalOps {
     val lens = base.select(col("__id"),
       length(col("__chars")).cast("long").as("__len"))
     clippedOverlap(grams, lens, pairs, maxN)
+  }
+
+  /** Gram frames are only needed for documents that appear in some pair —
+    * an eval set is typically a sliver of the corpus, so the explode runs
+    * behind a left-semi join on the pair ids (skinny, deduped by the
+    * semi-join itself) instead of over everything.
+    */
+  private def restrictToPaired(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("cand_id").as("__pid"))
+      .unionByName(pairs.select(col("ref_id").as("__pid")))
+    docs.join(ids, col(idCol) === col("__pid"), "left_semi")
   }
 
   /** The shared clipped-match core: joins per-id gram-count frames to the

@@ -683,4 +683,37 @@ object EventStreams {
       .select(col("win_start"), col("__x.bin"), col("__x.p_base"),
         col("__x.p_curr"), col("__x.psi_contrib"))
   }
+
+  /** Streaming conformal coverage monitor — the live half of
+    * `MetricsOps.groupConformal`: per-group thresholds τ are FROZEN from a
+    * batch calibration run (the frozen-model discipline of
+    * [[qualityGateStream]]), and the stream reports per-window empirical
+    * coverage P(score ≤ τ_g). Coverage drifting below 1−α is the
+    * canonical "recalibrate" alarm — conformal validity assumes
+    * exchangeability with the calibration slice, which live drift breaks.
+    *
+    * Stateless per row (one map lookup + one comparison) plus one
+    * watermarked windowed aggregate: state is ≤ |groups| cells per open
+    * window regardless of traffic. Groups without a calibration τ are
+    * ungated and dropped (no threshold contract to monitor).
+    */
+  def conformalCoverageStream(events: DataFrame, group: Column,
+      score: Column, ts: String, taus: Map[String, Double],
+      horizon: String, windowDur: String): DataFrame = {
+    val tmap = typedLit(taus)
+    events.filter(score.isNotNull)
+      .select(col(ts).as("__ts"), group.cast("string").as("grp"),
+        score.cast("double").as("__s"))
+      .withColumn("__tau", try_element_at(tmap, col("grp")))
+      .filter(col("__tau").isNotNull)
+      .withWatermark("__ts", horizon)
+      .groupBy(window(col("__ts"), windowDur).as("w"), col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s") <= col("__tau"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("w.start").as("win_start"), col("grp"), col("n"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n").cast("double"), 6)
+          .as("coverage"))
+  }
 }

@@ -694,4 +694,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == 1) && streamed.exists(_._2 == 0))
     assert(streamed === batch)
   }
+
+  test("streaming conformal coverage (frozen per-group tau) equals batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-conformal")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+
+    // FROZEN thresholds from the batch Mondrian calibration (even ids)
+    val taus = graft.operators.MetricsOps
+      .groupConformal(ev, "event_type", col("value"), col("event_id"),
+        col("event_id") % 2 === 0, alpha = 0.1)
+      .select(col("event_type"), col("tau")).collect()
+      .flatMap(r => Option(r.get(1)).map(t =>
+        r.getString(0) -> t.asInstanceOf[Double])).toMap
+    assert(taus.nonEmpty)
+
+    val stream = EventStreams.conformalCoverageStream(
+      EventStreams.withEventTime(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)),
+      col("event_type"), col("value"), "ts", taus,
+      horizon = "48 hours", windowDur = "1 day")
+    val q = stream.writeStream
+      .format("memory").queryName("conf").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("conf")
+      .as[(java.sql.Timestamp, String, Long, Long, Double)].collect().toSet
+
+    val tmap = typedLit(taus)
+    val batch = ev.filter(col("value").isNotNull)
+      .select(col("ts"), col("event_type").cast("string").as("grp"),
+        col("value").cast("double").as("__s"))
+      .withColumn("__tau", try_element_at(tmap, col("grp")))
+      .filter(col("__tau").isNotNull)
+      .groupBy(window(col("ts"), "1 day"), col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s") <= col("__tau"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("window.start").as("win_start"), col("grp"), col("n"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n").cast("double"), 6)
+          .as("coverage"))
+      .as[(java.sql.Timestamp, String, Long, Long, Double)].collect().toSet
+
+    assert(streamed.nonEmpty)
+    // state boundedness: one cell per (window, calibrated group)
+    val perWin = streamed.groupBy(_._1).view.mapValues(_.size)
+    assert(perWin.values.forall(_ <= taus.size))
+    assert(streamed === batch)
+  }
 }
