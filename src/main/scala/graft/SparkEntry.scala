@@ -4022,7 +4022,18 @@ object SparkEntry {
     // the slice-conditional coverage guarantee, no global sort anywhere
     "a56_group_conformal" -> ((s, d) =>
       MetricsOps.groupConformal(ev(s, d), "event_type", col("value"),
-        col("event_id"), col("event_id") % 2 === 0, alpha = 0.1))
+        col("event_id"), col("event_id") % 2 === 0, alpha = 0.1)),
+
+    // per-cluster quantization distortion (mean/RMS/max own-centroid
+    // distance) — the IVF index-health report off v21's exact-integer
+    // centroid machinery
+    "v22_quant_distortion" -> ((s, d) =>
+      Knn.quantizationDistortion(emb(s, d), "vec_id", "embedding", "label")),
+
+    // keyword-in-context concordance: ±3-token windows around every
+    // occurrence of "spark" — linear posexplode, term-count output
+    "t50_kwic" -> ((s, d) =>
+      QualityOps.kwic(docs(s, d), "doc_id", "text", "spark", 3))
   )
 
   /** Deterministic eval pairing for `t47_bleu` / `t48_rouge2`: every even
@@ -11375,6 +11386,46 @@ object SparkEntry {
                 cov.n_test, cov.n_covered,
                 ROUND(CAST(cov.n_covered AS DOUBLE)
                   / CAST(cov.n_test AS DOUBLE), 6) AS coverage
-         FROM st JOIN cov USING (grp)"""
+         FROM st JOIN cov USING (grp)""",
+
+    // v21's micro-lane/centroid CTEs, own-cluster distances only; exact
+    // HUGEINT sums/max into one division and one sqrt per output cell
+    "v22_quant_distortion" ->
+      """WITH q AS (SELECT vec_id, label,
+                CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS lane,
+                CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e6, 0) AS BIGINT) AS qq
+             FROM embeddings WHERE embedding IS NOT NULL),
+         cent AS (SELECT label AS ccl, lane,
+                         CAST(ROUND(CAST(SUM(CAST(qq AS HUGEINT)) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) AS cq
+                  FROM q GROUP BY 1, 2),
+         d2 AS (SELECT q.vec_id, q.label,
+                       SUM(CAST(q.qq - c.cq AS HUGEINT) * (q.qq - c.cq)) AS dd
+                FROM q JOIN cent c ON c.lane = q.lane AND c.ccl = q.label
+                GROUP BY 1, 2)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(CAST(SUM(dd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  / 1e12, 6) + 0.0 AS mean_d2,
+                ROUND(SQRT(CAST(SUM(dd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  / 1e6, 6) + 0.0 AS rms_dist,
+                ROUND(SQRT(CAST(MAX(dd) AS DOUBLE)) / 1e6, 6) + 0.0 AS max_dist
+         FROM d2 GROUP BY 1""",
+
+    // 1-based subscripts off the same token array; edge windows clip via
+    // GREATEST/LEAST slicing, empty slices coalesce to '' as in Spark
+    "t50_kwic" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n,
+                      CAST(generate_subscripts(toks, 1) AS BIGINT) AS i,
+                      UNNEST(toks) AS tok
+               FROM t)
+         SELECT doc_id, i - 1 AS pos,
+                COALESCE(ARRAY_TO_STRING(toks[GREATEST(i - 3, 1):i - 1], ' '), '')
+                  AS left_ctx,
+                tok AS term,
+                COALESCE(ARRAY_TO_STRING(toks[i + 1:LEAST(i + 3, n)], ' '), '')
+                  AS right_ctx
+         FROM h WHERE tok = 'spark'"""
   )
 }

@@ -363,25 +363,7 @@ object Knn {
   def simplifiedSilhouette(df: DataFrame, id: String, emb: String,
       bucket: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val v = df.filter(col(emb).isNotNull)
-      .select(col(id).as("__id"), col(bucket).as("__cl"),
-        transform(VectorFns.toDoubleArr(col(emb)),
-          x => round(x * lit(1e6), 0).cast("long")).as("__qv"))
-
-    val centRows = v
-      .select(col("__cl"), posexplode(col("__qv")).as(Seq("__lane", "__q")))
-      .groupBy("__cl", "__lane")
-      .agg(sum(dec(col("__q"))).as("__s"), count(lit(1)).as("__n"))
-      .select(col("__cl"), col("__lane"),
-        round(col("__s").cast("double") / col("__n").cast("double"), 0)
-          .cast("long").as("__cq"))
-      .collect() // bounded: |clusters| × dim rows, never data-sized
-    val centroids: Seq[(Any, Array[Long])] = centRows
-      .groupBy(_.get(0))
-      .map { case (cl, rows) =>
-        cl -> rows.sortBy(_.getAs[Int]("__lane")).map(_.getAs[Long]("__cq"))
-      }
-      .toSeq.sortBy(_._1.toString)
+    val (v, centroids) = microLanesAndCentroids(df, id, emb, bucket)
 
     // one projection: the exact-integer squared distance to every centroid
     val withD2 = v.select(col("__id") +: col("__cl") +:
@@ -414,6 +396,68 @@ object Knn {
       .agg(count(lit(1)).as("n"),
         (round(sum(col("__sp")).cast("double") / count(lit(1)).cast("double")
           / lit(1e12), 6) + lit(0.0)).as("mean_silhouette"))
+  }
+
+  /** Shared front end of the centroid-based cluster audits: the corpus as
+    * micro-quantized integer lane arrays, plus per-cluster centroids —
+    * exact DECIMAL lane sums rounded back to the micro grid — collected as
+    * a bounded |clusters| × dim literal table (the v03 precedent), sorted
+    * by cluster key for deterministic expression construction.
+    */
+  private def microLanesAndCentroids(df: DataFrame, id: String, emb: String,
+      bucket: String): (DataFrame, Seq[(Any, Array[Long])]) = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = df.filter(col(emb).isNotNull)
+      .select(col(id).as("__id"), col(bucket).as("__cl"),
+        transform(VectorFns.toDoubleArr(col(emb)),
+          x => round(x * lit(1e6), 0).cast("long")).as("__qv"))
+    val centRows = v
+      .select(col("__cl"), posexplode(col("__qv")).as(Seq("__lane", "__q")))
+      .groupBy("__cl", "__lane")
+      .agg(sum(dec(col("__q"))).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__cl"), col("__lane"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 0)
+          .cast("long").as("__cq"))
+      .collect() // bounded: |clusters| × dim rows, never data-sized
+    val centroids: Seq[(Any, Array[Long])] = centRows
+      .groupBy(_.get(0))
+      .map { case (cl, rows) =>
+        cl -> rows.sortBy(_.getAs[Int]("__lane")).map(_.getAs[Long]("__cq"))
+      }
+      .toSeq.sortBy(_._1.toString)
+    (v, centroids)
+  }
+
+  /** Per-cluster quantization distortion — the IVF/k-means index-health
+    * report: exact integer squared distance of every vector to its OWN
+    * centroid, closed per cluster as n, mean squared error, RMS distance
+    * and max distance. A cluster whose RMS rivals the inter-centroid
+    * spacing is quantizing badly (probe lists stop pruning); max catches
+    * stragglers assigned across a cluster boundary. Same exactness
+    * discipline as [[simplifiedSilhouette]]: all integers to the close,
+    * then one division and one √ per output cell.
+    */
+  def quantizationDistortion(df: DataFrame, id: String, emb: String,
+      bucket: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (v, centroids) = microLanesAndCentroids(df, id, emb, bucket)
+    val ownD2 = coalesce(centroids.map { case (cl, cq) =>
+      when(col("__cl") === lit(cl),
+        aggregate(
+          zip_with(col("__qv"), array(cq.map(lit(_)): _*),
+            (x, c) => dec(x - c) * dec(x - c)),
+          dec(lit(0)), (acc, t) => acc + t))
+    }: _*)
+    v.select(col("__cl"), ownD2.as("__d2"))
+      .groupBy(col("__cl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d2")).as("__sum"), max(col("__d2")).as("__max"))
+      .select(col("label"), col("n"),
+        round(col("__sum").cast("double") / col("n").cast("double") / 1e12, 6)
+          .as("mean_d2"),
+        round(sqrt(col("__sum").cast("double") / col("n").cast("double"))
+          / 1e6, 6).as("rms_dist"),
+        round(sqrt(col("__max").cast("double")) / 1e6, 6).as("max_dist"))
   }
 
   /** Sign-bit binarization of a ≤ 64-dim embedding into two 32-bit words

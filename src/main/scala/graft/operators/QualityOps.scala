@@ -532,4 +532,35 @@ object QualityOps {
         round(lit(1e4) * (col("__sm2") - col("n_tokens")).cast("double") /
           (col("n_tokens").cast("double") * col("n_tokens")), 6).as("yules_k"))
   }
+
+  /** Keyword-in-context (KWIC) concordance: every occurrence of `term`
+    * with its ±`w`-token window — the corpus-exploration view behind
+    * "show me how the corpus uses X" (and the span-extraction primitive
+    * for weak labeling). One posexplode + a position filter; the windows
+    * are array slices of the already-materialized token array, so cost is
+    * linear in corpus tokens with term-count output rows. Windows clip at
+    * document edges (no padding).
+    * Output: `doc_id, pos` (0-based token position), `left_ctx, term,
+    * right_ctx` (space-joined, empty at edges).
+    */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+      term: String, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val hits = docs
+      .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") === term)
+    // the 0-based hit __pos is 1-based array index __pos + 1
+    val lstart = greatest(col("__pos") + 1 - w, lit(1))
+    val llen = (col("__pos") + 1 - lstart).cast("int")
+    val rlen = least(lit(w.toLong), col("__n") - (col("__pos") + 1)).cast("int")
+    hits.select(col("doc_id"), col("__pos").cast("long").as("pos"),
+      array_join(slice(col("__toks"), lstart.cast("int"), llen), " ")
+        .as("left_ctx"),
+      col("__tok").as("term"),
+      array_join(slice(col("__toks"), (col("__pos") + 2).cast("int"), rlen), " ")
+        .as("right_ctx"))
+  }
 }

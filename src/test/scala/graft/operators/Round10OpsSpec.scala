@@ -211,6 +211,50 @@ class Round10OpsSpec extends AnyFunSuite {
     rows.foreach(x => assert(x.getAs[Double]("mean_silhouette") <= 0.0))
   }
 
+  // --- quantizationDistortion ----------------------------------------------
+
+  test("quantizationDistortion: hand-checked mean/rms/max per cluster") {
+    val df = Seq(
+      (1L, "A", Array(0f, 0f)), (2L, "A", Array(2f, 0f)),
+      (3L, "B", Array(5f, 0f))).toDF("vec_id", "label", "embedding")
+    val r = graft.ann.Knn
+      .quantizationDistortion(df, "vec_id", "embedding", "label")
+      .collect().map(x => x.getAs[String]("label") -> x).toMap
+    // A: centroid (1,0), both points at distance 1
+    assert(r("A").getAs[Long]("n") === 2L)
+    assert(r("A").getAs[Double]("mean_d2") === 1.0)
+    assert(r("A").getAs[Double]("rms_dist") === 1.0)
+    assert(r("A").getAs[Double]("max_dist") === 1.0)
+    // B: singleton sits on its centroid
+    assert(r("B").getAs[Double]("max_dist") === 0.0)
+  }
+
+  // --- kwic ----------------------------------------------------------------
+
+  test("kwic: windows clip at document edges") {
+    val df = Seq(
+      (1L, "a b spark c d"),
+      (2L, "spark x y z w"),
+      (3L, "no hits here")).toDF("doc_id", "text")
+    val rows = QualityOps.kwic(df, "doc_id", "text", "spark", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size === 2)
+    assert(rows(1L).getAs[Long]("pos") === 2L)
+    assert(rows(1L).getAs[String]("left_ctx") === "a b")
+    assert(rows(1L).getAs[String]("right_ctx") === "c d")
+    assert(rows(2L).getAs[String]("left_ctx") === "")
+    assert(rows(2L).getAs[String]("right_ctx") === "x y z")
+  }
+
+  test("kwic: every occurrence gets its own row") {
+    val df = Seq((1L, "spark a spark b spark")).toDF("doc_id", "text")
+    val rows = QualityOps.kwic(df, "doc_id", "text", "spark", 2).collect()
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === Seq(0L, 2L, 4L))
+    val last = rows.maxBy(_.getAs[Long]("pos"))
+    assert(last.getAs[String]("left_ctx") === "spark b")
+    assert(last.getAs[String]("right_ctx") === "")
+  }
+
   // --- splitConformal -----------------------------------------------------
 
   test("splitConformal: hand-checked threshold and coverage") {
