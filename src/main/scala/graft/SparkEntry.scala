@@ -4033,7 +4033,14 @@ object SparkEntry {
     // keyword-in-context concordance: ±3-token windows around every
     // occurrence of "spark" — linear posexplode, term-count output
     "t50_kwic" -> ((s, d) =>
-      QualityOps.kwic(docs(s, d), "doc_id", "text", "spark", 3))
+      QualityOps.kwic(docs(s, d), "doc_id", "text", "spark", 3)),
+
+    // ExactSubstr span REMOVAL (Lee et al. 2022's actual transform):
+    // d22's duplicated islands dropped from every document, survivors
+    // re-joined — one positional filter per doc, no token-level join
+    "d24_span_scrub" -> ((s, d) =>
+      QualityOps.exactSubstrScrub(docs(s, d), "doc_id", "text",
+        minLen = 5, cap = 64))
   )
 
   /** Deterministic eval pairing for `t47_bleu` / `t48_rouge2`: every even
@@ -11426,6 +11433,65 @@ object SparkEntry {
                 tok AS term,
                 COALESCE(ARRAY_TO_STRING(toks[i + 1:LEAST(i + 3, n)], ' '), '')
                   AS right_ctx
-         FROM h WHERE tok = 'spark'"""
+         FROM h WHERE tok = 'spark'""",
+
+    // d22's island CTEs, then a positional anti-exists against the merged
+    // intervals; survivors re-aggregate in token order
+    "d24_span_scrub" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS (SELECT doc_id, toks, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         cand AS (SELECT gh.doc_id, gh.pos,
+                         toks[gh.pos + 1 : gh.pos + 64] AS sfx
+                  FROM gh JOIN dup USING (h)),
+         rk AS (SELECT doc_id, pos, sfx,
+                       ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
+                                          doc_id, pos) AS rn
+                FROM cand),
+         nx AS (SELECT a.rn,
+                       CAST(COALESCE(
+                         LIST_MIN(LIST_FILTER(
+                           GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
+                           i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
+                         LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
+                FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+         sp AS (SELECT r.doc_id, r.pos,
+                       GREATEST(COALESCE(n1.lcpn, 0), COALESCE(n0.lcpn, 0))
+                         AS len
+                FROM rk r
+                LEFT JOIN nx n1 ON n1.rn = r.rn
+                LEFT JOIN nx n0 ON n0.rn = r.rn - 1
+                WHERE GREATEST(COALESCE(n1.lcpn, 0), COALESCE(n0.lcpn, 0)) >= 5),
+         il AS (SELECT doc_id, pos, len,
+                       MAX(pos + len) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS rmax
+                FROM sp),
+         ili AS (SELECT doc_id, pos, len,
+                        SUM(CASE WHEN rmax IS NULL OR pos >= rmax
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                 FROM il),
+         pis AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + len) AS e
+                 FROM ili GROUP BY 1, 2),
+         posn AS (SELECT doc_id, toks,
+                         UNNEST(GENERATE_SERIES(0, CAST(n - 1 AS INT))) AS p
+                  FROM tk WHERE n >= 1),
+         kept AS (SELECT posn.doc_id, posn.p, posn.toks[posn.p + 1] AS tok
+                  FROM posn
+                  WHERE NOT EXISTS (SELECT 1 FROM pis i
+                                    WHERE i.doc_id = posn.doc_id
+                                      AND posn.p >= i.s AND posn.p < i.e))
+         SELECT tk.doc_id, CAST(tk.n AS BIGINT) AS n_toks,
+                CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+                COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.p), '') AS scrubbed
+         FROM tk LEFT JOIN kept k USING (doc_id)
+         GROUP BY tk.doc_id, tk.n"""
   )
 }

@@ -321,6 +321,32 @@ object QualityOps {
       .select(col(id), TextFns.tokens(col(text)).as("__t"))
       .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
       .localCheckpoint(false)
+    val perIsland = dupIslandBounds(toks, id, minLen, cap)
+      .select(col(id), (col("__e") - col("__s")).as("__slen"))
+    val perDoc = perIsland.groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"), max(col("__slen")).as("max_span"),
+        sum(col("__slen")).as("covered_tokens"))
+    // toks is one row per doc already — joining the raw relation back in
+    // would only re-introduce the shared-lineage branch the fresh-alias
+    // projection above exists to avoid
+    toks.select(col(id), col("n_toks"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_toks"), 6).as("coverage"))
+  }
+
+  /** The merged duplicated-token intervals per doc — `(id, __s, __e)` with
+    * positions 0-based and `__e` exclusive — shared by the span REPORT
+    * ([[exactSubstrSpans]]) and the span SCRUB ([[exactSubstrScrub]]):
+    * ranked duplicated suffixes → adjacent-suffix token LCP → gaps-and-
+    * islands union of overlapping spans.
+    */
+  private def dupIslandBounds(toks: DataFrame, id: String,
+      minLen: Int, cap: Int): DataFrame = {
     val ranked = rankedDupSuffixes(toks, id, minLen, cap)
     val nxt = ranked.alias("a")
       .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
@@ -343,23 +369,44 @@ object QualityOps {
         when(col("__rmax").isNull || col("pos") >= col("__rmax"), 1L)
           .otherwise(0L))
       .withColumn("__isl", sum(col("__new")).over(w))
-    val perIsland = islands.groupBy(col(id), col("__isl"))
+    islands.groupBy(col(id), col("__isl"))
       .agg(min(col("pos")).as("__s"), max(col("pos") + col("__len")).as("__e"))
-      .select(col(id), (col("__e") - col("__s")).as("__slen"))
-    val perDoc = perIsland.groupBy(col(id))
-      .agg(count(lit(1)).as("n_spans"), max(col("__slen")).as("max_span"),
-        sum(col("__slen")).as("covered_tokens"))
-    // toks is one row per doc already — joining the raw relation back in
-    // would only re-introduce the shared-lineage branch the fresh-alias
-    // projection above exists to avoid
-    toks.select(col(id), col("n_toks"))
-      .join(perDoc, Seq(id), "left")
-      .select(col(id), col("n_toks"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("max_span"), lit(0L)).as("max_span"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
-          col("n_toks"), 6).as("coverage"))
+      .select(col(id), col("__s"), col("__e"))
+  }
+
+  /** ExactSubstr span REMOVAL — Lee et al. 2022's actual training-data
+    * transform: every token position inside a duplicated island (d22's
+    * intervals) is dropped from the document and the survivors re-join as
+    * the scrubbed text. Matches the reference tooling's convention of
+    * removing EVERY occurrence of a duplicated substring, not all-but-one
+    * (the conservative form; pair it with d23's attribution when a
+    * keep-one policy is wanted).
+    *
+    * The island list re-enters per doc as one array column (islands per
+    * doc are few by construction — they are maximal merged intervals), so
+    * the scrub itself is a single codegen'd positional `filter` over the
+    * already-materialized token array: no token-level join, no shuffle
+    * beyond d22's own machinery.
+    * Output: `id, n_toks, n_kept, scrubbed`.
+    */
+  def exactSubstrScrub(docs: DataFrame, id: String, text: String,
+      minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
+      .localCheckpoint(false)
+    val spansPerDoc = dupIslandBounds(toks, id, minLen, cap)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e")))
+        .as("__spans"))
+    val kept = when(col("__spans").isNull, col("__t"))
+      .otherwise(filter(col("__t"), (_, i) =>
+        !exists(col("__spans"),
+          sp => i >= sp.getField("s") && i < sp.getField("e"))))
+    toks.join(spansPerDoc, Seq(id), "left")
+      .select(col(id), col("n_toks").cast("long").as("n_toks"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("scrubbed"))
   }
 
   /** Cross-document attribution of duplicated spans — WHICH doc pairs

@@ -82,4 +82,36 @@ class ExactSubstrSpec extends AnyFunSuite {
     val r = QualityOps.exactSubstrSpans(df, "doc_id", "text").collect()
     assert(r.forall(_.getAs[Long]("n_spans") === 0L))
   }
+
+  test("scrub removes the planted span from BOTH docs, keeps the rest") {
+    val span = toks("s", 50)
+    val a = doc(toks("u", 20), span, toks("v", 20)) // 90 tokens
+    val b = doc(toks("w", 20), span, toks("x", 20))
+    val c = doc(toks("y", 40))
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = QualityOps.exactSubstrScrub(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_toks") === 90L)
+    assert(r(1L).getAs[Long]("n_kept") === 40L)
+    assert(r(1L).getAs[String]("scrubbed") ===
+      doc(toks("u", 20), toks("v", 20)))
+    assert(r(2L).getAs[String]("scrubbed") ===
+      doc(toks("w", 20), toks("x", 20)))
+    // the clean doc survives verbatim
+    assert(r(3L).getAs[Long]("n_kept") === 40L)
+    assert(r(3L).getAs[String]("scrubbed") === c)
+  }
+
+  test("scrub report agrees with the span report's covered_tokens") {
+    val span = toks("s", 10)
+    val a = doc(span, toks("u", 5), span) // within-doc repetition
+    val df = Seq((1L, a), (2L, doc(toks("z", 30)))).toDF("doc_id", "text")
+    val spans = QualityOps.exactSubstrSpans(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("covered_tokens")).toMap
+    val scrub = QualityOps.exactSubstrScrub(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_toks") - x.getAs[Long]("n_kept"))).toMap
+    assert(spans === scrub)
+  }
 }
