@@ -4040,7 +4040,23 @@ object SparkEntry {
     // re-joined — one positional filter per doc, no token-level join
     "d24_span_scrub" -> ((s, d) =>
       QualityOps.exactSubstrScrub(docs(s, d), "doc_id", "text",
-        minLen = 5, cap = 64))
+        minLen = 5, cap = 64)),
+
+    // the composed per-pair eval report — BLEU-2 ⋈ ROUGE-2 ⋈ chrF on the
+    // same pairing, the 14th hash-gated e2e chain (metric interactions,
+    // not just stages); each side is the already-oracled operator
+    "e2e_eval_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val p = evalPairs(s, d)
+      EvalOps.bleu(dd, "doc_id", "text", p, maxN = 2)
+        .select("cand_id", "ref_id", "len_c", "len_r", "bp", "bleu")
+        .join(EvalOps.rougeN(dd, "doc_id", "text", p, n = 2)
+          .select("cand_id", "ref_id", "rouge_r", "rouge_p", "rouge_f1"),
+          Seq("cand_id", "ref_id"))
+        .join(EvalOps.chrF(dd, "doc_id", "text", p, maxN = 3)
+          .select("cand_id", "ref_id", "chrf_p", "chrf_r", "chrf"),
+          Seq("cand_id", "ref_id"))
+    })
   )
 
   /** Deterministic eval pairing for `t47_bleu` / `t48_rouge2`: every even
@@ -11492,6 +11508,122 @@ object SparkEntry {
                 CAST(COUNT(k.p) AS BIGINT) AS n_kept,
                 COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.p), '') AS scrubbed
          FROM tk LEFT JOIN kept k USING (doc_id)
-         GROUP BY tk.doc_id, tk.n"""
+         GROUP BY tk.doc_id, tk.n""",
+
+    // t47 ⋈ t48 ⋈ t49 stitched over shared CTEs (the bigram clipped
+    // matches feed both BLEU and ROUGE) — every close identical to the
+    // standalone oracles so the joined report hashes the same cells
+    "e2e_eval_report" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+                    FROM documents),
+         p AS (SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+               FROM documents a JOIN documents b
+                 ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+                    AND a.lang = b.lang),
+         g1 AS (SELECT doc_id, tok AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) GROUP BY 1, 2),
+         g2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id,
+                             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                               k -> toks[k] || ' ' || toks[k+1])) AS gram
+                      FROM t WHERE LEN(toks) >= 2) GROUP BY 1, 2),
+         l AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS len FROM t),
+         o1 AS (SELECT p.cand_id, p.ref_id,
+                       CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+                FROM p JOIN g1 c ON c.doc_id = p.cand_id
+                       JOIN g1 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+                GROUP BY 1, 2),
+         o2 AS (SELECT p.cand_id, p.ref_id,
+                       CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+                FROM p JOIN g2 c ON c.doc_id = p.cand_id
+                       JOIN g2 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+                GROUP BY 1, 2),
+         bb AS (SELECT p.cand_id, p.ref_id,
+                       CAST(COALESCE(o1.m, 0) AS BIGINT) AS m1,
+                       CAST(COALESCE(o2.m, 0) AS BIGINT) AS m2,
+                       lc.len AS len_c, lr.len AS len_r,
+                       CASE WHEN lc.len >= lr.len THEN 1.0
+                            ELSE EXP(1.0 - lr.len / CAST(lc.len AS DOUBLE))
+                       END AS bpr
+                FROM p JOIN l lc ON lc.doc_id = p.cand_id
+                       JOIN l lr ON lr.doc_id = p.ref_id
+                       LEFT JOIN o1 ON o1.cand_id = p.cand_id
+                                   AND o1.ref_id = p.ref_id
+                       LEFT JOIN o2 ON o2.cand_id = p.cand_id
+                                   AND o2.ref_id = p.ref_id),
+         bleu AS (SELECT cand_id, ref_id, len_c, len_r,
+                         ROUND(bpr, 6) + 0.0 AS bp,
+                         CASE WHEN m1 = 0 OR m2 = 0 OR len_c < 2 THEN 0.0
+                              ELSE ROUND(bpr * EXP((LN(m1 / CAST(len_c AS DOUBLE))
+                                + LN(m2 / CAST(len_c - 1 AS DOUBLE))) / 2), 6)
+                         END + 0.0 AS bleu
+                  FROM bb),
+         rouge AS (SELECT cand_id, ref_id,
+                          ROUND(r, 6) + 0.0 AS rouge_r,
+                          ROUND(pr, 6) + 0.0 AS rouge_p,
+                          ROUND(CASE WHEN r + pr > 0 THEN 2 * r * pr / (r + pr)
+                                     ELSE 0.0 END, 6) + 0.0 AS rouge_f1
+                   FROM (SELECT bb.cand_id, bb.ref_id,
+                                CASE WHEN bb.len_r >= 2
+                                     THEN bb.m2 / CAST(bb.len_r - 1 AS DOUBLE)
+                                     ELSE 0.0 END AS r,
+                                CASE WHEN bb.len_c >= 2
+                                     THEN bb.m2 / CAST(bb.len_c - 1 AS DOUBLE)
+                                     ELSE 0.0 END AS pr
+                         FROM bb)),
+         ch AS (SELECT doc_id, REGEXP_REPLACE(text, '\s+', '', 'g') AS cs
+                FROM documents),
+         cg AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                  SELECT doc_id, 1 AS n,
+                         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs)),
+                           i -> cs[i:i])) AS gram
+                  FROM ch WHERE LEN(cs) >= 1
+                  UNION ALL
+                  SELECT doc_id, 2,
+                         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs) - 1),
+                           i -> cs[i:i+1]))
+                  FROM ch WHERE LEN(cs) >= 2
+                  UNION ALL
+                  SELECT doc_id, 3,
+                         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs) - 2),
+                           i -> cs[i:i+2]))
+                  FROM ch WHERE LEN(cs) >= 3) GROUP BY 1, 2, 3),
+         co AS (SELECT p.cand_id, p.ref_id, c.n,
+                       CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS m
+                FROM p JOIN cg c ON c.doc_id = p.cand_id
+                       JOIN cg r ON r.doc_id = p.ref_id AND r.n = c.n
+                                   AND r.gram = c.gram
+                GROUP BY 1, 2, 3),
+         cl AS (SELECT doc_id, CAST(LEN(cs) AS BIGINT) AS len FROM ch),
+         cm AS (SELECT p.cand_id, p.ref_id, lc.len AS clen_c, lr.len AS clen_r,
+                       COALESCE(MAX(CASE WHEN co.n = 1 THEN co.m END), 0) AS m1,
+                       COALESCE(MAX(CASE WHEN co.n = 2 THEN co.m END), 0) AS m2,
+                       COALESCE(MAX(CASE WHEN co.n = 3 THEN co.m END), 0) AS m3
+                FROM p JOIN cl lc ON lc.doc_id = p.cand_id
+                       JOIN cl lr ON lr.doc_id = p.ref_id
+                       LEFT JOIN co ON co.cand_id = p.cand_id
+                                   AND co.ref_id = p.ref_id
+                GROUP BY 1, 2, 3, 4),
+         cx AS (SELECT cand_id, ref_id,
+                       (CASE WHEN clen_c >= 1 THEN m1 / CAST(clen_c AS DOUBLE) ELSE 0.0 END
+                      + CASE WHEN clen_c >= 2 THEN m2 / CAST(clen_c - 1 AS DOUBLE) ELSE 0.0 END
+                      + CASE WHEN clen_c >= 3 THEN m3 / CAST(clen_c - 2 AS DOUBLE) ELSE 0.0 END) / 3 AS pp,
+                       (CASE WHEN clen_r >= 1 THEN m1 / CAST(clen_r AS DOUBLE) ELSE 0.0 END
+                      + CASE WHEN clen_r >= 2 THEN m2 / CAST(clen_r - 1 AS DOUBLE) ELSE 0.0 END
+                      + CASE WHEN clen_r >= 3 THEN m3 / CAST(clen_r - 2 AS DOUBLE) ELSE 0.0 END) / 3 AS rr
+                FROM cm),
+         chrf AS (SELECT cand_id, ref_id,
+                         ROUND(pp, 6) + 0.0 AS chrf_p,
+                         ROUND(rr, 6) + 0.0 AS chrf_r,
+                         ROUND(CASE WHEN pp + rr > 0.0
+                                    THEN (5.0 * pp * rr) / (4.0 * pp + rr)
+                                    ELSE 0.0 END, 6) + 0.0 AS chrf
+                  FROM cx)
+         SELECT bleu.cand_id, bleu.ref_id, bleu.len_c, bleu.len_r,
+                bleu.bp, bleu.bleu,
+                rouge.rouge_r, rouge.rouge_p, rouge.rouge_f1,
+                chrf.chrf_p, chrf.chrf_r, chrf.chrf
+         FROM bleu JOIN rouge USING (cand_id, ref_id)
+                   JOIN chrf USING (cand_id, ref_id)"""
   )
 }
