@@ -11279,41 +11279,45 @@ object SparkEntry {
                   FROM nm LEFT JOIN wi USING (item)),
          p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM base),
          d1 AS (SELECT nij.i AS item,
-                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                       SUM(CAST(nij.n AS HUGEINT)
+                         * CAST(ROUND(1e12 / (pi.p + pj.p), 0) AS HUGEINT)) AS den
                 FROM nij JOIN p0 pi ON pi.item = nij.i
                          JOIN p0 pj ON pj.item = nij.j GROUP BY 1),
          q1 AS (SELECT base.item,
-                       CAST(ROUND(base.wins * 1e12 / d1.den * 1e6, 0) AS BIGINT) AS q
+                       CAST(ROUND(base.wins * 1e12 / CAST(d1.den AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
                 FROM base JOIN d1 USING (item)),
          s1 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q1),
          p1 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
                 FROM q1 CROSS JOIN s1),
          d2 AS (SELECT nij.i AS item,
-                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                       SUM(CAST(nij.n AS HUGEINT)
+                         * CAST(ROUND(1e12 / (pi.p + pj.p), 0) AS HUGEINT)) AS den
                 FROM nij JOIN p1 pi ON pi.item = nij.i
                          JOIN p1 pj ON pj.item = nij.j GROUP BY 1),
          q2 AS (SELECT base.item,
-                       CAST(ROUND(base.wins * 1e12 / d2.den * 1e6, 0) AS BIGINT) AS q
+                       CAST(ROUND(base.wins * 1e12 / CAST(d2.den AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
                 FROM base JOIN d2 USING (item)),
          s2 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q2),
          p2 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
                 FROM q2 CROSS JOIN s2),
          d3 AS (SELECT nij.i AS item,
-                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                       SUM(CAST(nij.n AS HUGEINT)
+                         * CAST(ROUND(1e12 / (pi.p + pj.p), 0) AS HUGEINT)) AS den
                 FROM nij JOIN p2 pi ON pi.item = nij.i
                          JOIN p2 pj ON pj.item = nij.j GROUP BY 1),
          q3 AS (SELECT base.item,
-                       CAST(ROUND(base.wins * 1e12 / d3.den * 1e6, 0) AS BIGINT) AS q
+                       CAST(ROUND(base.wins * 1e12 / CAST(d3.den AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
                 FROM base JOIN d3 USING (item)),
          s3 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q3),
          p3 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p
                 FROM q3 CROSS JOIN s3),
          d4 AS (SELECT nij.i AS item,
-                       SUM(CAST(ROUND(nij.n * 1e12 / (pi.p + pj.p), 0) AS BIGINT)) AS den
+                       SUM(CAST(nij.n AS HUGEINT)
+                         * CAST(ROUND(1e12 / (pi.p + pj.p), 0) AS HUGEINT)) AS den
                 FROM nij JOIN p3 pi ON pi.item = nij.i
                          JOIN p3 pj ON pj.item = nij.j GROUP BY 1),
          q4 AS (SELECT base.item,
-                       CAST(ROUND(base.wins * 1e12 / d4.den * 1e6, 0) AS BIGINT) AS q
+                       CAST(ROUND(base.wins * 1e12 / CAST(d4.den AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
                 FROM base JOIN d4 USING (item)),
          s4 AS (SELECT CAST(SUM(q) AS BIGINT) AS tot FROM q4),
          p4 AS (SELECT item, GREATEST(ROUND(q / CAST(tot AS DOUBLE), 6), 1e-6) AS p

@@ -380,16 +380,21 @@ object FoldOps {
     * broadcast-sized frames.
     *
     * MM update: p_i ← W_i / Σ_j n_ij/(p_i + p_j), then sum-normalized.
-    * Every cross-row sum is an exact BIGINT in the repo's pinned-integer
-    * convention: per-pair denominator terms are pico-quantized
-    * (round(n·10¹²/(p_i+p_j))), the normalizer sums micro-quantized raw
-    * scores, and the new p is 6dp-pinned — so each iteration is a pure
-    * function of the previous 6dp frame, bit-stable on any engine or
-    * partitioning and mirrorable as unrolled SQL CTEs. A 10⁻⁶ floor keeps
-    * never-winning items from zeroing a later pair denominator (BT needs
-    * comparison-graph connectivity; the floor is the standard
-    * regularization stand-in). Per-iteration frames are localCheckpointed
-    * (bounded rows) so lineage doesn't compound — the pageRank discipline.
+    * Every cross-row sum is exact integer arithmetic in the repo's
+    * pinned convention, and the quantized quantity is BOUNDED: the
+    * per-pair term pins the reciprocal 1/(p_i+p_j) to picos (≤ 5·10¹⁷
+    * at the 10⁻⁶ floor) and multiplies by n_ij in DECIMAL(38,0) — never
+    * round(n·10¹²/(p_i+p_j)) as a long, which wraps once n_ij ≥ 19
+    * against two floored opponents (the HITS lesson: quantize a bounded
+    * quantity or accumulate in DECIMAL). The normalizer sums
+    * micro-quantized raw scores and the new p is 6dp-pinned, so each
+    * iteration is a pure function of the previous 6dp frame — bit-stable
+    * on any engine or partitioning, mirrorable as unrolled SQL CTEs. A
+    * 10⁻⁶ floor keeps never-winning items from zeroing a later pair
+    * denominator (BT needs comparison-graph connectivity; the floor is
+    * the standard regularization stand-in). Per-iteration frames are
+    * localCheckpointed (bounded rows) so lineage doesn't compound — the
+    * pageRank discipline.
     */
   def bradleyTerry(matches: DataFrame, winCol: String, loseCol: String,
       iters: Int = 4): DataFrame = {
@@ -413,11 +418,12 @@ object FoldOps {
         .join(broadcast(p.select(col("item").as("i"), col("p").as("pi"))), Seq("i"))
         .join(broadcast(p.select(col("item").as("j"), col("p").as("pj"))), Seq("j"))
         .groupBy(col("i").as("item"))
-        .agg(sum(round(col("n") * lit(1e12) / (col("pi") + col("pj")))
-          .cast("long")).as("__den"))
+        .agg(sum(col("n").cast("decimal(38,0)") *
+          round(lit(1e12) / (col("pi") + col("pj"))).cast("long")
+            .cast("decimal(38,0)")).as("__den"))
       val q = base.join(den, Seq("item"))
         .select(col("item"),
-          round(col("wins") * lit(1e12) / col("__den") * lit(1e6))
+          round(col("wins") * lit(1e12) / col("__den").cast("double") * lit(1e6))
             .cast("long").as("__q"))
       val tot = q.agg(sum("__q").as("__tot"))
       p = q.crossJoin(broadcast(tot))
