@@ -42,13 +42,17 @@ object EvalOps {
     val toks = restrictToPaired(docs, idCol, pairs)
       .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
 
-    // one gram frame per n, unioned with the n tag — each is one explode +
-    // one hash agg; the union keeps a single (id, n, gram) join downstream
-    val grams = (1 to maxN).map { n =>
+    // ONE corpus pass for all n: every n's grams ride out of the same
+    // explode as (n, gram) structs — a per-n union of explode+agg branches
+    // would rescan the paired docs maxN times
+    val gramArrays = (1 to maxN).map { n =>
       val g = if (n == 1) col("__toks") else TextFns.rawShingles(col("__toks"), n)
-      toks.select(col("__id"), lit(n).as("__n"), explode(g).as("__gram"))
-        .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
-    }.reduce(_ unionByName _)
+      transform(g, x => struct(lit(n).as("n"), x.as("g")))
+    }
+    val grams = toks
+      .select(col("__id"), explode(concat(gramArrays: _*)).as("__t"))
+      .select(col("__id"), col("__t.n").as("__n"), col("__t.g").as("__gram"))
+      .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
 
     val lens = toks.select(col("__id"), size(col("__toks")).cast("long").as("__len"))
     clippedOverlap(grams, lens, pairs, maxN)
@@ -65,15 +69,19 @@ object EvalOps {
       .select(col(idCol).as("__id"),
         regexp_replace(col(textCol), "\\s+", "").as("__chars"))
 
-    // sequence(1, stop) DESCENDS when stop < 1 in Spark, so the < n docs
-    // are filtered out before the positional expansion, not guarded inside
-    val grams = (1 to maxN).map { n =>
-      base.filter(length(col("__chars")) >= n)
-        .select(col("__id"), lit(n).as("__n"),
-          explode(expr(s"transform(sequence(1, length(__chars) - ${n - 1}), " +
-            s"i -> substring(__chars, i, $n))")).as("__gram"))
-        .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass for all n (see ngramOverlap). sequence(1, stop)
+    // DESCENDS when stop < 1 in Spark, so each n's positional expansion is
+    // guarded by a CASE to an empty array instead of a per-n doc filter
+    val gramArrays = (1 to maxN).map { n =>
+      val g = expr(s"CASE WHEN length(__chars) >= $n THEN " +
+        s"transform(sequence(1, length(__chars) - ${n - 1}), " +
+        s"i -> substring(__chars, i, $n)) ELSE array() END")
+      transform(g, x => struct(lit(n).as("n"), x.as("g")))
+    }
+    val grams = base
+      .select(col("__id"), explode(concat(gramArrays: _*)).as("__t"))
+      .select(col("__id"), col("__t.n").as("__n"), col("__t.g").as("__gram"))
+      .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
 
     val lens = base.select(col("__id"),
       length(col("__chars")).cast("long").as("__len"))
