@@ -3082,6 +3082,34 @@ object SparkEntry {
           api.CohortConfig(task = api.LengthOfStay(7)))
         .select("hadm_id", "subject_id", "label")),
 
+    // the composed disease-phenotype branch (day_intervals_cohort.py:
+    // 37-40,342-347 over disease_cohort.py:75-91): fabricated diagnoses
+    // (lineitem) → ICD-9→10 root map (nation, the e2e_icd_map frames) →
+    // root-contains("M1") keep-list → visit pool semi-filtered BEFORE the
+    // readmission-30 labeling (so only disease readmissions count) and
+    // re-filtered after — the full extract_data(disease_label=…) path
+    // under one hash oracle
+    "e2e_cohort_phenotype" -> ((s, d) => {
+      val diag = li(s, d).select(
+        col("l_orderkey").as("hadm_id"),
+        concat(lit("C"), lpad((col("l_partkey") % 500).cast("string"), 3,
+          "0")).as("icd_code"),
+        (when(col("l_partkey") % 2 === 0, 9).otherwise(10))
+          .as("icd_version"))
+      val mapping = nat(s, d).select(
+        concat(lit("C"), lpad(col("n_nationkey").cast("string"), 2, "0"),
+          lit("X")).as("diagnosis_code"),
+        concat(lit("M"), col("n_nationkey").cast("string")).as("icd10cm"),
+        col("n_nationkey").as("map_order"))
+      val ids = api.CohortExtractor.diseaseVisits(diag, "hadm_id",
+        "icd_code", "icd_version", mapping, "diagnosis_code", "icd10cm",
+        "map_order", "M1")
+      api.CohortExtractor.extractPhenotype(visitsT(s, d), patientsT(s, d),
+          api.CohortConfig(task = api.Readmission(30, strictOverlap = true)),
+          ids)
+        .select("hadm_id", "subject_id", "label")
+    }),
+
     // FeatureExtractor.standardizeIcd through the facade: 3-char-root
     // first-match map for version-9 codes, version-10 passthrough
     // (hosp_preprocess_util.py:402-430) — fabricated codes/mapping from
@@ -3706,6 +3734,14 @@ object SparkEntry {
       QualityOps.dupSpanPairs(docs(s, d), "doc_id", "text",
         minLen = 5, cap = 64)),
 
+    // cluster-level closure of d23: the adjacent-pair graph through d08's
+    // connected components, so >=3-doc duplication clusters report every
+    // member mutually attributed (rank adjacency alone only yields a
+    // spanning set) — doc -> (cluster, size, longest shared span)
+    "d25_dupspan_clusters" -> ((s, d) =>
+      QualityOps.dupSpanClusters(docs(s, d), "doc_id", "text",
+        minLen = 5, cap = 64)),
+
     // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
     // candidates (popcount over two packed words), exact cosine rerank
     // to top-5 — v01's contract at 1/32nd the scan bandwidth
@@ -4180,11 +4216,13 @@ object SparkEntry {
                UNION ALL SELECT t AS z, s AS n FROM e),
          a0 AS MATERIALIZED (SELECT DISTINCT z FROM adj),
          $steps
-         SELECT z AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         SELECT z AS node, CAST(COUNT(*) AS BIGINT) AS core_deg, cv.converged
          FROM adj
+         CROSS JOIN (SELECT (SELECT COUNT(*) FROM a${rounds - 1})
+                          = (SELECT COUNT(*) FROM a$rounds) AS converged) cv
          WHERE z IN (SELECT z FROM a$rounds)
            AND n IN (SELECT z FROM a$rounds)
-         GROUP BY 1"""
+         GROUP BY 1, 3"""
   }
 
   /** g07's oracle: the 4 synchronous label-propagation rounds unrolled
@@ -4211,7 +4249,12 @@ object SparkEntry {
                UNION ALL SELECT t AS z, s AS n FROM e),
          l0 AS MATERIALIZED (SELECT DISTINCT z, z AS lbl FROM adj),
          $steps
-         SELECT z AS node, lbl AS label FROM l$rounds"""
+         SELECT z AS node, lbl AS label, cv.converged
+         FROM l$rounds
+         CROSS JOIN (SELECT (SELECT COUNT(*)
+                             FROM l$rounds a JOIN l${rounds - 1} b
+                               ON a.z = b.z WHERE a.lbl <> b.lbl) = 0
+                       AS converged) cv"""
   }
 
   /** v12's oracle: the 5 greedy MMR steps unrolled; (1 − 0.7) stays an
@@ -4589,6 +4632,41 @@ object SparkEntry {
                 CASE WHEN dischtime - admittime >= INTERVAL 7 DAY
                      THEN 1 ELSE 0 END AS label
          FROM cohort""",
+
+    // disease-phenotype branch: diag fabrication (lineitem) + the
+    // e2e_icd_map root map (nation), root-contains('M1') keep-list,
+    // visit pool filtered BEFORE the all-later-visits readmission scan —
+    // a later NON-disease admission must not count as a readmission
+    "e2e_cohort_phenotype" ->
+      s"""WITH $e2eBaseCtes,
+         diag AS (SELECT l_orderkey AS hadm_id,
+                         'C' || LPAD(CAST(l_partkey % 500 AS VARCHAR), 3,
+                           '0') AS icd_code,
+                         CASE WHEN l_partkey % 2 = 0 THEN 9 ELSE 10 END
+                           AS icd_version
+                  FROM lineitem),
+         m AS (SELECT SUBSTR('C' || LPAD(CAST(n_nationkey AS VARCHAR), 2,
+                        '0') || 'X', 1, 3) AS root,
+                      ARG_MIN('M' || CAST(n_nationkey AS VARCHAR),
+                        n_nationkey) AS mapped
+               FROM nation GROUP BY 1),
+         conv AS (SELECT d.hadm_id,
+                         CASE WHEN d.icd_version = 9 THEN m.mapped
+                              ELSE d.icd_code END AS root_icd10
+                  FROM diag d LEFT JOIN m ON SUBSTR(d.icd_code, 1, 3) = m.root),
+         pos AS (SELECT DISTINCT hadm_id FROM conv
+                 WHERE root_icd10 IS NOT NULL
+                   AND POSITION('M1' IN SUBSTR(root_icd10, 1, 3)) > 0),
+         fc AS (SELECT c.hadm_id, c.subject_id, c.admittime, c.dischtime
+                FROM cohort c JOIN pos USING (hadm_id))
+         SELECT c.hadm_id, c.subject_id,
+                MAX(CASE WHEN l.hadm_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS label
+         FROM fc c LEFT JOIN fc l
+           ON l.subject_id = c.subject_id AND l.hadm_id <> c.hadm_id
+          AND l.admittime > c.dischtime
+          AND l.admittime <= c.dischtime + INTERVAL 30 DAY
+         GROUP BY 1, 2""",
 
     "e2e_icd_map" ->
       """WITH diag AS (SELECT o_orderkey AS hadm_id,
@@ -7545,14 +7623,15 @@ object SparkEntry {
          st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
                 FROM tok WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2),
-         dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
-         SELECT tf.doc_id,
-                ROUND(SUM(LN((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-                  * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) + 0.0
-                  AS score
-         FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-         GROUP BY tf.doc_id
-         ORDER BY score DESC, tf.doc_id ASC LIMIT 10""",
+         dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         contrib AS (SELECT tf.doc_id,
+                            CAST(ROUND(LN((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                              * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                              * 1e12, 0) AS BIGINT) AS cfp
+                     FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+         SELECT doc_id, ROUND(SUM(cfp) / 1e12, 6) + 0.0 AS score
+         FROM contrib GROUP BY 1
+         ORDER BY score DESC, doc_id ASC LIMIT 10""",
 
     // Dirichlet QLM: dense doc×term frame (absent terms score the
     // smoothed background), per-term LN contribution pinned to integer
@@ -10223,6 +10302,54 @@ object SparkEntry {
          FROM nx WHERE lcpn >= 5 AND da <> db
          GROUP BY 1, 2""",
 
+    // d23's pair frame closed to clusters: recursive min-label closure
+    // (the d08 pattern) over the undirected adjacent-pair graph, then
+    // per-cluster size and max shared span re-attached per member
+    "d25_dupspan_clusters" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+               FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS (SELECT doc_id, toks, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         cand AS (SELECT gh.doc_id, gh.pos,
+                         toks[gh.pos + 1 : gh.pos + 64] AS sfx
+                  FROM gh JOIN dup USING (h)),
+         rk AS (SELECT doc_id, pos, sfx,
+                       ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
+                                          doc_id, pos) AS rn
+                FROM cand),
+         nx AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       CAST(COALESCE(
+                         LIST_MIN(LIST_FILTER(
+                           GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
+                           i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
+                         LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
+                FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+         pr AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+                       CAST(MAX(lcpn) AS BIGINT) AS mss
+                FROM nx WHERE lcpn >= 5 AND da <> db
+                GROUP BY 1, 2),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                 UNION SELECT doc_b, doc_a FROM pr),
+         reach AS (SELECT a, b FROM und
+                   UNION
+                   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon
+                FROM reach GROUP BY a),
+         cs AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM cc GROUP BY 1),
+         sp AS (SELECT c.canon, CAST(MAX(pr.mss) AS BIGINT) AS cluster_max_span
+                FROM pr JOIN cc c ON c.doc_id = pr.doc_a GROUP BY 1)
+         SELECT cc.doc_id, CAST(cc.canon AS BIGINT) AS cluster_id,
+                cs.cluster_size, sp.cluster_max_span
+         FROM cc JOIN cs ON cs.canon = cc.canon
+         JOIN sp ON sp.canon = cc.canon""",
+
     // sign-bit packing into two 32-bit words (powers of two ≤ 2³¹ are
     // exact doubles), popcount-of-XOR shortlist, exact cosine rerank
     "v17_hamming_topk" ->
@@ -11127,12 +11254,22 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
                     FROM documents),
          b AS (SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n FROM t),
-         c AS (SELECT doc_id, toks, n,
-                      CASE WHEN n > 1 THEN (doc_id * 7) % (n - 1) + 1
-                           ELSE 0 END AS cut1
-               FROM b),
+         hx AS (SELECT doc_id,
+                       (STRPOS('0123456789abcdef', SUBSTR(m, 1, 1)) - 1) * 4096
+                       + (STRPOS('0123456789abcdef', SUBSTR(m, 2, 1)) - 1) * 256
+                       + (STRPOS('0123456789abcdef', SUBSTR(m, 3, 1)) - 1) * 16
+                       + (STRPOS('0123456789abcdef', SUBSTR(m, 4, 1)) - 1) AS h1,
+                       (STRPOS('0123456789abcdef', SUBSTR(m, 5, 1)) - 1) * 4096
+                       + (STRPOS('0123456789abcdef', SUBSTR(m, 6, 1)) - 1) * 256
+                       + (STRPOS('0123456789abcdef', SUBSTR(m, 7, 1)) - 1) * 16
+                       + (STRPOS('0123456789abcdef', SUBSTR(m, 8, 1)) - 1) AS h2
+                FROM (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM t)),
+         c AS (SELECT b.doc_id, toks, n,
+                      CASE WHEN n > 1 THEN hx.h1 % (n - 1) + 1
+                           ELSE 0 END AS cut1, hx.h2
+               FROM b JOIN hx ON hx.doc_id = b.doc_id),
          c2 AS (SELECT doc_id, toks, n, cut1,
-                       cut1 + (doc_id * 13) % (n - cut1 + 1) AS cut2
+                       cut1 + h2 % (n - cut1 + 1) AS cut2
                 FROM c),
          seg AS (SELECT doc_id, n, cut1, cut2,
                         COALESCE(ARRAY_TO_STRING(toks[1:cut1], ' '), '') AS pfx,

@@ -403,14 +403,31 @@ object Knn {
     * exact DECIMAL lane sums rounded back to the micro grid — collected as
     * a bounded |clusters| × dim literal table (the v03 precedent), sorted
     * by cluster key for deterministic expression construction.
+    *
+    * Dimension discipline: ragged rows would silently poison the audits —
+    * `zip_with` null-pads the short side, the squared distance goes null,
+    * silhouette would score it 0 and distortion would drop it from the sum
+    * while still counting it in n. So the corpus dimension is fixed to the
+    * MODAL embedding length (ties to the smaller — one bounded aggregate)
+    * and rows of any other length are excluded from lanes AND centroids; a
+    * corpus with no usable vectors (all null/empty) fails fast with
+    * IllegalArgumentException instead of a zero-arg-coalesce analysis error.
     */
   private def microLanesAndCentroids(df: DataFrame, id: String, emb: String,
       bucket: String): (DataFrame, Seq[(Any, Array[Long])]) = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val v = df.filter(col(emb).isNotNull)
+    val v0 = df.filter(col(emb).isNotNull)
       .select(col(id).as("__id"), col(bucket).as("__cl"),
         transform(VectorFns.toDoubleArr(col(emb)),
           x => round(x * lit(1e6), 0).cast("long")).as("__qv"))
+    val dimRows = v0.filter(size(col("__qv")) > 0)
+      .groupBy(size(col("__qv")).as("__d")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__d").asc).limit(1).collect()
+    require(dimRows.nonEmpty,
+      "centroid audit: no non-empty embeddings in the input — nothing to " +
+        "cluster-score (all rows null or zero-length)")
+    val dim = dimRows(0).getInt(0)
+    val v = v0.filter(size(col("__qv")) === dim)
     val centRows = v
       .select(col("__cl"), posexplode(col("__qv")).as(Seq("__lane", "__q")))
       .groupBy("__cl", "__lane")

@@ -65,6 +65,45 @@ object CohortExtractor {
     label(joined, cfg)
   }
 
+  /** §3.1 disease-phenotype visit list (reference `disease_cohort.py:75-91`
+    * behind `extract_diag_cohort`): diagnoses → ICD-9→10 3-char-root map
+    * ([[FeatureExtractor.standardizeIcd]]) → drop unmapped codes (the
+    * reference's `dropna(subset=["root"])`) → keep visits with at least
+    * one converted root CONTAINING `icd10Code` (`diag.root.str.contains`;
+    * plain substring here — ICD category arguments like "I50" carry no
+    * regex metacharacters) → distinct visit keys. One bounded-dimension
+    * broadcast join + one distinct — the result is a keep-list frame,
+    * orders of magnitude smaller than the visit fact.
+    */
+  def diseaseVisits(diagnoses: DataFrame, visitKey: String, codeCol: String,
+      versionCol: String, mapping: DataFrame, mapKey: String,
+      mapValue: String, mapOrder: String, icd10Code: String): DataFrame =
+    FeatureExtractor.standardizeIcd(diagnoses, codeCol, versionCol,
+        mapping, mapKey, mapValue, mapOrder)
+      .filter(col("root_icd10").isNotNull &&
+        substring(col("root_icd10"), 1, 3).contains(icd10Code))
+      .select(col(visitKey)).distinct()
+
+  /** §3.1 `extract_data(disease_label=…)` — the composed phenotype branch:
+    * the visit pool is semi-filtered to `diseaseIds` BEFORE labeling
+    * (reference `day_intervals_cohort.py:37-40` — for readmission this is
+    * load-bearing: "readmission due to X" counts only later DISEASE
+    * visits, so a later unrelated admission must not flip the label), and
+    * the labeled cohort is filtered AGAIN after (`:342-347`, the
+    * `use_disease` close — a no-op under the pre-filter, kept so the
+    * composition mirrors the reference's both-ends structure exactly).
+    * `diseaseIds` is any one-column visit-key frame — [[diseaseVisits]]
+    * output plugs in directly.
+    */
+  def extractPhenotype(visits: DataFrame, patients: DataFrame,
+      cfg: CohortConfig, diseaseIds: DataFrame): DataFrame = {
+    val keep = diseaseIds
+      .select(col(diseaseIds.columns.head).as(cfg.visitKey)).distinct()
+    val pool = JoinOps.semiFilter(visits, Seq(cfg.visitKey), keep)
+    val labeled = extract(pool, patients, cfg)
+    JoinOps.semiFilter(labeled, Seq(cfg.visitKey), keep)
+  }
+
   def label(cohort: DataFrame, cfg: CohortConfig): DataFrame = cfg.task match {
     case Mortality(dod) =>
       CohortOps.intervalLabel(cohort, col(dod), col(cfg.admitCol), col(cfg.dischCol), "label")

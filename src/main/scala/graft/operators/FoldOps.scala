@@ -442,27 +442,37 @@ object FoldOps {
     * (suffix, prefix, middle) behind sentinel tokens, teaching infilling
     * from a plain-causal objective.
     *
-    * The cuts are a DETERMINISTIC function of the row id in exact modular
-    * integer arithmetic (no RNG) — reproducible across runs, engines,
-    * partitionings, and cluster sizes, the property every other sampler
-    * here (foldOf, hashBucket16, weightedPriority) is built around. With
-    * n tokens: cut1 ∈ [1, n-1] (0 when n < 2), cut2 ∈ [cut1, n], so
+    * The cuts are a DETERMINISTIC function of the row id (no RNG) —
+    * reproducible across runs, engines, partitionings, and cluster sizes,
+    * the property every other sampler here (foldOf, hashBucket16,
+    * weightedPriority) is built around. The id is mixed through md5 BEFORE
+    * the mod (two 16-bit nibble slices of the digest, the hashBucket16
+    * idiom): a bare `pmod(doc_id * 7, n − 1)` only reaches multiples of
+    * gcd(7, n−1), so every 8-token doc would get cut1 = 1 — the hash mix
+    * makes cut coverage independent of the length class. With n tokens:
+    * cut1 ∈ [1, n-1] (0 when n < 2), cut2 ∈ [cut1, n], so
     * prefix = toks[1..cut1], middle = toks[cut1+1..cut2], suffix =
     * toks[cut2+1..n] partition the document; any segment may be empty.
     *
-    * Pure projection — no shuffle, no UDF; the cuts are two `pmod`s, the
-    * segments array slices, all inside whole-stage codegen.
+    * Pure projection — no shuffle, no UDF; the cuts are two `pmod`s over
+    * md5 slices, the segments array slices, all inside whole-stage codegen.
     */
   def fimSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
         graft.functions.TextFns.tokens(col(textCol)).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
     val n = col("n_tokens")
+    // engine-portable 16-bit hash slices of md5(doc_id): digest chars 1-4
+    // drive cut1, chars 5-8 cut2 — independent residues per doc
+    val h1 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val h2 = conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+      .cast("long")
     val withCuts = base
       .withColumn("cut1",
-        when(n > 1, pmod(col("doc_id") * 7, n - 1) + 1).otherwise(lit(0L)))
+        when(n > 1, pmod(h1, n - 1) + 1).otherwise(lit(0L)))
       .withColumn("cut2",
-        col("cut1") + pmod(col("doc_id") * 13, n - col("cut1") + 1))
+        col("cut1") + pmod(h2, n - col("cut1") + 1))
     val prefix = array_join(slice(col("__toks"), lit(1), col("cut1").cast("int")), " ")
     val middle = array_join(slice(col("__toks"), (col("cut1") + 1).cast("int"),
       (col("cut2") - col("cut1")).cast("int")), " ")

@@ -113,26 +113,42 @@ object GraphOps {
     * adjacency against the shrinking survivor frame + one hash agg,
     * survivor frame checkpointed per round (the pageRank lineage
     * argument). No driver-side data ever.
+    *
+    * Convergence observability: peeling is monotone (alive sets only
+    * shrink), so "the last round removed nobody" — survivor COUNT equality
+    * of the final two rounds — is exactly set equality, and exactly "the
+    * answer is the true k-core, not a superset cut off mid-peel". That
+    * 1-row boolean rides every output row as `converged` (a 1-row
+    * broadcast scalar attach); a pathological graph needing more than
+    * `rounds` peels now says so in-band instead of silently returning the
+    * unconverged frame.
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"kCore needs at least one peel round, got $rounds")
     val e0 = edges.select(col(src).as("__u"), col(dst).as("__v"))
       .localCheckpoint()
     val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
       .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
       .localCheckpoint()
     var alive = adj.select(col("__z")).distinct().localCheckpoint()
+    var prevAlive = alive
     for (_ <- 0 until rounds) {
+      prevAlive = alive
       val deg = adj
         .join(alive, Seq("__z"), "left_semi")
         .join(alive.withColumnRenamed("__z", "__n"), Seq("__n"), "left_semi")
         .groupBy("__z").agg(count(lit(1)).as("__deg"))
       alive = deg.filter(col("__deg") >= k).select("__z").localCheckpoint()
     }
+    val flag = prevAlive.agg(count(lit(1)).as("__cp"))
+      .crossJoin(alive.agg(count(lit(1)).as("__cc")))
+      .select((col("__cp") === col("__cc")).as("converged"))
     adj.join(alive, Seq("__z"), "left_semi")
       .join(alive.withColumnRenamed("__z", "__n"), Seq("__n"), "left_semi")
       .groupBy(col("__z")).agg(count(lit(1)).as("core_deg"))
       .select(col("__z").as("node"), col("core_deg"))
+      .crossJoin(broadcast(flag))
   }
 
   /** Exact triangle count of an undirected graph, degree-ordered.
@@ -257,9 +273,18 @@ object GraphOps {
     * round to keep lineage flat. Isolated nodes never appear in the
     * adjacency and keep their own label by construction of the final
     * union.
+    *
+    * Convergence observability (the kCore convention): `converged` is true
+    * iff the final two rounds assigned IDENTICAL labels — one equi-join of
+    * the last two bounded label frames counting disagreements, attached as
+    * a 1-row broadcast scalar. False covers both "needs more rounds" and
+    * the classic synchronous-LPA 2-cycle oscillation; either way the
+    * caller knows the frame is not a fixpoint.
     */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
       rounds: Int): DataFrame = {
+    require(rounds >= 1,
+      s"labelPropagation needs at least one round, got $rounds")
     val e0 = edges.select(col(src).as("__u"), col(dst).as("__v"))
       .localCheckpoint()
     val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
@@ -267,7 +292,9 @@ object GraphOps {
       .localCheckpoint()
     var labels = adj.select(col("__z")).distinct()
       .select(col("__z"), col("__z").as("__lbl")).localCheckpoint()
+    var prevLabels = labels
     for (_ <- 0 until rounds) {
+      prevLabels = labels
       val neigh = adj
         .join(labels.withColumnRenamed("__z", "__n"), Seq("__n"))
         .groupBy(col("__z"), col("__lbl"))
@@ -279,7 +306,15 @@ object GraphOps {
           .getField("l").as("__lbl"))
         .localCheckpoint()
     }
+    // every adjacency node carries a label each round (each has ≥1
+    // neighbor), so the node sets of the two frames coincide — inner join
+    val flag = labels
+      .join(prevLabels.withColumnRenamed("__lbl", "__plbl"), Seq("__z"))
+      .agg(sum(when(col("__lbl") =!= col("__plbl"), 1L).otherwise(0L))
+        .as("__nd"))
+      .select((coalesce(col("__nd"), lit(0L)) === 0L).as("converged"))
     labels.select(col("__z").as("node"), col("__lbl").as("label"))
+      .crossJoin(broadcast(flag))
   }
 
   def adamicAdar(edges: DataFrame, src: String, dst: String,

@@ -595,7 +595,11 @@ object MetricsOps {
     * engine-portable. When k exceeds n_cal (tiny calibration sets), τ is
     * null and coverage is 1 by convention (the threshold is vacuous).
     * Everything else is integer counts and one closing division.
-    * Output: ONE row `(n_cal, k, tau, n_test, n_covered, coverage)`.
+    * Output: ONE row `(n_cal, k, tau, n_test, n_covered, coverage)` — or
+    * NO row when the held-out slice is empty: a global aggregate would
+    * otherwise mint a row with null coverage where a GROUP-BY oracle emits
+    * zero rows, and a coverage report over nothing is unreportable anyway
+    * (the [[groupConformal]] inner-close convention, applied here).
     */
   def splitConformal(df: DataFrame, score: Column, tieCol: Column,
       isCalib: Column, alpha: Double): DataFrame = {
@@ -622,6 +626,7 @@ object MetricsOps {
           .otherwise(0L)).as("n_covered"),
         (max(col("tau")) + lit(0.0)).as("tau"))
       .crossJoin(broadcast(nCal))
+      .filter(col("n_test") > 0)
       .select(col("n_cal"), col("k"), col("tau"),
         col("n_test"), col("n_covered"),
         round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
@@ -632,9 +637,14 @@ object MetricsOps {
     * per category, the form that actually holds coverage per slice when
     * score distributions differ across groups (Vovk's taxonomy-conditional
     * validity). Everything is group-local: the order statistic is a
-    * per-group window rank (no global sort, no single partition, no
-    * broadcast of anything data-sized), so the plan scales with the
-    * natural (group, score) shuffle alone. Groups present in only one
+    * per-group window rank — no GLOBAL sort and no broadcast of anything
+    * data-sized, but the rank partitioning is the group key alone, so one
+    * dominant group's calibration slice does land on a single partition.
+    * That bound is per-group, not per-corpus: it holds as long as no single
+    * group's calibration rows exceed an executor partition — for a
+    * low-cardinality, heavily skewed group column, reach for the two-phase
+    * [[graft.operators.RankOps.globalRowNumber]] machinery keyed by
+    * (group, range bucket) instead. Groups present in only one
     * slice drop out (inner close) — a τ without test rows, or test rows
     * without a τ contract, is unreportable either way.
     * Output: one row per group

@@ -417,7 +417,10 @@ object QualityOps {
     * restricted to pairs from DIFFERENT docs, normalized (doc_a <
     * doc_b) and grouped — adjacency chains cover every duplication
     * cluster transitively (the Lee et al. 2022 structure) without ever
-    * joining block × block.
+    * joining block × block. NOTE: the output is therefore a SPANNING set
+    * of each duplication cluster, not its closure — in a cluster of ≥3
+    * docs sharing a span, pair (a, c) may never be suffix-rank-adjacent;
+    * [[dupSpanClusters]] closes the gap at cluster level.
     */
   def dupSpanPairs(docs: DataFrame, id: String, text: String,
       minLen: Int = 5, cap: Int = 64): DataFrame = {
@@ -434,6 +437,41 @@ object QualityOps {
         greatest(col("__da"), col("__db")).as("doc_b"))
       .agg(count(lit(1)).as("n_adjacent"),
         max(col("__lcpn")).as("max_shared_span"))
+  }
+
+  /** Cluster-level closure of [[dupSpanPairs]]: the adjacent-pair graph
+    * fed through [[graft.dedup.DedupOps.connectedComponents]] (bounded-
+    * round min-label propagation), so a duplication cluster of ≥3 docs
+    * reports ALL members as mutually attributed — the transitivity the
+    * rank-adjacent spanning set alone cannot promise ((a, c) may never be
+    * suffix-rank-adjacent even when a, b, c all carry the same span).
+    * One row per doc appearing in any cross-doc pair:
+    * `(doc_id, cluster_id, cluster_size, cluster_max_span)` where
+    * `cluster_id` is the cluster's min doc id and `cluster_max_span` the
+    * longest shared span seen on any of the cluster's adjacent pairs.
+    * Docs with no cross-doc duplication are absent (they have no cluster
+    * to report). The pair frame is checkpointed once and reused as BOTH
+    * the component edge list and the span source — the closure adds two
+    * hash aggregates and one bounded label-prop loop on a frame that is
+    * |dup pairs|-sized, never corpus-sized.
+    */
+  def dupSpanClusters(docs: DataFrame, id: String, text: String,
+      minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val pairs = dupSpanPairs(docs, id, text, minLen, cap)
+      .localCheckpoint(false)
+    val comp = graft.dedup.DedupOps.connectedComponents(pairs,
+      "doc_a", "doc_b")
+    val clusterSpan = pairs
+      .join(comp.select(col("doc_id").as("doc_a"), col("canonical_id")),
+        Seq("doc_a"))
+      .groupBy(col("canonical_id"))
+      .agg(max(col("max_shared_span")).as("cluster_max_span"))
+    val sizes = comp.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("canonical_id"))
+      .join(clusterSpan, Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"),
+        col("cluster_size"), col("cluster_max_span"))
   }
 
   /** Shared front half of the ExactSubstr family: candidate positions

@@ -23,6 +23,9 @@ object RetrievalOps {
     * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Lucene-style
     * floor-free variant, always positive. Docs matching no term are absent
     * (score 0). Ties break on rounded score then ascending id.
+    * Determinism: each term's contribution is correctly rounded to integer
+    * picos before the per-doc sum (the [[queryLikelihoodTopK]] pattern), so
+    * the float total is summation-order-independent.
     */
   def bm25TopK(docs: DataFrame, id: String, text: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -43,8 +46,9 @@ object RetrievalOps {
     val norm = col("__tf") * lit(k1 + 1.0) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     tf.join(df_, "__tok").crossJoin(stats)
+      .select(col(id), round((idf * norm) * 1e12, 0).cast("long").as("__cfp"))
       .groupBy(col(id))
-      .agg(round(sum(idf * norm), 6).as("score"))
+      .agg(round(sum(col("__cfp")) / 1e12, 6).as("score"))
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
   }

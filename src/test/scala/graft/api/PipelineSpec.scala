@@ -82,6 +82,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels === Map(101L -> 1, 201L -> 0, 202L -> 1, 203L -> 0))
   }
 
+  test("phenotype cohort: disease pre-filter is load-bearing for readmission") {
+    val adults = Seq((5L, 40, Option.empty[Timestamp]),
+      (6L, 41, Option.empty[Timestamp])).toDF("subject_id", "age", "dod")
+    val visits = Seq(
+      (5L, 501L, ts("2022-01-01 00:00:00"), ts("2022-01-05 00:00:00")), // disease
+      (5L, 502L, ts("2022-01-20 00:00:00"), ts("2022-01-22 00:00:00")), // NON-disease, within 30d of 501
+      (5L, 503L, ts("2022-03-01 00:00:00"), ts("2022-03-02 00:00:00")), // disease, beyond 30d
+      (6L, 601L, ts("2022-01-01 00:00:00"), ts("2022-01-05 00:00:00")), // disease
+      (6L, 602L, ts("2022-01-20 00:00:00"), ts("2022-01-21 00:00:00"))  // disease, within 30d
+    ).toDF("subject_id", "hadm_id", "admittime", "dischtime")
+    val diagnoses = Seq(
+      (501L, "25000", 9), // v9 root 250 → E11
+      (502L, "410", 9),   // unmapped root → null → dropped
+      (503L, "E119", 10), // v10 passthrough, root E11
+      (601L, "2500", 9),
+      (602L, "E11", 10)
+    ).toDF("hadm_id", "icd_code", "icd_version")
+    val mapping = Seq(("250", "E11", 1L))
+      .toDF("diagnosis_code", "icd10cm", "map_order")
+
+    val ids = CohortExtractor.diseaseVisits(diagnoses, "hadm_id",
+      "icd_code", "icd_version", mapping, "diagnosis_code", "icd10cm",
+      "map_order", "E11")
+    assert(ids.as[Long].collect().toSet === Set(501L, 503L, 601L, 602L))
+
+    val phenoCfg = cfg.copy(task = Readmission(30, strictOverlap = true))
+    val out = CohortExtractor.extractPhenotype(visits, adults, phenoCfg, ids)
+      .select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    // 502 is excluded AND must not flip 501: in the disease pool, 503 is
+    // beyond the 30-day gap → 501 is 0 ("no readmission due to E11");
+    // subject 6's disease pair is a genuine disease readmission → 601 is 1
+    assert(out === Map(501L -> 0, 503L -> 0, 601L -> 1, 602L -> 0))
+
+    // contrast: WITHOUT the disease pre-filter the unrelated visit 502
+    // would mislabel 501 as a readmission — the reference filters the
+    // pool before get_case_ctrls for exactly this reason (:37-40)
+    val unfiltered = CohortExtractor.extract(visits, adults, phenoCfg)
+      .select("hadm_id", "label").as[(Long, Int)].collect().toMap
+    assert(unfiltered(501L) === 1)
+  }
+
+  test("facade dialect: fully renamed column bindings are bit-identical") {
+    // the reference's v2/v3 variants are path/column renames
+    // (day_intervals_cohort_v2.py:352 race→ethnicity etc.); the facade
+    // handles dialects purely by CohortConfig bindings — prove one
+    // existing cohort path gives bit-identical output under a full rename
+    val v2visits = admissions.toDF(
+      "patient_ref", "encounter_id", "start_ts", "end_ts")
+    val v2patients = patients.toDF("patient_ref", "anchor_age", "death_ts")
+    val v2cfg = CohortConfig(subjectKey = "patient_ref",
+      visitKey = "encounter_id", admitCol = "start_ts", dischCol = "end_ts",
+      ageCol = "anchor_age", task = Mortality("death_ts"))
+    val v2 = CohortExtractor.extract(v2visits, v2patients, v2cfg)
+      .select($"encounter_id", $"patient_ref", $"start_ts", $"end_ts",
+        $"anchor_age", $"label")
+      .collect().map(_.toSeq).toSet
+    val v1 = CohortExtractor.extract(admissions, patients,
+        cfg.copy(task = Mortality("dod")))
+      .select($"hadm_id", $"subject_id", $"admittime", $"dischtime",
+        $"age", $"label")
+      .collect().map(_.toSeq).toSet
+    assert(v2 === v1)
+
+    // the readmission route under the same renames
+    val v2r = CohortExtractor.extract(v2visits, v2patients,
+        v2cfg.copy(task = Readmission(30, strictOverlap = true)))
+      .select($"encounter_id", $"label").collect().map(_.toSeq).toSet
+    val v1r = CohortExtractor.extract(admissions, patients,
+        cfg.copy(task = Readmission(30, strictOverlap = true)))
+      .select($"hadm_id", $"label").collect().map(_.toSeq).toSet
+    assert(v2r === v1r)
+  }
+
   test("ICD standardization: version-9 roots map first-match, 10 passes through") {
     val diagnoses = Seq(
       (101L, "4280", 9),   // root 428 → I50 (first match wins)

@@ -102,6 +102,48 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(r(3L).getAs[String]("scrubbed") === c)
   }
 
+  test("a span planted in THREE docs clusters all three mutually (d25)") {
+    // rank-adjacency alone reports a spanning set: with the shared span in
+    // docs 1, 2, 3, the sorted suffix list puts (1,2) and (2,3) adjacent
+    // but (1,3) may never be — the cluster closure must still attribute
+    // all three to ONE cluster with the full span length
+    val span = toks("s", 20)
+    val df = Seq(
+      (1L, doc(toks("u", 10), span)),
+      (2L, doc(toks("v", 10), span)),
+      (3L, doc(toks("w", 10), span)),
+      (4L, doc(toks("z", 30)))) // clean doc: absent from the report
+      .toDF("doc_id", "text")
+    val pairs = QualityOps.dupSpanPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.length < 3, s"adjacency already closed? $pairs")
+    val rows = QualityOps.dupSpanClusters(df, "doc_id", "text").collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc.keySet === Set(1L, 2L, 3L))
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(byDoc(d).getAs[Long]("cluster_id") === 1L)
+      assert(byDoc(d).getAs[Long]("cluster_size") === 3L)
+      assert(byDoc(d).getAs[Long]("cluster_max_span") === 20L)
+    }
+  }
+
+  test("dupSpanClusters: disjoint duplications stay in separate clusters") {
+    val sA = toks("a", 8)
+    val sB = toks("b", 12)
+    val df = Seq(
+      (1L, doc(sA, toks("u", 5))), (2L, doc(toks("v", 5), sA)),
+      (7L, doc(sB)), (9L, doc(sB, toks("x", 4))))
+      .toDF("doc_id", "text")
+    val rows = QualityOps.dupSpanClusters(df, "doc_id", "text").collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("cluster_max_span"))).toMap
+    assert(byDoc(1L) === ((1L, 2L, 8L)))
+    assert(byDoc(2L) === ((1L, 2L, 8L)))
+    assert(byDoc(7L) === ((7L, 2L, 12L)))
+    assert(byDoc(9L) === ((7L, 2L, 12L)))
+  }
+
   test("scrub report agrees with the span report's covered_tokens") {
     val span = toks("s", 10)
     val a = doc(span, toks("u", 5), span) // within-doc repetition

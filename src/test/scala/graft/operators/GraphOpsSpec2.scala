@@ -67,9 +67,21 @@ class GraphOpsSpec2 extends AnyFunSuite {
     // which EXPOSES 4 (deg drops 2 → 1) — the second round matters
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
-    val core = GraphOps.kCore(e, "src", "dst", k = 2, rounds = 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = GraphOps.kCore(e, "src", "dst", k = 2, rounds = 5).collect()
+    val core = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 5 rounds is past this graph's 2-round peel depth → converged
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+  }
+
+  test("kCore: converged=false when the peel is cut off mid-cascade") {
+    // 6-path at k=2 peels one endpoint pair per round; 1 round is NOT
+    // enough, and the flag must say so on the (superset) survivors
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val rows = GraphOps.kCore(e, "src", "dst", k = 2, rounds = 1).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getAs[Boolean]("converged")))
   }
 
   test("kCore: k above the graph's max core empties it") {

@@ -166,6 +166,22 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(c1s.size > 1, "modular cut never varied")
   }
 
+  test("fimSplit: cut coverage survives gcd-degenerate length classes") {
+    // n = 8 → n-1 = 7: the old `pmod(doc_id * 7, n-1)` formula reached only
+    // multiples of gcd(7, 7) = 7, pinning cut1 = 1 for EVERY 8-token doc;
+    // the md5 mix must spread cuts across the full [1, 7] range instead
+    val df = (0L until 40L).map(i => (i, toks("g", 8).mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = FoldOps.fimSplit(df, "doc_id", "text")
+      .select("cut1", "cut2", "n_tokens").collect()
+    val c1s = rows.map(_.getAs[Long]("cut1")).toSet
+    assert(c1s.size > 3, s"cut1 degenerate over 8-token docs: $c1s")
+    rows.foreach { r =>
+      val (c1, c2) = (r.getAs[Long]("cut1"), r.getAs[Long]("cut2"))
+      assert(c1 >= 1 && c1 <= 7 && c2 >= c1 && c2 <= 8)
+    }
+  }
+
   test("fimSplit: single-token and empty-ish docs degrade without error") {
     val df = Seq((4L, "only"), (6L, "a b")).toDF("doc_id", "text")
     val rows = FoldOps.fimSplit(df, "doc_id", "text")
@@ -209,6 +225,35 @@ class Round10OpsSpec extends AnyFunSuite {
     val rows = graft.ann.Knn.simplifiedSilhouette(df, "vec_id", "embedding", "label")
       .collect()
     rows.foreach(x => assert(x.getAs[Double]("mean_silhouette") <= 0.0))
+  }
+
+  test("silhouette/distortion: ragged rows are excluded, not scored as 0") {
+    // vec 5 is 1-dim in a 2-dim corpus: zip_with would null-pad it and
+    // silently score it 0 (and drop it from the distortion sum while
+    // counting it in n) — the modal-dimension filter must exclude it
+    val df = Seq(
+      (1L, "A", Array(0f, 0f)), (2L, "A", Array(2f, 0f)),
+      (3L, "B", Array(10f, 0f)), (4L, "B", Array(12f, 0f)),
+      (5L, "A", Array(7f)))
+      .toDF("vec_id", "label", "embedding")
+    val s = graft.ann.Knn.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+      .collect().map(x => x.getAs[String]("label") -> x).toMap
+    assert(s("A").getAs[Long]("n") === 2L, "ragged row leaked into silhouette")
+    assert(s("A").getAs[Double]("mean_silhouette") === 0.89899)
+    val q = graft.ann.Knn.quantizationDistortion(df, "vec_id", "embedding", "label")
+      .collect().map(x => x.getAs[String]("label") -> x).toMap
+    assert(q("A").getAs[Long]("n") === 2L, "ragged row leaked into distortion n")
+    assert(q("A").getAs[Double]("mean_d2") === 1.0)
+  }
+
+  test("silhouette: all-null/empty corpus fails fast, not zero-arg coalesce") {
+    val df = Seq((1L, "A", Array.empty[Float]), (2L, "B", Array.empty[Float]))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ann.Knn.simplifiedSilhouette(df, "vec_id", "embedding", "label")
+        .collect()
+    }
+    assert(ex.getMessage.contains("no non-empty embeddings"))
   }
 
   // --- quantizationDistortion ----------------------------------------------
@@ -279,6 +324,16 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("k") === 4L) // > n_cal = 3
     assert(r.isNullAt(r.fieldIndex("tau")))
     assert(r.getAs[Double]("coverage") === 1.0)
+  }
+
+  test("splitConformal: empty held-out slice emits NO row (oracle parity)") {
+    // a global agg would mint one row with null coverage; the GROUP-BY
+    // oracle emits zero rows on the same input — the engine must match
+    val df = Seq((1L, 1.0, true), (2L, 2.0, true), (3L, 3.0, true))
+      .toDF("rid", "score", "is_cal")
+    val rows = MetricsOps.splitConformal(df, col("score"), col("rid"),
+      col("is_cal"), alpha = 0.1).collect()
+    assert(rows.isEmpty)
   }
 
   // --- groupConformal -----------------------------------------------------

@@ -157,10 +157,21 @@ class Round9OpsSpec extends AnyFunSuite {
   test("labelPropagation: disjoint triangles converge to min-id labels") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
-    val out = GraphOps.labelPropagation(edges, "src", "dst", rounds = 4)
-      .as[(Long, Long)].collect().toMap
+    val rows = GraphOps.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect()
+    val out = rows.map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // triangles reach their fixpoint well inside 4 rounds
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+  }
+
+  test("labelPropagation: converged=false when rounds stop short") {
+    // a 5-path needs more than one round for labels to stabilize
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(edges, "src", "dst", rounds = 1)
+      .collect()
+    assert(r1.forall(!_.getAs[Boolean]("converged")))
   }
 
   test("queryLikelihoodTopK: hand-computed Dirichlet scores and order") {
