@@ -3742,6 +3742,13 @@ object SparkEntry {
       QualityOps.dupSpanClusters(docs(s, d), "doc_id", "text",
         minLen = 5, cap = 64)),
 
+    // the keep-one scrub policy: the span-cluster representative (min
+    // doc id) keeps its text, every other member is fully scrubbed —
+    // one suffix rank feeds islands AND pairs, closure via d08
+    "d26_span_scrub_keepone" -> ((s, d) =>
+      QualityOps.exactSubstrScrubKeepOne(docs(s, d), "doc_id", "text",
+        minLen = 5, cap = 64)),
+
     // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
     // candidates (popcount over two packed words), exact cosine rerank
     // to top-5 — v01's contract at 1/32nd the scan bandwidth
@@ -11647,6 +11654,81 @@ object SparkEntry {
                                       AND posn.p >= i.s AND posn.p < i.e))
          SELECT tk.doc_id, CAST(tk.n AS BIGINT) AS n_toks,
                 CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+                COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.p), '') AS scrubbed
+         FROM tk LEFT JOIN kept k USING (doc_id)
+         GROUP BY tk.doc_id, tk.n""",
+
+    // d24's scrub restricted to NON-representative cluster members: the
+    // d25 recursive closure picks each cluster's min doc id, which keeps
+    // its text; pis2 = islands of everyone else
+    "d26_span_scrub_keepone" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+               FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS (SELECT doc_id, toks, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         cand AS (SELECT gh.doc_id, gh.pos,
+                         toks[gh.pos + 1 : gh.pos + 64] AS sfx
+                  FROM gh JOIN dup USING (h)),
+         rk AS (SELECT doc_id, pos, sfx,
+                       ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
+                                          doc_id, pos) AS rn
+                FROM cand),
+         nxd AS (SELECT a.rn, a.doc_id AS da, b.doc_id AS db,
+                        CAST(COALESCE(
+                          LIST_MIN(LIST_FILTER(
+                            GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
+                            i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
+                          LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
+                 FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+         sp AS (SELECT r.doc_id, r.pos,
+                       GREATEST(COALESCE(n1.lcpn, 0), COALESCE(n0.lcpn, 0))
+                         AS len
+                FROM rk r
+                LEFT JOIN nxd n1 ON n1.rn = r.rn
+                LEFT JOIN nxd n0 ON n0.rn = r.rn - 1
+                WHERE GREATEST(COALESCE(n1.lcpn, 0), COALESCE(n0.lcpn, 0)) >= 5),
+         il AS (SELECT doc_id, pos, len,
+                       MAX(pos + len) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS rmax
+                FROM sp),
+         ili AS (SELECT doc_id, pos, len,
+                        SUM(CASE WHEN rmax IS NULL OR pos >= rmax
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                 FROM il),
+         pis AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + len) AS e
+                 FROM ili GROUP BY 1, 2),
+         pr AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b
+                FROM nxd WHERE lcpn >= 5 AND da <> db
+                GROUP BY 1, 2),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                 UNION SELECT doc_b, doc_a FROM pr),
+         reach AS (SELECT a, b FROM und
+                   UNION
+                   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon
+                FROM reach GROUP BY a),
+         nonrep AS (SELECT doc_id FROM cc WHERE doc_id <> canon),
+         pis2 AS (SELECT pis.* FROM pis JOIN nonrep USING (doc_id)),
+         posn AS (SELECT doc_id, toks,
+                         UNNEST(GENERATE_SERIES(0, CAST(n - 1 AS INT))) AS p
+                  FROM tk WHERE n >= 1),
+         kept AS (SELECT posn.doc_id, posn.p, posn.toks[posn.p + 1] AS tok
+                  FROM posn
+                  WHERE NOT EXISTS (SELECT 1 FROM pis2 i
+                                    WHERE i.doc_id = posn.doc_id
+                                      AND posn.p >= i.s AND posn.p < i.e))
+         SELECT tk.doc_id, CAST(tk.n AS BIGINT) AS n_toks,
+                CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+                tk.doc_id NOT IN (SELECT DISTINCT doc_id FROM pis2)
+                  AS kept_intact,
                 COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.p), '') AS scrubbed
          FROM tk LEFT JOIN kept k USING (doc_id)
          GROUP BY tk.doc_id, tk.n""",

@@ -346,8 +346,15 @@ object QualityOps {
     * islands union of overlapping spans.
     */
   private def dupIslandBounds(toks: DataFrame, id: String,
-      minLen: Int, cap: Int): DataFrame = {
-    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
+      minLen: Int, cap: Int): DataFrame =
+    islandsFromRanked(rankedDupSuffixes(toks, id, minLen, cap), id, minLen)
+
+  /** Island union over an already-ranked suffix frame — split out so
+    * composites ([[exactSubstrScrubKeepOne]]) can derive islands AND
+    * pairs from ONE suffix rank instead of running the front half twice.
+    */
+  private def islandsFromRanked(ranked: DataFrame, id: String,
+      minLen: Int): DataFrame = {
     val nxt = ranked.alias("a")
       .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
       .select(col("a.__rn").as("__rn"),
@@ -427,7 +434,15 @@ object QualityOps {
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id), TextFns.tokens(col(text)).as("__t"))
       .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
-    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
+    pairsFromRanked(rankedDupSuffixes(toks, id, minLen, cap), id, minLen)
+  }
+
+  /** Cross-doc adjacent-pair attribution over an already-ranked suffix
+    * frame (the [[islandsFromRanked]] sibling, same one-rank-many-views
+    * motive).
+    */
+  private def pairsFromRanked(ranked: DataFrame, id: String,
+      minLen: Int): DataFrame =
     ranked.alias("a")
       .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
       .select(col(s"a.$id").as("__da"), col(s"b.$id").as("__db"),
@@ -437,6 +452,50 @@ object QualityOps {
         greatest(col("__da"), col("__db")).as("doc_b"))
       .agg(count(lit(1)).as("n_adjacent"),
         max(col("__lcpn")).as("max_shared_span"))
+
+  /** Keep-one ExactSubstr scrub — the OTHER deduplication policy Lee et
+    * al. 2022 discuss: instead of removing every occurrence of duplicated
+    * material ([[exactSubstrScrub]]), retain one canonical copy. Keep-one
+    * here is at DOC granularity via the span-cluster closure: the
+    * representative of each cluster (its min doc id, the
+    * [[dupSpanClusters]] `cluster_id`) keeps its text untouched; every
+    * other member has ALL its duplicated islands removed. Docs outside
+    * any cross-doc cluster also keep their text — their duplication is
+    * purely internal (the single physical copy IS the kept one) or
+    * nonexistent. So every duplicated span survives in exactly one
+    * cluster member, and corpus-wide every span is still represented.
+    *
+    * One suffix rank feeds BOTH views (islands and pairs) — the front
+    * half runs once, not twice; the closure adds the d25 label-prop loop
+    * on the |pairs|-bounded edge frame.
+    * Output: `id, n_toks, n_kept, kept_intact, scrubbed`.
+    */
+  def exactSubstrScrubKeepOne(docs: DataFrame, id: String, text: String,
+      minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
+      .localCheckpoint(false)
+    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
+    val pairs = pairsFromRanked(ranked, id, minLen).localCheckpoint(false)
+    val nonRep = graft.dedup.DedupOps.connectedComponents(pairs,
+        "doc_a", "doc_b")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(id))
+    val spansPerDoc = islandsFromRanked(ranked, id, minLen)
+      .join(nonRep, Seq(id), "left_semi")
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e")))
+        .as("__spans"))
+    val kept = when(col("__spans").isNull, col("__t"))
+      .otherwise(filter(col("__t"), (_, i) =>
+        !exists(col("__spans"),
+          sp => i >= sp.getField("s") && i < sp.getField("e"))))
+    toks.join(spansPerDoc, Seq(id), "left")
+      .select(col(id), col("n_toks").cast("long").as("n_toks"),
+        size(kept).cast("long").as("n_kept"),
+        col("__spans").isNull.as("kept_intact"),
+        array_join(kept, " ").as("scrubbed"))
   }
 
   /** Cluster-level closure of [[dupSpanPairs]]: the adjacent-pair graph

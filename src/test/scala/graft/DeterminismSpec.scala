@@ -86,7 +86,14 @@ class DeterminismSpec extends AnyFunSuite {
     // r9 additions: the BPE budget rides globalCumsum (range-bucketed),
     // and t34's training loop must produce the same merge table under
     // every mode (the memo keys on mode precisely so this retrains)
-    "t34_bpe_count", "ml06b_bpe_budget", "e2e_drug_map")
+    "t34_bpe_count", "ml06b_bpe_budget", "e2e_drug_map",
+    // r11 additions: the whole ExactSubstr family rides the two-phase
+    // global suffix rank (d25/d26 additionally run the bounded-round
+    // closure), and the composed phenotype cohort gates the semi-filter ×
+    // readmission-window interaction
+    "d22_exactsubstr_spans", "d23_dupspan_pairs", "d24_span_scrub",
+    "d25_dupspan_clusters", "d26_span_scrub_keepone",
+    "e2e_cohort_phenotype")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df

@@ -54,6 +54,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "ml28_bradley_terry" -> "1-row micro-pinned normalizer total per MM iteration (4x) over the <=|sources|^2 pair frame",
     "a55_conformal" -> "bucket-offset triangle (globalRowNumber) + 1-row (n_cal, k) and 1-row tau frames",
     "dq06_benford" -> "1-row digit-count total",
+    "g06_kcore" -> "1-row converged flag (survivor-count equality of the last two peels)",
+    "g07_label_prop" -> "1-row converged flag (label-frame equality of the last two rounds)",
     "a24_gini" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
     "t22_zipf_fit" -> "bucket-offset triangle (globalRowNumber) over the vocab frame",
     "ml10_class_weights" -> "1-row (total, class-count) stats",

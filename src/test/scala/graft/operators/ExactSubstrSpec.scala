@@ -144,6 +144,43 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(byDoc(9L) === ((7L, 2L, 12L)))
   }
 
+  test("keep-one scrub: cluster representative keeps its copy, others lose it") {
+    val span = toks("s", 20)
+    val df = Seq(
+      (3L, doc(toks("u", 10), span)),
+      (5L, doc(toks("v", 10), span)),
+      (8L, doc(toks("w", 10), span)),
+      (9L, doc(toks("z", 30)))) // clean doc: untouched
+      .toDF("doc_id", "text")
+    val rows = QualityOps.exactSubstrScrubKeepOne(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet === Set(3L, 5L, 8L, 9L))
+    // representative = min doc id of the cluster keeps everything
+    assert(rows(3L).getAs[Boolean]("kept_intact"))
+    assert(rows(3L).getAs[Long]("n_kept") === 30L)
+    assert(rows(3L).getAs[String]("scrubbed").contains("s1 s2"))
+    // the other members lose exactly the 20-token span
+    Seq(5L, 8L).foreach { d =>
+      assert(!rows(d).getAs[Boolean]("kept_intact"))
+      assert(rows(d).getAs[Long]("n_kept") === 10L)
+      assert(!rows(d).getAs[String]("scrubbed").contains("s1"))
+    }
+    assert(rows(9L).getAs[Boolean]("kept_intact"))
+    assert(rows(9L).getAs[Long]("n_kept") === 30L)
+  }
+
+  test("keep-one scrub: purely internal repetition is left alone") {
+    // within-doc duplication has a single physical holder — under the
+    // doc-granular keep-one policy that holder IS the kept copy
+    val span = toks("s", 10)
+    val df = Seq((1L, doc(span, toks("u", 5), span)),
+      (2L, doc(toks("z", 30)))).toDF("doc_id", "text")
+    val rows = QualityOps.exactSubstrScrubKeepOne(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("kept_intact"))
+    assert(rows(1L).getAs[Long]("n_kept") === 25L)
+  }
+
   test("scrub report agrees with the span report's covered_tokens") {
     val span = toks("s", 10)
     val a = doc(span, toks("u", 5), span) // within-doc repetition
