@@ -3749,6 +3749,19 @@ object SparkEntry {
       QualityOps.exactSubstrScrubKeepOne(docs(s, d), "doc_id", "text",
         minLen = 5, cap = 64)),
 
+    // span-level decontamination (the d09 split: every 37th doc is the
+    // benchmark): eval docs sharing a verbatim >=5-token span with ANY
+    // train doc, via the cluster closure so recall survives the
+    // rank-adjacency spanning-set gap — per eval doc: train partners,
+    // longest cluster span, contaminated flag
+    "d27_span_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      QualityOps.spanDecontaminate(
+        all.filter(col("doc_id") % 37 =!= 0),
+        all.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", minLen = 5, cap = 64)
+    }),
+
     // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
     // candidates (popcount over two packed words), exact cosine rerank
     // to top-5 — v01's contract at 1/32nd the scan bandwidth
@@ -10317,27 +10330,27 @@ object SparkEntry {
          t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
                FROM documents),
          tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
-         gh AS (SELECT doc_id, toks, pos,
+         gh AS MATERIALIZED (SELECT doc_id, toks, pos,
                        MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
                 FROM (SELECT doc_id, toks, n,
                              UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
                       FROM tk WHERE n >= 5)),
          dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
-         cand AS (SELECT gh.doc_id, gh.pos,
+         cand AS MATERIALIZED (SELECT gh.doc_id, gh.pos,
                          toks[gh.pos + 1 : gh.pos + 64] AS sfx
                   FROM gh JOIN dup USING (h)),
-         rk AS (SELECT doc_id, pos, sfx,
+         rk AS MATERIALIZED (SELECT doc_id, pos, sfx,
                        ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
                                           doc_id, pos) AS rn
                 FROM cand),
-         nx AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         nx AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
                        CAST(COALESCE(
                          LIST_MIN(LIST_FILTER(
                            GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
                            i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
                          LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
                 FROM rk a JOIN rk b ON b.rn = a.rn + 1),
-         pr AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+         pr AS MATERIALIZED (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
                        CAST(MAX(lcpn) AS BIGINT) AS mss
                 FROM nx WHERE lcpn >= 5 AND da <> db
                 GROUP BY 1, 2),
@@ -11666,20 +11679,20 @@ object SparkEntry {
          t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
                FROM documents),
          tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
-         gh AS (SELECT doc_id, toks, pos,
+         gh AS MATERIALIZED (SELECT doc_id, toks, pos,
                        MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
                 FROM (SELECT doc_id, toks, n,
                              UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
                       FROM tk WHERE n >= 5)),
          dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
-         cand AS (SELECT gh.doc_id, gh.pos,
+         cand AS MATERIALIZED (SELECT gh.doc_id, gh.pos,
                          toks[gh.pos + 1 : gh.pos + 64] AS sfx
                   FROM gh JOIN dup USING (h)),
-         rk AS (SELECT doc_id, pos, sfx,
+         rk AS MATERIALIZED (SELECT doc_id, pos, sfx,
                        ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
                                           doc_id, pos) AS rn
                 FROM cand),
-         nxd AS (SELECT a.rn, a.doc_id AS da, b.doc_id AS db,
+         nxd AS MATERIALIZED (SELECT a.rn, a.doc_id AS da, b.doc_id AS db,
                         CAST(COALESCE(
                           LIST_MIN(LIST_FILTER(
                             GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
@@ -11703,9 +11716,9 @@ object SparkEntry {
                                  THEN 1 ELSE 0 END)
                           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
                  FROM il),
-         pis AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + len) AS e
+         pis AS MATERIALIZED (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos + len) AS e
                  FROM ili GROUP BY 1, 2),
-         pr AS (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b
+         pr AS MATERIALIZED (SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b
                 FROM nxd WHERE lcpn >= 5 AND da <> db
                 GROUP BY 1, 2),
          und AS (SELECT doc_a AS a, doc_b AS b FROM pr
@@ -11732,6 +11745,64 @@ object SparkEntry {
                 COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.p), '') AS scrubbed
          FROM tk LEFT JOIN kept k USING (doc_id)
          GROUP BY tk.doc_id, tk.n""",
+
+    // the d25 closure with a train/eval set tag (eval = doc_id % 37 = 0):
+    // per eval doc, train members of its span cluster + per-cluster max
+    // span; left join keeps clean eval docs with contaminated = FALSE
+    "d27_span_decontaminate" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+               FROM documents),
+         tk AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+         gh AS MATERIALIZED (SELECT doc_id, toks, pos,
+                       MD5(ARRAY_TO_STRING(toks[pos + 1 : pos + 5], ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             UNNEST(GENERATE_SERIES(0, CAST(n - 5 AS INT))) AS pos
+                      FROM tk WHERE n >= 5)),
+         dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         cand AS MATERIALIZED (SELECT gh.doc_id, gh.pos,
+                         toks[gh.pos + 1 : gh.pos + 64] AS sfx
+                  FROM gh JOIN dup USING (h)),
+         rk AS MATERIALIZED (SELECT doc_id, pos, sfx,
+                       ROW_NUMBER() OVER (ORDER BY ARRAY_TO_STRING(sfx, ' '),
+                                          doc_id, pos) AS rn
+                FROM cand),
+         nx AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
+                       CAST(COALESCE(
+                         LIST_MIN(LIST_FILTER(
+                           GENERATE_SERIES(1, GREATEST(LEN(a.sfx), LEN(b.sfx))),
+                           i -> NOT COALESCE(a.sfx[i] = b.sfx[i], FALSE))) - 1,
+                         LEAST(LEN(a.sfx), LEN(b.sfx))) AS BIGINT) AS lcpn
+                FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+         pr AS MATERIALIZED (SELECT LEAST(da, db) AS doc_a,
+                       GREATEST(da, db) AS doc_b,
+                       CAST(MAX(lcpn) AS BIGINT) AS mss
+                FROM nx WHERE lcpn >= 5 AND da <> db
+                GROUP BY 1, 2),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                 UNION SELECT doc_b, doc_a FROM pr),
+         reach AS (SELECT a, b FROM und
+                   UNION
+                   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         cc AS MATERIALIZED (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon
+                FROM reach GROUP BY a),
+         ctr AS (SELECT canon,
+                        CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ntp
+                 FROM cc GROUP BY 1),
+         csp AS (SELECT c.canon, CAST(MAX(pr.mss) AS BIGINT) AS mss
+                 FROM pr JOIN cc c ON c.doc_id = pr.doc_a GROUP BY 1),
+         ce AS (SELECT m.doc_id, ctr.ntp, csp.mss
+                FROM cc m
+                JOIN ctr ON ctr.canon = m.canon
+                JOIN csp ON csp.canon = m.canon
+                WHERE m.doc_id % 37 = 0 AND ctr.ntp >= 1)
+         SELECT e.doc_id,
+                CAST(COALESCE(ce.ntp, 0) AS BIGINT) AS n_train_partners,
+                CAST(COALESCE(ce.mss, 0) AS BIGINT) AS max_shared_span,
+                ce.ntp IS NOT NULL AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 37 = 0) e
+         LEFT JOIN ce USING (doc_id)""",
 
     // t47 ⋈ t48 ⋈ t49 stitched over shared CTEs (the bigram clipped
     // matches feed both BLEU and ROUGE) — every close identical to the

@@ -533,6 +533,66 @@ object QualityOps {
         col("cluster_size"), col("cluster_max_span"))
   }
 
+  /** Span-level benchmark decontamination — the ExactSubstr complement of
+    * the doc-level n-gram overlap check ([[graft.dedup.DedupOps
+    * .decontaminate]]): which EVAL docs share a verbatim token span of
+    * ≥ `minLen` with ANY train doc, and how long. Lee et al. 2022 report
+    * exactly this leak class (benchmark passages embedded inside training
+    * pages) surviving doc-level dedup.
+    *
+    * Built on the cluster closure, not raw pair adjacency: in the sorted
+    * suffix list an (eval, train) pair may never be rank-adjacent when
+    * another copy sorts between them, so pair adjacency alone would
+    * UNDER-report contamination. Clusters trade pair precision for
+    * guaranteed recall — `max_shared_span` is the longest span shared
+    * anywhere in the doc's cluster, an upper bound on the eval↔train
+    * overlap — which is the right direction for a gate that quarantines.
+    * Eval docs whose duplication is purely eval-internal (a cluster with
+    * no train member) are NOT contaminated.
+    *
+    * Ids must be disjoint across the two frames (they key the shared
+    * suffix rank). One suffix rank over the union + the d25 closure; the
+    * set marker re-attaches by id equi-join.
+    * Output: one row per eval doc —
+    * `(id, n_train_partners, max_shared_span, contaminated)`.
+    */
+  def spanDecontaminate(train: DataFrame, evalDocs: DataFrame, id: String,
+      text: String, minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val union = train.select(col(id), col(text))
+      .unionByName(evalDocs.select(col(id), col(text)))
+    val toks = graft.Tables.spread(union, tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
+    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
+    val pairs = pairsFromRanked(ranked, id, minLen).localCheckpoint(false)
+    val comp = graft.dedup.DedupOps.connectedComponents(pairs,
+      "doc_a", "doc_b")
+    val trainIds = train.select(col(id).as("doc_id"))
+    val members = comp.join(trainIds.withColumn("__train", lit(1)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canonical_id"),
+        coalesce(col("__train"), lit(0)).as("__train"))
+    val clusterSpan = pairs
+      .join(comp.select(col("doc_id").as("doc_a"), col("canonical_id")),
+        Seq("doc_a"))
+      .groupBy(col("canonical_id"))
+      .agg(max(col("max_shared_span")).as("__cspan"))
+    val clusterTrain = members.groupBy(col("canonical_id"))
+      .agg(sum(when(col("__train") === 1, 1L).otherwise(0L))
+        .as("n_train_partners"))
+    val hits = members.filter(col("__train") === 0)
+      .join(clusterTrain, Seq("canonical_id"))
+      .join(clusterSpan, Seq("canonical_id"))
+      .filter(col("n_train_partners") >= 1)
+      .select(col("doc_id").as(id), col("n_train_partners"),
+        col("__cspan").as("max_shared_span"))
+    evalDocs.select(col(id)).join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_train_partners"), lit(0L)).as("n_train_partners"),
+        coalesce(col("max_shared_span"), lit(0L)).as("max_shared_span"),
+        col("n_train_partners").isNotNull.as("contaminated"))
+  }
+
   /** Shared front half of the ExactSubstr family: candidate positions
     * (those whose `minLen`-gram repeats corpus-wide, via the inverted
     * index) carrying their `cap`-token suffix prefixes, globally ranked

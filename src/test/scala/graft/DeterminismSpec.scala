@@ -93,7 +93,7 @@ class DeterminismSpec extends AnyFunSuite {
     // readmission-window interaction
     "d22_exactsubstr_spans", "d23_dupspan_pairs", "d24_span_scrub",
     "d25_dupspan_clusters", "d26_span_scrub_keepone",
-    "e2e_cohort_phenotype")
+    "d27_span_decontaminate", "e2e_cohort_phenotype")
 
   private def contentHash(df: DataFrame): (Long, Long) = {
     val grouped = df

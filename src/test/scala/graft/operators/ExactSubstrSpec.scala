@@ -181,6 +181,38 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(rows(1L).getAs[Long]("n_kept") === 25L)
   }
 
+  test("span decontamination: cluster recall catches the non-adjacent eval copy") {
+    val leak = toks("s", 15)
+    val evalShared = toks("q", 8)
+    val train = Seq(
+      (100L, doc(toks("a", 10), leak)),   // carries the benchmark span
+      (101L, doc(toks("b", 25))))         // clean train doc
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1L, doc(leak, toks("c", 5))),      // contaminated
+      (2L, doc(toks("d", 3), leak)),      // contaminated — may never be
+                                          // rank-adjacent to doc 100 (doc 1
+                                          // sorts between them), so pair
+                                          // adjacency alone would miss it
+      (3L, doc(evalShared, toks("e", 10))), // eval-eval dup only → clean
+      (4L, doc(toks("f", 4), evalShared)),
+      (5L, doc(toks("g", 20))))           // no duplication at all
+      .toDF("doc_id", "text")
+    val rows = QualityOps.spanDecontaminate(train, evalDocs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 5L)) // one row per eval doc
+    Seq(1L, 2L).foreach { d =>
+      assert(rows(d).getAs[Boolean]("contaminated"), s"doc $d missed")
+      assert(rows(d).getAs[Long]("n_train_partners") === 1L)
+      assert(rows(d).getAs[Long]("max_shared_span") === 15L)
+    }
+    Seq(3L, 4L, 5L).foreach { d =>
+      assert(!rows(d).getAs[Boolean]("contaminated"), s"doc $d false positive")
+      assert(rows(d).getAs[Long]("n_train_partners") === 0L)
+      assert(rows(d).getAs[Long]("max_shared_span") === 0L)
+    }
+  }
+
   test("scrub report agrees with the span report's covered_tokens") {
     val span = toks("s", 10)
     val a = doc(span, toks("u", 5), span) // within-doc repetition
