@@ -94,5 +94,20 @@ class DocScaleSpec extends AnyFunSuite {
     val f10 = med3(EvalOps.chrF(d10, "doc_id", "text", p10).count())
     info(f"t49 chrf x10 ratio: ${f10 / f1}%.1f ($f1%.2fs -> $f10%.2fs)")
     assert(f10 / f1 < 30.0, f"chrF scaling ${f10 / f1}%.1fx")
+    // the COMPOSED report (the e2e_eval_report shape): bleu ⋈ rouge ⋈ chrf
+    def report(d: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame): Long =
+      EvalOps.bleu(d, "doc_id", "text", p, maxN = 2)
+        .select("cand_id", "ref_id", "bleu")
+        .join(EvalOps.rougeN(d, "doc_id", "text", p, n = 2)
+          .select("cand_id", "ref_id", "rouge_f1"), Seq("cand_id", "ref_id"))
+        .join(EvalOps.chrF(d, "doc_id", "text", p, maxN = 3)
+          .select("cand_id", "ref_id", "chrf"), Seq("cand_id", "ref_id"))
+        .count()
+    report(d1, p1) // warm-up
+    val e1 = med3(report(d1, p1))
+    val e10 = med3(report(d10, p10))
+    info(f"e2e report x10 ratio: ${e10 / e1}%.1f ($e1%.2fs -> $e10%.2fs)")
+    assert(e10 / e1 < 30.0, f"composed eval report scaling ${e10 / e1}%.1fx")
   }
 }
