@@ -3754,13 +3754,9 @@ object SparkEntry {
     // train doc, via the cluster closure so recall survives the
     // rank-adjacency spanning-set gap — per eval doc: train partners,
     // longest cluster span, contaminated flag
-    "d27_span_decontaminate" -> ((s, d) => {
-      val all = docs(s, d)
-      QualityOps.spanDecontaminate(
-        all.filter(col("doc_id") % 37 =!= 0),
-        all.filter(col("doc_id") % 37 === 0),
-        "doc_id", "text", minLen = 5, cap = 64)
-    }),
+    "d27_span_decontaminate" -> ((s, d) =>
+      QualityOps.spanDecontaminateMarked(docs(s, d), "doc_id", "text",
+        col("doc_id") % 37 === 0, minLen = 5, cap = 64)),
 
     // binary-quantized two-stage ANN: sign-bit Hamming prune to 32
     // candidates (popcount over two packed words), exact cosine rerank

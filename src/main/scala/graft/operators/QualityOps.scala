@@ -557,36 +557,49 @@ object QualityOps {
     * `(id, n_train_partners, max_shared_span, contaminated)`.
     */
   def spanDecontaminate(train: DataFrame, evalDocs: DataFrame, id: String,
-      text: String, minLen: Int = 5, cap: Int = 64): DataFrame = {
-    val union = train.select(col(id), col(text))
-      .unionByName(evalDocs.select(col(id), col(text)))
-    val toks = graft.Tables.spread(union, tinyBytes = 0L)
-      .select(col(id), TextFns.tokens(col(text)).as("__t"))
-      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
-    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
+      text: String, minLen: Int = 5, cap: Int = 64): DataFrame =
+    spanDecontaminateMarked(
+      train.select(col(id), col(text)).withColumn("__eval", lit(false))
+        .unionByName(evalDocs.select(col(id), col(text))
+          .withColumn("__eval", lit(true))),
+      id, text, col("__eval"), minLen, cap)
+
+  /** Single-scan form of [[spanDecontaminate]] for the common case where
+    * train and eval live in ONE table: `isEval` marks the benchmark rows,
+    * so the corpus is read once instead of once per derived frame (at the
+    * 100 TB design point the two-frame union + two id-list joins would
+    * re-scan the fact table four times; here every view — suffix rank,
+    * set markers, eval keep-list — projects off the same scan).
+    */
+  def spanDecontaminateMarked(docs: DataFrame, id: String, text: String,
+      isEval: Column, minLen: Int = 5, cap: Int = 64): DataFrame = {
+    val base = graft.Tables.spread(
+        docs.select(col(id), col(text), isEval.as("__eval")), tinyBytes = 0L)
+      .select(col(id), TextFns.tokens(col(text)).as("__t"), col("__eval"))
+      .select(col(id), col("__t"), size(col("__t")).as("n_toks"),
+        col("__eval"))
+      .localCheckpoint(false)
+    val ranked = rankedDupSuffixes(base.drop("__eval"), id, minLen, cap)
     val pairs = pairsFromRanked(ranked, id, minLen).localCheckpoint(false)
     val comp = graft.dedup.DedupOps.connectedComponents(pairs,
       "doc_a", "doc_b")
-    val trainIds = train.select(col(id).as("doc_id"))
-    val members = comp.join(trainIds.withColumn("__train", lit(1)),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("canonical_id"),
-        coalesce(col("__train"), lit(0)).as("__train"))
+    val sets = base.select(col(id).as("doc_id"), col("__eval"))
+    val members = comp.join(sets, Seq("doc_id"))
     val clusterSpan = pairs
       .join(comp.select(col("doc_id").as("doc_a"), col("canonical_id")),
         Seq("doc_a"))
       .groupBy(col("canonical_id"))
       .agg(max(col("max_shared_span")).as("__cspan"))
     val clusterTrain = members.groupBy(col("canonical_id"))
-      .agg(sum(when(col("__train") === 1, 1L).otherwise(0L))
+      .agg(sum(when(!col("__eval"), 1L).otherwise(0L))
         .as("n_train_partners"))
-    val hits = members.filter(col("__train") === 0)
+    val hits = members.filter(col("__eval"))
       .join(clusterTrain, Seq("canonical_id"))
       .join(clusterSpan, Seq("canonical_id"))
       .filter(col("n_train_partners") >= 1)
       .select(col("doc_id").as(id), col("n_train_partners"),
         col("__cspan").as("max_shared_span"))
-    evalDocs.select(col(id)).join(hits, Seq(id), "left")
+    base.filter(col("__eval")).select(col(id)).join(hits, Seq(id), "left")
       .select(col(id),
         coalesce(col("n_train_partners"), lit(0L)).as("n_train_partners"),
         coalesce(col("max_shared_span"), lit(0L)).as("max_shared_span"),

@@ -193,6 +193,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("span decontamination reads the documents table once (marked form)") {
+    val df = SparkEntry.queries("d27_span_decontaminate")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every view (suffix rank, set markers, eval keep-list) projects off
+    // the ONE checkpointed base frame — the two-frame union form would
+    // re-scan the corpus four times
+    assert(!p.contains("FileScan"),
+      s"d27 must read documents via the pinned frame only:\n$p")
+  }
+
   test("entropy and retention are pure hash-aggregate towers — no windows, no sorts") {
     Seq("t16_source_entropy", "a19_behavior_entropy", "q02_retention").foreach { q =>
       val p = finalPlan(q)
