@@ -392,6 +392,14 @@ object DedupOps {
     * For adversarial long-chain graphs swap in star-contraction; for the
     * clique-shaped dedup graphs this engine produces, plain propagation
     * converges in 2-3 rounds.
+    *
+    * A graph whose diameter exceeds `maxIter` FAILS FAST
+    * (IllegalStateException) instead of silently returning
+    * mid-propagation labels — wrong canonical ids would poison every
+    * downstream keep-list/fold/quarantine decision, and the loop knows
+    * exactly whether its convergence witness fired (the kCore
+    * `converged`-flag argument, applied to a function whose caller
+    * contract is the TRUE closure, not a fixed-round approximation).
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
       maxIter: Int = 20): DataFrame = {
@@ -423,6 +431,13 @@ object DedupOps {
       prevSum = s
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "pair graph has a component of diameter > maxIter. Raise " +
+          "maxIter, or pre-contract long chains (star contraction) " +
+          "before labeling; returning mid-propagation labels would " +
+          "mis-canonicalize every downstream dedup decision.")
     labels
   }
 

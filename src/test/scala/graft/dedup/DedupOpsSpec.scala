@@ -238,6 +238,21 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(DedupOps.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
 
+  test("connectedComponents fails fast past maxIter instead of mis-labeling") {
+    // a 12-node chain has diameter 11: min-label needs ~11 rounds plus the
+    // equal-sum witness round — maxIter=3 must throw, NOT return the
+    // half-propagated labels that would mis-canonicalize keep-lists
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "id_a", "id_b", maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with headroom the same chain closes to the true min label
+    val got = DedupOps.connectedComponents(chain, "id_a", "id_b", maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L))
+  }
+
   test("containmentPairs flags short-in-long quoting that Jaccard misses") {
     val quote = "alpha beta gamma delta epsilon"
     val long = ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 " +
