@@ -1863,6 +1863,29 @@ object SparkEntry {
       Knn.recallAtK(exact, approx)
     }),
 
+    // the IVF TUNING CURVE: v07's recall gauge swept over nProbe 1/2/4 of
+    // the v06 multi-probe index against one shared brute-force truth — the
+    // recall-vs-probe-budget table an index operator actually reads before
+    // picking nProbe; one exact list, three bounded probe evaluations
+    "v23_recall_nprobe_sweep" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val cents = Knn.centroids(e, "label", "embedding").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      val exact = Knn.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3)
+      Seq(1, 2, 4).map { np =>
+        val approx = Knn.multiProbeTopK(e, "vec_id", "embedding", cents,
+            nProbe = np, k = 3,
+            simFn = (a, b) => call_function("cosine_sim", a, b))
+          .filter(col("query_id") < 8)
+        Knn.recallAtK(exact, approx).withColumn("n_probe", lit(np))
+      }.reduce(_ unionAll _)
+    }),
+
     // per-source KL divergence from the corpus unigram distribution — the
     // domain-shift ranking behind mixture design; unseen-token mass in
     // closed form, so no source×vocab grid and no cross product
@@ -7768,6 +7791,64 @@ object SparkEntry {
                 ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) + 0.0 AS recall
          FROM exact x LEFT JOIN hits h USING (query_id)
          GROUP BY x.query_id, h.n_hits""",
+
+    // the v06 multi-probe candidate machinery parameterized by a probe
+    // budget VALUES list, each evaluated against ONE shared v07 exact list
+    "v23_recall_nprobe_sweep" ->
+      """WITH e AS (SELECT vec_id, label,
+                           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) + 0.0 AS m
+                FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
+                GROUP BY label, i),
+         cl AS (SELECT label, LIST(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         cents AS (SELECT DENSE_RANK() OVER (ORDER BY label) - 1 AS cluster, cv
+                   FROM cl),
+         dd AS (SELECT e.vec_id, c.cluster,
+                       LIST_SUM(LIST_TRANSFORM(range(1, 65),
+                         i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+                FROM e CROSS JOIN cents c),
+         pr AS (SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY dist ASC, cluster ASC) AS rn
+                FROM dd),
+         own AS (SELECT vec_id, cluster FROM pr WHERE rn = 1),
+         np(np) AS (VALUES (1), (2), (4)),
+         cand AS (SELECT np.np, p.vec_id AS query_id, o.vec_id AS neighbor_id
+                  FROM np CROSS JOIN pr p
+                  JOIN own o ON p.cluster = o.cluster AND o.vec_id <> p.vec_id
+                  WHERE p.rn <= np.np AND p.vec_id < 8),
+         approx AS (SELECT np, query_id, neighbor_id FROM (
+                      SELECT c.np, c.query_id, c.neighbor_id,
+                             ROW_NUMBER() OVER (PARTITION BY c.np, c.query_id
+                               ORDER BY ROUND(LIST_DOT_PRODUCT(q.v, n.v)
+                                 / (SQRT(LIST_DOT_PRODUCT(q.v, q.v))
+                                    * SQRT(LIST_DOT_PRODUCT(n.v, n.v))), 6)
+                                 DESC, c.neighbor_id ASC) AS rn
+                      FROM cand c
+                      JOIN e q ON q.vec_id = c.query_id
+                      JOIN e n ON n.vec_id = c.neighbor_id)
+                    WHERE rn <= 3),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      ROUND(LIST_DOT_PRODUCT(q.v, c.v)
+                        / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6)
+                        DESC, c.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE vec_id < 8) q
+             CROSS JOIN e c WHERE c.vec_id <> q.vec_id) WHERE rn <= 3),
+         hits AS (SELECT a.np, x.query_id, COUNT(*) AS n_hits
+                  FROM exact x JOIN approx a
+                    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+                  GROUP BY 1, 2)
+         SELECT x.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                CAST(COUNT(*) AS BIGINT) AS k,
+                ROUND(COALESCE(h.n_hits, 0) * 1.0 / COUNT(*), 6) + 0.0 AS recall,
+                CAST(np.np AS INTEGER) AS n_probe
+         FROM np CROSS JOIN exact x
+         LEFT JOIN hits h ON h.np = np.np AND h.query_id = x.query_id
+         GROUP BY x.query_id, h.n_hits, np.np""",
 
     "s13_bucketed_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, qty
