@@ -43,6 +43,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "v03_ann_kmeans" -> "k x dim centroid literal / bounded query frames",
     "v06_ann_multiprobe" -> "centroid literal, bounded by construction",
     "v07_ann_recall" -> "bounded query set (vec_id < 8) on both result lists",
+    "v23_recall_nprobe_sweep" -> "the v06 centroid literals + v07 bounded query set, per probe budget",
     "v20_rank_eval" -> "bounded query set (vec_id < 8) on both ranked lists — the v07 exemption",
     "v08_pq_adc" -> "bounded query set (vec_id < 8) with literal codebook tables",
     "dq04_mad_outliers" -> "per-group median/MAD bounds frame",
