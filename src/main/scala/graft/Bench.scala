@@ -101,7 +101,12 @@ object Bench {
       System.err.println(s"[bench] prime events failed: ${e.getMessage}") }
 
     val failed = scala.collection.mutable.SortedSet.empty[String]
-    def timedPass(): Seq[(String, Double)] =
+    def timedPass(): Seq[(String, Double)] = {
+      // drop the memoized shared frames (the ExactSubstr span profile) at
+      // the pass boundary: every timed pass then pays the shared build
+      // exactly ONCE, attributed to the first family member that runs —
+      // the honest amortized cost of the one-front-end design
+      SparkEntry.resetShared(spark)
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
@@ -112,10 +117,14 @@ object Bench {
         // drop the query's leftover localCheckpoint blocks (outside the
         // timed window): without this every checkpointed intermediate in
         // the suite stays pinned in the block manager until the run ends,
-        // and the accumulated dead blocks degrade later queries
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // and the accumulated dead blocks degrade later queries. Shared
+        // (pinned) frames are exempt — they are the cross-query reuse.
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => SparkEntry.isSharedRdd(id) }
+          .values.foreach(_.unpersist(false))
         name -> t
       }
+    }
     val passes = (1 to nPasses).map(_ => timedPass().toMap)
     def reduce(ts: Seq[Double]): Double = report match {
       case "min" => ts.min

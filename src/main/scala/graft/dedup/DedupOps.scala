@@ -381,17 +381,24 @@ object DedupOps {
     * smallest doc id reachable from it — the "keep one canonical copy"
     * step that turns pairwise near-dup evidence into a drop list.
     *
-    * Min-label propagation: labels start at the doc's own id; each round
-    * every doc takes the min of its label and its neighbors' labels; stop
-    * when the label sum stops falling (labels only ever decrease, so the
-    * sum is a strict convergence witness read as ONE driver-side scalar
-    * per round — no data is collected). Rounds needed = graph diameter,
-    * which for near-dup clusters (dense cliques from LSH) is tiny; each
-    * round is two equi-joins keyed on doc id, and `localCheckpoint`
-    * truncates the growing lineage so round k doesn't replay rounds 1..k-1.
-    * For adversarial long-chain graphs swap in star-contraction; for the
-    * clique-shaped dedup graphs this engine produces, plain propagation
-    * converges in 2-3 rounds.
+    * Min-label propagation WITH pointer jumping: labels start at the
+    * doc's own id; each round every doc takes the min of (its label, its
+    * neighbors' labels, its LABEL's label — the hash-to-min shortcut);
+    * stop when the label sum stops falling (labels only ever decrease, so
+    * the sum is a strict convergence witness read as ONE driver-side
+    * scalar per round — no data is collected). The label-of-label jump
+    * halves the remaining distance to each component's min every round,
+    * so rounds needed = O(log diameter), NOT diameter — a PATH of 10⁶
+    * docs (the shape ExactSubstr boilerplate chains actually produce:
+    * a span shared by k docs is a k−1-edge chain in rank-adjacency
+    * order) converges in ~20 rounds where plain propagation needs 10⁶.
+    * Each round is three equi-joins keyed on doc id over the
+    * |nodes-in-any-pair|-sized label frame, and `localCheckpoint`
+    * truncates the growing lineage so round k doesn't replay rounds
+    * 1..k-1. The jump preserves the fixpoint exactly: a label is always
+    * some same-component node's id, ≥ the component min, and
+    * monotonically decreasing — so converged labels are identical to
+    * plain propagation's (same hash), only reached in fewer rounds.
     *
     * A graph whose diameter exceeds `maxIter` FAILS FAST
     * (IllegalStateException) instead of silently returning
@@ -419,9 +426,21 @@ object DedupOps {
           Seq("__dst"))
         .groupBy(col("__src").as("doc_id"))
         .agg(min(col("__nlab")).as("__nmin"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("__nmin"), col("canonical_id")))
+            .as("canonical_id"))
+      // pointer jump: follow the label one hop (label := min(label,
+      // label(label))) — canonical_id is always a node id present in
+      // `labels`, so the self-join always matches; the left+coalesce is
+      // belt-and-braces for the empty-frame edge
+      labels = propagated.alias("x")
+        .join(propagated.select(col("doc_id").as("__lab"),
+          col("canonical_id").as("__lablab")).alias("y"),
+          col("x.canonical_id") === col("y.__lab"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.canonical_id"),
+            coalesce(col("__lablab"), col("x.canonical_id")))
             .as("canonical_id"))
         .localCheckpoint(false)
       val row = labels.agg(sum(col("canonical_id").cast("decimal(38,0)"))).collect()(0)
@@ -433,11 +452,11 @@ object DedupOps {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — the " +
-          "pair graph has a component of diameter > maxIter. Raise " +
-          "maxIter, or pre-contract long chains (star contraction) " +
-          "before labeling; returning mid-propagation labels would " +
-          "mis-canonicalize every downstream dedup decision.")
+        s"connectedComponents did not converge in $maxIter rounds — with " +
+          "pointer jumping that means a component of diameter greater " +
+          s"than ~2^$maxIter, which should be unreachable for any real " +
+          "pair graph. Raise maxIter; returning mid-propagation labels " +
+          "would mis-canonicalize every downstream dedup decision.")
     labels
   }
 

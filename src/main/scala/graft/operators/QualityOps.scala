@@ -316,22 +316,26 @@ object QualityOps {
     * equi-join on rank or id.
     */
   def exactSubstrSpans(docs: DataFrame, id: String, text: String,
-      minLen: Int = 5, cap: Int = 64): DataFrame = {
-    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
-      .select(col(id), TextFns.tokens(col(text)).as("__t"))
-      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
-      .localCheckpoint(false)
-    val perIsland = dupIslandBounds(toks, id, minLen, cap)
-      .select(col(id), (col("__e") - col("__s")).as("__slen"))
-    val perDoc = perIsland.groupBy(col(id))
+      minLen: Int = 5, cap: Int = 64): DataFrame =
+    exactSubstrSpans(spanProfile(docs, id, text, minLen, cap))
+
+  /** [[exactSubstrSpans]] over a pre-built [[SpanProfile]] — the shared-
+    * front-end form: token counts and islands come off the profile's
+    * checkpointed frames, so the whole ExactSubstr family pays ONE
+    * suffix rank instead of one per member.
+    */
+  def exactSubstrSpans(p: SpanProfile): DataFrame = {
+    val perIsland = p.islands
+      .select(col(p.id), (col("__e") - col("__s")).as("__slen"))
+    val perDoc = perIsland.groupBy(col(p.id))
       .agg(count(lit(1)).as("n_spans"), max(col("__slen")).as("max_span"),
         sum(col("__slen")).as("covered_tokens"))
     // toks is one row per doc already — joining the raw relation back in
     // would only re-introduce the shared-lineage branch the fresh-alias
     // projection above exists to avoid
-    toks.select(col(id), col("n_toks"))
-      .join(perDoc, Seq(id), "left")
-      .select(col(id), col("n_toks"),
+    p.toks.select(col(p.id), col("n_toks"))
+      .join(perDoc, Seq(p.id), "left")
+      .select(col(p.id), col("n_toks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("max_span"), lit(0L)).as("max_span"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
@@ -339,27 +343,15 @@ object QualityOps {
           col("n_toks"), 6).as("coverage"))
   }
 
-  /** The merged duplicated-token intervals per doc — `(id, __s, __e)` with
-    * positions 0-based and `__e` exclusive — shared by the span REPORT
-    * ([[exactSubstrSpans]]) and the span SCRUB ([[exactSubstrScrub]]):
-    * ranked duplicated suffixes → adjacent-suffix token LCP → gaps-and-
-    * islands union of overlapping spans.
+  /** Island union over the profile's rank-adjacency frame — the merged
+    * duplicated-token intervals per doc, `(id, __s, __e)` with positions
+    * 0-based and `__e` exclusive: per-position dupLen = max(LCP with the
+    * prev/next ranked suffix) → gaps-and-islands union of overlapping
+    * spans.
     */
-  private def dupIslandBounds(toks: DataFrame, id: String,
-      minLen: Int, cap: Int): DataFrame =
-    islandsFromRanked(rankedDupSuffixes(toks, id, minLen, cap), id, minLen)
-
-  /** Island union over an already-ranked suffix frame — split out so
-    * composites ([[exactSubstrScrubKeepOne]]) can derive islands AND
-    * pairs from ONE suffix rank instead of running the front half twice.
-    */
-  private def islandsFromRanked(ranked: DataFrame, id: String,
-      minLen: Int): DataFrame = {
-    val nxt = ranked.alias("a")
-      .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
-      .select(col("a.__rn").as("__rn"),
-        tokenLcp(col("a.__sfx"), col("b.__sfx")).as("__lcpn"))
-      .localCheckpoint(false)
+  private[operators] def islandsFromAdjacency(ranked: DataFrame,
+      adj: DataFrame, id: String, minLen: Int): DataFrame = {
+    val nxt = adj.select(col("__rn"), col("__lcpn"))
     val spans = ranked
       .join(nxt, Seq("__rn"), "left")
       .join(nxt.select((col("__rn") + 1).as("__rn"),
@@ -397,21 +389,21 @@ object QualityOps {
     * Output: `id, n_toks, n_kept, scrubbed`.
     */
   def exactSubstrScrub(docs: DataFrame, id: String, text: String,
-      minLen: Int = 5, cap: Int = 64): DataFrame = {
-    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
-      .select(col(id), TextFns.tokens(col(text)).as("__t"))
-      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
-      .localCheckpoint(false)
-    val spansPerDoc = dupIslandBounds(toks, id, minLen, cap)
-      .groupBy(col(id))
+      minLen: Int = 5, cap: Int = 64): DataFrame =
+    exactSubstrScrub(spanProfile(docs, id, text, minLen, cap))
+
+  /** [[exactSubstrScrub]] over a pre-built [[SpanProfile]]. */
+  def exactSubstrScrub(p: SpanProfile): DataFrame = {
+    val spansPerDoc = p.islands
+      .groupBy(col(p.id))
       .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e")))
         .as("__spans"))
     val kept = when(col("__spans").isNull, col("__t"))
       .otherwise(filter(col("__t"), (_, i) =>
         !exists(col("__spans"),
           sp => i >= sp.getField("s") && i < sp.getField("e"))))
-    toks.join(spansPerDoc, Seq(id), "left")
-      .select(col(id), col("n_toks").cast("long").as("n_toks"),
+    p.toks.join(spansPerDoc, Seq(p.id), "left")
+      .select(col(p.id), col("n_toks").cast("long").as("n_toks"),
         size(kept).cast("long").as("n_kept"),
         array_join(kept, " ").as("scrubbed"))
   }
@@ -430,23 +422,30 @@ object QualityOps {
     * [[dupSpanClusters]] closes the gap at cluster level.
     */
   def dupSpanPairs(docs: DataFrame, id: String, text: String,
-      minLen: Int = 5, cap: Int = 64): DataFrame = {
-    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
-      .select(col(id), TextFns.tokens(col(text)).as("__t"))
-      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
-    pairsFromRanked(rankedDupSuffixes(toks, id, minLen, cap), id, minLen)
-  }
+      minLen: Int = 5, cap: Int = 64): DataFrame =
+    spanProfile(docs, id, text, minLen, cap).pairs
 
-  /** Cross-doc adjacent-pair attribution over an already-ranked suffix
-    * frame (the [[islandsFromRanked]] sibling, same one-rank-many-views
-    * motive).
+  /** The rank-adjacency frame: one row per adjacent pair in the sorted
+    * suffix list — `(__rn, __da, __db, __lcpn)` where `__rn` is the LEFT
+    * member's rank and `__lcpn` their token LCP. Islands AND cross-doc
+    * pairs both derive from this one self-join, so the LCP kernel runs
+    * once per profile, not once per view.
     */
-  private def pairsFromRanked(ranked: DataFrame, id: String,
-      minLen: Int): DataFrame =
+  private[operators] def adjacentLcp(ranked: DataFrame,
+      id: String): DataFrame =
     ranked.alias("a")
       .join(ranked.alias("b"), col("a.__rn") === col("b.__rn") - 1)
-      .select(col(s"a.$id").as("__da"), col(s"b.$id").as("__db"),
+      .select(col("a.__rn").as("__rn"),
+        col(s"a.$id").as("__da"), col(s"b.$id").as("__db"),
         tokenLcp(col("a.__sfx"), col("b.__sfx")).as("__lcpn"))
+
+  /** Cross-doc adjacent-pair attribution over the profile's adjacency
+    * frame (the [[islandsFromAdjacency]] sibling, same
+    * one-rank-many-views motive).
+    */
+  private[operators] def pairsFromAdjacency(adj: DataFrame,
+      minLen: Int): DataFrame =
+    adj
       .filter(col("__lcpn") >= minLen && col("__da") =!= col("__db"))
       .groupBy(least(col("__da"), col("__db")).as("doc_a"),
         greatest(col("__da"), col("__db")).as("doc_b"))
@@ -471,28 +470,26 @@ object QualityOps {
     * Output: `id, n_toks, n_kept, kept_intact, scrubbed`.
     */
   def exactSubstrScrubKeepOne(docs: DataFrame, id: String, text: String,
-      minLen: Int = 5, cap: Int = 64): DataFrame = {
-    val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
-      .select(col(id), TextFns.tokens(col(text)).as("__t"))
-      .select(col(id), col("__t"), size(col("__t")).as("n_toks"))
-      .localCheckpoint(false)
-    val ranked = rankedDupSuffixes(toks, id, minLen, cap)
-    val pairs = pairsFromRanked(ranked, id, minLen).localCheckpoint(false)
-    val nonRep = graft.dedup.DedupOps.connectedComponents(pairs,
-        "doc_a", "doc_b")
+      minLen: Int = 5, cap: Int = 64, ccMaxIter: Int = 30): DataFrame =
+    exactSubstrScrubKeepOne(
+      spanProfile(docs, id, text, minLen, cap, ccMaxIter))
+
+  /** [[exactSubstrScrubKeepOne]] over a pre-built [[SpanProfile]]. */
+  def exactSubstrScrubKeepOne(p: SpanProfile): DataFrame = {
+    val nonRep = p.components
       .filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id").as(id))
-    val spansPerDoc = islandsFromRanked(ranked, id, minLen)
-      .join(nonRep, Seq(id), "left_semi")
-      .groupBy(col(id))
+      .select(col("doc_id").as(p.id))
+    val spansPerDoc = p.islands
+      .join(nonRep, Seq(p.id), "left_semi")
+      .groupBy(col(p.id))
       .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e")))
         .as("__spans"))
     val kept = when(col("__spans").isNull, col("__t"))
       .otherwise(filter(col("__t"), (_, i) =>
         !exists(col("__spans"),
           sp => i >= sp.getField("s") && i < sp.getField("e"))))
-    toks.join(spansPerDoc, Seq(id), "left")
-      .select(col(id), col("n_toks").cast("long").as("n_toks"),
+    p.toks.join(spansPerDoc, Seq(p.id), "left")
+      .select(col(p.id), col("n_toks").cast("long").as("n_toks"),
         size(kept).cast("long").as("n_kept"),
         col("__spans").isNull.as("kept_intact"),
         array_join(kept, " ").as("scrubbed"))
@@ -515,12 +512,13 @@ object QualityOps {
     * |dup pairs|-sized, never corpus-sized.
     */
   def dupSpanClusters(docs: DataFrame, id: String, text: String,
-      minLen: Int = 5, cap: Int = 64): DataFrame = {
-    val pairs = dupSpanPairs(docs, id, text, minLen, cap)
-      .localCheckpoint(false)
-    val comp = graft.dedup.DedupOps.connectedComponents(pairs,
-      "doc_a", "doc_b")
-    val clusterSpan = pairs
+      minLen: Int = 5, cap: Int = 64, ccMaxIter: Int = 30): DataFrame =
+    dupSpanClusters(spanProfile(docs, id, text, minLen, cap, ccMaxIter))
+
+  /** [[dupSpanClusters]] over a pre-built [[SpanProfile]]. */
+  def dupSpanClusters(p: SpanProfile): DataFrame = {
+    val comp = p.components
+    val clusterSpan = p.pairs
       .join(comp.select(col("doc_id").as("doc_a"), col("canonical_id")),
         Seq("doc_a"))
       .groupBy(col("canonical_id"))
@@ -557,12 +555,27 @@ object QualityOps {
     * `(id, n_train_partners, max_shared_span, contaminated)`.
     */
   def spanDecontaminate(train: DataFrame, evalDocs: DataFrame, id: String,
-      text: String, minLen: Int = 5, cap: Int = 64): DataFrame =
+      text: String, minLen: Int = 5, cap: Int = 64,
+      ccMaxIter: Int = 30): DataFrame = {
+    // ids key the shared suffix rank, so an id collision would silently
+    // merge two DIFFERENT documents into one suffix neighborhood and
+    // corrupt every contamination verdict downstream — fail loudly
+    // instead. The check is one semi-join over the two id columns only
+    // (column-pruned scans), nothing document-sized.
+    val clash = train.select(col(id))
+      .join(evalDocs.select(col(id)), Seq(id), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      s"spanDecontaminate: train and eval share at least one `$id` — ids " +
+        "must be disjoint across the two frames (they key the shared " +
+        "suffix rank); prefix-tag one side or use " +
+        "spanDecontaminateMarked over a single table")
     spanDecontaminateMarked(
       train.select(col(id), col(text)).withColumn("__eval", lit(false))
         .unionByName(evalDocs.select(col(id), col(text))
           .withColumn("__eval", lit(true))),
-      id, text, col("__eval"), minLen, cap)
+      id, text, col("__eval"), minLen, cap, ccMaxIter)
+  }
 
   /** Single-scan form of [[spanDecontaminate]] for the common case where
     * train and eval live in ONE table: `isEval` marks the benchmark rows,
@@ -572,20 +585,30 @@ object QualityOps {
     * set markers, eval keep-list — projects off the same scan).
     */
   def spanDecontaminateMarked(docs: DataFrame, id: String, text: String,
-      isEval: Column, minLen: Int = 5, cap: Int = 64): DataFrame = {
+      isEval: Column, minLen: Int = 5, cap: Int = 64,
+      ccMaxIter: Int = 30): DataFrame = {
     val base = graft.Tables.spread(
         docs.select(col(id), col(text), isEval.as("__eval")), tinyBytes = 0L)
       .select(col(id), TextFns.tokens(col(text)).as("__t"), col("__eval"))
       .select(col(id), col("__t"), size(col("__t")).as("n_toks"),
         col("__eval"))
       .localCheckpoint(false)
-    val ranked = rankedDupSuffixes(base.drop("__eval"), id, minLen, cap)
-    val pairs = pairsFromRanked(ranked, id, minLen).localCheckpoint(false)
-    val comp = graft.dedup.DedupOps.connectedComponents(pairs,
-      "doc_a", "doc_b")
-    val sets = base.select(col(id).as("doc_id"), col("__eval"))
+    val p = spanProfileFromToks(base.drop("__eval"), id, minLen, cap,
+      ccMaxIter, _.localCheckpoint(false))
+    spanDecontaminate(p, base.select(col(id), col("__eval")))
+  }
+
+  /** [[spanDecontaminateMarked]] over a pre-built [[SpanProfile]] plus a
+    * marker frame `(id, __eval: boolean)` covering every profiled doc —
+    * the shared-front-end form: when the profile already exists for the
+    * rest of the family, the extra marker scan is id-and-flag-only
+    * (column-pruned), nothing document-sized.
+    */
+  def spanDecontaminate(p: SpanProfile, markers: DataFrame): DataFrame = {
+    val comp = p.components
+    val sets = markers.select(col(p.id).as("doc_id"), col("__eval"))
     val members = comp.join(sets, Seq("doc_id"))
-    val clusterSpan = pairs
+    val clusterSpan = p.pairs
       .join(comp.select(col("doc_id").as("doc_a"), col("canonical_id")),
         Seq("doc_a"))
       .groupBy(col("canonical_id"))
@@ -597,14 +620,50 @@ object QualityOps {
       .join(clusterTrain, Seq("canonical_id"))
       .join(clusterSpan, Seq("canonical_id"))
       .filter(col("n_train_partners") >= 1)
-      .select(col("doc_id").as(id), col("n_train_partners"),
+      .select(col("doc_id").as(p.id), col("n_train_partners"),
         col("__cspan").as("max_shared_span"))
-    base.filter(col("__eval")).select(col(id)).join(hits, Seq(id), "left")
-      .select(col(id),
+    markers.filter(col("__eval")).select(col(p.id))
+      .join(hits, Seq(p.id), "left")
+      .select(col(p.id),
         coalesce(col("n_train_partners"), lit(0L)).as("n_train_partners"),
         coalesce(col("max_shared_span"), lit(0L)).as("max_shared_span"),
         col("n_train_partners").isNotNull.as("contaminated"))
   }
+
+  /** Build the shared [[SpanProfile]] for the ExactSubstr family: ONE
+    * corpus scan + tokenize + suffix rank, off which every member view
+    * (span report, scrub, pairs, clusters, keep-one, decontaminate)
+    * derives. Each derived frame is checkpointed via `checkpoint` on
+    * first use, so running the WHOLE family costs one front end instead
+    * of one per member — at 100 TB the suffix rank is by far the
+    * family's dominant term (a global sort of every duplicated
+    * position's cap-token suffix), so a five-member curation pipeline
+    * pays it once.
+    *
+    * `checkpoint` defaults to a lazy local checkpoint; callers that pin
+    * the profile across separately-issued queries (the SparkEntry shared
+    * cache) pass an eager pinning variant instead.
+    */
+  def spanProfile(docs: DataFrame, id: String, text: String,
+      minLen: Int = 5, cap: Int = 64, ccMaxIter: Int = 30,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      : SpanProfile = {
+    val toks = checkpoint(
+      graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
+        .select(col(id), TextFns.tokens(col(text)).as("__t"))
+        .select(col(id), col("__t"), size(col("__t")).as("n_toks")))
+    spanProfileFromToks(toks, id, minLen, cap, ccMaxIter, checkpoint)
+  }
+
+  /** [[spanProfile]] over an already-tokenized `(id, __t, n_toks)` frame
+    * (which should itself be checkpointed if it will be scanned more
+    * than once — e.g. [[spanDecontaminateMarked]]'s single-scan base).
+    */
+  private[operators] def spanProfileFromToks(toks: DataFrame, id: String,
+      minLen: Int, cap: Int, ccMaxIter: Int,
+      checkpoint: DataFrame => DataFrame): SpanProfile =
+    new SpanProfile(id, minLen, checkpoint, toks,
+      rankedDupSuffixes(toks, id, minLen, cap, checkpoint), ccMaxIter)
 
   /** Shared front half of the ExactSubstr family: candidate positions
     * (those whose `minLen`-gram repeats corpus-wide, via the inverted
@@ -612,8 +671,9 @@ object QualityOps {
     * by the two-phase exact sort. Token arrays are fetched once per DOC
     * before slicing, not once per candidate position.
     */
-  private def rankedDupSuffixes(toks: DataFrame, id: String,
-      minLen: Int, cap: Int): DataFrame = {
+  private[operators] def rankedDupSuffixes(toks: DataFrame, id: String,
+      minLen: Int, cap: Int,
+      ck: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     val grams = toks
       .filter(col("n_toks") >= minLen)
       .select(col(id), col("__t"),
@@ -635,8 +695,8 @@ object QualityOps {
     // another branch of the SAME upstream lineage would otherwise hand
     // the analyzer two leaves emitting identical expression ids (the
     // "conflicting references" internal error DeterminismSpec caught)
-    graft.operators.RankOps.globalRowNumber(suffixes,
-      Seq(col("__key"), col(id), col("pos")), "__rn").localCheckpoint(false)
+    ck(graft.operators.RankOps.globalRowNumber(suffixes,
+      Seq(col("__key"), col(id), col("pos")), "__rn"))
       .select(col(id).as(id), col("pos").as("pos"), col("__sfx").as("__sfx"),
         col("__key").as("__key"), col("__rn").as("__rn"))
   }
@@ -780,4 +840,53 @@ object QualityOps {
       array_join(slice(col("__toks"), (col("__pos") + 2).cast("int"), rlen), " ")
         .as("right_ctx"))
   }
+}
+
+/** The shared ExactSubstr span-profile (Lee et al. 2022's suffix-array
+  * neighborhood, relationally): ONE tokenize + suffix rank over the
+  * corpus, with every derived frame the family needs — rank adjacency
+  * (the LCP kernel), per-doc duplicated-token islands, cross-doc pairs,
+  * and the connected-component cluster closure — computed lazily on
+  * first use and checkpointed through `ck` so later consumers reuse the
+  * materialized result instead of re-deriving it. Built by
+  * [[QualityOps.spanProfile]]; consumed by the profile overloads of
+  * [[QualityOps.exactSubstrSpans]], [[QualityOps.exactSubstrScrub]],
+  * [[QualityOps.dupSpanPairs]] (= [[pairs]]),
+  * [[QualityOps.dupSpanClusters]],
+  * [[QualityOps.exactSubstrScrubKeepOne]] and
+  * [[QualityOps.spanDecontaminate]].
+  *
+  * Every frame here is bounded by DUPLICATION volume, not corpus volume
+  * (candidate positions only), except `toks` which is one row per doc.
+  */
+final class SpanProfile private[operators] (
+    private[operators] val id: String,
+    private[operators] val minLen: Int,
+    private[operators] val ck: DataFrame => DataFrame,
+    /** `(id, __t, n_toks)` — one row per doc, token arrays materialized. */
+    val toks: DataFrame,
+    /** `(id, pos, __sfx, __key, __rn)` — globally ranked dup suffixes. */
+    val ranked: DataFrame,
+    private[operators] val ccMaxIter: Int) {
+
+  /** `(__rn, __da, __db, __lcpn)` — adjacent ranked-suffix pairs with
+    * their token LCP; islands AND pairs derive from this one self-join.
+    */
+  lazy val adjacency: DataFrame =
+    ck(QualityOps.adjacentLcp(ranked, id))
+
+  /** `(id, __s, __e)` — merged maximal duplicated-token intervals. */
+  lazy val islands: DataFrame =
+    ck(QualityOps.islandsFromAdjacency(ranked, adjacency, id, minLen))
+
+  /** `(doc_a, doc_b, n_adjacent, max_shared_span)` — normalized cross-doc
+    * attribution pairs (a SPANNING set of each duplication cluster).
+    */
+  lazy val pairs: DataFrame =
+    ck(QualityOps.pairsFromAdjacency(adjacency, minLen))
+
+  /** `(doc_id, canonical_id)` — the cluster closure of [[pairs]]. */
+  lazy val components: DataFrame =
+    ck(graft.dedup.DedupOps.connectedComponents(pairs, "doc_a", "doc_b",
+      ccMaxIter))
 }

@@ -253,6 +253,19 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("pointer jumping closes a 200-node path inside the default maxIter") {
+    // the ADVICE-flagged shape: a span shared by k docs forms a k−1-edge
+    // CHAIN in suffix-rank adjacency. Plain min-label propagation needs
+    // diameter (199) rounds — far past the default 20 — but the
+    // label-of-label jump makes rounds O(log diameter), so the default
+    // budget closes it with room to spare
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(path, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 200)
+    assert(got.values.toSet === Set(1L))
+  }
+
   test("containmentPairs flags short-in-long quoting that Jaccard misses") {
     val quote = "alpha beta gamma delta epsilon"
     val long = ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 " +

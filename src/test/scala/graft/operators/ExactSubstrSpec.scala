@@ -213,6 +213,60 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
   }
 
+  test("a 30-doc boilerplate cluster (chain-shaped) closes under defaults") {
+    // the web-corpus shape the ADVICE flagged: one license-boilerplate
+    // span shared by 30 docs is a 29-edge chain in rank adjacency — with
+    // plain propagation and maxIter=20 the closure would throw; pointer
+    // jumping must converge and report ONE 30-member cluster
+    val span = toks("s", 12)
+    val df = (1L to 30L)
+      .map(i => (i, doc(toks(s"u$i-", 6), span)))
+      .toDF("doc_id", "text")
+    val rows = QualityOps.dupSpanClusters(df, "doc_id", "text").collect()
+    assert(rows.length === 30)
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet === Set(1L))
+    assert(rows.map(_.getAs[Long]("cluster_size")).toSet === Set(30L))
+  }
+
+  test("spanDecontaminate refuses overlapping train/eval ids") {
+    val df1 = Seq((1L, doc(toks("a", 10)))).toDF("doc_id", "text")
+    val df2 = Seq((1L, doc(toks("b", 10)))).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      QualityOps.spanDecontaminate(df1, df2, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
+  test("the shared SpanProfile reproduces every standalone family member") {
+    // one front end, five views: each profile overload must emit exactly
+    // the rows of its docs-based form (the SparkEntry shared-cache path)
+    val span = toks("s", 20)
+    val df = Seq(
+      (1L, doc(toks("u", 10), span)),
+      (2L, doc(toks("v", 10), span)),
+      (3L, doc(toks("w", 10), span)),
+      (4L, doc(toks("z", 30))))
+      .toDF("doc_id", "text")
+    val p = QualityOps.spanProfile(df, "doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.toString).toSet
+    assert(rows(QualityOps.exactSubstrSpans(p)) ===
+      rows(QualityOps.exactSubstrSpans(df, "doc_id", "text")))
+    assert(rows(QualityOps.exactSubstrScrub(p)) ===
+      rows(QualityOps.exactSubstrScrub(df, "doc_id", "text")))
+    assert(rows(p.pairs) ===
+      rows(QualityOps.dupSpanPairs(df, "doc_id", "text")))
+    assert(rows(QualityOps.dupSpanClusters(p)) ===
+      rows(QualityOps.dupSpanClusters(df, "doc_id", "text")))
+    assert(rows(QualityOps.exactSubstrScrubKeepOne(p)) ===
+      rows(QualityOps.exactSubstrScrubKeepOne(df, "doc_id", "text")))
+    import org.apache.spark.sql.functions.{col, lit}
+    val markers = df.select(col("doc_id"), (col("doc_id") <= 2L).as("__eval"))
+    assert(rows(QualityOps.spanDecontaminate(p, markers)) ===
+      rows(QualityOps.spanDecontaminateMarked(df, "doc_id", "text",
+        col("doc_id") <= lit(2L))))
+  }
+
   test("scrub report agrees with the span report's covered_tokens") {
     val span = toks("s", 10)
     val a = doc(span, toks("u", 5), span) // within-doc repetition
