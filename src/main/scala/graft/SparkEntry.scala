@@ -42,6 +42,12 @@ object SparkEntry {
   private val spanCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), graft.operators.SpanProfile]
+  private val gramCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), graft.operators.GramProfile]
+  private val toksCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
   private val sharedRddIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
@@ -56,6 +62,8 @@ object SparkEntry {
     */
   def resetShared(s: SparkSession): Unit = synchronized {
     spanCache.keys.filter(_._1 eq s).foreach(spanCache.remove)
+    gramCache.keys.filter(_._1 eq s).foreach(gramCache.remove)
+    toksCache.keys.filter(_._1 eq s).foreach(toksCache.remove)
     val live = s.sparkContext.getPersistentRDDs
     val it = sharedRddIds.iterator()
     while (it.hasNext) {
@@ -78,14 +86,30 @@ object SparkEntry {
       val before = s.sparkContext.getPersistentRDDs.keySet
       val ck = df.localCheckpoint(true)
       val after = s.sparkContext.getPersistentRDDs.keySet
-      (after -- before).foreach(sharedRddIds.add)
+      after.filterNot(before).foreach(sharedRddIds.add)
       ck
     }
 
+  /** The ONE tokenized-corpus frame both shared profiles project off —
+    * `(doc_id, __t, n_toks)`, pinned: the span family's suffix rank and
+    * the LM family's gram collapses all start here, so the corpus is
+    * tokenized once per pass, not once per family member.
+    */
+  private def sharedToks(s: SparkSession, d: String): DataFrame =
+    toksCache.getOrElseUpdate((s, d),
+      pinCk(s)(Tables.spread(docs(s, d).select(col("doc_id"), col("text")),
+          tinyBytes = 0L)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), col("__t"), size(col("__t")).as("n_toks"))))
+
   private def spanProf(s: SparkSession, d: String): graft.operators.SpanProfile =
     spanCache.getOrElseUpdate((s, d),
-      QualityOps.spanProfile(docs(s, d), "doc_id", "text",
+      QualityOps.spanProfileFromToks(sharedToks(s, d), "doc_id",
         minLen = 5, cap = 64, checkpoint = pinCk(s)))
+
+  private def gramProf(s: SparkSession, d: String): graft.operators.GramProfile =
+    gramCache.getOrElseUpdate((s, d),
+      SummaryOps.gramProfile(sharedToks(s, d), "doc_id", pinCk(s)))
   // -------------------------------------------------------------------------
 
   /** 4 patterned 64-dim centroids for `v03b_assign_fixed` — one closed form
@@ -2660,7 +2684,7 @@ object SparkEntry {
     // average transition log-likelihood — the cheap perplexity-style
     // fluency gate of a quality-filter stack
     "t28_bigram_lm" -> ((s, d) =>
-      SummaryOps.bigramLogProb(docs(s, d), "doc_id", "text")),
+      SummaryOps.bigramLogProb(gramProf(s, d))),
 
     // dominant periodicity per user: the lag (1..3) with the highest
     // autocorrelation, ties to the smaller lag — ts11 collapsed to the
@@ -3784,14 +3808,15 @@ object SparkEntry {
     // head/middle/tail terciles of bigram-LM perplexity via the
     // two-phase exact global rank — no single-partition exchange
     "t39_ppl_buckets" -> ((s, d) =>
-      QualityOps.perplexityBuckets(docs(s, d), "doc_id", "text")),
+      QualityOps.perplexityBuckets(gramProf(s, d))),
 
     // DSIR hashed-bigram importance weights (Xie et al. 2023): target =
     // the English slice, raw = the whole corpus; per-bucket log ratios
     // nano-quantized so per-doc means are exact-integer closed
     "ml24_dsir_weights" -> ((s, d) =>
-      QualityOps.dsirWeights(docs(s, d), "doc_id", "text",
-        col("lang") === "en", dim = 128)),
+      QualityOps.dsirWeights(gramProf(s, d),
+        docs(s, d).select(col("doc_id"),
+          (col("lang") === "en").as("__tgt")), dim = 128)),
 
     // ExactSubstr duplication coverage (Lee et al. 2022): fraction of
     // each doc's tokens covered by a 5-gram occurring ≥2× corpus-wide;
@@ -3830,10 +3855,15 @@ object SparkEntry {
     // train doc, via the cluster closure so recall survives the
     // rank-adjacency spanning-set gap — per eval doc: train partners,
     // longest cluster span, contaminated flag
-    "d27_span_decontaminate" -> ((s, d) =>
-      QualityOps.spanDecontaminate(spanProf(s, d),
-        docs(s, d).select(col("doc_id"),
-          (col("doc_id") % 37 === 0).as("__eval")))),
+    "d27_span_decontaminate" -> ((s, d) => {
+      // the eval marker is a pure function of doc_id, so it projects off
+      // the profile's pinned token frame — the single-scan discipline
+      // (PlanQualitySpec: no FileScan in the final plan) survives sharing
+      val p = spanProf(s, d)
+      QualityOps.spanDecontaminate(p,
+        p.toks.select(col("doc_id"),
+          (col("doc_id") % 37 === 0).as("__eval")))
+    }),
 
     // the composed span-family report off the ONE shared profile: d22's
     // coverage numbers, d24's scrub count, d26's keep-one count + intact
@@ -3898,20 +3928,22 @@ object SparkEntry {
     // non-tail tercile → DSIR weights on the survivors → top-100 by
     // importance — the rule→LM→importance stack as ONE hash-gated chain
     "e2e_quality_gate" -> ((s, d) => {
-      // ONE corpus scan for the whole composed gate: the three stages
-      // (Gopher rules, perplexity terciles, DSIR on survivors) each
-      // consume this pinned frame instead of re-reading the parquet —
-      // the charNgramLangId collapse-then-reuse discipline, asserted by
-      // PlanQualitySpec ("quality gate reads documents once")
+      // ONE corpus scan for the whole composed gate: the Gopher rules
+      // consume a pinned (doc_id, lang, text) frame, while the LM stages
+      // (perplexity terciles, DSIR on survivors) are views over the
+      // SHARED gram profile — the corpus is never re-exploded per stage,
+      // asserted by PlanQualitySpec ("quality gate reads documents once")
       val base = docs(s, d).select("doc_id", "lang", "text")
         .localCheckpoint(false)
+      val p = gramProf(s, d)
       val keepIds = QualityOps.gopherRules(base, "doc_id", "text")
         .filter(col("keep") === 1).select("doc_id")
-        .join(QualityOps.perplexityBuckets(base, "doc_id", "text")
+        .join(QualityOps.perplexityBuckets(p)
           .filter(col("bucket") =!= "tail").select("doc_id"), Seq("doc_id"))
-      val survivors = base.join(keepIds, Seq("doc_id"), "left_semi")
-      QualityOps.dsirWeights(survivors, "doc_id", "text",
-          col("lang") === "en", dim = 128)
+      val markers = base
+        .select(col("doc_id"), (col("lang") === "en").as("__tgt"))
+        .join(keepIds, Seq("doc_id"), "left_semi")
+      QualityOps.dsirWeights(p, markers, dim = 128)
         .filter(col("dsir_w").isNotNull)
         .orderBy(col("dsir_w").desc, col("doc_id").asc)
         .limit(100)
@@ -3952,8 +3984,9 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted sample (w = e^dsir, priority ln(u)/w)
     // — TakeOrderedAndProject, no global sort
     "ml25_dsir_resample" -> ((s, d) => {
-      val w = QualityOps.dsirWeights(docs(s, d), "doc_id", "text",
-          col("lang") === "en", dim = 128)
+      val w = QualityOps.dsirWeights(gramProf(s, d),
+          docs(s, d).select(col("doc_id"),
+            (col("lang") === "en").as("__tgt")), dim = 128)
         .filter(col("dsir_w").isNotNull)
       FoldOps.weightedSample(w, col("doc_id"), exp(col("dsir_w")), n = 50)
         .withColumn("priority",
@@ -4050,7 +4083,7 @@ object SparkEntry {
     // distinct-bigram frame, pico-pinned model logprobs, exact DECIMAL
     // per-doc sums — the modern-smoothing sibling of t28
     "t46_kneser_ney" -> ((s, d) =>
-      SummaryOps.knBigramLogProb(docs(s, d), "doc_id", "text")),
+      SummaryOps.knBigramLogProb(gramProf(s, d), discount = 0.75)),
 
     // deterministic per-epoch global shuffle: position = exact two-phase
     // rank over (epoch, md5(epoch:id)) — reproducible training-data
@@ -4078,12 +4111,12 @@ object SparkEntry {
     // "more target-like than corpus-average"; unseen grams exercise the
     // add-1 floor via left joins
     "t42_domain_lm_delta" -> ((s, d) => {
-      val all = docs(s, d)
-      val target = SummaryOps.bigramLogProbAgainst(
-          all.filter(col("lang") === "en"), all, "doc_id", "text")
+      val p = gramProf(s, d)
+      val target = SummaryOps.bigramLogProbAgainst(p,
+          docs(s, d).filter(col("lang") === "en").select("doc_id"))
         .withColumnRenamed("avg_logprob", "lp_target")
         .select("doc_id", "n_bigrams", "lp_target")
-      val self = SummaryOps.bigramLogProb(all, "doc_id", "text")
+      val self = SummaryOps.bigramLogProb(p)
         .withColumnRenamed("avg_logprob", "lp_corpus")
         .select("doc_id", "lp_corpus")
       target.join(self, Seq("doc_id"))

@@ -86,8 +86,17 @@ object QualityOps {
     * bucket = ⌊(rank−1)·3 / n⌋ against a one-row count frame. Docs with
     * no bigrams (< 2 tokens) are excluded — they have no LM score.
     */
-  def perplexityBuckets(docs: DataFrame, id: String, text: String): DataFrame = {
-    val scored = SummaryOps.bigramLogProb(docs, id, text)
+  def perplexityBuckets(docs: DataFrame, id: String, text: String): DataFrame =
+    perplexityBucketsScored(SummaryOps.bigramLogProb(docs, id, text), id)
+
+  /** [[perplexityBuckets]] over a pre-built
+    * [[GramProfile]] — the shared-front-end form.
+    */
+  def perplexityBuckets(p: GramProfile): DataFrame =
+    perplexityBucketsScored(SummaryOps.bigramLogProb(p), p.id)
+
+  private def perplexityBucketsScored(lp: DataFrame, id: String): DataFrame = {
+    val scored = lp
       .filter(col("n_bigrams") > 0)
       .select(col(id), round(exp(-col("avg_logprob")), 6).as("ppl"))
     val ranked = RankOps.globalRowNumber(scored,
@@ -126,6 +135,40 @@ object QualityOps {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lrq")).as("__s"))
     docs.select(col(id)).join(perDoc, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("n_bigrams") / 1e9, 6).as("dsir_w"))
+  }
+
+  /** [[dsirWeights]] over a pre-built [[GramProfile]] — the shared-
+    * front-end form. `markers` is `(id, __tgt: boolean)` and also SCOPES
+    * the pass: only marked docs are modeled and scored (the composed
+    * quality gate restricts it to rule survivors), so the corpus's
+    * collapsed gram frame is filtered, never re-exploded. Multiplicities
+    * ride the `__m` column: bucket counts and per-doc sums weight by it,
+    * which is exactly the per-occurrence arithmetic of the docs form.
+    */
+  def dsirWeights(p: GramProfile, markers: DataFrame, dim: Int): DataFrame = {
+    val id = p.id
+    val bg = p.docBigrams
+      .join(markers.select(col(id), col("__tgt").cast("int").as("__tgt")),
+        Seq(id))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__bg")), 1, 4), 16, 10).cast("int"),
+          lit(dim)))
+    val counts = bg.groupBy("__b")
+      .agg(sum(col("__m")).as("__r"),
+        sum(col("__m") * col("__tgt")).cast("long").as("__t"))
+    val totals = counts.agg(sum(col("__r")).as("__rt"), sum(col("__t")).as("__tt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(log((col("__t") + 1.0) / (col("__tt") + lit(dim.toDouble)) *
+          (col("__rt") + lit(dim.toDouble)) / (col("__r") + 1.0)) * 1e9, 0)
+          .cast("long").as("__lrq"))
+    val perDoc = bg.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(id))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__m") * col("__lrq")).as("__s"))
+    markers.select(col(id)).join(perDoc, Seq(id), "left")
       .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("__s") / col("n_bigrams") / 1e9, 6).as("dsir_w"))
   }
@@ -657,13 +700,14 @@ object QualityOps {
 
   /** [[spanProfile]] over an already-tokenized `(id, __t, n_toks)` frame
     * (which should itself be checkpointed if it will be scanned more
-    * than once — e.g. [[spanDecontaminateMarked]]'s single-scan base).
+    * than once — e.g. [[spanDecontaminateMarked]]'s single-scan base, or
+    * the SparkEntry corpus-wide token frame shared with [[GramProfile]]).
     */
-  private[operators] def spanProfileFromToks(toks: DataFrame, id: String,
-      minLen: Int, cap: Int, ccMaxIter: Int,
-      checkpoint: DataFrame => DataFrame): SpanProfile =
-    new SpanProfile(id, minLen, checkpoint, toks,
-      rankedDupSuffixes(toks, id, minLen, cap, checkpoint), ccMaxIter)
+  private[graft] def spanProfileFromToks(toks: DataFrame, id: String,
+      minLen: Int = 5, cap: Int = 64, ccMaxIter: Int = 30,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      : SpanProfile =
+    new SpanProfile(id, minLen, cap, checkpoint, toks, ccMaxIter)
 
   /** Shared front half of the ExactSubstr family: candidate positions
     * (those whose `minLen`-gram repeats corpus-wide, via the inverted
@@ -862,12 +906,18 @@ object QualityOps {
 final class SpanProfile private[operators] (
     private[operators] val id: String,
     private[operators] val minLen: Int,
+    private[operators] val cap: Int,
     private[operators] val ck: DataFrame => DataFrame,
     /** `(id, __t, n_toks)` — one row per doc, token arrays materialized. */
     val toks: DataFrame,
-    /** `(id, pos, __sfx, __key, __rn)` — globally ranked dup suffixes. */
-    val ranked: DataFrame,
     private[operators] val ccMaxIter: Int) {
+
+  /** `(id, pos, __sfx, __key, __rn)` — globally ranked dup suffixes.
+    * Lazy so sharing `toks` with other profiles never triggers the
+    * suffix sort until a span view actually needs it.
+    */
+  lazy val ranked: DataFrame =
+    QualityOps.rankedDupSuffixes(toks, id, minLen, cap, ck)
 
   /** `(__rn, __da, __db, __lcpn)` — adjacent ranked-suffix pairs with
     * their token LCP; islands AND pairs derive from this one self-join.

@@ -245,28 +245,30 @@ object SummaryOps {
     import graft.functions.TextFns
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id), TextFns.tokens(col(text)).as("__t"))
-    val bg = toks.select(col(id),
-        explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
-      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
-    val bgCounts = bg.groupBy("__bg").agg(sum(col("__m")).as("__cbg"))
-    val uni = toks.select(col(id), explode(col("__t")).as("__tok"))
-    val uniCounts = uni.groupBy("__tok").agg(count(lit(1)).as("__cu"))
-    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
+    bigramLogProb(gramProfile(toks, id))
+  }
+
+  /** [[bigramLogProb]] over a pre-built [[GramProfile]] — the shared-
+    * front-end form: the model and the per-doc scoring both re-aggregate
+    * the profile's collapsed gram frames.
+    */
+  def bigramLogProb(p: GramProfile): DataFrame = {
+    val id = p.id
     // pico-quantized log-prob, one row per DISTINCT corpus bigram
-    val model = bgCounts
+    val model = p.bgCounts
       .withColumn("__prev", substring_index(col("__bg"), " ", 1))
-      .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
-      .crossJoin(broadcast(vocab))
+      .join(p.uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
+      .crossJoin(broadcast(p.vocab))
       .select(col("__bg"),
         round(log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))) * 1e12, 0)
           .cast("long").as("__lpq"))
-    val scored = bg
+    val scored = p.docBigrams
       .join(model, Seq("__bg"))
       .groupBy(col(id))
       .agg(sum(col("__m")).as("n_bigrams"),
         sum(col("__m").cast("decimal(18,0)") * col("__lpq").cast("decimal(18,0)"))
           .as("__llq"))
-    docs.select(col(id)).join(scored, Seq(id), "left")
+    p.toks.select(col(id)).join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("__llq").cast("double") / lit(1e12) / col("n_bigrams"), 6)
           .as("avg_logprob"))
@@ -300,6 +302,31 @@ object SummaryOps {
       .groupBy("__bg").agg(count(lit(1)).as("__cbg"))
     val uniCounts = trainToks.select(explode(col("__t")).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__cu"))
+    bigramLogProbAgainstCounts(gramProfile(toks(score), id),
+      bgCounts, uniCounts)
+  }
+
+  /** [[bigramLogProbAgainst]] over a pre-built [[GramProfile]], for the
+    * common shape where the TRAIN slice is a subset of the scored corpus
+    * (the CCNet/DSIR target-domain case): `trainIds` names the slice and
+    * both the model counts and the scoring re-aggregate the profile's
+    * collapsed gram frames — no second tokenize of the train side.
+    */
+  def bigramLogProbAgainst(p: GramProfile, trainIds: DataFrame): DataFrame = {
+    val tIds = trainIds.select(col(p.id))
+    bigramLogProbAgainstCounts(p,
+      p.docBigrams.join(tIds, Seq(p.id), "left_semi")
+        .groupBy("__bg").agg(sum(col("__m")).as("__cbg")),
+      p.docUnigrams.join(tIds, Seq(p.id), "left_semi")
+        .groupBy("__tok").agg(sum(col("__m")).as("__cu")))
+  }
+
+  /** Shared back half: score the profile's corpus under a bigram model
+    * given by its raw count frames `(__bg, __cbg)` / `(__tok, __cu)`.
+    */
+  private def bigramLogProbAgainstCounts(p: GramProfile,
+      bgCounts: DataFrame, uniCounts: DataFrame): DataFrame = {
+    val id = p.id
     val vocab = uniCounts.agg(count(lit(1)).cast("double").as("__v"))
     val model = bgCounts
       .withColumn("__prev", substring_index(col("__bg"), " ", 1))
@@ -314,10 +341,7 @@ object SummaryOps {
           .cast("long").as("__ppq"))
     val baseQ = vocab.select(
       round(log(lit(1.0) / col("__v")) * 1e12, 0).cast("long").as("__bq"))
-    val bg = toks(score).select(col(id),
-        explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
-      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
-    val scored = bg
+    val scored = p.docBigrams
       .join(model, Seq("__bg"), "left")
       .withColumn("__prev", substring_index(col("__bg"), " ", 1))
       .join(prevModel, Seq("__prev"), "left")
@@ -327,7 +351,7 @@ object SummaryOps {
         sum(col("__m").cast("decimal(18,0)") *
           coalesce(col("__lpq"), col("__ppq"), col("__bq"))
             .cast("decimal(18,0)")).as("__llq"))
-    score.select(col(id)).join(scored, Seq(id), "left")
+    p.toks.select(col(id)).join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("__llq").cast("double") / lit(1e12) / col("n_bigrams"), 6)
           .as("avg_logprob"))
@@ -415,10 +439,14 @@ object SummaryOps {
     import graft.functions.TextFns
     val toks = graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id), TextFns.tokens(col(text)).as("__t"))
-    val bg = toks.select(col(id),
-        explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
-      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m"))
-    val bgCounts = bg.groupBy("__bg").agg(sum(col("__m")).as("__cbg"))
+    knBigramLogProb(gramProfile(toks, id), discount)
+  }
+
+  /** [[knBigramLogProb]] over a pre-built [[GramProfile]]. */
+  def knBigramLogProb(p: GramProfile, discount: Double): DataFrame = {
+    val id = p.id
+    val bg = p.docBigrams
+    val bgCounts = p.bgCounts
       .withColumn("__v", substring_index(col("__bg"), " ", 1))
       .withColumn("__w", substring_index(col("__bg"), " ", -1))
     val ctx = bgCounts.groupBy("__v")
@@ -438,7 +466,7 @@ object SummaryOps {
       .agg(sum(col("__m")).as("n_bigrams"),
         sum(col("__m").cast("decimal(18,0)") * col("__lpq").cast("decimal(18,0)"))
           .as("__llq"))
-    docs.select(col(id)).join(scored, Seq(id), "left")
+    p.toks.select(col(id)).join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("__llq").cast("double") / lit(1e12) / col("n_bigrams"), 6)
           .as("avg_logprob_kn"))
@@ -486,4 +514,60 @@ object SummaryOps {
       .groupBy(col("__k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .select(col("__k").as("key"), col("est"))
+
+  /** Build the shared [[GramProfile]] for the bigram-LM family over an
+    * already-tokenized `(id, __t, ...)` frame (one row per doc; pass a
+    * checkpointed frame when it will be scanned more than once). Every
+    * LM view — self-trained scoring ([[bigramLogProb]]), target-trained
+    * scoring ([[bigramLogProbAgainst]]), Kneser-Ney
+    * ([[knBigramLogProb]]), CCNet terciles
+    * ([[QualityOps.perplexityBuckets]]) and DSIR weights
+    * ([[QualityOps.dsirWeights]]) — re-aggregates the profile's
+    * collapsed per-doc gram frames instead of re-exploding the corpus.
+    */
+  def gramProfile(toks: DataFrame, id: String,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      : GramProfile =
+    new GramProfile(id, checkpoint, toks)
+}
+
+/** The shared bigram-LM front end: per-doc DISTINCT gram frames with
+  * multiplicities (the collapse every LM builder re-aggregates) plus the
+  * corpus-level count frames of the self-trained model, each computed
+  * lazily on first use and checkpointed through `ck`. The raw corpus is
+  * exploded into bigrams exactly ONCE per profile, no matter how many LM
+  * views run — the scale move for the quality-filter stacks that score
+  * the same corpus under several models (CCNet terciles + domain delta +
+  * DSIR in one curation pass).
+  */
+final class GramProfile private[operators] (
+    private[operators] val id: String,
+    private[operators] val ck: DataFrame => DataFrame,
+    /** `(id, __t, ...)` — one row per doc, token arrays materialized. */
+    val toks: DataFrame) {
+
+  /** `(id, __bg, __m)` — per-doc distinct bigrams with multiplicities. */
+  lazy val docBigrams: DataFrame = ck(
+    toks.select(col(id),
+        explode(graft.functions.TextFns.rawShingles(col("__t"), 2)).as("__bg"))
+      .groupBy(col(id), col("__bg")).agg(count(lit(1)).as("__m")))
+
+  /** `(id, __tok, __m)` — per-doc distinct tokens with multiplicities. */
+  lazy val docUnigrams: DataFrame = ck(
+    toks.select(col(id), explode(col("__t")).as("__tok"))
+      .groupBy(col(id), col("__tok")).agg(count(lit(1)).as("__m")))
+
+  /** `(__bg, __cbg)` — corpus bigram counts (the self-trained model's
+    * numerator side).
+    */
+  lazy val bgCounts: DataFrame =
+    ck(docBigrams.groupBy("__bg").agg(sum(col("__m")).as("__cbg")))
+
+  /** `(__tok, __cu)` — corpus unigram counts. */
+  lazy val uniCounts: DataFrame =
+    ck(docUnigrams.groupBy("__tok").agg(sum(col("__m")).as("__cu")))
+
+  /** 1-row `(__v)` — unigram vocabulary size as double. */
+  lazy val vocab: DataFrame =
+    uniCounts.agg(count(lit(1)).cast("double").as("__v"))
 }
