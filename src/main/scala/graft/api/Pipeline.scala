@@ -312,6 +312,29 @@ object DrugMapper {
   */
 case class StayRecord(stay_id: Long, series: Map[String, Seq[Double]])
 
+/** §3.3 task-window modes — WHICH `includeH`-hour slice of each eligible
+  * stay feeds the tensor (the reference Generator's three `*_length`
+  * branches, `data_generation_icu.py:172-283`).
+  */
+sealed trait TaskWindow
+
+/** The FIRST `includeH` hours of the stay (the mortality / LoS shape):
+  * events at offsets `[0, includeH)` survive, and eligibility is
+  * `los ≥ includeH + predWindowH` — `predWindowH` reserves the label
+  * window AFTER the inputs, the mortality branch's extra gate
+  * (`mortality_length`, reference `data_generation_icu.py:172-206`;
+  * `los_length` is the same shape with predW = 0).
+  */
+final case class FirstWindow(predWindowH: Int = 0) extends TaskWindow
+
+/** The LAST `includeH` hours of the stay (the readmission shape):
+  * `select_time = los − includeH`, event offsets shift by −select_time,
+  * and events before the shifted zero drop (`readmission_length`,
+  * reference `data_generation_icu.py:243-283`). Eligibility is
+  * `los ≥ includeH`.
+  */
+case object LastWindow extends TaskWindow
+
 /** §3.3 `Generator` — tall-first time-series representation: one frame
   * (visit, bucket, code, value), never a per-visit loop. Pivot only at
   * export (`TimeSeriesOps.pivotMatrix`).
@@ -328,6 +351,43 @@ object TimeSeriesGenerator {
         col(offsetH), lit(bucketH), "bucket")
       .groupBy(col(visitKey), col(codeCol), col("bucket"))
       .agg(avg(col(valueCol)).as("value"))
+
+  /** [[bucketedFeatures]] with the task-window mode and stay-length
+    * eligibility as facade config: `stayLos` is `(visitKey, losCol)` in
+    * HOURS (one row per stay), `window` picks the slice.
+    *
+    *  - [[FirstWindow]]: stays with `los ≥ includeH + predW` keep their
+    *    first `includeH` hours (`offset < includeH`).
+    *  - [[LastWindow]]: stays with `los ≥ includeH` keep their last
+    *    `includeH` hours — offsets shift by `−(los − includeH)` so the
+    *    kept slice re-zeroes onto the same `[0, includeH)` bucket grid,
+    *    and events before the shifted zero drop (point-event form; an
+    *    interval straddling the boundary should be clipped upstream the
+    *    way the reference clamps med start times to 0).
+    *
+    * Both joins are visit-keyed equi-joins (semi for the gate, inner for
+    * the shift) — the stay frame is one row per visit, so AQE broadcasts
+    * it when small and shuffles both sides on the key otherwise.
+    */
+  def bucketedFeatures(events: DataFrame, visitKey: String, offsetH: String,
+      codeCol: String, valueCol: String, stayLos: DataFrame, losCol: String,
+      includeH: Int, bucketH: Int, window: TaskWindow): DataFrame =
+    window match {
+      case FirstWindow(predW) =>
+        val eligible = stayLos.filter(col(losCol) >= includeH + predW)
+          .select(col(visitKey))
+        bucketedFeatures(events.join(eligible, Seq(visitKey), "left_semi"),
+          visitKey, offsetH, codeCol, valueCol, includeH, bucketH)
+      case LastWindow =>
+        val sel = stayLos.filter(col(losCol) >= includeH)
+          .select(col(visitKey), (col(losCol) - includeH).as("__select"))
+        val shifted = events.join(sel, Seq(visitKey))
+          .withColumn("__off", col(offsetH) - col("__select"))
+          .filter(col("__off") >= 0 && col("__off") < includeH)
+        TimeSeriesOps.bucketize(shifted, col("__off"), lit(bucketH), "bucket")
+          .groupBy(col(visitKey), col(codeCol), col("bucket"))
+          .agg(avg(col(valueCol)).as("value"))
+    }
 
   /** §3.3 export — collapse the tall frame into one row per stay with a
     * code → bucket-ordered value series map (the reference's nested

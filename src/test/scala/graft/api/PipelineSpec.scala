@@ -155,6 +155,86 @@ class PipelineSpec extends AnyFunSuite {
     assert(v2r === v1r)
   }
 
+  test("Generator task windows: last-window shift-and-clip + predW gate") {
+    // reference readmission_length (data_generation_icu.py:243-283) and
+    // mortality_length's los >= include + predW gate (:172-206)
+    val stays = Seq((101L, 240L), (201L, 100L), (301L, 48L))
+      .toDF("hadm_id", "los_h")
+    val events = Seq(
+      // stay 101: los 240, includeH 72 → select_time = 168
+      (101L, 7L, 100L, 100L),  // shifted −68 → before the window, drops
+      (101L, 7L, 167L, 200L),  // shifted −1 → STRADDLES the zero, drops
+      (101L, 7L, 168L, 300L),  // shifted 0 → first kept hour, bucket 0
+      (101L, 7L, 239L, 400L),  // shifted 71 → last kept hour, bucket 2
+      (101L, 7L, 240L, 500L),  // shifted 72 → past the top clip, drops
+      // stay 201: los 100, select_time = 28 → shifted −18, drops
+      (201L, 7L, 10L, 600L),
+      // stay 301: los 48 < includeH → ineligible entirely
+      (301L, 7L, 10L, 700L)
+    ).toDF("hadm_id", "itemid", "event_offset_h", "val_cents")
+
+    val last = TimeSeriesGenerator.bucketedFeatures(events, "hadm_id",
+        "event_offset_h", "itemid", "val_cents", stays, "los_h",
+        includeH = 72, bucketH = 24, window = LastWindow)
+      .select("hadm_id", "bucket", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last === Set((101L, 0L, 300.0), (101L, 2L, 400.0)))
+
+    // FirstWindow(predW = 48): eligibility is los >= 72 + 48 — stay 201
+    // (los 100) is OUT despite its event fitting the input window, stay
+    // 101 is in but its events all start past hour 72
+    val first = TimeSeriesGenerator.bucketedFeatures(events, "hadm_id",
+        "event_offset_h", "itemid", "val_cents", stays, "los_h",
+        includeH = 72, bucketH = 24, window = FirstWindow(predWindowH = 48))
+      .select("hadm_id", "bucket", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(first === Set.empty[(Long, Long, Double)])
+    // predW = 0 contrast: stay 201 (los 100 >= 72) is back in
+    val firstNoPredW = TimeSeriesGenerator.bucketedFeatures(events, "hadm_id",
+        "event_offset_h", "itemid", "val_cents", stays, "los_h",
+        includeH = 72, bucketH = 24, window = FirstWindow())
+      .select("hadm_id", "bucket", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(firstNoPredW === Set((201L, 0L, 600.0)))
+  }
+
+  test("facade dialect: ICU stay_id/intime/outtime bindings are bit-identical") {
+    // the reference's ICU flag swaps hadm_id/admittime/dischtime for
+    // stay_id/intime/outtime (day_intervals_cohort.py:282-307); the
+    // facade handles it purely by CohortConfig bindings — prove the WHOLE
+    // tensor path (cohort → events → bucketize → densify+impute) emits
+    // bit-identical rows under the ICU names
+    val meas = Seq(
+      (101L, 7L, ts("2020-01-01 05:00:00"), 500L), // offset 5 → bucket 0
+      (101L, 7L, ts("2020-01-02 01:00:00"), 700L), // offset 25 → bucket 1
+      (101L, 7L, ts("2020-01-04 00:00:00"), 900L), // offset 72 → clipped
+      (201L, 9L, ts("2020-02-02 00:00:00"), 300L)  // offset 24 → bucket 1
+    ).toDF("hadm_id", "itemid", "charttime", "val_cents")
+
+    def tensors(visits: org.apache.spark.sql.DataFrame,
+        evts: org.apache.spark.sql.DataFrame, c: CohortConfig) = {
+      val cohort = CohortExtractor.extract(visits, patients, c)
+      val ev = FeatureExtractor.eventsForCohort(evts, cohort,
+        c.visitKey, "charttime", c.admitCol)
+      val bucketed = TimeSeriesGenerator.bucketedFeatures(ev, c.visitKey,
+        "event_offset_h", "itemid", "val_cents", includeH = 72, bucketH = 24)
+      TimeSeriesGenerator.densifyAndImpute(bucketed, c.visitKey, "itemid",
+          nBuckets = 3)
+        .select(col(c.visitKey), col("itemid"), col("bucket"),
+          col("value_imputed"))
+        .collect().map(_.toSeq).toSet
+    }
+    val hosp = tensors(admissions, meas,
+      cfg.copy(task = Mortality("dod")))
+    val icu = tensors(
+      admissions.toDF("subject_id", "stay_id", "intime", "outtime"),
+      meas.toDF("stay_id", "itemid", "charttime", "val_cents"),
+      cfg.copy(visitKey = "stay_id", admitCol = "intime",
+        dischCol = "outtime", task = Mortality("dod")))
+    assert(icu === hosp)
+    assert(hosp.nonEmpty)
+  }
+
   test("ICD standardization: version-9 roots map first-match, 10 passes through") {
     val diagnoses = Seq(
       (101L, "4280", 9),   // root 428 → I50 (first match wins)
