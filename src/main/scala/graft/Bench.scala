@@ -136,22 +136,78 @@ object Bench {
     val results = passes.head.keys.toSeq.sorted
       .map(k => k -> reduce(passes.map(_(k))))
     val total = results.map(_._2).sum
+
+    // ---- same-window DuckDB pairing ---------------------------------------
+    // A lone Spark total is uninterpretable under this host's CPU-steal
+    // swings — every artifact therefore carries a back-to-back warmed
+    // DuckDB run over the identical oracle SQL (tools/bench_duck.py) plus
+    // the ratio and the window's load average, so round-over-round
+    // comparisons never pair numbers from different windows. Opt out with
+    // SPARK_GRAFT_PAIR=false; a missing python/duckdb degrades to a
+    // spark-only artifact rather than failing the bench.
+    val duck: Option[(Double, Map[String, Double])] =
+      if (sys.env.get("SPARK_GRAFT_PAIR").contains("false")) None
+      else try {
+        def esc(s: String): String = "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val oraclePath = java.nio.file.Files.createTempFile("graft-oracle", ".json")
+        java.nio.file.Files.writeString(oraclePath,
+          SparkEntry.oracleSql.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+            .mkString("{", ",", "}"))
+        val out = scala.sys.process.Process(
+          Seq("python3", "tools/bench_duck.py", sfDir, oraclePath.toString)).!!
+        val totalRe = """"total":\s*(-?[0-9.eE+]+)""".r
+        val qRe = """"([A-Za-z0-9_]+)":\s*(-?[0-9.eE+]+)""".r
+        val dTotal = totalRe.findFirstMatchIn(out).map(_.group(1).toDouble)
+        val dQueries = qRe.findAllMatchIn(out)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._1 != "total").toMap
+        dTotal.map(t => (t, dQueries))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] duck pairing failed: ${e.getMessage}")
+        None
+      }
+    val loadavg =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0)
+      catch { case _: Throwable => "?" }
+    // the ratio pairs only queries BOTH engines timed successfully
+    val pairStats = duck.map { case (_, dq) =>
+      val shared = results.filter { case (k, _) => dq.getOrElse(k, -1.0) > 0 }
+      (shared.map(_._2).sum, shared.map(k => dq(k._1)).sum, shared.size)
+    }
+    val pairJson = pairStats.map { case (sSum, dSum, n) =>
+      s""","duck_total":${f"$dSum%.3f"},"spark_paired":${f"$sSum%.3f"},""" +
+        s""""ratio":${f"${sSum / dSum}%.3f"},"paired":$n"""
+    }.getOrElse(""","duck_total":null,"ratio":null""")
+
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     // The harness captures only the last ~2000 bytes of output, so the
     // printed line must stay well under that: rounded values, and only the
-    // 20 slowest queries inline. The complete per-query map goes to
-    // BENCH_FULL.json alongside the repo for offline comparison.
+    // 20 slowest queries inline. The complete per-query map (both engines)
+    // goes to BENCH_FULL.json alongside the repo for offline comparison.
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    val proto = s""""passes":$nPasses,"report":"$report""""
+    val proto = s""""passes":$nPasses,"report":"$report","loadavg":"$loadavg""""
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""n":${results.size},"failed":${failed.size},$proto,""" +
+      s""""n":${results.size},"failed":${failed.size},$proto$pairJson,""" +
       s""""queries":${entries(slowest)},"sf":"$sfDir"}"""
+    val duckFull = duck.map { case (_, dq) =>
+      s""","duck_queries":${entries(dq.toSeq.sortBy(_._1))}"""
+    }.getOrElse("")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$proto,""" +
-        s""""queries":${entries(results)},"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s"""$proto$pairJson,""" +
+        s""""queries":${entries(results)}$duckFull,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     println(line)
     spark.stop()
