@@ -264,11 +264,15 @@ object QualityOps {
       .agg(count(lit(1)).as("__m"))
       .localCheckpoint()
     val docTot = dg.groupBy(col(id), col(lang)).agg(sum("__m").as("__M"))
+    // checkpointed: (vocab × langs)-bounded, with THREE consumers below
+    // (per-lang totals, vocab size, the log-prob table) — without the pin
+    // each consumer re-aggregates dg through its own exchange tower, and
+    // at sf-scale those replayed small stages ARE the query's cost
     val gl = dg.groupBy(col("__g"), col(lang).as("__l"))
       .agg(sum(col("__m")).as("__c"))
+      .localCheckpoint()
     val tl = gl.groupBy("__l").agg(sum(col("__c")).as("__T"))
-    val vocab = gl.select("__g").distinct()
-      .agg(count(lit(1)).cast("double").as("__V"))
+    val vocab = gl.agg(count_distinct(col("__g")).cast("double").as("__V"))
     val lp = gl.join(broadcast(tl), Seq("__l")).crossJoin(broadcast(vocab))
       .select(col("__g"), col("__l"),
         round(log((col("__c") + 1.0) / (col("__T") + col("__V"))) * 1e12, 0)

@@ -190,8 +190,11 @@ object RegressionOps {
     * oracle.
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // pinned: the pair frame has THREE consumers (x-rank counts, y-rank
+    // counts, the closing moment aggregate) — one scan, not three
     val rows = df.select(x.as("__x"), y.as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(false)
     def doubledRanks(v: String, out: String): DataFrame = {
       val counts = rows.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
       RankOps.globalCumsum(counts, Seq(col(v)), col("__cnt"), "__cum")

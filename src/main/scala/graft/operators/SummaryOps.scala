@@ -249,21 +249,20 @@ object SummaryOps {
   }
 
   /** [[bigramLogProb]] over a pre-built [[GramProfile]] — the shared-
-    * front-end form: the model and the per-doc scoring both re-aggregate
-    * the profile's collapsed gram frames.
+    * front-end form, returning the profile's checkpointed
+    * [[GramProfile.selfLogProb]] frame (built once, reused by every
+    * self-trained consumer).
     */
-  def bigramLogProb(p: GramProfile): DataFrame = {
+  def bigramLogProb(p: GramProfile): DataFrame = p.selfLogProb
+
+  /** The actual self-trained scoring plan (what
+    * [[GramProfile.selfLogProb]] checkpoints): per-doc exact DECIMAL sum
+    * of pico-quantized model log-probs over the collapsed gram frame.
+    */
+  private[operators] def selfLogProbOf(p: GramProfile): DataFrame = {
     val id = p.id
-    // pico-quantized log-prob, one row per DISTINCT corpus bigram
-    val model = p.bgCounts
-      .withColumn("__prev", substring_index(col("__bg"), " ", 1))
-      .join(p.uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
-      .crossJoin(broadcast(p.vocab))
-      .select(col("__bg"),
-        round(log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))) * 1e12, 0)
-          .cast("long").as("__lpq"))
     val scored = p.docBigrams
-      .join(model, Seq("__bg"))
+      .join(p.addOneModel, Seq("__bg"))
       .groupBy(col(id))
       .agg(sum(col("__m")).as("n_bigrams"),
         sum(col("__m").cast("decimal(18,0)") * col("__lpq").cast("decimal(18,0)"))
@@ -570,4 +569,23 @@ final class GramProfile private[operators] (
   /** 1-row `(__v)` — unigram vocabulary size as double. */
   lazy val vocab: DataFrame =
     uniCounts.agg(count(lit(1)).cast("double").as("__v"))
+
+  /** `(__bg, __lpq)` — the self-trained add-1 model, pico-quantized at
+    * this (distinct-corpus-bigram-bounded) frame; the join side every
+    * self-trained scorer re-reads.
+    */
+  lazy val addOneModel: DataFrame = ck(
+    bgCounts
+      .withColumn("__prev", substring_index(col("__bg"), " ", 1))
+      .join(uniCounts.withColumnRenamed("__tok", "__prev"), Seq("__prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__bg"),
+        round(log((col("__cbg") + 1.0) / (col("__cu") + col("__v"))) * 1e12, 0)
+          .cast("long").as("__lpq")))
+
+  /** `(id, n_bigrams, avg_logprob)` — the corpus scored under its own
+    * add-1 model ([[SummaryOps.bigramLogProb]]'s output), shared by the
+    * t28 score, the CCNet terciles, and the domain-delta's self side.
+    */
+  lazy val selfLogProb: DataFrame = ck(SummaryOps.selfLogProbOf(this))
 }
