@@ -116,6 +116,10 @@ class DeterminismSpec extends AnyFunSuite {
       val fn = SparkEntry.queries(name)
       spark.conf.set(key, modeA)
       val first = contentHash(fn(spark, dir))
+      // drop the memoized shared profiles BETWEEN the modes too — mode B
+      // must re-execute the family's whole lineage under its own setting,
+      // not read mode A's materialized front end
+      SparkEntry.resetShared(spark)
       spark.conf.set(key, modeB)
       val second = contentHash(fn(spark, dir))
       if (first != second)
@@ -123,7 +127,13 @@ class DeterminismSpec extends AnyFunSuite {
           s"$key=$modeB=(hash=${second._1}, n=${second._2})"
       // range-bucketed operators pin intermediates with localCheckpoint;
       // drop the leftovers so the block manager doesn't accumulate dead
-      // blocks across ~300 executions
+      // blocks across ~300 executions. The MEMOIZED shared profiles must
+      // be dropped through their cache (resetShared), not by raw
+      // unpersist — orphaned cache entries would point at dead checkpoint
+      // blocks and crash every later family query — and resetting them
+      // here is also what this spec WANTS: each mode re-executes the
+      // family's full lineage, profile front end included.
+      SparkEntry.resetShared(spark)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     failures.toSeq

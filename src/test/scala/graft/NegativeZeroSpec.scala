@@ -64,6 +64,9 @@ class NegativeZeroSpec extends AnyFunSuite {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = negZeroCells(fn(spark, d))
       if (n > 0) bad += s"$name: $n -0.0 cells"
+      // shared profiles go through their cache: raw unpersist would
+      // orphan the memoized entries onto dead checkpoint blocks
+      SparkEntry.resetShared(spark)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     assert(bad.isEmpty, s"queries emitting -0.0:\n${bad.mkString("\n")}")
