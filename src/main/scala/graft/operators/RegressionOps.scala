@@ -498,7 +498,9 @@ object RegressionOps {
     * correctly rounded identically on every engine, partitioning and AQE
     * mode. Same fixed-point argument as [[groupOls]]/`a28`/`a33`.
     */
-  def embeddingCovariance(df: DataFrame, vec: Column): DataFrame = {
+  def embeddingCovariance(df: DataFrame, vec: Column,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false))
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val q = transform(vec, x => quantLaneChecked(x))
@@ -524,12 +526,11 @@ object RegressionOps {
     // dimension, not data) so its three consumers don't re-run the scan.
     val prods = flatten(transform(col("__q"), (xi, i) =>
       transform(slice(col("__q"), i + 1, size(col("__q"))), xj => xi * xj)))
-    val sums = qdf
+    val sums = checkpoint(qdf
       .select(posexplode(concat(prods, col("__q"))).as(Seq("pos", "__p")))
       .groupBy(col("pos").cast("long").as("pos"))
       .agg(count(lit(1)).as("n"),
-        sum(col("__p").cast("decimal(38,0)")).as("__sp"))
-      .localCheckpoint(false)
+        sum(col("__p").cast("decimal(38,0)")).as("__sp")))
     val dims = sums.filter(col("pos") >= p0)
       .select((col("pos") - p0).as("i"), col("n"), col("__sp").as("__s"))
     val prodSums = sums.filter(col("pos") < p0)
@@ -603,8 +604,17 @@ object RegressionOps {
     * exemption.
     */
   def pcaProject(df: DataFrame, id: String, vec: Column,
-      iters: Int = 30): DataFrame = {
-    val cov = embeddingCovariance(df, vec)
+      iters: Int = 30): DataFrame =
+    pcaProjectFrom(df, id, vec, iters, embeddingCovariance(df, vec))
+
+  /** [[pcaProject]] over a pre-built covariance frame (the
+    * [[embeddingCovariance]] output) — the shared-front-end form: when
+    * v09 already materialized the moments, the PCA pays only the
+    * bounded collect + the projection scan.
+    */
+  def pcaProjectFrom(df: DataFrame, id: String, vec: Column,
+      iters: Int, covFrame: DataFrame): DataFrame = {
+    val cov = covFrame
       .select(col("i"), col("j"), col("cov")).collect()
     if (cov.isEmpty)
       return df.sparkSession.emptyDataFrame
