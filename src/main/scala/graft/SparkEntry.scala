@@ -3316,6 +3316,29 @@ object SparkEntry {
           round(col("value_imputed") / 100.0, 4).as("val_imputed"))
     }),
 
+    // the Generator's mortality-branch ELIGIBILITY gate: los >= include +
+    // predW reserves the 48 h label window after the 72 h input window
+    // (reference mortality_length, data_generation_icu.py:172-206) — the
+    // first-window clip plus the gate, through the densify+impute tail
+    "e2e_stay_tensors_mortality" -> ((s, d) => {
+      val ev2 = e2eEvents(s, d)
+      val keep = ev2.groupBy("itemid").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("itemid").asc).limit(25)
+        .select("itemid")
+      val sel = api.FeatureSelector.select(ev2, "itemid", keep)
+      val los = e2eCohort(s, d).select(col("hadm_id"),
+        floor((unix_timestamp(col("dischtime")) -
+          unix_timestamp(col("admittime"))) / 3600L).as("los_h"))
+      val bucketed = api.TimeSeriesGenerator.bucketedFeatures(sel,
+        "hadm_id", "event_offset_h", "itemid", "val_cents",
+        los, "los_h", includeH = 72, bucketH = 24,
+        window = api.FirstWindow(predWindowH = 48))
+      api.TimeSeriesGenerator.densifyAndImpute(bucketed, "hadm_id", "itemid",
+          nBuckets = 3)
+        .select(col("hadm_id"), col("itemid"), col("bucket"),
+          round(col("value_imputed") / 100.0, 4).as("val_imputed"))
+    }),
+
     // the Generator's LAST-window (readmission) branch: stays of >= 72 h
     // keep their final 72 hours — offsets shift by -(los - 72) onto the
     // same [0, 72) grid, events before the shifted zero drop, shorter
@@ -5678,6 +5701,46 @@ object SparkEntry {
          pairs AS (SELECT DISTINCT hadm_id, itemid FROM bucketed),
          grid AS (SELECT p.hadm_id, p.itemid, r.range AS bucket
                   FROM pairs p CROSS JOIN range(0, 30) r),
+         dense AS (SELECT g.hadm_id, g.itemid, g.bucket, b.value
+                   FROM grid g
+                   LEFT JOIN bucketed b USING (hadm_id, itemid, bucket)),
+         ff AS (SELECT *, LAST_VALUE(value IGNORE NULLS) OVER (
+                  PARTITION BY hadm_id, itemid ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+                FROM dense),
+         fb AS (SELECT *, FIRST_VALUE(f IGNORE NULLS) OVER (
+                  PARTITION BY hadm_id, itemid ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fbv
+                FROM ff)
+         SELECT hadm_id, itemid, bucket,
+                ROUND(COALESCE(fbv, AVG(value) OVER (
+                  PARTITION BY hadm_id, itemid)) / 100.0, 4) + 0.0 AS val_imputed
+         FROM fb""",
+
+    // the mortality gate: los_h >= 72 + 48 eligibility, unshifted
+    // first-window clip at offset < 72
+    "e2e_stay_tensors_mortality" ->
+      s"""WITH $e2eBaseCtes,
+         keep AS (SELECT itemid FROM (
+                    SELECT itemid, COUNT(*) AS c FROM ev GROUP BY 1)
+                  ORDER BY c DESC, itemid ASC LIMIT 25),
+         sel AS (SELECT e.* FROM ev e JOIN keep USING (itemid)),
+         los AS (SELECT hadm_id,
+                        CAST(FLOOR(EPOCH(dischtime - admittime) / 3600)
+                          AS BIGINT) AS los_h
+                 FROM cohort),
+         gated AS (SELECT e.hadm_id, e.itemid, e.event_offset_h AS off,
+                          e.val_cents
+                   FROM sel e JOIN los l USING (hadm_id)
+                   WHERE l.los_h >= 120),
+         bucketed AS (SELECT hadm_id, itemid,
+                             CAST(FLOOR(off / 24) AS BIGINT) AS bucket,
+                             AVG(val_cents) AS value
+                      FROM gated WHERE off < 72
+                      GROUP BY 1, 2, 3),
+         pairs AS (SELECT DISTINCT hadm_id, itemid FROM bucketed),
+         grid AS (SELECT p.hadm_id, p.itemid, r.range AS bucket
+                  FROM pairs p CROSS JOIN range(0, 3) r),
          dense AS (SELECT g.hadm_id, g.itemid, g.bucket, b.value
                    FROM grid g
                    LEFT JOIN bucketed b USING (hadm_id, itemid, bucket)),
