@@ -139,6 +139,23 @@ object SparkEntry {
         .select(col("l_orderkey"), col("p_brand"))
       pinCk(s)(GraphOps.coOccurrenceEdges(baskets, "l_orderkey", "p_brand"))
     }
+
+  /** The eval pairing's clipped WORD-gram match frame (m1, m2, lens) —
+    * BLEU (t47), ROUGE-2 (t48) and the composed report all close over
+    * the IDENTICAL frame.
+    */
+  private def wordOverlap(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "wordOv") {
+      pinCk(s)(EvalOps.ngramOverlap(docs(s, d), "doc_id", "text",
+        evalPairs(s, d), maxN = 2))
+    }
+
+  /** The eval pairing's clipped CHAR-gram match frame (chrF + report). */
+  private def charOverlap(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "charOv") {
+      pinCk(s)(EvalOps.charNgramOverlap(docs(s, d), "doc_id", "text",
+        evalPairs(s, d), maxN = 3))
+    }
   // -------------------------------------------------------------------------
 
   /** 4 patterned 64-dim centroids for `v03b_assign_fixed` — one closed form
@@ -4191,15 +4208,13 @@ object SparkEntry {
     // equi-joins — each doc is in O(1) pairs, so the whole scoring is
     // linear; no smoothing, standard brevity penalty
     "t47_bleu" -> ((s, d) =>
-      EvalOps.bleu(docs(s, d), "doc_id", "text",
-        evalPairs(s, d), maxN = 2)),
+      EvalOps.bleuFromOverlap(wordOverlap(s, d), maxN = 2)),
 
     // ROUGE-2 recall/precision/F1 over the same eval pairing — the
     // reference-recall side of the t47 precision metric, off the same
     // clipped-match frame
     "t48_rouge2" -> ((s, d) =>
-      EvalOps.rougeN(docs(s, d), "doc_id", "text",
-        evalPairs(s, d), n = 2)),
+      EvalOps.rougeNFromOverlap(wordOverlap(s, d), n = 2)),
 
     // fill-in-middle training transform (Bavarian et al. 2022): each doc
     // split at two deterministic modular cuts and re-emitted in SPM
@@ -4212,8 +4227,7 @@ object SparkEntry {
     // F-β, the tokenization-free member of the eval-metric triple; same
     // clipped-match equi-join core as BLEU/ROUGE, char grams instead
     "t49_chrf" -> ((s, d) =>
-      EvalOps.chrF(docs(s, d), "doc_id", "text",
-        evalPairs(s, d), maxN = 3)),
+      EvalOps.chrFFromOverlap(charOverlap(s, d), maxN = 3)),
 
     // rank-aware quality of the IVF index against exact search on the v07
     // frames: MRR + graded nDCG — position-sensitive where v07's recall is
@@ -4285,18 +4299,15 @@ object SparkEntry {
     // the composed per-pair eval report — BLEU-2 ⋈ ROUGE-2 ⋈ chrF on the
     // same pairing, the 14th hash-gated e2e chain (metric interactions,
     // not just stages); each side is the already-oracled operator
-    "e2e_eval_report" -> ((s, d) => {
-      val dd = docs(s, d)
-      val p = evalPairs(s, d)
-      EvalOps.bleu(dd, "doc_id", "text", p, maxN = 2)
+    "e2e_eval_report" -> ((s, d) =>
+      EvalOps.bleuFromOverlap(wordOverlap(s, d), maxN = 2)
         .select("cand_id", "ref_id", "len_c", "len_r", "bp", "bleu")
-        .join(EvalOps.rougeN(dd, "doc_id", "text", p, n = 2)
+        .join(EvalOps.rougeNFromOverlap(wordOverlap(s, d), n = 2)
           .select("cand_id", "ref_id", "rouge_r", "rouge_p", "rouge_f1"),
           Seq("cand_id", "ref_id"))
-        .join(EvalOps.chrF(dd, "doc_id", "text", p, maxN = 3)
+        .join(EvalOps.chrFFromOverlap(charOverlap(s, d), maxN = 3)
           .select("cand_id", "ref_id", "chrf_p", "chrf_r", "chrf"),
-          Seq("cand_id", "ref_id"))
-    })
+          Seq("cand_id", "ref_id")))
   )
 
   /** Deterministic eval pairing for `t47_bleu` / `t48_rouge2`: every even

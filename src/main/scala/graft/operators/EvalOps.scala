@@ -133,8 +133,15 @@ object EvalOps {
     * Output: `cand_id, ref_id, len_c, len_r, m1..mN, bp, bleu`.
     */
   def bleu(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, maxN: Int = 2): DataFrame = {
-    val ov = ngramOverlap(docs, idCol, textCol, pairs, maxN)
+      pairs: DataFrame, maxN: Int = 2): DataFrame =
+    bleuFromOverlap(ngramOverlap(docs, idCol, textCol, pairs, maxN), maxN)
+
+  /** [[bleu]] over a pre-built [[ngramOverlap]] frame (built with the
+    * same `maxN`) — the shared-front-end form: BLEU and ROUGE close over
+    * the IDENTICAL clipped-match frame, so a caller scoring both pays
+    * the gram machinery once.
+    */
+  def bleuFromOverlap(ov: DataFrame, maxN: Int): DataFrame = {
     // total n-grams in the candidate: len_c - n + 1 (0 when len_c < n)
     def total(n: Int): Column = greatest(col("len_c") - (n - 1), lit(0L))
     val logSum = (1 to maxN).map(n =>
@@ -155,8 +162,13 @@ object EvalOps {
     * rouge_f1`.
     */
   def rougeN(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, n: Int): DataFrame = {
-    val ov = ngramOverlap(docs, idCol, textCol, pairs, n)
+      pairs: DataFrame, n: Int): DataFrame =
+    rougeNFromOverlap(ngramOverlap(docs, idCol, textCol, pairs, n), n)
+
+  /** [[rougeN]] over a pre-built [[ngramOverlap]] frame carrying `m$n`
+    * (any maxN ≥ n works — the extra m-columns just pass through unused).
+    */
+  def rougeNFromOverlap(ov: DataFrame, n: Int): DataFrame = {
     val m = col(s"m$n").cast("double")
     val totC = greatest(col("len_c") - (n - 1), lit(0L)).cast("double")
     val totR = greatest(col("len_r") - (n - 1), lit(0L)).cast("double")
@@ -180,8 +192,13 @@ object EvalOps {
     * Output: `cand_id, ref_id, len_c, len_r, chrf_p, chrf_r, chrf`.
     */
   def chrF(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, maxN: Int = 3, beta: Double = 2.0): DataFrame = {
-    val ov = charNgramOverlap(docs, idCol, textCol, pairs, maxN)
+      pairs: DataFrame, maxN: Int = 3, beta: Double = 2.0): DataFrame =
+    chrFFromOverlap(
+      charNgramOverlap(docs, idCol, textCol, pairs, maxN), maxN, beta)
+
+  /** [[chrF]] over a pre-built [[charNgramOverlap]] frame (same `maxN`). */
+  def chrFFromOverlap(ov: DataFrame, maxN: Int,
+      beta: Double = 2.0): DataFrame = {
     def totC(n: Int): Column = greatest(col("len_c") - (n - 1), lit(0L))
     def totR(n: Int): Column = greatest(col("len_r") - (n - 1), lit(0L))
     val p = (1 to maxN).map(n => when(totC(n) > 0,
