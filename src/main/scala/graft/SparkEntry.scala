@@ -3379,6 +3379,58 @@ object SparkEntry {
           round(col("value_imputed") / 100.0, 4).as("val_imputed"))
     }),
 
+    // the Generator's readmission MED-INTERVAL branch (reference
+    // readmission_length meds, data_generation_icu.py:256-262): intervals
+    // shift by -select_time, stop >= 0 keeps the straddling interval
+    // (truncated — start < 0 clamps to 0), earlier ones drop; then the
+    // smooth_meds bucket grid + W5 active mask. Fabricated intervals:
+    // start = event offset mod 497 (a prime, so starts land densely
+    // on BOTH sides of every select_time), stop = start + (itemid % 96
+    // + 1) hours — pure integer arithmetic the oracle replays exactly;
+    // at sf0.01 this hits all three branches (straddle-clamped, dropped,
+    // kept-intact)
+    "e2e_stay_tensors_readmit_meds" -> ((s, d) => {
+      val ev2 = e2eEvents(s, d)
+      val keep = ev2.groupBy("itemid").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("itemid").asc).limit(25)
+        .select("itemid")
+      val meds = api.FeatureSelector.select(ev2, "itemid", keep)
+        .select(col("hadm_id"), col("itemid"),
+          (col("event_offset_h") % 497).as("start_h"),
+          (col("event_offset_h") % 497 + (col("itemid") % 96 + 1)).as("stop_h"))
+      val los = e2eCohort(s, d).select(col("hadm_id"),
+        floor((unix_timestamp(col("dischtime")) -
+          unix_timestamp(col("admittime"))) / 3600L).as("los_h"))
+      val clipped = api.TimeSeriesGenerator.shiftClipIntervals(meds,
+        "hadm_id", "start_h", "stop_h", los, "los_h",
+        includeH = 72, window = api.LastWindow)
+      api.TimeSeriesGenerator.activeMedSignal(clipped, "hadm_id", "itemid",
+        "start_h", "stop_h", includeH = 72, bucketH = 24)
+    }),
+
+    // the mortality sibling (reference mortality_length meds,
+    // data_generation_icu.py:186-189): los >= include + predW gate, keep
+    // start <= include, clamp stop to include (the P12 least-clip) —
+    // composed through the same bucket-grid active-mask tail as readmit
+    "e2e_stay_tensors_mortality_meds" -> ((s, d) => {
+      val ev2 = e2eEvents(s, d)
+      val keep = ev2.groupBy("itemid").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("itemid").asc).limit(25)
+        .select("itemid")
+      val meds = api.FeatureSelector.select(ev2, "itemid", keep)
+        .select(col("hadm_id"), col("itemid"),
+          (col("event_offset_h") % 497).as("start_h"),
+          (col("event_offset_h") % 497 + (col("itemid") % 96 + 1)).as("stop_h"))
+      val los = e2eCohort(s, d).select(col("hadm_id"),
+        floor((unix_timestamp(col("dischtime")) -
+          unix_timestamp(col("admittime"))) / 3600L).as("los_h"))
+      val clipped = api.TimeSeriesGenerator.shiftClipIntervals(meds,
+        "hadm_id", "start_h", "stop_h", los, "los_h",
+        includeH = 72, window = api.FirstWindow(predWindowH = 48))
+      api.TimeSeriesGenerator.activeMedSignal(clipped, "hadm_id", "itemid",
+        "start_h", "stop_h", includeH = 72, bucketH = 24)
+    }),
+
     // SAX discretization (Lin/Keogh symbolic aggregate approximation):
     // per-user daily-count series → 8 PAA segments (idx·8 div n keeps
     // ragged lengths exact) → z-normalized segment means from exact
@@ -5808,6 +5860,94 @@ object SparkEntry {
                 ROUND(COALESCE(fbv, AVG(value) OVER (
                   PARTITION BY hadm_id, itemid)) / 100.0, 4) + 0.0 AS val_imputed
          FROM fb""",
+
+    // readmission meds: shift by select_time, stop >= 0 keeps the
+    // straddler (start < 0 → 0), then bucket-grid active mask — integer
+    // ceil as (stop + 23) // 24, mirroring the Spark `div`
+    "e2e_stay_tensors_readmit_meds" ->
+      s"""WITH $e2eBaseCtes,
+         keep AS (SELECT itemid FROM (
+                    SELECT itemid, COUNT(*) AS c FROM ev GROUP BY 1)
+                  ORDER BY c DESC, itemid ASC LIMIT 25),
+         meds AS (SELECT e.hadm_id, e.itemid,
+                         e.event_offset_h % 497 AS start_h,
+                         e.event_offset_h % 497 + (e.itemid % 96 + 1)
+                           AS stop_h
+                  FROM ev e JOIN keep USING (itemid)),
+         los AS (SELECT hadm_id,
+                        CAST(FLOOR(EPOCH(dischtime - admittime) / 3600)
+                          AS BIGINT) AS los_h
+                 FROM cohort),
+         shifted AS (SELECT m.hadm_id, m.itemid,
+                            m.start_h - (l.los_h - 72) AS s0,
+                            m.stop_h - (l.los_h - 72) AS e0
+                     FROM meds m JOIN los l USING (hadm_id)
+                     WHERE l.los_h >= 72),
+         clipped AS (SELECT hadm_id, itemid,
+                            CASE WHEN s0 < 0 THEN 0 ELSE s0 END AS start_h,
+                            e0 AS stop_h
+                     FROM shifted WHERE e0 >= 0),
+         sparse AS (SELECT hadm_id, itemid,
+                           CAST(FLOOR(start_h / 24) AS BIGINT) AS bucket,
+                           MAX((stop_h + 23) // 24) AS stop_b
+                    FROM clipped WHERE start_h < 72
+                    GROUP BY 1, 2, 3),
+         pairs AS (SELECT DISTINCT hadm_id, itemid FROM sparse),
+         grid AS (SELECT p.hadm_id, p.itemid, r.range AS bucket
+                  FROM pairs p CROSS JOIN range(0, 3) r),
+         dense AS (SELECT g.hadm_id, g.itemid, g.bucket, s.stop_b
+                   FROM grid g
+                   LEFT JOIN sparse s USING (hadm_id, itemid, bucket)),
+         ff AS (SELECT *, LAST_VALUE(stop_b IGNORE NULLS) OVER (
+                  PARTITION BY hadm_id, itemid ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+                FROM dense)
+         SELECT hadm_id, itemid, bucket,
+                CASE WHEN fs IS NOT NULL AND fs > bucket THEN 1 ELSE 0 END
+                  AS active
+         FROM ff""",
+
+    // mortality meds: los >= 72+48 gate, start <= 72 keeps, stop clamps
+    // to 72 (the least-clip), same active-mask tail
+    "e2e_stay_tensors_mortality_meds" ->
+      s"""WITH $e2eBaseCtes,
+         keep AS (SELECT itemid FROM (
+                    SELECT itemid, COUNT(*) AS c FROM ev GROUP BY 1)
+                  ORDER BY c DESC, itemid ASC LIMIT 25),
+         meds AS (SELECT e.hadm_id, e.itemid,
+                         e.event_offset_h % 497 AS start_h,
+                         e.event_offset_h % 497 + (e.itemid % 96 + 1)
+                           AS stop_h
+                  FROM ev e JOIN keep USING (itemid)),
+         los AS (SELECT hadm_id,
+                        CAST(FLOOR(EPOCH(dischtime - admittime) / 3600)
+                          AS BIGINT) AS los_h
+                 FROM cohort),
+         gated AS (SELECT m.* FROM meds m JOIN los l USING (hadm_id)
+                   WHERE l.los_h >= 120),
+         clipped AS (SELECT hadm_id, itemid, start_h,
+                            CASE WHEN stop_h > 72 THEN 72 ELSE stop_h END
+                              AS stop_h
+                     FROM gated WHERE start_h <= 72),
+         sparse AS (SELECT hadm_id, itemid,
+                           CAST(FLOOR(start_h / 24) AS BIGINT) AS bucket,
+                           MAX((stop_h + 23) // 24) AS stop_b
+                    FROM clipped WHERE start_h < 72
+                    GROUP BY 1, 2, 3),
+         pairs AS (SELECT DISTINCT hadm_id, itemid FROM sparse),
+         grid AS (SELECT p.hadm_id, p.itemid, r.range AS bucket
+                  FROM pairs p CROSS JOIN range(0, 3) r),
+         dense AS (SELECT g.hadm_id, g.itemid, g.bucket, s.stop_b
+                   FROM grid g
+                   LEFT JOIN sparse s USING (hadm_id, itemid, bucket)),
+         ff AS (SELECT *, LAST_VALUE(stop_b IGNORE NULLS) OVER (
+                  PARTITION BY hadm_id, itemid ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+                FROM dense)
+         SELECT hadm_id, itemid, bucket,
+                CASE WHEN fs IS NOT NULL AND fs > bucket THEN 1 ELSE 0 END
+                  AS active
+         FROM ff""",
 
     "s11_jsonl_roundtrip" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

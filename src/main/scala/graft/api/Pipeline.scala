@@ -389,6 +389,76 @@ object TimeSeriesGenerator {
           .agg(avg(col(valueCol)).as("value"))
     }
 
+  /** Interval-event (meds) window preparation — the Generator's med branch
+    * under each task window, which differs from the point-event form
+    * because a med interval STRADDLING the window boundary survives,
+    * truncated, instead of dropping:
+    *
+    *  - [[FirstWindow]]: keep intervals with `start ≤ includeH`, clamp
+    *    `stop > includeH → includeH` (reference `mortality_length` /
+    *    `los_length` meds branch, `data_generation_icu.py:186-189,219-222`
+    *    — the P12 `least`-clip, gated by `los ≥ includeH + predW`).
+    *  - [[LastWindow]]: shift both ends by `−select_time` where
+    *    `select_time = los − includeH`, keep `stop ≥ 0`, clamp
+    *    `start < 0 → 0` (reference `readmission_length` meds branch,
+    *    `data_generation_icu.py:256-262`) — an interval that straddles the
+    *    shifted zero survives with its pre-window part truncated; one that
+    *    ends before it drops.
+    *
+    * Same join shapes as the point-event overload: a visit-keyed semi for
+    * the gate, a visit-keyed inner for the shift — the stay frame is one
+    * row per visit, so AQE broadcasts it when small. Columns other than
+    * `startCol`/`stopCol` pass through untouched.
+    */
+  def shiftClipIntervals(intervals: DataFrame, visitKey: String,
+      startCol: String, stopCol: String, stayLos: DataFrame, losCol: String,
+      includeH: Int, window: TaskWindow): DataFrame =
+    window match {
+      case FirstWindow(predW) =>
+        val eligible = stayLos.filter(col(losCol) >= includeH + predW)
+          .select(col(visitKey))
+        intervals.join(eligible, Seq(visitKey), "left_semi")
+          .filter(col(startCol) <= includeH)
+          .withColumn(stopCol, least(col(stopCol), lit(includeH)))
+      case LastWindow =>
+        val sel = stayLos.filter(col(losCol) >= includeH)
+          .select(col(visitKey), (col(losCol) - includeH).as("__select"))
+        intervals.join(sel, Seq(visitKey))
+          .withColumn(startCol, col(startCol) - col("__select"))
+          .withColumn(stopCol, col(stopCol) - col("__select"))
+          .filter(col(stopCol) >= 0)
+          .withColumn(startCol, greatest(col(startCol), lit(0)))
+          .drop("__select")
+    }
+
+  /** Bucket-grid med-active mask from window-prepared intervals (the tail
+    * the reference builds per-stay per-hour, `data_generation_icu.py:
+    * 497-501`, here one relational pass): an interval contributes its
+    * start bucket carrying a ceil'd stop bucket; per (visit, code) the
+    * grid densifies to `includeH / bucketH` buckets and W5's
+    * forward-filled active signal emits 1 while the latest stop bucket
+    * is ahead of the current one. Pure integer bucket arithmetic —
+    * `(stop + bucketH − 1) div bucketH` — so both engines agree bit-wise.
+    * Grid size is (pairs present) × (includeH / bucketH): bounded by the
+    * curated vocabulary times the cohort, never by raw event volume.
+    */
+  def activeMedSignal(intervals: DataFrame, visitKey: String, codeCol: String,
+      startCol: String, stopCol: String, includeH: Int, bucketH: Int): DataFrame = {
+    val nB = (includeH / bucketH).toLong
+    val sparse = intervals.filter(col(startCol) < includeH)
+      .groupBy(col(visitKey), col(codeCol),
+        floor(col(startCol) / bucketH).cast("long").as("bucket"))
+      .agg(max(expr(s"($stopCol + ${bucketH - 1}) div $bucketH"))
+        .cast("long").as("__stop_b"))
+    val grid = sparse.select(visitKey, codeCol).distinct()
+      .select(col(visitKey), col(codeCol),
+        explode(sequence(lit(0L), lit(nB - 1L))).as("bucket"))
+    val dense = grid.join(sparse, Seq(visitKey, codeCol, "bucket"), "left")
+    TimeSeriesOps.activeSignal(dense, Seq(visitKey, codeCol), "bucket",
+        col("__stop_b"), "active")
+      .drop("__stop_b")
+  }
+
   /** §3.3 export — collapse the tall frame into one row per stay with a
     * code → bucket-ordered value series map (the reference's nested
     * `dataDic`, `data_generation_icu.py:441-729`). Two hash aggregates:

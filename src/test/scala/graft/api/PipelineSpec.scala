@@ -198,6 +198,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(firstNoPredW === Set((201L, 0L, 600.0)))
   }
 
+  test("Generator med intervals: last-window shift keeps the straddler truncated") {
+    // reference readmission_length meds branch (data_generation_icu.py:
+    // 256-262): shift both ends by -select_time, keep stop >= 0, clamp
+    // start < 0 → 0 — the interval STRADDLING the shifted zero survives
+    // truncated where the point-event form would drop it
+    val stays = Seq((101L, 240L), (301L, 48L)).toDF("hadm_id", "los_h")
+    // stay 101: los 240, includeH 72 → select_time = 168
+    val meds = Seq(
+      (101L, 7L, 100L, 150L),  // shifted (−68, −18): stop < 0, DROPS
+      (101L, 7L, 160L, 190L),  // shifted (−8, 22): STRADDLER → (0, 22)
+      (101L, 9L, 200L, 220L),  // shifted (32, 52): fully inside
+      (101L, 4L, 239L, 400L),  // shifted (71, 232): runs past the top
+      (301L, 7L, 10L, 20L)     // los 48 < includeH → ineligible
+    ).toDF("hadm_id", "itemid", "start_h", "stop_h")
+
+    val clipped = TimeSeriesGenerator.shiftClipIntervals(meds, "hadm_id",
+        "start_h", "stop_h", stays, "los_h", includeH = 72,
+        window = LastWindow)
+      .select("hadm_id", "itemid", "start_h", "stop_h")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(clipped === Set(
+      (101L, 7L, 0L, 22L),    // straddler kept, start clamped to 0
+      (101L, 9L, 32L, 52L),
+      (101L, 4L, 71L, 232L))) // stop NOT clamped under LastWindow
+
+    // bucket-grid active mask (24 h buckets over [0, 72) → 3 buckets):
+    //  itemid 7: start b0, stop_b = ceil(22/24) = 1 → active in b0 only
+    //  itemid 9: start b1, stop_b = ceil(52/24) = 3 → active in b1, b2
+    //  itemid 4: start b2, stop_b = ceil(232/24) = 10 → active in b2
+    val active = TimeSeriesGenerator.activeMedSignal(
+        TimeSeriesGenerator.shiftClipIntervals(meds, "hadm_id", "start_h",
+          "stop_h", stays, "los_h", includeH = 72, window = LastWindow),
+        "hadm_id", "itemid", "start_h", "stop_h",
+        includeH = 72, bucketH = 24)
+      .select("hadm_id", "itemid", "bucket", "active")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(active === Set(
+      (101L, 7L, 0L, 1), (101L, 7L, 1L, 0), (101L, 7L, 2L, 0),
+      (101L, 9L, 0L, 0), (101L, 9L, 1L, 1), (101L, 9L, 2L, 1),
+      (101L, 4L, 0L, 0), (101L, 4L, 1L, 0), (101L, 4L, 2L, 1)))
+  }
+
+  test("Generator med intervals: first-window least-clip + predW gate") {
+    // reference mortality_length meds branch (data_generation_icu.py:
+    // 186-189): keep start <= includeH, clamp stop > includeH → includeH,
+    // eligibility los >= includeH + predW
+    val stays = Seq((101L, 240L), (201L, 100L)).toDF("hadm_id", "los_h")
+    val meds = Seq(
+      (101L, 7L, 10L, 50L),    // inside, untouched
+      (101L, 9L, 60L, 100L),   // stop clamps 100 → 72
+      (101L, 4L, 80L, 120L),   // start > 72, drops
+      (201L, 7L, 10L, 20L)     // los 100 < 72 + 48 → gated out
+    ).toDF("hadm_id", "itemid", "start_h", "stop_h")
+
+    val clipped = TimeSeriesGenerator.shiftClipIntervals(meds, "hadm_id",
+        "start_h", "stop_h", stays, "los_h", includeH = 72,
+        window = FirstWindow(predWindowH = 48))
+      .select("hadm_id", "itemid", "start_h", "stop_h")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(clipped === Set(
+      (101L, 7L, 10L, 50L),
+      (101L, 9L, 60L, 72L)))  // the P12 least-clip
+
+    // predW = 0 contrast: stay 201 (los 100 >= 72) is back in
+    val noPredW = TimeSeriesGenerator.shiftClipIntervals(meds, "hadm_id",
+        "start_h", "stop_h", stays, "los_h", includeH = 72,
+        window = FirstWindow())
+      .select("hadm_id", "itemid", "start_h", "stop_h")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(noPredW contains ((201L, 7L, 10L, 20L)))
+  }
+
   test("facade dialect: ICU stay_id/intime/outtime bindings are bit-identical") {
     // the reference's ICU flag swaps hadm_id/admittime/dischtime for
     // stay_id/intime/outtime (day_intervals_cohort.py:282-307); the
