@@ -77,9 +77,16 @@ object DedupOps {
     * own key), and null band keys (docs with no shingles) are filtered
     * outright. Members of an over-cap bucket can still pair through their
     * other bands — recall degrades gracefully instead of the job dying.
+    *
+    * The default (2000 → ≤ ~2×10⁶ pairs per bucket) is sized for corpus
+    * scale: a bucket that big is boilerplate collapse, not genuine
+    * near-duplication, and admitting it would let ONE bucket dominate the
+    * join (the previous 100k default allowed ~5×10⁹ pairs from a single
+    * degenerate bucket). Raise it only for small corpora where exhaustive
+    * recall inside mega-buckets matters more than the quadratic cost.
     */
   def lshCandidatePairs(bandKeys: DataFrame, id: String,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 2000): DataFrame = {
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
     val capped = bandKeys
       .filter(col("band_key").isNotNull)
@@ -230,7 +237,7 @@ object DedupOps {
     */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 100000, maxDf: Long = Long.MaxValue): DataFrame = {
+      maxBucket: Int = 2000, maxDf: Long = Long.MaxValue): DataFrame = {
     // The shingle set feeds three consumers (signatures, the verify join's
     // two sides); localCheckpoint truncates the lineage so the md5/shingle
     // work runs once instead of once per branch. Lazy: nothing computes
@@ -257,7 +264,7 @@ object DedupOps {
     */
   def minhashEstimateAudit(docs: DataFrame, id: String, text: String,
       shingleN: Int, k: Int, bands: Int,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 2000): DataFrame = {
     val shingled = withShingles(docs, id, text, shingleN)
       .localCheckpoint(false)
     val sigs = signaturesFromShingles(shingled, id, k)
@@ -302,7 +309,7 @@ object DedupOps {
     */
   def nearDupAgainstIndex(newDocs: DataFrame, indexDocs: DataFrame, id: String,
       text: String, shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 2000): DataFrame = {
     val shNew = withShingles(newDocs, id, text, shingleN).localCheckpoint(false)
     val shIdx = withShingles(indexDocs, id, text, shingleN).localCheckpoint(false)
     val bkNew = lshBandKeys(signaturesFromShingles(shNew, id, k), id, bands, k / bands)
@@ -569,7 +576,7 @@ object DedupOps {
     */
   def dropNearDups(docs: DataFrame, id: String, text: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 100000, maxDf: Long = Long.MaxValue): DataFrame = {
+      maxBucket: Int = 2000, maxDf: Long = Long.MaxValue): DataFrame = {
     val pairs = nearDupPairs(docs, id, text, shingleN, k, bands, threshold,
       maxBucket, maxDf)
     val victims = connectedComponents(pairs, "id_a", "id_b")

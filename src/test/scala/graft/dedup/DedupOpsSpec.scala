@@ -131,9 +131,28 @@ class DedupOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(capped === Set((100L, 101L)),
       "over-cap clone bucket dropped, small bucket survives, shingle-less doc absent")
-    val uncapped = DedupOps.nearDupPairs(corpus, "doc_id", "text",
+    // the DEFAULT cap (2000, corpus-safe) still admits this 30-member
+    // bucket — clone pairs all survive
+    val defaultCap = DedupOps.nearDupPairs(corpus, "doc_id", "text",
       shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-    assert(uncapped.count() === 30L * 29 / 2 + 1)
+    assert(defaultCap.count() === 30L * 29 / 2 + 1)
+  }
+
+  test("default maxBucket drops a >2000-member degenerate bucket") {
+    // 2100 identical docs collapse into one bucket per band — over the
+    // 2000 default, so the whole clone family is dropped BEFORE the
+    // self-join (≈2.2M pairs never materialize); the small distinct
+    // near-dup pair in its own bucket still survives
+    val clones = (1 to 2100).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val small = Seq(
+      (100000L, "totally different words entirely present here today friends"),
+      (100001L, "totally different words entirely present here today friend"))
+    val corpus = (clones ++ small).toDF("doc_id", "text")
+    val got = DedupOps.nearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((100000L, 100001L)))
   }
 
   test("connectedComponents: min-label over chains and separate groups") {
