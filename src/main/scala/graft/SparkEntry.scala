@@ -109,6 +109,16 @@ object SparkEntry {
       SummaryOps.gramProfile(sharedToks(s, d), "doc_id", pinCk(s))
     }
 
+  /** t43's char-trigram counts frame, pinned beside the token profiles:
+    * the in-row RLE collapse (QualityOps.charGramCounts) runs once per
+    * pass and the model/scoring re-aggregates all read the pinned frame.
+    */
+  private def charGramProf(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "chargram") {
+      pinCk(s)(QualityOps.charGramCounts(docs(s, d), "doc_id", "text",
+        "lang", n = 3))
+    }
+
   /** The embeddings covariance frame over a PINNED moments aggregate —
     * v09 reads it directly and v10's PCA collects it, so the corpus-wide
     * covariance scan runs once per pass, not once per consumer.
@@ -4186,7 +4196,8 @@ object SparkEntry {
     // declared-vs-predicted confusion out — the strong-audit sibling of
     // the t03/t33 stopword heuristic
     "t43_charngram_langid" -> ((s, d) =>
-      QualityOps.charNgramLangId(docs(s, d), "doc_id", "text", "lang")),
+      QualityOps.charNgramLangIdFromCounts(charGramProf(s, d),
+        "doc_id", "lang")),
 
     // per-doc lexical richness (Yule 1944): TTR, hapax ratio, Yule's K
     // from the frequency spectrum — two stacked hash aggregates, exact

@@ -243,36 +243,60 @@ object QualityOps {
     * integer picos at the bounded model table; a doc's score decomposes
     * as M·base_l + Σ_seen m·(lp_gl − base_l), all BIGINT, so the argmax
     * compares exact integers — no float ordering anywhere. Scale: one
-    * substring explode (|chars| rows), two hash aggregates for the
-    * model, one gram-keyed join back (hash join on the gram — the model
-    * frame is vocabulary-sized, NOT broadcast), one ≤|langs|-row
-    * broadcast of baselines.
+    * substring explode into the per-doc collapse ([[charGramCounts]]),
+    * independent model re-aggregates off that one frame, one gram-keyed
+    * join back (hash join on the gram — the model frame is
+    * vocabulary-sized, NOT broadcast: char-gram vocabularies over CJK
+    * corpora run to millions × langs), one ≤|langs|-row broadcast of
+    * baselines.
     */
   def charNgramLangId(docs: DataFrame, id: String, text: String,
-      lang: String, n: Int = 3): DataFrame = {
+      lang: String, n: Int = 3): DataFrame =
+    charNgramLangIdFromCounts(
+      charGramCounts(docs, id, text, lang, n).localCheckpoint(), id, lang)
+
+  /** Per-(doc, gram) char-n-gram multiplicities `(id, lang, __g, __m)` —
+    * the [[charNgramLangId]] front end, exposed so a harness can pin ONE
+    * counts frame for every consumer (the shared-profile discipline).
+    *
+    * ONE codegen'd substring explode (|chars| rows) into ONE hash
+    * aggregate with map-side partial combine — the shuffled volume is
+    * |distinct (doc, gram)|, and every model/scoring stage downstream is
+    * a re-aggregate of this (much smaller) collapsed frame, never a
+    * second pass over the raw gram stream. (An in-row sort+RLE variant
+    * avoids the shuffle entirely but loses whole-stage codegen to
+    * interpreted lambda evaluation — measured slower at every scale
+    * tried, so the exploded form stands.)
+    */
+  def charGramCounts(docs: DataFrame, id: String, text: String,
+      lang: String, n: Int): DataFrame = {
     val base = graft.Tables.spread(
         docs.select(col(id), col(text), col(lang)), tinyBytes = 0L)
       .filter(col(text).isNotNull && length(col(text)) >= n)
-    val grams = base.select(col(id), col(lang), col(text),
+    base.select(col(id), col(lang), col(text),
         explode(sequence(lit(1), length(col(text)) - (n - 1))).as("__p"))
       .select(col(id), col(lang),
         col(text).substr(col("__p"), lit(n)).as("__g"))
-    // ONE explode + one shuffle: the per-doc collapse feeds everything —
-    // training counts are re-aggregates of the (much smaller) collapsed
-    // frame, never a second pass over the raw gram stream
-    val dg = grams.groupBy(col(id), col(lang), col("__g"))
+      .groupBy(col(id), col(lang), col("__g"))
       .agg(count(lit(1)).as("__m"))
-      .localCheckpoint()
+  }
+
+  /** [[charNgramLangId]]'s model + scoring over a prebuilt (possibly
+    * pinned) [[charGramCounts]] frame.
+    */
+  def charNgramLangIdFromCounts(dg: DataFrame, id: String,
+      lang: String): DataFrame = {
     val docTot = dg.groupBy(col(id), col(lang)).agg(sum("__m").as("__M"))
-    // checkpointed: (vocab × langs)-bounded, with THREE consumers below
-    // (per-lang totals, vocab size, the log-prob table) — without the pin
-    // each consumer re-aggregates dg through its own exchange tower, and
-    // at sf-scale those replayed small stages ARE the query's cost
+    // every model aggregate branches DIRECTLY off the (checkpointed)
+    // counts frame, not off each other: per-lang totals are Σ__m per
+    // lang whether summed from dg or from the (gram, lang) collapse, and
+    // the vocabulary is the same distinct-gram set — so tl/vocab/gl are
+    // THREE INDEPENDENT stages the scheduler overlaps, instead of the
+    // previous serial gl-checkpoint job the other two had to wait behind
     val gl = dg.groupBy(col("__g"), col(lang).as("__l"))
       .agg(sum(col("__m")).as("__c"))
-      .localCheckpoint()
-    val tl = gl.groupBy("__l").agg(sum(col("__c")).as("__T"))
-    val vocab = gl.agg(count_distinct(col("__g")).cast("double").as("__V"))
+    val tl = dg.groupBy(col(lang).as("__l")).agg(sum(col("__m")).as("__T"))
+    val vocab = dg.agg(count_distinct(col("__g")).cast("double").as("__V"))
     val lp = gl.join(broadcast(tl), Seq("__l")).crossJoin(broadcast(vocab))
       .select(col("__g"), col("__l"),
         round(log((col("__c") + 1.0) / (col("__T") + col("__V"))) * 1e12, 0)
@@ -281,7 +305,14 @@ object QualityOps {
       .select(col("__l"),
         round(log(lit(1.0) / (col("__T") + col("__V"))) * 1e12, 0)
           .cast("long").as("__bq"))
-    val contrib = dg.drop(lang).join(lp, Seq("__g"))
+    // shuffle_hash on the model side: the counts frame must NEVER be the
+    // build side (AQE's stats on a checkpointed RDD under-estimate it and
+    // will happily broadcast the DOC-sided frame — measured 3× slower at
+    // sf0.1 and fatal at corpus scale), and the model side must not be
+    // forced broadcast either (vocab × langs is unbounded over CJK
+    // corpora) — a shuffled hash join on the gram key is the shape that
+    // survives both ends
+    val contrib = dg.drop(lang).join(lp.hint("shuffle_hash"), Seq("__g"))
       .join(broadcast(baseLp), Seq("__l"))
       .groupBy(col(id), col("__l"))
       .agg(sum(col("__m") * (col("__lpq") - col("__bq"))).as("__delta"))
