@@ -87,6 +87,56 @@ class GraphScaleSpec extends AnyFunSuite {
     assert(h10 / h1 < 30.0, f"HITS |E| shuffle scaling ${h10 / h1}%.1fx")
   }
 
+  test("label propagation and PageRank: 10x the edges shuffles ~10x, not 100x") {
+    // the second scale point for the iterative trio (k-core's 10x-edges
+    // frame is above): rounds held fixed, edges 10x — a wedge join or
+    // unbounded self-join inside a superstep trips this even when the
+    // rounds-scaling probes stay flat
+    val e1 = edges(5000)
+    val e10 = edges(50000)
+    val l1 = work(GraphOps.labelPropagation(e1, "src", "dst", rounds = 4).count())
+    val l10 = work(GraphOps.labelPropagation(e10, "src", "dst", rounds = 4).count())
+    info(f"label-prop |E|x10 shuffle ratio: ${l10 / l1}%.1f " +
+      f"(${l1.toLong} -> ${l10.toLong})")
+    assert(l10 / l1 < 30.0, f"label-prop |E| shuffle scaling ${l10 / l1}%.1fx")
+    val p1 = work(
+      GraphOps.pageRank(e1, "src", "dst", "w", iters = 4, damping = 0.85).count())
+    val p10 = work(
+      GraphOps.pageRank(e10, "src", "dst", "w", iters = 4, damping = 0.85).count())
+    info(f"pagerank |E|x10 shuffle ratio: ${p10 / p1}%.1f " +
+      f"(${p1.toLong} -> ${p10.toLong})")
+    assert(p10 / p1 < 30.0, f"pagerank |E| shuffle scaling ${p10 / p1}%.1fx")
+  }
+
+  test("iterative trio: 10x edges AND 4x rounds shuffles ~40x, not 160x") {
+    // the joint frame: a checkpoint-placement regression that stays
+    // sub-quadratic along each axis alone can still compound across
+    // both — pin the joint slope at <2x the 40x linear product (and >2x
+    // under the 160x one-axis-quadratic floor), so records must grow
+    // ~linearly in edges x rounds
+    val kS = work(GraphOps.kCore(edges(5000), "src", "dst",
+      k = 3, rounds = 3).count())
+    val kB = work(GraphOps.kCore(edges(50000), "src", "dst",
+      k = 3, rounds = 12).count())
+    info(f"k-core |E|x10 rounds x4 joint ratio: ${kB / kS}%.1f " +
+      f"(${kS.toLong} -> ${kB.toLong})")
+    assert(kB / kS < 80.0, f"k-core joint shuffle scaling ${kB / kS}%.1fx")
+    val lS = work(GraphOps.labelPropagation(edges(5000), "src", "dst",
+      rounds = 2).count())
+    val lB = work(GraphOps.labelPropagation(edges(50000), "src", "dst",
+      rounds = 8).count())
+    info(f"label-prop |E|x10 rounds x4 joint ratio: ${lB / lS}%.1f " +
+      f"(${lS.toLong} -> ${lB.toLong})")
+    assert(lB / lS < 80.0, f"label-prop joint shuffle scaling ${lB / lS}%.1fx")
+    val pS = work(GraphOps.pageRank(edges(5000), "src", "dst", "w",
+      iters = 2, damping = 0.85).count())
+    val pB = work(GraphOps.pageRank(edges(50000), "src", "dst", "w",
+      iters = 8, damping = 0.85).count())
+    info(f"pagerank |E|x10 iters x4 joint ratio: ${pB / pS}%.1f " +
+      f"(${pS.toLong} -> ${pB.toLong})")
+    assert(pB / pS < 80.0, f"pagerank joint shuffle scaling ${pB / pS}%.1fx")
+  }
+
   test("PageRank: 4x the iterations shuffles ~4x, not 16x") {
     val e = edges(20000)
     val t2 = work(
