@@ -188,6 +188,34 @@ object Bench {
         s""""ratio":${f"${sSum / dSum}%.3f"},"paired":$n"""
     }.getOrElse(""","duck_total":null,"ratio":null""")
 
+    // ---- shared-front-end family rollups ----------------------------------
+    // The pinned shared profiles (span suffix-rank, LM gram model, char-gram
+    // counts, eval overlap frames, graph edge lists, embedding covariance)
+    // charge their build to the FIRST family member that runs in a pass, so
+    // per-query times within a family swing whenever membership or run
+    // order shifts. The artifact therefore carries per-family subtotals —
+    // the stable unit of round-over-round comparison — alongside the
+    // per-query map, for both engines.
+    val familyDefs: Seq[(String, String => Boolean)] = Seq(
+      "span" -> Set("d22_exactsubstr_spans", "d23_dupspan_pairs",
+        "d24_span_scrub", "d25_dupspan_clusters", "d26_span_scrub_keepone",
+        "d27_span_decontaminate", "e2e_span_family"),
+      "lm" -> Set("t28_bigram_lm", "t39_ppl_buckets", "t42_domain_lm_delta",
+        "t46_kneser_ney", "ml24_dsir_weights", "ml25_dsir_resample",
+        "e2e_quality_gate"),
+      "chargram" -> Set("t43_charngram_langid"),
+      "eval" -> Set("t47_bleu", "t48_rouge2", "t49_chrf", "e2e_eval_report"),
+      "graph" -> ((n: String) => n.matches("g\\d\\d_.*") || n == "pr01_pagerank"),
+      "embcov" -> Set("v09_embed_cov", "v10_pca_project"))
+    val famJson = familyDefs.map { case (fam, member) =>
+      val rs = results.filter { case (k, _) => member(k) }
+      val sSum = rs.map(_._2).sum
+      val dPart = duck.map { case (_, dq) =>
+        f""","duck":${rs.flatMap(k => dq.get(k._1)).sum}%.3f"""
+      }.getOrElse("")
+      s""""$fam":{"n":${rs.size},"spark":${f"$sSum%.3f"}$dPart}"""
+    }.mkString("{", ",", "}")
+
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -199,14 +227,14 @@ object Bench {
     val proto = s""""passes":$nPasses,"report":"$report","loadavg":"$loadavg""""
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""n":${results.size},"failed":${failed.size},$proto$pairJson,""" +
-      s""""queries":${entries(slowest)},"sf":"$sfDir"}"""
+      s""""families":$famJson,"queries":${entries(slowest)},"sf":"$sfDir"}"""
     val duckFull = duck.map { case (_, dq) =>
       s""","duck_queries":${entries(dq.toSeq.sortBy(_._1))}"""
     }.getOrElse("")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s"""$proto$pairJson,""" +
+        s"""$proto$pairJson,"families":$famJson,""" +
         s""""queries":${entries(results)}$duckFull,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     println(line)
