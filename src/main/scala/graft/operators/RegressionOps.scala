@@ -524,11 +524,39 @@ object RegressionOps {
     // posexplode + hash aggregate, so the 100 TB corpus is read once,
     // not twice. The d(d+3)/2-row result is checkpointed (bounded by the
     // dimension, not data) so its three consumers don't re-run the scan.
-    val prods = flatten(transform(col("__q"), (xi, i) =>
-      transform(slice(col("__q"), i + 1, size(col("__q"))), xj => xi * xj)))
-    val sums = checkpoint(qdf
-      .select(posexplode(concat(prods, col("__q"))).as(Seq("pos", "__p")))
-      .groupBy(col("pos").cast("long").as("pos"))
+    // Two product-enumeration paths, same (pos, n, Σ) values either way:
+    //  - d ≤ 256: a LITERAL (pos, i, j) pair table exploded per row with
+    //    element_at products — every expression whole-stage codegen'd
+    //    (higher-order lambdas are CodegenFallback; the interpreted
+    //    nested-transform was ~half the build cost at sf0.1).
+    //  - larger d: the dimension-scalable nested transform (a d²-struct
+    //    literal would bloat the plan and blow codegen method limits).
+    // The decimal(38,0) aggregate stays on both paths: long hi/lo split
+    // sums measure ~2× faster still, but are NOT overflow-safe under the
+    // ±3037 lane contract at corpus row counts — exactness wins.
+    val exploded =
+      if (d <= 256) {
+        val pairLits = (for { i <- 0 until d; j <- i until d }
+          yield struct(
+            lit(i.toLong * d - i.toLong * (i - 1) / 2 + (j - i)).as("pos"),
+            lit(i + 1).as("i"), lit(j + 1).as("j"))) ++
+          (0 until d).map(i => struct(lit((p0 + i).toLong).as("pos"),
+            lit(i + 1).as("i"), lit(-1).as("j")))
+        qdf.select(explode(array(pairLits: _*)).as("pr"), col("__q"))
+          .select(col("pr.pos").as("pos"),
+            when(col("pr.j") >= 0,
+              element_at(col("__q"), col("pr.i")) *
+                element_at(col("__q"), col("pr.j")))
+              .otherwise(element_at(col("__q"), col("pr.i"))).as("__p"))
+      } else {
+        val prods = flatten(transform(col("__q"), (xi, i) =>
+          transform(slice(col("__q"), i + 1, size(col("__q"))), xj => xi * xj)))
+        qdf.select(posexplode(concat(prods, col("__q")))
+            .as(Seq("pos", "__p")))
+          .select(col("pos").cast("long").as("pos"), col("__p"))
+      }
+    val sums = checkpoint(exploded
+      .groupBy("pos")
       .agg(count(lit(1)).as("n"),
         sum(col("__p").cast("decimal(38,0)")).as("__sp")))
     val dims = sums.filter(col("pos") >= p0)
