@@ -448,7 +448,7 @@ object TimeSeriesGenerator {
     val sparse = intervals.filter(col(startCol) < includeH)
       .groupBy(col(visitKey), col(codeCol),
         floor(col(startCol) / bucketH).cast("long").as("bucket"))
-      .agg(max(expr(s"($stopCol + ${bucketH - 1}) div $bucketH"))
+      .agg(max(expr(s"(`$stopCol` + ${bucketH - 1}) div $bucketH"))
         .cast("long").as("__stop_b"))
     val grid = sparse.select(visitKey, codeCol).distinct()
       .select(col(visitKey), col(codeCol),

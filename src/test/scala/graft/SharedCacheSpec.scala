@@ -47,6 +47,27 @@ class SharedCacheSpec extends AnyFunSuite {
       "resetShared left pinned blocks in the block manager")
   }
 
+  test("t43's char-gram counts frame joins the pin/reset contract") {
+    SparkEntry.resetShared(spark)
+    val r1 = SparkEntry.queries("t43_charngram_langid")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sharedLive().nonEmpty, "t43 pinned no char-gram frame")
+    // the per-query sweep leaves the pin; a rerun reuses it and agrees
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => SparkEntry.isSharedRdd(id) }
+      .values.foreach(_.unpersist(false))
+    val r2 = SparkEntry.queries("t43_charngram_langid")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r2)
+    // pass boundary: rebuild from scratch, same values
+    SparkEntry.resetShared(spark)
+    assert(sharedLive().isEmpty)
+    val r3 = SparkEntry.queries("t43_charngram_langid")(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r3)
+    SparkEntry.resetShared(spark)
+  }
+
   test("after resetShared the family rebuilds from scratch, same values") {
     SparkEntry.resetShared(spark)
     val first = SparkEntry.queries("e2e_span_family")(spark, d)
