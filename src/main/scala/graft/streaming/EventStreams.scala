@@ -697,6 +697,59 @@ object EventStreams {
     * window regardless of traffic. Groups without a calibration τ are
     * ungated and dropped (no threshold contract to monitor).
     */
+  case class MedInterval(stay_id: Long, itemid: Long, start_h: Long,
+      stop_h: Long)
+  case class MedMaskState(stops: List[Long])
+  case class MedActive(stay_id: Long, itemid: Long, bucket: Long, active: Int)
+
+  /** Stateful streaming twin of
+    * `api.TimeSeriesGenerator.activeMedSignal`: the LIVE med-active mask
+    * over the fixed bucket grid. State is one nB-slot stop-bucket array
+    * per (stay, drug) — O(keys × grid), never O(events); each micro-batch
+    * folds its intervals into the per-bucket MAX stop and re-emits the
+    * full revised mask for the key (a revision stream — downstream keeps
+    * the latest row per (stay, drug, bucket), which then equals the batch
+    * mask over all intervals seen, however the input was batched).
+    *
+    * Interval rows arrive WINDOW-PREPARED (`shiftClipIntervals` upstream:
+    * start ≥ 0, stop ≥ 0), mirroring the batch composition; starts beyond
+    * the grid are ignored, stops past the top keep the drug active
+    * through the last bucket. The forward-fill is POSITIONAL, not a
+    * running max — bucket i reads the latest DEFINED bucket ≤ i (the
+    * pandas ffill the reference applies to stop_time,
+    * `data_generation_icu.py:497-501`), so a short refill after a long
+    * infusion ends the signal early; spec-pinned.
+    */
+  def medActiveStream(intervals: Dataset[MedInterval], includeH: Int,
+      bucketH: Int): Dataset[MedActive] = {
+    import intervals.sparkSession.implicits._
+    val nB = includeH / bucketH
+    intervals
+      .groupByKey(e => (e.stay_id, e.itemid))
+      .flatMapGroupsWithState[MedMaskState, MedActive](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[MedInterval],
+            state: GroupState[MedMaskState]) =>
+          val stops = state.getOption.map(_.stops.toArray)
+            .getOrElse(Array.fill(nB)(-1L)) // -1 = no interval starts here
+          it.foreach { e =>
+            if (e.start_h >= 0 && e.start_h < includeH) {
+              val b = (e.start_h / bucketH).toInt
+              val sb = (e.stop_h + bucketH - 1) / bucketH
+              if (sb > stops(b)) stops(b) = sb
+            }
+          }
+          state.update(MedMaskState(stops.toList))
+          var ff = -1L
+          var defined = false
+          (0 until nB).iterator.map { i =>
+            if (stops(i) >= 0) { ff = stops(i); defined = true }
+            MedActive(key._1, key._2, i.toLong,
+              if (defined && ff > i) 1 else 0)
+          }
+      }
+  }
+
   def conformalCoverageStream(events: DataFrame, group: Column,
       score: Column, ts: String, taus: Map[String, Double],
       horizon: String, windowDur: String): DataFrame = {

@@ -11,6 +11,63 @@ import graft.{SparkEntry, Tables, TestSpark}
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("streaming med-active mask revises across batches and lands on the batch mask") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-medact")
+    // batch 1: key (101,7) active in b1 only; key (202,9) active everywhere
+    val b1 = Seq(
+      EventStreams.MedInterval(101L, 7L, 30L, 40L), // b1, stop_b 2
+      EventStreams.MedInterval(202L, 9L, 0L, 70L))  // b0, stop_b 3
+    // batch 2: (101,7) gains an EARLIER long infusion (revises b0 0→1);
+    // (202,9) gets a short refill at b1 whose stop_b=2 positionally
+    // ffills over the long infusion — b2 goes ACTIVE→INACTIVE (the
+    // pandas stop_time ffill, not a running max)
+    val b2 = Seq(
+      EventStreams.MedInterval(101L, 7L, 0L, 80L),  // b0, stop_b 4
+      EventStreams.MedInterval(202L, 9L, 26L, 30L)) // b1, stop_b 2
+    def drop(rows: Seq[EventStreams.MedInterval], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-medact-w")
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    drop(b1, "f1.parquet")
+    val ivs = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+      .as[EventStreams.MedInterval]
+    val q = EventStreams.medActiveStream(ivs, includeH = 72, bucketH = 24)
+      .writeStream.format("memory").queryName("medactive")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop(b2, "f2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("medactive")
+      .select("stay_id", "itemid", "bucket", "active")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    // the final mask (what a latest-row-wins sink keeps) must equal the
+    // batch operator over ALL intervals, however they were batched
+    val batch = graft.api.TimeSeriesGenerator.activeMedSignal(
+        (b1 ++ b2).toDF(), "stay_id", "itemid", "start_h", "stop_h",
+        includeH = 72, bucketH = 24)
+      .select("stay_id", "itemid", "bucket", "active")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(batch === Set(
+      (101L, 7L, 0L, 1), (101L, 7L, 1L, 1), (101L, 7L, 2L, 0),
+      (202L, 9L, 0L, 1), (202L, 9L, 1L, 1), (202L, 9L, 2L, 0)))
+    assert(batch.subsetOf(streamed), "final revision missing from the stream")
+    // the full emission set is exactly batch-1's interim mask plus the
+    // batch-2 revision — nothing else
+    val interim = Set(
+      (101L, 7L, 0L, 0), (101L, 7L, 1L, 1), (101L, 7L, 2L, 0),
+      (202L, 9L, 0L, 1), (202L, 9L, 1L, 1), (202L, 9L, 2L, 1))
+    assert(streamed === interim ++ batch)
+  }
+
   test("stateful streaming sessionization equals the batch window form") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sess")
