@@ -240,6 +240,27 @@ class PipelineSpec extends AnyFunSuite {
       (101L, 4L, 0L, 0), (101L, 4L, 1L, 0), (101L, 4L, 2L, 1)))
   }
 
+  test("activeMedSignal: same-bucket intervals take the MAX stop; positional ffill") {
+    // two intervals starting in bucket 0 — the longer one's stop wins the
+    // bucket (MAX agg); a later short interval at bucket 1 then
+    // positionally ffills OVER it, ending the signal early (the pandas
+    // stop_time ffill, not a running max)
+    val meds = Seq(
+      (1L, 7L, 0L, 10L),   // b0, stop_b 1
+      (1L, 7L, 5L, 70L),   // b0, stop_b 3 — wins bucket 0
+      (1L, 7L, 30L, 40L),  // b1, stop_b 2 — ffills over the 3
+      (1L, 9L, 100L, 120L) // start >= includeH: ignored entirely
+    ).toDF("hadm_id", "itemid", "start_h", "stop_h")
+    val got = TimeSeriesGenerator.activeMedSignal(meds, "hadm_id", "itemid",
+        "start_h", "stop_h", includeH = 72, bucketH = 24)
+      .select("hadm_id", "itemid", "bucket", "active")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 7L, 0L, 1),  // ff=3 > 0
+      (1L, 7L, 1L, 1),  // ff=2 > 1 (bucket-1 stop REPLACES bucket-0's 3)
+      (1L, 7L, 2L, 0))) // ff=2 > 2 false — early end, and itemid 9 absent
+  }
+
   test("Generator med intervals: first-window least-clip + predW gate") {
     // reference mortality_length meds branch (data_generation_icu.py:
     // 186-189): keep start <= includeH, clamp stop > includeH → includeH,
