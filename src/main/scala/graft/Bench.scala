@@ -204,6 +204,10 @@ object Bench {
         "t46_kneser_ney", "ml24_dsir_weights", "ml25_dsir_resample",
         "e2e_quality_gate"),
       "chargram" -> Set("t43_charngram_langid"),
+      "neardup" -> Set("d02_minhash_sig", "d03_lsh_neardup",
+        "d05_jaccard_pairs", "d08_dedup_components", "d10_dedup_keep",
+        "d14_containment_pairs", "d16_lsh_recall", "d18_cluster_sizes",
+        "d20_minhash_estimate", "ml23_dedup_split"),
       "eval" -> Set("t47_bleu", "t48_rouge2", "t49_chrf", "e2e_eval_report"),
       "graph" -> ((n: String) => n.matches("g\\d\\d_.*") || n == "pr01_pagerank"),
       "embcov" -> Set("v09_embed_cov", "v10_pca_project"))

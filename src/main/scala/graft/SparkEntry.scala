@@ -166,6 +166,56 @@ object SparkEntry {
       pinCk(s)(EvalOps.charNgramOverlap(docs(s, d), "doc_id", "text",
         evalPairs(s, d), maxN = 3))
     }
+
+  // ---- shared near-dup (LSH) front end -------------------------------------
+  // Nine d/ml queries are views over ONE MinHash-LSH construction
+  // (shingleN=3, k=12, bands=6, θ=0.5): d03 returns the verified pairs,
+  // d08/d10/d18/ml23 its connected components, d05/d16 the brute-force
+  // Jaccard truth, d16/d20 the raw candidate set, d02/d14 the shingle
+  // frame. Before round 13 each rebuilt the whole pipeline from the raw
+  // corpus (4 full LSH builds + 4 pointer-jumping component runs per
+  // pass); the frames below follow the span/LM shared-profile discipline —
+  // built once per (session, sfDir), pinned, swept at pass boundaries, the
+  // first family member to run pays the build.
+
+  /** Pinned (doc_id, shingles) frame — every d-family consumer's base. */
+  private[graft] def dupShingles(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "dupShingles") {
+      pinCk(s)(DedupOps.withShingles(docs(s, d), "doc_id", "text", 3))
+    }
+
+  /** Pinned LSH candidate pairs (k=12, bands=6, default bucket cap). */
+  private[graft] def dupCands(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "dupCands") {
+      pinCk(s)(DedupOps.lshCandidatePairs(
+        DedupOps.lshBandKeys(
+          DedupOps.signaturesFromShingles(dupShingles(s, d), "doc_id", 12),
+          "doc_id", bands = 6, rowsPerBand = 2),
+        "doc_id"))
+    }
+
+  /** Pinned verified near-dup pairs (exact Jaccard ≥ 0.5 over candidates) —
+    * the same construction `DedupOps.nearDupPairs(docs, 3, 12, 6, 0.5)`
+    * assembles, reassembled from the pinned stages.
+    */
+  private[graft] def dupPairs(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "dupPairs") {
+      pinCk(s)(DedupOps.jaccardVerify(dupCands(s, d), dupShingles(s, d),
+        "doc_id", threshold = 0.5))
+    }
+
+  /** Pinned connected components (canonical map) of [[dupPairs]]. */
+  private[graft] def dupComps(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "dupComps") {
+      pinCk(s)(DedupOps.connectedComponents(dupPairs(s, d), "id_a", "id_b"))
+    }
+
+  /** Pinned exact all-pairs Jaccard ≥ 0.5 (d05's output, d16's truth). */
+  private[graft] def dupJacAll(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "dupJacAll") {
+      pinCk(s)(DedupOps.jaccardAllPairs(dupShingles(s, d), "doc_id",
+        threshold = 0.5))
+    }
   // -------------------------------------------------------------------------
 
   /** 4 patterned 64-dim centroids for `v03b_assign_fixed` — one closed form

@@ -267,9 +267,19 @@ object DedupOps {
       maxBucket: Int = 2000): DataFrame = {
     val shingled = withShingles(docs, id, text, shingleN)
       .localCheckpoint(false)
-    val sigs = signaturesFromShingles(shingled, id, k)
     val cands = lshCandidatePairs(
-      lshBandKeys(sigs, id, bands, k / bands), id, maxBucket)
+      lshBandKeys(signaturesFromShingles(shingled, id, k), id, bands,
+        k / bands), id, maxBucket)
+    minhashEstimateFrom(shingled, cands, id, k)
+  }
+
+  /** [[minhashEstimateAudit]] over prebuilt (pinned) shingle and candidate
+    * frames — the shared-front-end entry: the signature lanes are a
+    * map-only projection off `shingled`, so no stage is repaid.
+    */
+  def minhashEstimateFrom(shingled: DataFrame, cands: DataFrame,
+      id: String, k: Int): DataFrame = {
+    val sigs = signaturesFromShingles(shingled, id, k)
     val lanes = (0 until k).map(i => f"mh$i%02d")
     val a = sigs.select(col(id).as("id_a") +:
       lanes.map(c => col(c).as(s"__a_$c")): _*)
@@ -698,6 +708,13 @@ object DedupOps {
     val truth = jaccardAllPairs(sh, id, threshold).select("id_a", "id_b")
     val cand = lshCandidatePairs(
       lshBandKeys(signaturesFromShingles(sh, id, k), id, bands, k / bands), id)
+    lshRecallFrom(truth, cand)
+  }
+
+  /** [[lshRecallEval]]'s closing report over prebuilt (id_a, id_b) truth
+    * and candidate frames — the shared-front-end entry.
+    */
+  def lshRecallFrom(truth: DataFrame, cand: DataFrame): DataFrame = {
     val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))

@@ -44,10 +44,15 @@ private[graft] object QueriesDedup {
 
     // end-to-end dedup survivor list: LSH pairs → components → drop
     // non-canonical members; untouched docs bypass the component step
-    "d10_dedup_keep" -> ((s, d) =>
-      DedupOps.dropNearDups(docs(s, d), "doc_id", "text",
-          shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-        .select("doc_id")),
+    "d10_dedup_keep" -> ((s, d) => {
+      // survivor list off the shared component map: drop every
+      // non-canonical member, untouched docs stream through the anti-join
+      val victims = dupComps(s, d)
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id")
+      docs(s, d).join(victims, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }),
 
 
     // benchmark decontamination: corpus docs sharing any 5-gram shingle
@@ -66,37 +71,36 @@ private[graft] object QueriesDedup {
       DedupOps.exactGroups(docs(s, d), "doc_id", "text")),
 
 
+    // k=6 signatures projected off the pinned family shingle frame (the
+    // shingle build is the shared cost; the md5-min lanes are map-only)
     "d02_minhash_sig" -> ((s, d) =>
-      DedupOps.minhashSignatures(docs(s, d), "doc_id", "text", n = 3, k = 6)),
+      DedupOps.signaturesFromShingles(dupShingles(s, d), "doc_id", k = 6)),
 
 
-    "d03_lsh_neardup" -> ((s, d) =>
-      DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6, threshold = 0.5)),
+    // the shared verified-pair frame IS d03's output (one LSH build per
+    // pass for the whole d-family instead of one per query)
+    "d03_lsh_neardup" -> ((s, d) => dupPairs(s, d)),
 
 
     // MinHash estimator audit: signature-agreement ĵ next to the exact
     // Jaccard with signed error per LSH candidate — the "is k big
     // enough" report before trusting ĵ as the verify shortcut at scale
     "d20_minhash_estimate" -> ((s, d) =>
-      DedupOps.minhashEstimateAudit(docs(s, d), "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6)),
+      DedupOps.minhashEstimateFrom(dupShingles(s, d), dupCands(s, d),
+        "doc_id", k = 12)),
 
 
     "d04_simhash" -> ((s, d) =>
       DedupOps.simhash32(docs(s, d), "doc_id", "text")),
 
 
-    "d05_jaccard_pairs" -> ((s, d) =>
-      DedupOps.jaccardAllPairs(
-        DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.5)),
+    "d05_jaccard_pairs" -> ((s, d) => dupJacAll(s, d)),
 
 
     // asymmetric containment (quote-inclusion detector): |A∩B| / |smaller
     // side| gate, both directions reported — Jaccard misses short-in-long
     "d14_containment_pairs" -> ((s, d) =>
-      DedupOps.containmentPairs(
-        DedupOps.withShingles(docs(s, d), "doc_id", "text", 3), "doc_id", 0.6)),
+      DedupOps.containmentPairs(dupShingles(s, d), "doc_id", 0.6)),
 
 
     "d07_simhash_neardup" -> ((s, d) =>
@@ -112,11 +116,7 @@ private[graft] object QueriesDedup {
 
     // dedup group collapse: pairwise near-dup evidence → connected
     // components → one canonical id per member doc
-    "d08_dedup_components" -> ((s, d) => {
-      val pairs = DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-      DedupOps.connectedComponents(pairs, "id_a", "id_b")
-    }),
+    "d08_dedup_components" -> ((s, d) => dupComps(s, d)),
 
 
     // RefinedWeb/CCNet-style segment-level boilerplate removal: aligned
@@ -139,17 +139,15 @@ private[graft] object QueriesDedup {
     // at the d03 dials — the recall/precision report that tunes
     // (k, bands) before a full-corpus run
     "d16_lsh_recall" -> ((s, d) =>
-      DedupOps.lshRecallEval(docs(s, d), "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6, threshold = 0.5)),
+      DedupOps.lshRecallFrom(dupJacAll(s, d).select("id_a", "id_b"),
+        dupCands(s, d))),
 
 
     // dedup report: near-dup cluster-size histogram (incl. the singleton
     // bucket via anti-join) — the "how much of the corpus is duplicated,
     // and in what clump sizes" summary every dedup run ships with
     "d18_cluster_sizes" -> ((s, d) => {
-      val pairs = DedupOps.nearDupPairs(docs(s, d), "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-      val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      val comp = dupComps(s, d)
       val hist = comp.groupBy(col("canonical_id"))
         .agg(count(lit(1)).as("__sz"))
         .groupBy(col("__sz").as("cluster_size"))

@@ -113,9 +113,7 @@ private[graft] object QueriesMl {
     // straddling train/test silently inflates benchmarks
     "ml23_dedup_split" -> ((s, d) => {
       val t = docs(s, d)
-      val pairs = DedupOps.nearDupPairs(t, "doc_id", "text",
-        shingleN = 3, k = 12, bands = 6, threshold = 0.5)
-      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      val comps = dupComps(s, d)
       t.select(col("doc_id"))
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
