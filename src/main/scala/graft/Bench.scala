@@ -209,6 +209,8 @@ object Bench {
         "d14_containment_pairs", "d16_lsh_recall", "d18_cluster_sizes",
         "d20_minhash_estimate", "ml23_dedup_split"),
       "eval" -> Set("t47_bleu", "t48_rouge2", "t49_chrf", "e2e_eval_report"),
+      "png" -> Set("m02_decode_png", "m05_phash", "m07_resize",
+        "m09_luma_hist", "m10_phash_pairs"),
       "graph" -> ((n: String) => n.matches("g\\d\\d_.*") || n == "pr01_pagerank"),
       "embcov" -> Set("v09_embed_cov", "v10_pca_project"))
     val famJson = familyDefs.map { case (fam, member) =>

@@ -216,6 +216,26 @@ object SparkEntry {
       pinCk(s)(DedupOps.jaccardAllPairs(dupShingles(s, d), "doc_id",
         threshold = 0.5))
     }
+
+  /** The ONE encoded `(doc_id, png)` frame all five image queries decode
+    * (m02 meta, m05 phash, m07 resize, m09 luma, m10 phash pairs): the
+    * deterministic grayscale render + PNG compress (javax.imageio, the
+    * expensive half of every image path) runs once per pass instead of
+    * once per consumer — the span/LM/near-dup shared-front-end discipline
+    * on the image modality. `Tables.spread` first: the docs scan is a
+    * couple of parquet splits at test scale, and the codec is pure
+    * per-row CPU — without the spread the whole encode serializes on two
+    * tasks (at the 100 TB point the scan is already wide and spread is a
+    * no-op by its size guard).
+    */
+  private[graft] def pngFrame(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "png") {
+      val src = Tables.spread(docs(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          (octet_length(col("text")) % 16 + 1).as("w"),
+          (col("doc_id") % 8 + 1).as("h")), tinyBytes = 0L)
+      pinCk(s)(BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h"))
+    }
   // -------------------------------------------------------------------------
 
   /** 4 patterned 64-dim centroids for `v03b_assign_fixed` — one closed form

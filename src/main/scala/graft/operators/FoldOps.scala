@@ -151,7 +151,11 @@ object FoldOps {
   def perStratumTopNBy(df: DataFrame, stratum: Column, orderCols: Seq[Column],
       tieBreak: Column, n: Int, rankCol: String = "rk", fanout: Int = 64): DataFrame = {
     val fullOrder = orderCols :+ tieBreak.asc
-    val salt = pmod(xxhash64(tieBreak.cast("string")), lit(fanout.toLong))
+    // the salt only has to SCATTER, not rank: any deterministic function of
+    // the tie-break gives the same final top-n (every global top-n row is
+    // top-n of whichever slice holds it), so hash the native value — the
+    // per-row string render the old cast paid bought nothing
+    val salt = pmod(xxhash64(tieBreak), lit(fanout.toLong))
     val wLocal = Window.partitionBy(stratum, salt).orderBy(fullOrder: _*)
     val survivors = df.withColumn("__tb_lr", row_number().over(wLocal))
       .filter(col("__tb_lr") <= n).drop("__tb_lr")

@@ -52,7 +52,7 @@ object GraphOps {
 
     for (i <- 0 until iters) {
       if (i > 0 && i % checkpointEvery == 0)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(false)
       val withOut = ranks.join(outW, ranks("node") === outW("__src"), "left")
         .drop("__src")
       val contrib = withOut.filter(col("__outw").isNotNull)
@@ -118,37 +118,59 @@ object GraphOps {
     * shrink), so "the last round removed nobody" — survivor COUNT equality
     * of the final two rounds — is exactly set equality, and exactly "the
     * answer is the true k-core, not a superset cut off mid-peel". That
-    * 1-row boolean rides every output row as `converged` (a 1-row
-    * broadcast scalar attach); a pathological graph needing more than
-    * `rounds` peels now says so in-band instead of silently returning the
-    * unconverged frame.
+    * boolean rides every output row as `converged`; a pathological graph
+    * needing more than `rounds` peels says so in-band instead of silently
+    * returning the unconverged frame.
+    *
+    * Early stop: the same monotonicity means a round that removes nobody
+    * proves every later round is a no-op — the loop exits there. The
+    * survivor frame and the `converged` flag are bit-identical to the
+    * full unroll (a fixed-round oracle's extra rounds are no-ops on a
+    * converged frame), so this is pure cost: `rounds − r` dead supersteps
+    * never scheduled. The per-round count is a driver SCALAR off the
+    * already-materialized checkpoint (loop control, never data), and it
+    * replaces the old two-aggregate flag attach outright.
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"kCore needs at least one peel round, got $rounds")
     val e0 = edges.select(col(src).as("__u"), col(dst).as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // every peel round ends in a hash aggregate keyed on __z (and starts
+    // with a semi-join on it): partition the adjacency on __z once and
+    // CACHE it (persist, not localCheckpoint — an InMemoryRelation keeps
+    // its outputPartitioning visible to the planner, a checkpointed
+    // LogicalRDD degrades to UnknownPartitioning), so when the shrinking
+    // survivor frame broadcasts, a peel round runs with ZERO exchanges of
+    // the 2|E| adjacency — partial and final degree aggregation both ride
+    // the cached partitioning
     val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
       .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
-      .localCheckpoint()
+      .repartition(col("__z"))
+      .sortWithinPartitions("__z")
+      .persist()
     var alive = adj.select(col("__z")).distinct().localCheckpoint()
-    var prevAlive = alive
-    for (_ <- 0 until rounds) {
-      prevAlive = alive
+    var nPrev = alive.count()
+    var nCur = nPrev
+    var r = 0
+    var fixpoint = false
+    while (r < rounds && !fixpoint) {
       val deg = adj
         .join(alive, Seq("__z"), "left_semi")
         .join(alive.withColumnRenamed("__z", "__n"), Seq("__n"), "left_semi")
         .groupBy("__z").agg(count(lit(1)).as("__deg"))
       alive = deg.filter(col("__deg") >= k).select("__z").localCheckpoint()
+      nPrev = nCur
+      nCur = alive.count()
+      // monotone shrink ⇒ count equality IS set equality (= fixpoint)
+      fixpoint = nPrev == nCur
+      r += 1
     }
-    val flag = prevAlive.agg(count(lit(1)).as("__cp"))
-      .crossJoin(alive.agg(count(lit(1)).as("__cc")))
-      .select((col("__cp") === col("__cc")).as("converged"))
     adj.join(alive, Seq("__z"), "left_semi")
       .join(alive.withColumnRenamed("__z", "__n"), Seq("__n"), "left_semi")
       .groupBy(col("__z")).agg(count(lit(1)).as("core_deg"))
-      .select(col("__z").as("node"), col("core_deg"))
-      .crossJoin(broadcast(flag))
+      .select(col("__z").as("node"), col("core_deg"),
+        lit(nPrev == nCur).as("converged"))
   }
 
   /** Exact triangle count of an undirected graph, degree-ordered.
@@ -286,12 +308,22 @@ object GraphOps {
     require(rounds >= 1,
       s"labelPropagation needs at least one round, got $rounds")
     val e0 = edges.select(col(src).as("__u"), col(dst).as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // the adjacency is the big side of EVERY round's neighbor join and
+    // the join key is always __n: partition AND sort it on __n once, then
+    // CACHE it (persist, not localCheckpoint — an InMemoryRelation keeps
+    // outputPartitioning/outputOrdering visible to the planner, a
+    // checkpointed LogicalRDD degrades to UnknownPartitioning). Each
+    // round's sort-merge join then exchanges and sorts only the
+    // one-row-per-node label frame; the 2|E| adjacency is never
+    // re-shuffled or re-sorted after the build
     val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
       .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
-      .localCheckpoint()
+      .repartition(col("__n"))
+      .sortWithinPartitions("__n")
+      .persist()
     var labels = adj.select(col("__z")).distinct()
-      .select(col("__z"), col("__z").as("__lbl")).localCheckpoint()
+      .select(col("__z"), col("__z").as("__lbl")).localCheckpoint(false)
     var prevLabels = labels
     for (_ <- 0 until rounds) {
       prevLabels = labels
@@ -304,7 +336,7 @@ object GraphOps {
       labels = neigh.groupBy(col("__z"))
         .agg(min(struct((-col("__c")).as("nc"), col("__lbl").as("l")))
           .getField("l").as("__lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     // every adjacency node carries a label each round (each has ≥1
     // neighbor), so the node sets of the two frames coincide — inner join
@@ -420,7 +452,7 @@ object GraphOps {
       .select(col("node"), round(lit(1.0) / col("__n"), 9).as("hub"))
     var auth: DataFrame = null
     for (i <- 0 until iters) {
-      if (i > 0) hub = hub.localCheckpoint()
+      if (i > 0) hub = hub.localCheckpoint(false)
       // a'(v) = Σ h(u) over in-edges, integer-pico accumulated
       val afp = e.join(hub, col("__src") === col("node"))
         .groupBy(col("__dst").as("anode"))
@@ -433,7 +465,7 @@ object GraphOps {
           round(when(col("__at") > 0,
             coalesce(col("__afp").cast("double"), lit(0.0)) / col("__at"))
             .otherwise(lit(0.0)), 9).as("authority"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // h'(u) = Σ a'(v) over out-edges, same fixed-point contract
       val hfp = e.join(auth, col("__dst") === col("node"))
         .groupBy(col("__src").as("hnode"))

@@ -465,9 +465,12 @@ object MetricsOps {
   def aurocDeLong(df: DataFrame, score: Column, label: Column): DataFrame = {
     val rows = df.select(score.as("__s"), label.cast("int").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
+    // cached: two consumers (the cumsum machinery and the totals scalar) —
+    // one distinct-score aggregation over the fact rows, not two
     val counts = rows.groupBy(col("__s")).agg(
       sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__cp"),
       sum(when(col("__y") === 1, 0L).otherwise(1L)).as("__cn"))
+      .localCheckpoint(false)
     val cum = RankOps.globalCumsums(counts, Seq(col("__s").asc),
       Seq(col("__cp") -> "__cumP", col("__cn") -> "__cumN"))
     val tot = counts.agg(sum("__cp").as("__m"), sum("__cn").as("__n"))

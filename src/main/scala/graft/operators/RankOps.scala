@@ -134,9 +134,15 @@ object RankOps {
     * globally. Single-row frames get percent_rank 0 (the SQL convention).
     */
   def globalPercentRank(df: DataFrame, valueCol: String, outName: String): DataFrame = {
+    // cached: two consumers (the cumsum machinery and the N scalar) — one
+    // distinct-value aggregation, not two. N summed off `counts`, NOT off
+    // `cum`: the latter re-executes the whole window+offsets branch a
+    // second time just to add up a column the counts aggregate already
+    // carries
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__pr_c"))
+      .localCheckpoint(false)
     val cum = globalCumsum(counts, Seq(col(valueCol).asc), col("__pr_c"), "__pr_cum")
-    val tot = cum.agg(sum(col("__pr_c")).as("__pr_n"))
+    val tot = counts.agg(sum(col("__pr_c")).as("__pr_n"))
     val ranked = cum.crossJoin(broadcast(tot))
       .select(col(valueCol).as("__pr_v"),
         when(col("__pr_n") > 1,

@@ -183,26 +183,47 @@ object RegressionOps {
     * rank-product sums reach 4N³, past BIGINT at ~10⁶ rows).
     *
     * Shape: per-column distinct-value aggregation (bounded by value
-    * cardinality), prefix counts via [[RankOps.globalCumsum]] — the
-    * two-phase range-bucketed form, no single-partition window — then two
-    * equi-joins back to the rows and one final scalar aggregate. The only
-    * doubles are the closing Pearson assembly, mirrored op-for-op by the
-    * oracle.
+    * cardinality), then ONE [[RankOps.globalCumsum]] machine for BOTH
+    * columns — the two per-column count frames are tagged and unioned, the
+    * union range-bucketed on (tag, x, y); within a tag the other column is
+    * a constant NULL, so order within tag t is exactly that column's
+    * ascending order, and the y side's prefix is the global prefix minus n
+    * (all x rows sort first). One range shuffle, one pinned bucketing, one
+    * window pass where the naive form pays two of each — same exact
+    * integer ranks. Then two equi-joins back to the rows and one final
+    * scalar aggregate. The only doubles are the closing Pearson assembly,
+    * mirrored op-for-op by the oracle.
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
-    // pinned: the pair frame has THREE consumers (x-rank counts, y-rank
-    // counts, the closing moment aggregate) — one scan, not three
+    // pinned: the pair frame has FOUR consumers (x-rank counts, y-rank
+    // counts, the n scalar, the closing moment aggregate) — one scan
     val rows = df.select(x.as("__x"), y.as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .localCheckpoint(false)
-    def doubledRanks(v: String, out: String): DataFrame = {
-      val counts = rows.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
-      RankOps.globalCumsum(counts, Seq(col(v)), col("__cnt"), "__cum")
-        .select(col(v), (lit(2) * col("__cum") - (col("__cnt") - 1)).as(out))
-    }
+    val xt = rows.schema("__x").dataType
+    val yt = rows.schema("__y").dataType
+    val xc = rows.groupBy(col("__x")).agg(count(lit(1)).as("__cnt"))
+      .select(lit(0).as("__tag"), col("__x").as("__vx"),
+        lit(null).cast(yt).as("__vy"), col("__cnt"))
+    val yc = rows.groupBy(col("__y")).agg(count(lit(1)).as("__cnt"))
+      .select(lit(1).as("__tag"), lit(null).cast(xt).as("__vx"),
+        col("__y").as("__vy"), col("__cnt"))
+    val n1 = rows.agg(count(lit(1)).as("__n"))
+    val cum = RankOps.globalCumsum(xc.unionByName(yc),
+        Seq(col("__tag").asc, col("__vx").asc, col("__vy").asc),
+        col("__cnt"), "__cum")
+      .crossJoin(broadcast(n1))
+    // doubled average rank of a value with inclusive prefix `cum` and
+    // multiplicity `cnt`: 2·cum − (cnt − 1) — exactly the two-machine form
+    val rxMap = cum.filter(col("__tag") === 0)
+      .select(col("__vx").as("__x"),
+        (lit(2) * col("__cum") - (col("__cnt") - 1)).as("__rx"))
+    val ryMap = cum.filter(col("__tag") === 1)
+      .select(col("__vy").as("__y"),
+        (lit(2) * (col("__cum") - col("__n")) - (col("__cnt") - 1)).as("__ry"))
     rows
-      .join(doubledRanks("__x", "__rx"), Seq("__x"))
-      .join(doubledRanks("__y", "__ry"), Seq("__y"))
+      .join(rxMap, Seq("__x"))
+      .join(ryMap, Seq("__y"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("__rx").cast("decimal(38,0)")).as("__sx"),

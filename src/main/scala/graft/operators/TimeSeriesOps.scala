@@ -337,7 +337,22 @@ object TimeSeriesOps {
       .withColumn("hod", hour(col(ts)))
       .join(broadcast(prof), Seq(key, "dow", "hod"))
       .withColumn("__de", value - col("mean_v"))
-      .withColumn("__tr", percentile(col("__de"), lit(0.5)).over(w))
+      // trailing exact median as sort_array over the collected frame, NOT
+      // `percentile(...).over(w)`: the Percentile ImperativeAggregate
+      // rebuilds an OpenHashMap per sliding-frame shift (boxing + hashing
+      // every row k times), while collect_list is a flat buffer append and
+      // the 25-element sort + pick runs codegen'd in the projection. The
+      // interpolation below is Percentile's own formula verbatim
+      // (lo + (hi − lo)·frac, p = 0.5 ⇒ frac ∈ {0, 0.5}) on the same
+      // doubles, so the result is bit-identical.
+      .withColumn("__ma", sort_array(collect_list(col("__de")).over(w)))
+      .withColumn("__tr", {
+        val s = size(col("__ma"))
+        val lo = element_at(col("__ma"), (s / 2).cast("int"))
+        val hi = element_at(col("__ma"), (s / 2).cast("int") + 1)
+        when(s % 2 === 1, element_at(col("__ma"), ((s + 1) / 2).cast("int")))
+          .otherwise(lo + (hi - lo) * lit(0.5))
+      })
       // 7-decimal rounds: the deseasonalized series lives on a 1e-6 grid
       // (value minus a 6dp mean), so even-count medians sit EXACTLY on
       // 5e-7 — a 6dp round would put every such median on the rounding

@@ -228,70 +228,41 @@ private[graft] object QueriesVector {
     // stream back (inflate + defilter) and emit dims + raster checksums.
     // PNG is lossless, so the decoded checksums have a closed form over the
     // source text — the oracle verifies the actual codec round-trip
-    "m02_decode_png" -> ((s, d) => {
-      val src = docs(s, d).select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        (octet_length(col("text")) % 16 + 1).as("w"),
-        (col("doc_id") % 8 + 1).as("h"))
-      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
-      BinaryOps.decodePngMeta(s, png, "doc_id", "png").toDF()
-        .select("doc_id", "width", "height", "px_sum", "px_xor")
-    }),
+    "m02_decode_png" -> ((s, d) =>
+      BinaryOps.decodePngMeta(s, pngFrame(s, d), "doc_id", "png").toDF()
+        .select("doc_id", "width", "height", "px_sum", "px_xor")),
 
 
     // perceptual difference-hash on the decoded raster — the image
     // near-dup fingerprint; real encode→decode→hash, closed-form oracle
     // over the source bytes (lossless gray round-trip)
-    "m05_phash" -> ((s, d) => {
-      val src = docs(s, d).select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        (octet_length(col("text")) % 16 + 1).as("w"),
-        (col("doc_id") % 8 + 1).as("h"))
-      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
-      BinaryOps.phash63(s, png, "doc_id", "png").toDF()
-    }),
+    "m05_phash" -> ((s, d) =>
+      BinaryOps.phash63(s, pngFrame(s, d), "doc_id", "png").toDF()),
 
 
     // image near-dup pairs: m05's perceptual hashes → 4×16-bit band LSH
     // (pigeonhole-complete for Hamming ≤ 3) → exact bit_count verify —
     // the d03 dedup shape on the image modality, saturated bands capped
-    "m10_phash_pairs" -> ((s, d) => {
-      val src = docs(s, d).select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        (octet_length(col("text")) % 16 + 1).as("w"),
-        (col("doc_id") % 8 + 1).as("h"))
-      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
+    "m10_phash_pairs" -> ((s, d) =>
       BinaryOps.phashNearDupPairs(
-        BinaryOps.phash63(s, png, "doc_id", "png").toDF(),
-        "doc_id", "phash", maxHamming = 3, maxBucket = 1000L)
-    }),
+        BinaryOps.phash63(s, pngFrame(s, d), "doc_id", "png").toDF(),
+        "doc_id", "phash", maxHamming = 3, maxBucket = 1000L)),
 
 
     // REAL decode → nearest-neighbor 4×4 thumbnail: the resize stage of
     // an image-preprocessing pipeline, one tall row per output pixel —
     // integer index arithmetic keeps the closed-form source-byte oracle
-    "m07_resize" -> ((s, d) => {
-      val src = docs(s, d).select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        (octet_length(col("text")) % 16 + 1).as("w"),
-        (col("doc_id") % 8 + 1).as("h"))
-      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
-      BinaryOps.resizeNearest(s, png, "doc_id", "png", outW = 4, outH = 4)
-        .toDF()
-    }),
+    "m07_resize" -> ((s, d) =>
+      BinaryOps.resizeNearest(s, pngFrame(s, d), "doc_id", "png",
+        outW = 4, outH = 4).toDF()),
 
 
     // per-image 16-bin luminance histogram on the REAL decode path — the
     // exposure/contrast profile an image-curation filter reads; each
     // image folds to ≤16 rows inside the decode task (map-only)
-    "m09_luma_hist" -> ((s, d) => {
-      val src = docs(s, d).select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        (octet_length(col("text")) % 16 + 1).as("w"),
-        (col("doc_id") % 8 + 1).as("h"))
-      val png = BinaryOps.withPngPayload(s, src, "doc_id", "payload", "w", "h")
-      BinaryOps.lumaHistogram(s, png, "doc_id", "png", bins = 16).toDF()
-    }),
+    "m09_luma_hist" -> ((s, d) =>
+      BinaryOps.lumaHistogram(s, pngFrame(s, d), "doc_id", "png",
+        bins = 16).toDF()),
 
 
     // byte-sampling feature stand-in (the stub path kept for modalities
