@@ -211,6 +211,10 @@ object Bench {
       "eval" -> Set("t47_bleu", "t48_rouge2", "t49_chrf", "e2e_eval_report"),
       "png" -> Set("m02_decode_png", "m05_phash", "m07_resize",
         "m09_luma_hist", "m10_phash_pairs"),
+      "cohort" -> Set("e2e_cohort_mortality", "e2e_features_clean",
+        "e2e_stay_tensors", "e2e_stay_tensors_mortality",
+        "e2e_stay_tensors_readmit", "e2e_stay_tensors_readmit_meds",
+        "e2e_stay_tensors_mortality_meds"),
       "graph" -> ((n: String) => n.matches("g\\d\\d_.*") || n == "pr01_pagerank"),
       "embcov" -> Set("v09_embed_cov", "v10_pca_project"))
     val famJson = familyDefs.map { case (fam, member) =>

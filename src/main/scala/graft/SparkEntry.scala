@@ -400,13 +400,25 @@ object SparkEntry {
       col("l_linestatus").as("uom"),
       round(col("l_extendedprice") * 100, 0).cast("long").as("val_cents"))
 
+  /** The mortality cohort and its offset event stream, PINNED: eight e2e
+    * queries (cohort label row, features-clean, the five stay-tensor
+    * variants and their meds branches) all open with the identical
+    * visits⋈patients cohort and measurements⋈cohort offset join — the
+    * shared-front-end discipline applied to the §3 facade chain, so the
+    * two joins run once per pass instead of once per consumer (and twice
+    * per consumer where a query reads both `e2eEvents` and the cohort).
+    */
   private[graft] def e2eCohort(s: SparkSession, d: String): DataFrame =
-    api.CohortExtractor.extract(visitsT(s, d), patientsT(s, d),
-      api.CohortConfig(task = api.Mortality("dod")))
+    cached(s, d, "e2eCohort") {
+      pinCk(s)(api.CohortExtractor.extract(visitsT(s, d), patientsT(s, d),
+        api.CohortConfig(task = api.Mortality("dod"))))
+    }
 
   private[graft] def e2eEvents(s: SparkSession, d: String): DataFrame =
-    api.FeatureExtractor.eventsForCohort(measuresT(s, d), e2eCohort(s, d),
-      "hadm_id", "charttime", "admittime")
+    cached(s, d, "e2eEvents") {
+      pinCk(s)(api.FeatureExtractor.eventsForCohort(measuresT(s, d),
+        e2eCohort(s, d), "hadm_id", "charttime", "admittime"))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.QueriesRelational.queries ++

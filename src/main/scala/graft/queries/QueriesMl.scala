@@ -615,10 +615,13 @@ private[graft] object QueriesMl {
     // different sources "compete" on exact lexical score (tie → the earlier
     // doc), 4 unrolled MM iterations on the bounded source-pair frame
     "ml28_bradley_terry" -> ((s, d) => {
+      // pinned: the match self-join references the scored frame TWICE —
+      // without the pin the corpus tokenize + distinct runs once per side
       val t = docs(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           size(array_distinct(TextFns.tokens(col("text")))).cast("long")
             .as("__score"))
+        .localCheckpoint(false)
       val mm = t.as("a").join(t.as("b"),
           col("a.doc_id") + 1 === col("b.doc_id") &&
             col("a.source") =!= col("b.source"))

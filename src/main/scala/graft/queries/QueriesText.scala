@@ -234,8 +234,12 @@ private[graft] object QueriesText {
     // crawl; one min-aggregate over the exploded shingle frame + a join
     // back, never shingle × shingle
     "t38_ngram_novelty" -> ((s, d) => {
-      val sh = docs(s, d).select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("sg"))
+      // shingles off the PINNED tokenized frame (sharedToks) — the corpus
+      // regex-tokenize runs once per pass across the whole t-family, not
+      // again here; same tokens function, so the shingle stream and every
+      // count below are unchanged
+      val sh = sharedToks(s, d).select(col("doc_id"),
+        explode(TextFns.shingles(col("__t"), 3)).as("sg"))
       val first = sh.groupBy("sg").agg(min("doc_id").as("__first"))
       sh.join(first, Seq("sg"))
         .groupBy("doc_id")
@@ -516,9 +520,9 @@ private[graft] object QueriesText {
     // the graph-centrality keyword extractor next to RAKE's (t26)
     // frequency heuristic; reuses the pr01 fixed-point machinery
     "t41_textrank" -> ((s, d) => {
-      val pairs = docs(s, d)
-        .select(explode(TextFns.rawShingles(
-          TextFns.tokens(col("text")), 2)).as("__bg"))
+      // bigrams off the PINNED tokenized frame (the t38 argument)
+      val pairs = sharedToks(s, d)
+        .select(explode(TextFns.rawShingles(col("__t"), 2)).as("__bg"))
         .select(substring_index(col("__bg"), " ", 1).as("a"),
           substring_index(col("__bg"), " ", -1).as("b"))
         .filter(col("a") =!= col("b"))
