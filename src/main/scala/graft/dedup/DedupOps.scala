@@ -758,24 +758,26 @@ object DedupOps {
     */
   def winnowedFingerprints(docs: DataFrame, id: String, text: String,
       k: Int = 3, w: Int = 4): DataFrame = {
+    // fully IN-ROW: gram hashes, the w-wide sliding minima, and the
+    // per-doc dedup are all array expressions over one row — where the
+    // old form exploded every gram and ran two per-doc windows, paying a
+    // full hash exchange of the gram stream just to look at neighbors
+    // that live in the same document. Same fingerprint set: the sliding
+    // min over positions p ∈ [0, n_grams − w] with md5-hex strings under
+    // lexicographic (= binary) order, deduped per doc, matches the old
+    // window min + count-guard + distinct exactly; per-row state is
+    // bounded by document length, the same guarantee every in-row text
+    // kernel here already makes.
     val toks = split(regexp_replace(trim(col(text)), "\\s+", " "), " ")
-    val grams = docs
+    docs
       .select(col(id), toks.as("__t"))
       .filter(size(col("__t")) >= k + w - 1)
-      .select(col(id), posexplode(transform(
+      .select(col(id), transform(
         sequence(lit(0), size(col("__t")) - k),
-        i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))))
-      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__h")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(id)).orderBy(col("__pos"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("__ng", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(id))))
-      .withColumn("__wm", min(col("__h")).over(win))
-      .filter(col("__pos") <= col("__ng") - w)
-      .select(col(id), col("__wm").as("fp"))
-      .distinct()
+        i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))).as("__hs"))
+      .select(col(id), explode(array_distinct(transform(
+        sequence(lit(0), size(col("__hs")) - w),
+        p => array_min(slice(col("__hs"), p + 1, lit(w)))))).as("fp"))
   }
 
   /** Shared-fingerprint pair report over [[winnowedFingerprints]] — the
