@@ -130,6 +130,13 @@ object GraphOps {
     * never scheduled. The per-round count is a driver SCALAR off the
     * already-materialized checkpoint (loop control, never data), and it
     * replaces the old two-aggregate flag attach outright.
+    *
+    * Cache lifetime: the partitioned adjacency is `persist`ed and the
+    * RETURNED frame still references it, so it cannot be unpersisted
+    * here. Long-lived sessions calling this repeatedly should sweep
+    * non-shared persistent RDDs between calls (the bench harness does;
+    * `spark.sparkContext.getPersistentRDDs` + `unpersist`), or wrap the
+    * result in their own checkpoint and unpersist behind it.
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int): DataFrame = {
@@ -140,15 +147,21 @@ object GraphOps {
     // with a semi-join on it): partition the adjacency on __z once and
     // CACHE it (persist, not localCheckpoint — an InMemoryRelation keeps
     // its outputPartitioning visible to the planner, a checkpointed
-    // LogicalRDD degrades to UnknownPartitioning), so when the shrinking
-    // survivor frame broadcasts, a peel round runs with ZERO exchanges of
-    // the 2|E| adjacency — partial and final degree aggregation both ride
-    // the cached partitioning
+    // LogicalRDD degrades to UnknownPartitioning). While the shrinking
+    // survivor frame is small enough to broadcast, a peel round runs with
+    // ZERO exchanges of the 2|E| adjacency; early rounds at scale, where
+    // the survivor set is itself data-sized, the semi-joins degrade to
+    // SMJ and re-exchange the survivor side only — the cached adjacency
+    // partitioning still feeds the degree aggregate without a re-shuffle.
+    // Serialized storage: the 2|E| working set is the biggest cache this
+    // module holds, and at scale deserialized row objects are a §5
+    // memory/spill hazard — MEMORY_AND_DISK_SER trades a cheap per-round
+    // deserialize for a several-fold smaller, spill-friendly footprint.
     val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
       .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
       .repartition(col("__z"))
       .sortWithinPartitions("__z")
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var alive = adj.select(col("__z")).distinct().localCheckpoint()
     var nPrev = alive.count()
     var nCur = nPrev
@@ -294,7 +307,9 @@ object GraphOps {
     * broadcasts of data-sized frames; the label frame is checkpointed per
     * round to keep lineage flat. Isolated nodes never appear in the
     * adjacency and keep their own label by construction of the final
-    * union.
+    * union. Cache lifetime: same caller contract as [[kCore]] — the
+    * returned frame references the persisted adjacency; sweep non-shared
+    * persistent RDDs between repeated calls.
     *
     * Convergence observability (the kCore convention): `converged` is true
     * iff the final two rounds assigned IDENTICAL labels — one equi-join of
@@ -316,19 +331,31 @@ object GraphOps {
     // checkpointed LogicalRDD degrades to UnknownPartitioning). Each
     // round's sort-merge join then exchanges and sorts only the
     // one-row-per-node label frame; the 2|E| adjacency is never
-    // re-shuffled or re-sorted after the build
+    // re-shuffled or re-sorted after the build. Serialized storage for
+    // the same §5 reason as kCore: the 2|E| cache must be compact and
+    // spill-friendly at scale, not deserialized row objects.
     val adj = e0.select(col("__u").as("__z"), col("__v").as("__n"))
       .union(e0.select(col("__v").as("__z"), col("__u").as("__n")))
       .repartition(col("__n"))
       .sortWithinPartitions("__n")
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = adj.select(col("__z")).distinct()
       .select(col("__z"), col("__z").as("__lbl")).localCheckpoint(false)
     var prevLabels = labels
     for (_ <- 0 until rounds) {
       prevLabels = labels
+      // ONE data-sized exchange per round: repartition the joined
+      // (z, neighbor-label) stream by __z once — hash(__z) satisfies the
+      // clustered distribution of BOTH downstream aggregates (grouping
+      // keys {__z,__lbl} ⊇ {__z} and {__z}), so the (z,lbl) count AND the
+      // argmax run exchange-free on top of it. The old shape exchanged
+      // twice (partial counts on (z,lbl), then (z,lbl,c) rows on z); in
+      // the diverse-label early rounds both carried ~|2E| rows each,
+      // so this halves the per-round shuffle where it is largest.
       val neigh = adj
         .join(labels.withColumnRenamed("__z", "__n"), Seq("__n"))
+        .select(col("__z"), col("__lbl"))
+        .repartition(col("__z"))
         .groupBy(col("__z"), col("__lbl"))
         .agg(count(lit(1)).as("__c"))
       // argmax count, ties to the smallest label: lexicographic struct
