@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Driver-run benchmark: times every SparkEntry query on
@@ -48,38 +48,10 @@ object Bench {
     require(Set("min", "median").contains(report),
       s"--report must be min or median, got $report")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.session.timeZone", "UTC")
-      // load-bearing plan lint: no single-partition global windows anywhere
-      // in the suite — fail, don't warn (also kills the WindowExec warning
-      // flood in the bench tail)
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
-      .config("spark.graft.failOnGlobalWindow", "true")
-      // the whole-suite working set is hundreds of codegen units; the
-      // default 100-entry cache thrashes between warmup and the timed pass,
-      // re-paying janino compilation (seconds for wide expression trees)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // InferFiltersFromGenerate clones the whole generator expression into
-      // a scan-side size()>0 filter, so shingle towers (zip_with chains)
-      // evaluate twice per row; nothing here prunes on it (no partitioned
-      // sources), so the inference is pure double-compute — excluded
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // shuffle/spill blocks on tmpfs: the harness box shows multi-second
-      // disk stalls on /tmp that randomize per-query timings
-      // v2 task-commit: files move once at task commit instead of a
-      // second job-level rename sweep, and no _SUCCESS markers — the
-      // file-sink roundtrip queries otherwise pay this committer floor
-      // per query (r7 verdict #7; pure fixed overhead, not plan work)
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.local.dir", "/dev/shm/graft-local")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // session recipe (master local[$SPARK_GRAFT_CPUS], AQE, plan lint,
+    // committer, tmpfs local dir) lives in BenchSession so PlanDump /
+    // StageProfile / QueryProfile profile EXACTLY the bench's settings
+    val spark = BenchSession.build()
     spark.sparkContext.setLogLevel("WARN")
 
     val warmupDir = "/root/testdata/sf0.001"
@@ -229,6 +201,53 @@ object Bench {
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+
+    // ---- round-over-round self-comparison ---------------------------------
+    // The harness captures only ~2 KB of output tail, so the full 367-entry
+    // per-query map can never ride the printed line — which went and made
+    // the driver's PERF per-query comparison go dark (r13 verdict #1). The
+    // comparison therefore rides the line itself: computed against the
+    // PREVIOUS round's committed BENCH_FULL.json (read before this run
+    // overwrites it; it is in-repo at every round close), keyed per query,
+    // reduced to the fields the PERF artifact needs — common-query count,
+    // previous total, geomean speedup (prev/now), regression/improvement
+    // counts at the ±10% noise threshold, and the worst five now/prev
+    // ratios by name. Missing/corrupt file degrades to "vs_prev":null.
+    val vsPrev: String = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) """"vs_prev":null"""
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val key = "\"queries\":{"
+        val qStart = txt.indexOf(key)
+        val qEnd = txt.indexOf("}", qStart)
+        val body = txt.substring(qStart + key.length, qEnd)
+        val qRe = """"([A-Za-z0-9_]+)":(-?[0-9.eE+]+)""".r
+        val prev = qRe.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val prevTotal = """"value":(-?[0-9.eE+]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val ratios = results
+          .filter { case (k, v) => prev.getOrElse(k, 0.0) > 0 && v > 0 }
+          .map { case (k, v) => k -> v / prev(k) } // now/prev: >1 regressed
+        if (ratios.isEmpty) """"vs_prev":null"""
+        else {
+          val geo = math.exp(ratios.map(r => -math.log(r._2)).sum / ratios.size)
+          val worst = ratios.sortBy(-_._2).take(5)
+            .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+            .mkString("{", ",", "}")
+          s""""vs_prev":{"n":${ratios.size},""" +
+            s""""prev_total":${prevTotal.map(t => f"$t%.3f").getOrElse("null")},""" +
+            s""""geomean_speedup":${f"$geo%.3f"},""" +
+            s""""n_regressed":${ratios.count(_._2 > 1.10)},""" +
+            s""""n_improved":${ratios.count(_._2 < 0.90)},""" +
+            s""""worst":$worst}"""
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vs_prev failed: ${e.getMessage}")
+      """"vs_prev":null"""
+    }
     // The harness captures only the last ~2000 bytes of output, so the
     // printed line must stay well under that: rounded values, and only the
     // 20 slowest queries inline. The complete per-query map (both engines)
@@ -237,14 +256,15 @@ object Bench {
     val proto = s""""passes":$nPasses,"report":"$report","loadavg":"$loadavg""""
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""n":${results.size},"failed":${failed.size},$proto$pairJson,""" +
-      s""""families":$famJson,"queries":${entries(slowest)},"sf":"$sfDir"}"""
+      s"""$vsPrev,"families":$famJson,"queries":${entries(slowest)},""" +
+      s""""sf":"$sfDir"}"""
     val duckFull = duck.map { case (_, dq) =>
       s""","duck_queries":${entries(dq.toSeq.sortBy(_._1))}"""
     }.getOrElse("")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s"""$proto$pairJson,"families":$famJson,""" +
+        s"""$proto$pairJson,$vsPrev,"families":$famJson,""" +
         s""""queries":${entries(results)}$duckFull,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     println(line)

@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: write `.explain("formatted")` of named SparkEntry queries to
   * `<outDir>/<name>_<tag>.txt` — the before/after plan evidence for
@@ -13,20 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: PlanDump <sfDir> <outDir> <tag> <q1,q2,...>")
     val (d, outDir, tag, names) =
       (args(0), args(1), args(2), args(3).split(",").toSeq)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
-      .config("spark.graft.failOnGlobalWindow", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.local.dir", "/dev/shm/graft-local")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { n =>

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Dev-only single-query timer: `runMain graft.QueryProfile <sfDir> <reps>
@@ -14,17 +14,10 @@ object QueryProfile {
     df.agg(bit_xor(xxhash64(df.columns.toSeq.map(col): _*))).collect(); ()
   }
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: QueryProfile <sfDir> <reps> <q1,q2,...>")
     val (d, reps, names) = (args(0), args(1).toInt, args(2).split(",").toSeq)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.local.dir", "/dev/shm/graft-local")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach(n =>
       try force(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))

@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.scheduler._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Dev-only stage-level attribution: for each named SparkEntry query, the
@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * does too many exchanges/jobs" (stage-count floor) from "the tasks are
   * slow" (per-task work) and "neither" (driver-side planning time).
   *
-  * Usage: runMain graft.StageProfile <sfDir> <q1,q2,...|top=N>
+  * Usage: runMain graft.StageProfile <sfDir> <q1,q2,...>
   */
 object StageProfile {
   private def force(df: DataFrame): Unit = {
@@ -20,22 +20,11 @@ object StageProfile {
   }
 
   def main(args: Array[String]): Unit = {
-    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    require(args.length >= 2,
+      "usage: StageProfile <sfDir> <q1,q2,...>")
+    val d = args(0)
     val names = args(1).split(",").toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
-      .config("spark.graft.failOnGlobalWindow", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.local.dir", "/dev/shm/graft-local")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.build()
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new AtomicInteger(0)
