@@ -396,9 +396,12 @@ object FoldOps {
     * on any engine or partitioning, mirrorable as unrolled SQL CTEs. A
     * 10⁻⁶ floor keeps never-winning items from zeroing a later pair
     * denominator (BT needs comparison-graph connectivity; the floor is
-    * the standard regularization stand-in). Per-iteration frames are
-    * localCheckpointed (bounded rows) so lineage doesn't compound — the
-    * pageRank discipline.
+    * the standard regularization stand-in). The iterations themselves run
+    * on the DRIVER over the collected (bounded) pair/win state — the
+    * guide-§5 "bounded state on the driver" pattern the PQ codebook and
+    * covariance paths established — with every rounding and cast
+    * replicated to Spark's own semantics (see the inline notes), so the
+    * trajectory is bit-identical to the unrolled relational form.
     */
   def bradleyTerry(matches: DataFrame, winCol: String, loseCol: String,
       iters: Int = 4): DataFrame = {
@@ -416,26 +419,59 @@ object FoldOps {
         col("n_matches"))
       .localCheckpoint(false)
 
-    var p = base.select(col("item"), lit(1.0).as("p"))
+    // The MM iterations run ON THE DRIVER over the collected bounded state
+    // (guide §5 "the driver as a compute resource for bounded state" — the
+    // PQ-codebook / covariance-collect precedent): unrolled as relational
+    // passes, 4 iterations cost ~25 scheduler-floor jobs over frames of at
+    // most |items|² rows, pure fixed overhead. Bit-exactness vs the
+    // unrolled-CTE oracle (and the previous relational form) is held
+    // operation by operation:
+    //  - round(x) / round(x, 6) on DOUBLE is replicated with
+    //    java.math.BigDecimal.valueOf(x).setScale(s, HALF_UP).doubleValue()
+    //    — literally the expression Spark's Round codegen emits;
+    //  - the DECIMAL(38,0) denominator sum is a BigInt sum (both exact
+    //    integers, order-free), and its cast-to-double goes through
+    //    java.math.BigDecimal.doubleValue(), same as Spark's
+    //    Decimal.toDouble;
+    //  - long division q/tot promotes both sides to double, as Spark's
+    //    Divide does. Each iteration is therefore the same pure function
+    //    of the previous 6dp-pinned p as before, value for value.
+    val nijRows = nij.collect()
+    require(nijRows.length <= 2000000,
+      s"bradleyTerry: ${nijRows.length} directed item pairs — items must " +
+        "be a bounded categorical key (models/policies/sources)")
+    val baseRows = base.collect()
+    def r(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val winsOf = baseRows.map(row => row.get(0) -> row.getLong(1)).toMap
+    val pairs = nijRows.map(row => (row.get(0), row.get(1), row.getLong(2)))
+    var p: Map[Any, Double] = baseRows.map(row => row.get(0) -> 1.0).toMap
     for (_ <- 1 to iters) {
-      val den = nij
-        .join(broadcast(p.select(col("item").as("i"), col("p").as("pi"))), Seq("i"))
-        .join(broadcast(p.select(col("item").as("j"), col("p").as("pj"))), Seq("j"))
-        .groupBy(col("i").as("item"))
-        .agg(sum(col("n").cast("decimal(38,0)") *
-          round(lit(1e12) / (col("pi") + col("pj"))).cast("long")
-            .cast("decimal(38,0)")).as("__den"))
-      val q = base.join(den, Seq("item"))
-        .select(col("item"),
-          round(col("wins") * lit(1e12) / col("__den").cast("double") * lit(1e6))
-            .cast("long").as("__q"))
-      val tot = q.agg(sum("__q").as("__tot"))
-      p = q.crossJoin(broadcast(tot))
-        .select(col("item"),
-          greatest(round(col("__q") / col("__tot"), 6), lit(1e-6)).as("p"))
-        .localCheckpoint(false)
+      val den = scala.collection.mutable.Map[Any, BigInt]()
+      for ((i, j, n) <- pairs) {
+        val recip = r(1e12 / (p(i) + p(j)), 0).toLong
+        den(i) = den.getOrElse(i, BigInt(0)) + BigInt(n) * BigInt(recip)
+      }
+      val q = baseRows.map { row =>
+        val item = row.get(0)
+        val d = new java.math.BigDecimal(den(item).bigInteger).doubleValue()
+        item -> r(winsOf(item).toDouble * 1e12 / d * 1e6, 0).toLong
+      }.toMap
+      val tot = q.valuesIterator.sum
+      p = q.map { case (item, qi) =>
+        item -> math.max(r(qi.toDouble / tot.toDouble, 6), 1e-6)
+      }
     }
-    base.join(p, Seq("item"))
+    val itemField = base.schema("item")
+    val pDf = matches.sparkSession.createDataFrame(
+      matches.sparkSession.sparkContext.parallelize(
+        baseRows.toSeq.map(row =>
+          org.apache.spark.sql.Row(row.get(0), p(row.get(0)))), 1),
+      org.apache.spark.sql.types.StructType(Seq(itemField.copy(name = "item"),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.DoubleType))))
+    base.join(broadcast(pDf), Seq("item"))
       .select(col("item"), col("wins"), col("n_matches"),
         (col("p") + lit(0.0)).as("strength"))
   }
