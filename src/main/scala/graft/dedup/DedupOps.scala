@@ -427,10 +427,19 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
       maxIter: Int = 20): DataFrame = {
+    // the symmetric edge list is the static big side of EVERY round's
+    // neighbor-min join, always probed on __dst: partition AND sort it on
+    // __dst once and CACHE it (the g06/g07 adjacency discipline —
+    // serialized, so the footprint stays compact/spill-friendly at
+    // scale), so each round exchanges only the per-node label frame.
+    // Same caller contract as kCore: the returned frame references the
+    // cache; harnesses sweep non-shared blocks between queries.
     val edges = pairs.select(col(idA).as("__src"), col(idB).as("__dst"))
       .unionByName(pairs.select(col(idB).as("__src"), col(idA).as("__dst")))
       .distinct()
-      .localCheckpoint(false)
+      .repartition(col("__dst"))
+      .sortWithinPartitions("__dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("__src").as("doc_id")).distinct()
       .withColumn("canonical_id", col("doc_id"))
       .localCheckpoint(false)
@@ -443,10 +452,14 @@ object DedupOps {
           Seq("__dst"))
         .groupBy(col("__src").as("doc_id"))
         .agg(min(col("__nlab")).as("__nmin"))
+      // lazily cached: the pointer-jump self-join below references this
+      // frame on BOTH sides — uncached, the whole neighbor-min join would
+      // execute twice per round
       val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("__nmin"), col("canonical_id")))
             .as("canonical_id"))
+        .localCheckpoint(false)
       // pointer jump: follow the label one hop (label := min(label,
       // label(label))) — canonical_id is always a node id present in
       // `labels`, so the self-join always matches; the left+coalesce is
@@ -565,8 +578,16 @@ object DedupOps {
         (col("tf") * TextFns.smoothIdf(col("__n"), col("df"))).as("w"))
       .localCheckpoint(false)
     val norms = wts.groupBy(col(id)).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // shuffle_hash pinned (§3.1 pick-the-strategy-deliberately): without
+    // the hint the planner BROADCASTS one side of this self-join — the
+    // checkpointed wts frame carries no real stats, and a data-sized
+    // posting list broadcast is fatal at corpus scale (the t43 doc-side
+    // mis-broadcast lesson). Shuffled-hash keeps both sides partitioned
+    // by term (AQE's skew-join split covers SHJ), builds per-partition
+    // hash maps, and skips SMJ's two sorts — measured 1.35x on the
+    // same-window pair here as well.
     val dots = wts.as("a")
-      .join(wts.as("b"),
+      .join(wts.as("b").hint("shuffle_hash"),
         col("a.term") === col("b.term") && col(s"a.$id") < col(s"b.$id"))
       .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .agg(sum(col("a.w") * col("b.w")).as("dp"))

@@ -115,21 +115,26 @@ object RegressionOps {
     * forensic to [[zipfFit]].
     *
     * Fully relational construction of a sequential-looking statistic:
-    * 1. one pass assigns every token its GLOBAL stream index (per-doc
-    *    prefix offsets via [[RankOps.globalCumsum]] + within-doc
-    *    position from `posexplode`);
-    * 2. each distinct token's first occurrence is `min(index)`, and
-    *    `min_by(doc, index)` pins the document that introduced it
-    *    (index is unique, so the argmin is total);
-    * 3. new-tokens-per-doc aggregates back to the per-document frame,
-    *    whose running (Σ tokens, Σ new) pair IS the growth curve;
-    * 4. [[groupOls]] on the quantized logs (the [[zipfFit]] determinism
+    * 1. each distinct token's introducing document is `min(doc)` over its
+    *    occurrences — the global stream index the first cut of this
+    *    operator materialized is ordered PRIMARILY by doc (per-doc prefix
+    *    offsets + within-doc position), so argmin-by-index ≡ min(doc) and
+    *    neither the index, the offsets cumsum, nor the position explode
+    *    is needed; the explode runs over the per-doc DISTINCT token set
+    *    (membership is all min(doc) reads — duplicates only added
+    *    shuffle bytes);
+    * 2. new-tokens-per-doc aggregates back to the per-document frame,
+    *    whose running (Σ tokens, Σ new) pair IS the growth curve —
+    *    BOTH running sums ride ONE [[RankOps.globalCumsums]] machine
+    *    (one range shuffle, one pinned bucketing, one window pass);
+    * 3. [[groupOls]] on the quantized logs (the [[zipfFit]] determinism
     *    argument verbatim).
     * Output: one row `(n, slope, intercept, r2)` — slope = β,
     * `exp(intercept)` = K, n = #documents on the curve.
     *
-    * Scale: two shuffles on token (first-occurrence agg), two bounded
-    * cumsums on the per-doc frame; no global windows, no driver loops.
+    * Scale: one shuffle on token (first-occurrence agg), one bounded
+    * two-value cumsum on the per-doc frame; no global windows, no driver
+    * loops.
     *
     * `quant` defaults to 10⁴ (not [[zipfFit]]'s 10⁵): the curve has one
     * point per DOCUMENT with ln(corpus tokens)-sized logs, so Σx ≈
@@ -144,26 +149,19 @@ object RegressionOps {
       .select(col(id).as("__doc"), TextFns.tokens(col(text)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .withColumn("__ntok", size(col("__toks")).cast("long"))
-    // prefix offset of each doc in the id-ordered token stream
-    val offsets = RankOps.globalCumsum(
-      perDoc.select(col("__doc"), col("__ntok")),
-      Seq(col("__doc")), col("__ntok"), "__cumn")
-      .select(col("__doc"), (col("__cumn") - col("__ntok")).as("__off"),
-        col("__cumn"))
-    val stream = perDoc.join(offsets, Seq("__doc"))
-      .select(col("__doc"), col("__off"),
-        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
-      .select(col("__doc"), col("__tok"),
-        (col("__off") + col("__pos") + 1).as("__idx"))
-    val firstDoc = stream.groupBy(col("__tok"))
-      .agg(min_by(col("__doc"), col("__idx")).as("__fdoc"))
+    val firstDoc = perDoc
+      .select(col("__doc"), explode(array_distinct(col("__toks"))).as("__tok"))
+      .groupBy(col("__tok"))
+      .agg(min(col("__doc")).as("__fdoc"))
     val newPerDoc = firstDoc.groupBy(col("__fdoc").as("__doc"))
       .agg(count(lit(1)).as("__new"))
-    val curve = RankOps.globalCumsum(
-      offsets.join(newPerDoc, Seq("__doc"), "left")
-        .select(col("__doc"), col("__cumn"),
+    val curve = RankOps.globalCumsums(
+      perDoc.select(col("__doc"), col("__ntok"))
+        .join(newPerDoc, Seq("__doc"), "left")
+        .select(col("__doc"), col("__ntok"),
           coalesce(col("__new"), lit(0L)).as("__new")),
-      Seq(col("__doc")), col("__new"), "__cumv")
+      Seq(col("__doc")),
+      Seq((col("__ntok"), "__cumn"), (col("__new"), "__cumv")))
     groupOls(curve.withColumn("__corpus", lit("all")), "__corpus",
         round(log(col("__cumn")) * quant, 0),
         round(log(col("__cumv")) * quant, 0))

@@ -65,7 +65,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "a27_cat_assoc" -> "r x c marginal cross product + 1-row grand totals — bounded by category cardinalities",
     "d15_sorted_neighborhood" -> "bucket-offset triangle (globalRowNumber) — <= shuffle-partition rows",
     "a28_spearman" -> "bucket-offset triangles (two globalCumsums over distinct-value frames)",
-    "t23_heaps_fit" -> "bucket-offset triangles (two globalCumsums over the per-doc frame)",
+    "t23_heaps_fit" -> "bucket-offset triangle (one two-value globalCumsums over the per-doc frame)",
     "ml13_woe" -> "1-row pos/neg grand totals (explicit broadcast)",
     "t24_rrf_fusion" -> "1-row N/avgdl stats (bm25) + bucket-offset triangles over 50-row lists",
     "ml14_info_gain" -> "1-row corpus count + 1-row H(target) scalar (explicit broadcasts)",
