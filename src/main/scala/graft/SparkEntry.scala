@@ -150,22 +150,31 @@ object SparkEntry {
       pinCk(s)(GraphOps.coOccurrenceEdges(baskets, "l_orderkey", "p_brand"))
     }
 
+  /** Word AND char clipped-match frames in ONE pinned machine
+    * ([[graft.operators.EvalOps.wordCharOverlap]]): the two standalone
+    * builds each paid their own paired-doc scan, explode→count, match
+    * join and pivot — all floor-bound — so fusing them halves the eval
+    * family's build. [[wordOverlap]]/[[charOverlap]] are projections.
+    */
+  private[graft] def evalOverlap(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "evalOv") {
+      pinCk(s)(EvalOps.wordCharOverlap(docs(s, d), "doc_id", "text",
+        evalPairs(s, d), wordMaxN = 2, charMaxN = 3))
+    }
+
   /** The eval pairing's clipped WORD-gram match frame (m1, m2, lens) —
     * BLEU (t47), ROUGE-2 (t48) and the composed report all close over
     * the IDENTICAL frame.
     */
   private[graft] def wordOverlap(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "wordOv") {
-      pinCk(s)(EvalOps.ngramOverlap(docs(s, d), "doc_id", "text",
-        evalPairs(s, d), maxN = 2))
-    }
+    evalOverlap(s, d).select(col("cand_id"), col("ref_id"),
+      col("m1"), col("m2"), col("len_c"), col("len_r"))
 
   /** The eval pairing's clipped CHAR-gram match frame (chrF + report). */
   private[graft] def charOverlap(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "charOv") {
-      pinCk(s)(EvalOps.charNgramOverlap(docs(s, d), "doc_id", "text",
-        evalPairs(s, d), maxN = 3))
-    }
+    evalOverlap(s, d).select(col("cand_id"), col("ref_id"),
+      col("cm1").as("m1"), col("cm2").as("m2"), col("cm3").as("m3"),
+      col("clen_c").as("len_c"), col("clen_r").as("len_r"))
 
   // ---- shared near-dup (LSH) front end -------------------------------------
   // Nine d/ml queries are views over ONE MinHash-LSH construction

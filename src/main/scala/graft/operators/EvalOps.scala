@@ -88,6 +88,72 @@ object EvalOps {
     clippedOverlap(grams, lens, pairs, maxN)
   }
 
+  /** [[ngramOverlap]] and [[charNgramOverlap]] fused into ONE machine:
+    * a shared front end building both at once pays one paired-doc scan,
+    * one explode→count aggregate, one pair-match join and one pivot
+    * where two separate machines pay each twice — the per-pair frames are
+    * floor-bound (a handful of task-seconds over ~15 exchanges), so
+    * halving the exchange count halves the build.
+    *
+    * Word grams ride tag `n`, char grams tag `100 + n` (disjoint, so the
+    * `(id, n, gram)` match join can never cross kinds), and the pivot
+    * emits both metric families side by side. Output per pair:
+    * `m1..m<wordMaxN>, len_c, len_r` (token counts — exactly
+    * [[ngramOverlap]]'s columns) plus `cm1..cm<charMaxN>, clen_c, clen_r`
+    * (char counts — [[charNgramOverlap]]'s columns under a `c` prefix).
+    * Each family's values are bit-identical to its standalone machine:
+    * the per-(id, tag, gram) counts, the clipped min-sum and the
+    * left-join pivot all partition cleanly by tag.
+    */
+  def wordCharOverlap(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, wordMaxN: Int, charMaxN: Int): DataFrame = {
+    require(wordMaxN >= 1 && wordMaxN < 100,
+      s"wordMaxN must be in [1, 99], got $wordMaxN")
+    require(charMaxN >= 1, s"charMaxN must be >= 1, got $charMaxN")
+    val base = restrictToPaired(docs, idCol, pairs)
+      .select(col(idCol).as("__id"),
+        TextFns.tokens(col(textCol)).as("__toks"),
+        regexp_replace(col(textCol), "\\s+", "").as("__chars"))
+    val wordArrays = (1 to wordMaxN).map { n =>
+      val g = if (n == 1) col("__toks") else TextFns.rawShingles(col("__toks"), n)
+      transform(g, x => struct(lit(n).as("n"), x.as("g")))
+    }
+    val charArrays = (1 to charMaxN).map { n =>
+      val g = expr(s"CASE WHEN length(__chars) >= $n THEN " +
+        s"transform(sequence(1, length(__chars) - ${n - 1}), " +
+        s"i -> substring(__chars, i, $n)) ELSE array() END")
+      transform(g, x => struct(lit(100 + n).as("n"), x.as("g")))
+    }
+    val grams = base
+      .select(col("__id"),
+        explode(concat(wordArrays ++ charArrays: _*)).as("__t"))
+      .select(col("__id"), col("__t.n").as("__n"), col("__t.g").as("__gram"))
+      .groupBy("__id", "__n", "__gram").agg(count(lit(1)).as("__cnt"))
+    val lens = base.select(col("__id"),
+      size(col("__toks")).cast("long").as("__wlen"),
+      length(col("__chars")).cast("long").as("__clen"))
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val matched = p
+      .join(grams.as("gc"), col("cand_id") === col("gc.__id"))
+      .join(grams.as("gr"),
+        col("ref_id") === col("gr.__id") &&
+          col("gc.__n") === col("gr.__n") && col("gc.__gram") === col("gr.__gram"))
+      .groupBy(col("cand_id"), col("ref_id"), col("gc.__n").as("__n"))
+      .agg(sum(least(col("gc.__cnt"), col("gr.__cnt"))).as("__m"))
+    val mCols = (1 to wordMaxN).map(n =>
+      coalesce(max(when(col("__n") === n, col("__m"))), lit(0L)).as(s"m$n")) ++
+      (1 to charMaxN).map(n =>
+        coalesce(max(when(col("__n") === (100 + n), col("__m"))), lit(0L))
+          .as(s"cm$n"))
+    p.join(matched, Seq("cand_id", "ref_id"), "left")
+      .groupBy("cand_id", "ref_id")
+      .agg(mCols.head, mCols.tail: _*)
+      .join(lens.select(col("__id").as("cand_id"), col("__wlen").as("len_c"),
+        col("__clen").as("clen_c")), Seq("cand_id"))
+      .join(lens.select(col("__id").as("ref_id"), col("__wlen").as("len_r"),
+        col("__clen").as("clen_r")), Seq("ref_id"))
+  }
+
   /** Gram frames are only needed for documents that appear in some pair —
     * an eval set is typically a sliver of the corpus, so the explode runs
     * behind a left-semi join on the pair ids (skinny, deduped by the
