@@ -166,24 +166,39 @@ object CorpusCurator {
       docs.withColumn("n_tokens", size(TextFns.tokens(col(cfg.textCol)))),
       Seq(cfg.stratumCol), Seq(cfg.idCol), col("n_tokens"), cfg.packCapacity)
 
-  /** The full chain. */
-  def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame =
-    pack(sample(decontaminate(nearDedup(exactDedup(scrubBoilerplate(
-      fluencyFilter(qualityFilter(docs, cfg), cfg), cfg), cfg), cfg),
-      benchmark, cfg), cfg), cfg)
+  /** The full chain. Every dedup/decontamination stage references its
+    * input TWICE (the corpus plus a semi/anti-join keyed off a
+    * derivation of the same corpus), so an unbroken lazy chain
+    * duplicates the upstream scan+tokenize subtree ~2× per stage — ~8×
+    * by the packer (ReuseExchange cannot help: the duplicated subtrees
+    * sit below any exchange). Lazy checkpoints at the stage boundaries
+    * make each survivors frame materialize once and feed both
+    * references (guide §2.4 recompute removal); values are untouched.
+    */
+  def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
+    val gated = scrubBoilerplate(
+      fluencyFilter(qualityFilter(docs, cfg), cfg), cfg).localCheckpoint(false)
+    val exact = exactDedup(gated, cfg).localCheckpoint(false)
+    val near = nearDedup(exact, cfg).localCheckpoint(false)
+    val clean = decontaminate(near, benchmark, cfg).localCheckpoint(false)
+    pack(sample(clean, cfg), cfg)
+  }
 
   /** The chain plus the per-stage survivor funnel (one count action per
     * stage — the curation report every corpus run ships with).
     */
   def curateWithReport(docs: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
-    val s1 = qualityFilter(docs, cfg)
-    val s12 = fluencyFilter(s1, cfg)
-    val s15 = scrubBoilerplate(s12, cfg)
-    val s2 = exactDedup(s15, cfg)
-    val s3 = nearDedup(s2, cfg)
-    val s4 = decontaminate(s3, benchmark, cfg)
-    val s5 = sample(s4, cfg)
+    // stage checkpoints: here each stage frame has THREE consumers (the
+    // next stage's two references plus its own report count) — see the
+    // recompute note on [[curate]]
+    val s1 = qualityFilter(docs, cfg).localCheckpoint(false)
+    val s12 = fluencyFilter(s1, cfg).localCheckpoint(false)
+    val s15 = scrubBoilerplate(s12, cfg).localCheckpoint(false)
+    val s2 = exactDedup(s15, cfg).localCheckpoint(false)
+    val s3 = nearDedup(s2, cfg).localCheckpoint(false)
+    val s4 = decontaminate(s3, benchmark, cfg).localCheckpoint(false)
+    val s5 = sample(s4, cfg).localCheckpoint(false)
     val out = pack(s5, cfg)
     val report = Seq(
       "00_input" -> docs.count(), "10_quality" -> s1.count(),

@@ -790,7 +790,11 @@ object DedupOps {
     // bounded by document length, the same guarantee every in-row text
     // kernel here already makes.
     val toks = split(regexp_replace(trim(col(text)), "\\s+", " "), " ")
-    docs
+    // spread: the md5-per-gram kernel is pure CPU over the handful of
+    // parquet scan tasks a small docs table yields — widen it across the
+    // cores (no-op ≥256 MB, the PNG-family discipline), or the whole
+    // fingerprint pass runs 2-wide on 32 cores
+    graft.Tables.spread(docs.select(col(id), col(text)), tinyBytes = 0L)
       .select(col(id), toks.as("__t"))
       .filter(size(col("__t")) >= k + w - 1)
       .select(col(id), transform(
