@@ -151,8 +151,13 @@ object RankOps {
     // null-safe join: a null value is a legitimate rank group (sorted
     // first, the SQL NULLS FIRST convention `globalCumsum`'s asc order
     // already applies) — a plain equality join would silently drop null
-    // rows from the output while still counting them in N
-    df.join(ranked, col(valueCol) <=> col("__pr_v")).drop("__pr_v")
+    // rows from the output while still counting them in N.
+    // shuffle_hash (§3.1): the build side is the distinct-value rank map
+    // (≤ one row per distinct value), the probe side the full fact frame
+    // — SMJ would sort the fact frame just to attach a rank; per-value
+    // skew is a single hot build key, which splits under AQE skew join.
+    df.join(ranked.hint("shuffle_hash"), col(valueCol) <=> col("__pr_v"))
+      .drop("__pr_v")
   }
 
   /** Balanced range-partition split points — the boundary computation

@@ -555,18 +555,23 @@ object RegressionOps {
     // ±3037 lane contract at corpus row counts — exactness wins.
     val exploded =
       if (d <= 256) {
-        val pairLits = (for { i <- 0 until d; j <- i until d }
-          yield struct(
-            lit(i.toLong * d - i.toLong * (i - 1) / 2 + (j - i)).as("pos"),
-            lit(i + 1).as("i"), lit(j + 1).as("j"))) ++
-          (0 until d).map(i => struct(lit((p0 + i).toLong).as("pos"),
-            lit(i + 1).as("i"), lit(-1).as("j")))
-        qdf.select(explode(array(pairLits: _*)).as("pr"), col("__q"))
-          .select(col("pr.pos").as("pos"),
-            when(col("pr.j") >= 0,
-              element_at(col("__q"), col("pr.i")) *
-                element_at(col("__q"), col("pr.j")))
-              .otherwise(element_at(col("__q"), col("pr.i"))).as("__p"))
+        // ONE literal array-of-structs node (typedLit), not d(d+3)/2
+        // CreateStruct expression nodes: the build is re-planned every
+        // bench pass (the pinned frame is reset), and Catalyst
+        // analysis/optimization of a ~2000-element literal expression
+        // tree was most of the build's wall — a single ArrayData literal
+        // is O(1) to the optimizer, identical values to the explode.
+        val pairSeq: Seq[(Long, Int, Int)] =
+          (for { i <- 0 until d; j <- i until d }
+            yield (i.toLong * d - i.toLong * (i - 1) / 2 + (j - i),
+              i + 1, j + 1)) ++
+            (0 until d).map(i => ((p0 + i).toLong, i + 1, -1))
+        qdf.select(explode(typedLit(pairSeq)).as("pr"), col("__q"))
+          .select(col("pr._1").as("pos"),
+            when(col("pr._3") >= 0,
+              element_at(col("__q"), col("pr._2")) *
+                element_at(col("__q"), col("pr._3")))
+              .otherwise(element_at(col("__q"), col("pr._2"))).as("__p"))
       } else {
         val prods = flatten(transform(col("__q"), (xi, i) =>
           transform(slice(col("__q"), i + 1, size(col("__q"))), xj => xi * xj)))
