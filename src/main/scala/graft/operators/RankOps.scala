@@ -152,10 +152,11 @@ object RankOps {
     // first, the SQL NULLS FIRST convention `globalCumsum`'s asc order
     // already applies) — a plain equality join would silently drop null
     // rows from the output while still counting them in N.
-    // shuffle_hash (§3.1): the build side is the distinct-value rank map
-    // (≤ one row per distinct value), the probe side the full fact frame
-    // — SMJ would sort the fact frame just to attach a rank; per-value
-    // skew is a single hot build key, which splits under AQE skew join.
+    // shuffle_hash (§3.1): PINS the strategy the planner already picks
+    // here (plans/r14/f24_*: ShuffledHashJoin either way) so a stats
+    // estimate drift can never flip this into sorting the fact frame
+    // (SMJ) or broadcasting a data-sized rank map. Build side = the
+    // distinct-value map; a hot value splits under AQE skew join.
     df.join(ranked.hint("shuffle_hash"), col(valueCol) <=> col("__pr_v"))
       .drop("__pr_v")
   }
